@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name> parquet result written by graft.Verify,
+runs the matching SQL from oracle_sql.json in DuckDB over the sf_dir tables,
+and diffs: row count, column names/types, and values (columns sorted by name,
+rows sorted by all columns; floats compared exactly AND with 1e-9 rtol so we
+can see how close a miss is).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failed.append(name)
+            continue
+        ok = True
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            ok = False
+        else:
+            for c in got.columns:
+                g, e = got[c], exp[c]
+                try:
+                    same = g.equals(e) or (g.astype(object).fillna("\0")
+                                           == e.astype(object).fillna("\0")).all()
+                except Exception:
+                    same = False
+                if not same:
+                    # show first mismatching rows
+                    neq = ~(g.astype(object).fillna("\0") == e.astype(object).fillna("\0"))
+                    idx = list(neq[neq].index[:3])
+                    print(f"FAIL {name}: col {c} differs at rows {idx}: "
+                          f"got={[g[i] for i in idx]} exp={[e[i] for i in idx]} "
+                          f"(dtype got={g.dtype} exp={e.dtype})")
+                    ok = False
+        if ok:
+            print(f"OK   {name}: {len(got)} rows x {len(got.columns)} cols")
+        else:
+            failed.append(name)
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
