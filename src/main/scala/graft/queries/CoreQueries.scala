@@ -335,6 +335,58 @@ object CoreQueries {
       |  FROM orders) t
       |WHERE v IS NULL ORDER BY o_orderkey""".stripMargin
 
+  /** q16 — U1/F1/F2, the HTML-extraction UDF driven through the engine and
+    * still oracle-checkable: each document is rendered into a JobsDB-shaped
+    * page (title/company/description/location/post-date/salary/labels) with
+    * format_string, parsed back by the struct UDF, and the typed projection
+    * applied (ParseHtml.py:45-72). Because the page is built from table
+    * columns, DuckDB predicts every parsed field with plain SQL.
+    */
+  val q16_html_parse: Q = (s, d) => {
+    val pageFmt =
+      "<html><body>" +
+        "<div data-automation=\"detailsTitle\"><div><h1>Doc %d</h1></div>" +
+        "<div><span>%s Publishing</span></div></div>" +
+        "<div data-automation=\"jobDescription\"><div>%s</div></div>" +
+        "<div data-automation=\"jobDetailsHeader\">" +
+        "<div class=\"sx2jih0 zcydq86a\"><div><span>%s</span></div></div>" +
+        "<div class=\"sx2jih0 zcydq86a\"><span>Posted on 3-Oct-22</span></div>" +
+        "<div class=\"sx2jih0 zcydq86a\"><span>HK$%d - HK$%d /month</span></div>" +
+        "</div>" +
+        "<div><div><h4>Additional Information</h4></div>" +
+        "<div><div><div><span>Career Level</span></div><div><span>%s</span></div></div></div>" +
+        "</div></body></html>"
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        format_string(pageFmt,
+          col("doc_id"), col("source"), col("text"), col("source"),
+          col("n_chars"), col("n_chars") * 2, col("lang")).as("html"))
+      .select(col("doc_id"),
+        graft.functions.JobParse.parse_job(col("html"), lit("2026-01-01")).as("p"))
+      .select(
+        col("doc_id"),
+        col("p.job_title").as("job_title"),
+        col("p.company_name").as("company_name"),
+        col("p.location").as("location"),
+        col("p.official_post_date").as("official_post_date"),
+        expr("try_cast(p.min_official_salary AS BIGINT)").as("min_official_salary"),
+        expr("try_cast(p.max_official_salary AS BIGINT)").as("max_official_salary"),
+        col("p.career_level").as("career_level"))
+      .orderBy("doc_id")
+  }
+
+  val q16Sql: String =
+    """SELECT doc_id,
+      |  'Doc ' || doc_id AS job_title,
+      |  source || ' Publishing' AS company_name,
+      |  source AS location,
+      |  '2022-10-03' AS official_post_date,
+      |  n_chars AS min_official_salary,
+      |  n_chars * 2 AS max_official_salary,
+      |  lang AS career_level
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_impute_minmax" -> q01_impute_minmax,
     "q02_dedupe_first" -> q02_dedupe_first,
@@ -350,7 +402,8 @@ object CoreQueries {
     "q12_sort_limit" -> q12_sort_limit,
     "q13_star_join" -> q13_star_join,
     "q14_event_windows" -> q14_event_windows,
-    "q15_empty_string_cast" -> q15_empty_string_cast)
+    "q15_empty_string_cast" -> q15_empty_string_cast,
+    "q16_html_parse" -> q16_html_parse)
 
   val oracleSql: Map[String, String] = Map(
     "q01_impute_minmax" -> q01Sql,
@@ -367,5 +420,6 @@ object CoreQueries {
     "q12_sort_limit" -> q12Sql,
     "q13_star_join" -> q13Sql,
     "q14_event_windows" -> q14Sql,
-    "q15_empty_string_cast" -> q15Sql)
+    "q15_empty_string_cast" -> q15Sql,
+    "q16_html_parse" -> q16Sql)
 }
