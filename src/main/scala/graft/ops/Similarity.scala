@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two tiers:
+  *  - `cosineTopK` — brute-force exact top-k: broadcast the (small) query
+  *    set against the corpus, dot products via zip_with/aggregate (codegen'd,
+  *    left-to-right fold so results are bit-reproducible), window top-k.
+  *    Exact but O(|queries|·|corpus|): the verification/baseline tier.
+  *  - `lshCosineTopK` — random-hyperplane LSH: each vector gets a sign-bit
+  *    bucket from `planes` deterministic hyperplanes; candidates are pairs
+  *    sharing a bucket, ranked per query. Approximate, but the pair space
+  *    shrinks from n² to Σ bucket², and buckets shard the shuffle — the
+  *    100 TB path. Recall is tested against the exact tier.
+  *
+  * Cosines are rounded to 9 decimals before ranking: scores equal to within
+  * float noise collapse to ties broken by neighbor id, keeping top-k
+  * deterministic across engines and partitionings.
+  */
+object Similarity {
+
+  /** Elementwise double cast. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (l2norm(ad) * l2norm(bd))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self-pairs).
+    * Output: (query_id, neighbor_id, cos, rank). The query side is
+    * broadcast — at scale the corpus stays partitioned and never shuffles.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplanes: component (j,i) drawn from a seeded PRNG so
+    * every run/engine sees identical planes. numPlanes sign bits → bucket.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id for a vector under the given hyperplanes. */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = asDouble(vecCol)
+    planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vd, plane) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Multi-table bucketing: `numTables` independent hash tables of
+    * `planesPerTable` sign bits each; a pair is a candidate when it
+    * collides in ANY table (amplified recall: 1-(1-p^k)^L — a single
+    * table's p^k recall is useless for near-neighbors at p<1).
+    * Emits (table, bucket) rows, one per table per vector.
+    */
+  private def bucketedByTable(corpus: DataFrame, idCol: String, vecCol: String,
+      numTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col(vecCol), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("bucket"))
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k: candidates limited to vectors sharing an LSH bucket
+    * in at least one table. Trades recall (tested vs the exact tier) for an
+    * n²→Σ bucket² pair space and a bucket-sharded shuffle — the 100 TB path.
+    */
+  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
+    val a = bucketed.select(col("id").as("query_id"), col("v").as("qv"),
+      col("tbl"), col("bucket"))
+    val b = bucketed.select(col("id").as("neighbor_id"), col("v").as("cv"),
+      col("tbl"), col("bucket"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-based near-duplicate pairs: cosine ≥ threshold via
+    * multi-table LSH candidates (the embedding leg of the dedup suite).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.ops.{Similarity, TextDedup}
+
+/** Training-data-pipeline operators beyond the reference's surface
+  * (BASELINE.json north star): dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash / embedding), similarity search (exact + LSH tiers), text
+  * analysis, and multimodal plumbing. Oracle SQL accompanies every operator
+  * whose math is portable to DuckDB; xxhash-based sketches get rows-only
+  * checks plus ScalaTest equivalence against their oracle-checked exact
+  * counterparts.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q17 — exact dedup by content digest (hash group-by; the 100 TB fast
+    * path: one shuffle on a 128-bit key with map-side combine).
+    */
+  val q17_exact_dedup: Q = (s, d) =>
+    TextDedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("text_hash")
+
+  val q17Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** q18 — exact word-3-gram Jaccard near-dup pairs within a language
+    * block: the oracle-checked reference implementation of near-dup
+    * detection (the LSH tiers must reproduce it).
+    */
+  val q18_ngram_jaccard: Q = (s, d) =>
+    TextDedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val q18Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q19 — MinHash+LSH near-dup pairs (32 hashes, 16 bands): the scale path
+    * that avoids the O(n²) pair space. xxhash64 is not portable to DuckDB →
+    * rows-only driver check; ScalaTest asserts equality with q18's output.
+    */
+  val q19_minhash_lsh: Q = (s, d) =>
+    TextDedup.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** q20 — SimHash near-dup pairs (64-bit sketch, 8×8-bit band blocking,
+    * Hamming ≤ 6). Rows-only driver check (xxhash sketch).
+    */
+  val q20_simhash: Q = (s, d) =>
+    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  /** q21 — exact cosine top-1 neighbor per embedding (brute-force tier).
+    * Cosines rounded to 6 decimals before ranking/output so float noise
+    * between engines collapses into deterministic id tie-breaks.
+    */
+  val q21_cosine_top1: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.cosineTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id")
+  }
+
+  val q21Sql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round(round(
+      |      list_sum(list_transform(generate_series(1, 64),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+      |      9), 6) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+      |SELECT query_id, neighbor_id, cos, rk AS rank FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+      |  FROM pairs) t
+      |WHERE rk <= 1 ORDER BY query_id""".stripMargin
+
+  /** q22 — token statistics: whitespace tokens, BPE-ish estimate, char
+    * length, mean token length.
+    */
+  val q22_token_stats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeTokenEstimate(col("text")).cast("int").as("n_bpe"),
+      TextAnalysis.charLen(col("text")).as("len_chars"),
+      round(TextAnalysis.charLen(col("text")).cast("double") /
+        greatest(TextAnalysis.tokenCount(col("text")), lit(1)).cast("double"), 6)
+        .as("mean_token_len"))
+    .orderBy("doc_id")
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe,
+      |  CAST(length(text) AS INTEGER) AS len_chars,
+      |  round(CAST(length(text) AS DOUBLE)
+      |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER), 1), 6)
+      |    AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q23 — language ID (stopword-ratio argmax) + composite quality score,
+    * both reproduced verbatim in the oracle so the classification logic
+    * itself is checked.
+    */
+  val q23_lang_quality: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_id"),
+      round(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("en_stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    .orderBy("doc_id")
+
+  private def duckStopRatio(langList: String): String =
+    s"""CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |  x -> list_contains($langList, x))) AS DOUBLE)
+       |  / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER), 1)""".stripMargin
+
+  val q23Sql: String = {
+    def lst(l: String) = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val rEn = duckStopRatio(lst("en"))
+    val rDe = duckStopRatio(lst("de"))
+    val rFr = duckStopRatio(lst("fr"))
+    val rEs = duckStopRatio(lst("es"))
+    val enList = lst("en")
+    s"""WITH r AS (
+       |  SELECT doc_id, text,
+       |    $rEn AS r_en, $rDe AS r_de, $rFr AS r_fr, $rEs AS r_es,
+       |    CAST(length(text) AS BIGINT) AS len_c,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct_c,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains($enList, x))) AS BIGINT) AS stop_c,
+       |    greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS toks_c
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+       |       WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+       |       WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+       |       WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+       |       WHEN r_es = greatest(r_en, r_de, r_fr, r_es) THEN 'es'
+       |       ELSE 'und' END AS lang_id,
+       |  round(r_en, 6) AS en_stop_ratio,
+       |  CAST(((least((len_c * 1000000) // 500, 1000000)
+       |       + (1000000 - (punct_c * 1000000) // greatest(len_c, 1))
+       |       + least((stop_c * 4 * 1000000) // toks_c, 1000000)
+       |       + least((len_c * 1000000) // (toks_c * 8), 1000000)) // 4)
+       |       AS DOUBLE) / 1000000 AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** q24 — document fingerprint: MD5 over the normalized text (lowercase,
+    * alphanumerics only, collapsed whitespace) — portable content identity.
+    */
+  val q24_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("norm_text"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    .orderBy("doc_id")
+
+  val q24Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+      |       '\s+', ' ', 'g')) AS norm_text,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+      |       '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q25 — multimodal plumbing: text rendered as binary payloads, typed
+    * per-partition (stub) decode, byte-level metadata out. The oracle
+    * predicts every stubbed field from the source text.
+    */
+  val q25_multimodal_meta: Q = (s, d) => {
+    val media = Multimodal.mediaFromText(s, Tables.documents(s, d), "doc_id", "text")
+    Multimodal.extractMeta(media).toDF().orderBy("media_id")
+  }
+
+  val q25Sql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** q26 — LSH-bucketed approximate cosine top-1 (the ANN scale tier).
+    * Rows-only driver check; recall vs q21 asserted in ScalaTest.
+    */
+  val q26_lsh_cosine: Q = (s, d) =>
+    Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 1, dim = 64)
+      .orderBy("query_id")
+
+  val queries: Map[String, Q] = Map(
+    "q17_exact_dedup" -> q17_exact_dedup,
+    "q18_ngram_jaccard" -> q18_ngram_jaccard,
+    "q19_minhash_lsh" -> q19_minhash_lsh,
+    "q20_simhash" -> q20_simhash,
+    "q21_cosine_top1" -> q21_cosine_top1,
+    "q22_token_stats" -> q22_token_stats,
+    "q23_lang_quality" -> q23_lang_quality,
+    "q24_fingerprint" -> q24_fingerprint,
+    "q25_multimodal_meta" -> q25_multimodal_meta,
+    "q26_lsh_cosine" -> q26_lsh_cosine)
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_exact_dedup" -> q17Sql,
+    "q18_ngram_jaccard" -> q18Sql,
+    "q21_cosine_top1" -> q21Sql,
+    "q22_token_stats" -> q22Sql,
+    "q23_lang_quality" -> q23Sql,
+    "q24_fingerprint" -> q24Sql,
+    "q25_multimodal_meta" -> q25Sql)
+}

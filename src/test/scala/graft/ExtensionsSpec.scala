@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.ops.{Similarity, TextDedup}
+import graft.queries.{ExtensionQueries, Tables}
+
+/** The sketch-based scale tiers (MinHash-LSH, SimHash, hyperplane-LSH) have
+  * no DuckDB oracle; these tests pin them to their oracle-checked exact
+  * counterparts on the sf0.001 corpus.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("ExtensionsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Exact near-dup pairs with no language blocking — the ground truth the
+    * unblocked sketch tiers are measured against.
+    */
+  private def exactPairsUnblocked: Set[(Long, Long)] =
+    TextDedup.ngramJaccardPairs(
+        Tables.documents(spark, sf).withColumn("all", lit(1)),
+        "doc_id", "text", "all", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds exactly the exact-Jaccard near-dup pairs (recall + precision)") {
+    val exact = exactPairsUnblocked
+    val lsh = ExtensionQueries.q19_minhash_lsh(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // exact-verify step makes precision 1 by construction; recall is the
+    // probabilistic part — at jaccard>=0.95 pairs and 16 bands it is ~1
+    assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
+  }
+
+  test("SimHash pairs: high unigram similarity (precision) and 3-gram recall") {
+    val docs = Tables.documents(spark, sf)
+    val uni = udf((a: Seq[String], b: Seq[String]) => {
+      val (sa, sb) = (a.toSet, b.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    })
+    val pairs = ExtensionQueries.q20_simhash(spark, sf)
+      .join(docs.select(col("doc_id").as("id_a"), split(col("text"), " ").as("wa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), split(col("text"), " ").as("wb")), "id_b")
+      .select(col("id_a"), col("id_b"), uni(col("wa"), col("wb")).as("uj"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // Hamming<=6 on a 64-bit token sketch ⇒ highly similar token sets.
+    // (SimHash is order-insensitive, so it legitimately finds MORE than the
+    // 3-gram tier — precision is measured against unigram Jaccard.)
+    // Precision is distributional: the sketch weights repeated tokens and
+    // these docs share a tiny vocabulary, so individual Hamming-6 pairs can
+    // dip — but the bulk of returned pairs must be true token-set near-dups.
+    val jaccards = pairs.map(_.getDouble(2)).sorted
+    val median = jaccards(jaccards.length / 2)
+    assert(median >= 0.8, s"median unigram jaccard of simhash pairs too low: $median")
+    val simPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairsUnblocked
+    val recall = (exact intersect simPairs).size.toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall of 3-gram near-dups too low: $recall")
+  }
+
+  /** The driver corpus has no planted vector near-dups (max pairwise cosine
+    * ≈0.48), so LSH recall is validated on constructed ones: each corpus
+    * vector gets a slightly-scaled twin (cosine 1 up to float noise) and the
+    * LSH tiers must reunite the twins.
+    */
+  test("LSH tiers reunite planted near-identical vectors (recall ≈ 1 at cos ≈ 1)") {
+    val emb = Tables.embeddings(spark, sf)
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+
+    val nearDups = Similarity.embeddingNearDupPairs(
+      corpus, "vec_id", "embedding", threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    val recall = (expected intersect nearDups).size.toDouble / n
+    assert(recall >= 0.95, s"near-dup LSH recall $recall on planted twins")
+
+    val top1 = Similarity.lshCosineTopK(corpus, "vec_id", "embedding",
+      k = 1, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = expected.count { case (a, b) =>
+      top1.get(a).contains(b) || top1.get(b).contains(a) }
+    assert(hits.toDouble / n >= 0.95, s"LSH top-1 found only $hits/$n planted twins")
+  }
+
+  test("multimodal frame-offset sampling is pure metadata arithmetic") {
+    import spark.implicits._
+    val df = Seq((1L, 1000L), (2L, 150L), (3L, 50L)).toDF("media_id", "n_bytes")
+    val out = df.select(col("media_id"),
+      Multimodal.frameOffsets(col("n_bytes"), frameSize = 100, stride = 2).as("offsets"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(0L, 200L, 400L, 600L, 800L)) // every 2nd of 10 frames
+    assert(out(2L) == Seq(0L))
+    assert(out(3L) == Seq.empty)                        // payload smaller than a frame
+  }
+
+  test("simhash64 is deterministic and order-sensitive to content") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "completely different words entirely unrelated text here"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextDedup.simhash64(col("text")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == out("b"), "identical text => identical sketch")
+    assert(out("a") != out("c"), "different text => different sketch")
+    assert(java.lang.Long.bitCount(out("a") ^ out("c")) > 3,
+      "unrelated text should be far in Hamming space")
+  }
+}
