@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Queries are forced through the noop datasource so the FULL plan executes
+  * (a count() would let Catalyst prune projections and under-report);
+  * a warm-up pass on the flagship star join absorbs one-time JIT/codegen
+  * cost before timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +17,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    exec("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

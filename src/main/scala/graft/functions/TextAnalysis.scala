@@ -111,14 +111,9 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
 
   /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
-    * Rows with fewer than n tokens yield an empty set.
+    * Rows with fewer than n tokens yield an empty set. Native single-pass
+    * expression (graft.functions.WordShingles).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    SketchExpressions.wordShingles(tokens(text), n)
 }

@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise double cast. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise double cast (a native array Cast — codegen'd, unlike a
+    * per-element transform lambda).
+    */
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Left-to-right dot product of two double arrays. */
+  /** Left-to-right dot product of two double arrays (native codegen
+    * expression; bit-identical to the interpreted fold and DuckDB list_sum).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,15 +45,19 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (excluding self-pairs).
     * Output: (query_id, neighbor_id, cos, rank). The query side is
     * broadcast — at scale the corpus stays partitioned and never shuffles.
+    * Norms are computed once per ROW before the join (not once per pair):
+    * per-pair work is a single codegen'd dot product.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -82,11 +90,13 @@ object Similarity {
       numTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
     val tables = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
-        lshBucket(col(vecCol), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("bucket"))
+        lshBucket(col("v"), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("bucket"))
     }
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** Approximate top-k: candidates limited to vectors sharing an LSH bucket
@@ -97,15 +107,15 @@ object Similarity {
       k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
     val a = bucketed.select(col("id").as("query_id"), col("v").as("qv"),
-      col("tbl"), col("bucket"))
+      col("nrm").as("qn"), col("tbl"), col("bucket"))
     val b = bucketed.select(col("id").as("neighbor_id"), col("v").as("cv"),
-      col("tbl"), col("bucket"))
+      col("nrm").as("cn"), col("tbl"), col("bucket"))
     val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qv"), col("cv")), 9).as("cos"))
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -122,10 +132,11 @@ object Similarity {
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 9).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

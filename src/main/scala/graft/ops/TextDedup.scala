@@ -33,9 +33,15 @@ object TextDedup {
     df.groupBy(hashCol(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact pairwise n-gram Jaccard within a blocking column (e.g. language):
-    * the reference implementation for near-dup detection. O(block²) — use
-    * only as verifier or on bounded blocks; LSH below is the scale path.
+  /** EXACT pairwise n-gram Jaccard ≥ threshold within a blocking column,
+    * via prefix filtering (the AllPairs/PPJoin family): sort every doc's
+    * shingle set by global rarity, emit only the first
+    * |S| - ⌈t·|S|⌉ + 1 shingles, and generate candidates from docs sharing
+    * a prefix shingle — any pair with J ≥ t is guaranteed to collide
+    * (pigeonhole over the common total order), so recall is exactly 1 while
+    * the pair space drops from O(block²) to near-linear in true matches.
+    * A size-ratio prune (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) is applied in the
+    * candidate join; survivors are verified with exact set Jaccard.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
@@ -43,21 +49,52 @@ object TextDedup {
       col(idCol).as("id"), col(blockCol).as("block"),
       TextAnalysis.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-      size(array_union(col("a.sh"), col("b.sh"))).cast("double")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+
+    // global shingle document-frequency = the rarity order
+    val exploded = sh.select(col("id"), col("block"), explode(col("sh")).as("s"))
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // each doc's shingles sorted by (df, s); keep only the rarity prefix
+    val prefixRows = exploded.join(freq, "s")
+      .groupBy("id", "block")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("id"), col("block"),
+        transform(col("os"), o => o.getField("s")).as("ss"))
+      .withColumn("nsz", size(col("ss")))
+      .withColumn("plen", (col("nsz") - ceil(col("nsz") * threshold) + 1).cast("int"))
+      .select(col("id"), col("block"), col("nsz"),
+        explode(slice(col("ss"), lit(1), col("plen"))).as("p"))
+
+    // candidates: shared prefix shingle + size-ratio prune; ids only (the
+    // shingle arrays are joined back after dedup, not dragged through the
+    // explode)
+    val a = prefixRows.as("a")
+    val b = prefixRows.as("b")
+    val candidates = a.join(b,
+        col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
+          col("a.id") < col("b.id") &&
+          col("a.nsz") * threshold <= col("b.nsz") &&
+          col("b.nsz") * threshold <= col("a.nsz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // verify with exact set Jaccard
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    verified.filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: H independent permutations approximated by seeded
-    * xxhash64 over each shingle; signature element i = min hash under seed i.
+  /** MinHash signature: H independent permutations approximated by a
+    * SplitMix64 family over one xxhash64 per shingle — a native expression
+    * (graft.functions.MinHashSignature); the interpreted nested-lambda
+    * formulation cost ~10⁸ boxed evals at sf0.1.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+    graft.functions.SketchExpressions.minhashSignature(shingleCol, numHashes)
 
   /** LSH banding: split the signature into `bands` groups and hash each
     * group; two docs sharing any banded hash become candidates.
@@ -79,38 +116,35 @@ object TextDedup {
     val sh = df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // banded bucket keys only — the shingle arrays are joined back onto the
+    // deduped candidate pairs, not replicated through the band explode
     val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    candidates.select(col("id_a"), col("id_b"), jac.as("jaccard"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from token hashes, expressed with built-ins only:
-    * bit i of the sketch is set when more than half the token hashes have
-    * bit i set. The 64 bit-majorities are unrolled statically (shift amounts
-    * must be literals) and OR-folded into one long.
+  /** 64-bit SimHash from token hashes: bit i of the sketch is set when more
+    * than half the token hashes have bit i set. Native expression
+    * (graft.functions.SimHash64) — one pass over the tokens per row.
     */
-  def simhash64(textCol: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
-    val total = size(hs)
-    (0 until 64).map { i =>
-      val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(1L) === 1L))
-      when(ones * 2 > total, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(textCol: Column): Column =
+    graft.functions.SketchExpressions.simhash64(TextAnalysis.tokens(textCol))
 
   /** SimHash near-dup pairs within Hamming distance ≤ maxDist, using band
     * blocking (bands of 64/bands bits; by pigeonhole any pair within

@@ -56,13 +56,16 @@ object ExtensionQueries {
       |    / len(list_distinct(a.sh || b.sh)) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** q19 — MinHash+LSH near-dup pairs (32 hashes, 16 bands): the scale path
-    * that avoids the O(n²) pair space. xxhash64 is not portable to DuckDB →
+  /** q19 — MinHash+LSH near-dup pairs (48 hashes, 8 bands × 6 rows): the
+    * scale path that avoids the O(n²) pair space. Six-row bands put the
+    * S-curve threshold at ~0.7 — essential on this corpus, whose tiny
+    * shared vocabulary makes 2-row bands collide for ~random pairs (10M+
+    * false candidates at sf0.1). xxhash64 is not portable to DuckDB →
     * rows-only driver check; ScalaTest asserts equality with q18's output.
     */
   val q19_minhash_lsh: Q = (s, d) =>
     TextDedup.minhashLshPairs(Tables.documents(s, d),
-        "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** q20 — SimHash near-dup pairs (64-bit sketch, 8×8-bit band blocking,
@@ -218,7 +221,36 @@ object ExtensionQueries {
         k = 1, dim = 64)
       .orderBy("query_id")
 
+  /** q27 — sessionization (30-minute inactivity gap) as declarative window
+    * functions over events: the batch cross-check of the stateful streaming
+    * operator (EventStream.sessionize), and oracle-checkable.
+    */
+  val q27_sessionize: Q = (s, d) =>
+    graft.streaming.EventStream.sessionizeSql(
+        Tables.events(s, d).select("event_id", "user_id", "ts"), gapMinutes = 30)
+      .withColumn("session_id", col("session_id").cast("long"))
+      .orderBy("user_id", "session_id")
+
+  val q27Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sid AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q27_sessionize" -> q27_sessionize,
     "q17_exact_dedup" -> q17_exact_dedup,
     "q18_ngram_jaccard" -> q18_ngram_jaccard,
     "q19_minhash_lsh" -> q19_minhash_lsh,
@@ -231,6 +263,7 @@ object ExtensionQueries {
     "q26_lsh_cosine" -> q26_lsh_cosine)
 
   val oracleSql: Map[String, String] = Map(
+    "q27_sessionize" -> q27Sql,
     "q17_exact_dedup" -> q17Sql,
     "q18_ngram_jaccard" -> q18Sql,
     "q21_cosine_top1" -> q21Sql,
