@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.Schemas
+import graft.sources.{Catalog, Sources}
+
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("SourcesSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("CSV round-trip preserves schema and null/empty contract (S3/S4/S5)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString + "/raw"
+    val rows = Seq(
+      Schemas.RawScrapedUrl("data scientist", "J1", Some(11000), Some(15000),
+        java.sql.Date.valueOf("2022-10-08"), "/hk/en/job-J1"),
+      Schemas.RawScrapedUrl("data engineer", "J2", None, None,
+        java.sql.Date.valueOf("2022-10-08"), "/hk/en/job-J2"))
+    Sources.writeCsv(rows.toDF(), dir)
+    val back = Sources.readCsv(spark, Schemas.rawScrapedUrl, dir)
+    assert(back.count() == 2)
+    val j2 = back.filter($"job_id" === "J2").head()
+    assert(j2.isNullAt(2) && j2.isNullAt(3), "empty CSV fields read back as null ints")
+    assert(back.schema == Schemas.rawScrapedUrl)
+  }
+
+  test("HTML lake read carries path + content per file (S6)") {
+    val lake = Files.createTempDirectory("graft_lake")
+    val day = lake.resolve("2022/10/08")
+    Files.createDirectories(day)
+    Files.writeString(day.resolve("J1.html"), "<html><body>doc one</body></html>")
+    Files.writeString(day.resolve("J2.html"), "<html><body>doc two</body></html>")
+    Files.writeString(day.resolve("ignore.txt"), "not html")
+    val df = Sources.readHtmlLake(spark, lake.toString + "/*/*/*")
+    val rows = df.collect()
+    assert(rows.length == 2, "glob filter keeps only *.html")
+    assert(rows.forall(_.getString(2).contains("doc")))
+    assert(rows.forall(_.getString(0).endsWith(".html")))
+  }
+
+  test("appendNewKeys is idempotent across re-runs (S2/D2)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_sink").toString + "/t"
+    val batch = Seq(("J1", 1), ("J2", 2)).toDF("job_id", "v")
+    Sources.appendNewKeys(spark, batch, path, Seq("job_id"))
+    Sources.appendNewKeys(spark, batch, path, Seq("job_id")) // re-run: no-op
+    val more = Seq(("J2", 99), ("J3", 3)).toDF("job_id", "v")
+    Sources.appendNewKeys(spark, more, path, Seq("job_id"))  // only J3 lands
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("J1" -> 1, "J2" -> 2, "J3" -> 3))
+  }
+
+  test("catalog lifecycle: IF NOT EXISTS / CTAS rebuild / DROP (S10)") {
+    import spark.implicits._
+    Catalog.dropIfExists(spark, "t_life")
+    Catalog.createTableIfNotExists(spark, "t_life", "job_id STRING, v INT")
+    Catalog.createTableIfNotExists(spark, "t_life", "job_id STRING, v INT") // idempotent
+    assert(Catalog.tableExists(spark, "t_life"))
+    Catalog.rebuildAs(spark, "t_derived", Seq(("J1", 10)).toDF("job_id", "v"))
+    Catalog.rebuildAs(spark, "t_derived", Seq(("J1", 20), ("J2", 30)).toDF("job_id", "v"))
+    assert(spark.table("t_derived").count() == 2, "rebuild replaces, never duplicates")
+    Catalog.dropIfExists(spark, "t_life")
+    Catalog.dropIfExists(spark, "t_derived")
+    assert(!Catalog.tableExists(spark, "t_life"))
+  }
+
+  test("partitioned lake write prunes partitions on read (S7)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_part").toString + "/lake"
+    val df = Seq(
+      ("J1", 2022, 10, 8, "a"), ("J2", 2022, 10, 9, "b"), ("J3", 2022, 11, 1, "c"))
+      .toDF("job_id", "year", "month", "day", "payload")
+    Sources.writePartitioned(df, path, Seq("year", "month", "day"))
+    val oneDay = spark.read.parquet(path)
+      .filter($"year" === 2022 && $"month" === 10 && $"day" === 8)
+    assert(oneDay.count() == 1)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(!plan.contains("month=11") || plan.contains("PartitionFilters"),
+      "partition filters applied at the file index")
+  }
+}
