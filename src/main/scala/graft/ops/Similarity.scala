@@ -58,9 +58,21 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    if (k == 1) {
+      // argmax via partial-aggregating max(struct): the |q|·|c| pair stream
+      // combines map-side down to one row per query — no pair-level shuffle
+      // (a window would shuffle every scored pair). Tie-break = smallest
+      // neighbor id, encoded by negating the id inside the ordered struct.
+      scored
+        .groupBy("query_id")
+        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+        .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+          col("best.cos").as("cos"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 
   /** Deterministic hyperplanes: component (j,i) drawn from a seeded PRNG so
