@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** SQL-surface registration for the engine's function family (SURVEY §4.2):
+  * after `GraftFunctions.registerAll(spark)`, every capability is callable
+  * from `spark.sql(...)` as well as the Column API.
+  *
+  * Native expressions register through the FunctionRegistry (stay
+  * codegen/eval-native, no UDF wrapping); the HTML family registers as
+  * struct-returning UDFs.
+  */
+object GraftFunctions {
+
+  private def arity[A](name: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => A):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] => A =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    reg.createOrReplaceTempFunction("graft_dot",
+      arity("graft_dot", 2)(exprs => DotProduct(exprs(0), exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      arity("graft_minhash", 2)(exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      arity("graft_simhash", 1)(exprs => SimHash64(exprs(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      arity("graft_shingles", 2)(exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])), "built-in")
+
+    // column-composition functions surfaced as SQL via UDF-free views is
+    // not possible; register them as thin UDF-less wrappers instead:
+    spark.udf.register("graft_token_count",
+      (s: String) => if (s == null) 0 else TextAnalysisEval.tokenCount(s))
+    spark.udf.register("graft_lang_id",
+      (s: String) => TextAnalysisEval.langId(s))
+    spark.udf.register("graft_quality_ppm",
+      (s: String) => TextAnalysisEval.qualityPpm(s))
+
+    JobParse.register(spark)
+  }
+}
+
+/** Plain-Scala evaluations of the TextAnalysis formulas for the SQL UDF
+  * surface (and as an independent cross-check of the Column formulations —
+  * see TextAnalysisParitySpec).
+  */
+object TextAnalysisEval {
+
+  def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  def tokenCount(s: String): Int = tokens(s).length
+
+  def stopwordRatio(s: String, lang: String): Double = {
+    val toks = tokens(s)
+    val list = TextAnalysis.stopwords(lang).toSet
+    toks.count(list.contains).toDouble / math.max(toks.length, 1)
+  }
+
+  def langId(s: String): String = {
+    if (s == null) return "und"
+    val langs = Seq("en", "de", "fr", "es")
+    val ratios = langs.map(l => l -> stopwordRatio(s, l))
+    val best = ratios.map(_._2).max
+    if (best <= 0d) "und" else ratios.find(_._2 == best).map(_._1).getOrElse("und")
+  }
+
+  def qualityPpm(s: String): Long = {
+    if (s == null) return 0L
+    val M = 1000000L
+    val len = s.length.toLong
+    val toks = math.max(tokenCount(s), 1).toLong
+    val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toLong
+    val stops = {
+      val list = TextAnalysis.stopwords("en").toSet
+      tokens(s).count(list.contains).toLong
+    }
+    val lenScore = math.min(len * M / 500L, M)
+    val punctScore = M - punct * M / math.max(len, 1L)
+    val stopScore = math.min(stops * 4L * M / toks, M)
+    val tokScore = math.min(len * M / (toks * 8L), M)
+    (lenScore + punctScore + stopScore + tokScore) / 4L
+  }
+}

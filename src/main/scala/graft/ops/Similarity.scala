@@ -118,16 +118,24 @@ object Similarity {
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
-    val a = bucketed.select(col("id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("tbl"), col("bucket"))
-    val b = bucketed.select(col("id").as("neighbor_id"), col("v").as("cv"),
-      col("nrm").as("cn"), col("tbl"), col("bucket"))
+    // candidate generation on (id, bucket) only — vectors join back onto the
+    // deduped pair set instead of riding the band explode and pair shuffle
+    val keys = bucketed.select(col("id"), col("tbl"), col("bucket"))
+    val a = keys.select(col("id").as("query_id"), col("tbl"), col("bucket"))
+    val b = keys.select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
     val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val scored = candidates
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+        "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, TextAnalysis, TextAnalysisEval}
+import graft.ops.TextDedup
+
+/** The SQL surface: every registered function callable from spark.sql and
+  * consistent with its Column-API twin; the plain-Scala evals cross-check
+  * the Column formulations on the driver corpus.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("SqlSurfaceSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.registerAll(s)
+    s
+  }
+
+  test("native expressions callable from SQL: dot, minhash, simhash, shingles") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  size(graft_minhash(array('a', 'b'), 16)) AS mh_len,
+        |  graft_simhash(array('x', 'y')) AS sh,
+        |  graft_shingles(array('a', 'b', 'c', 'b', 'a', 'b', 'c'), 3) AS sg
+      """.stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 16)
+    assert(r.getLong(2) != 0L)
+    assert(r.getSeq[String](3) == Seq("a b c", "b c b", "c b a", "b a b"))
+  }
+
+  test("html family callable from SQL") {
+    val html = """<div data-automation="detailsTitle"><h1> T1 </h1><span>Co</span></div>"""
+    val r = spark.sql(
+      s"""SELECT
+         |  html_select_text('$html', 'div', 'data-automation', 'detailsTitle') AS t,
+         |  parse_job('$html', '2026-01-01').job_title AS jt
+       """.stripMargin).head()
+    assert(r.getString(0) == "T1 Co")
+    assert(r.getString(1) == "T1")
+  }
+
+  test("Column-API text formulas agree with independent Scala evaluation") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val viaColumns = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.langId(col("text")).as("lid"),
+      TextAnalysis.qualityScorePpm(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getLong(3))).toMap
+    val viaScala = docs.collect().map { r =>
+      val t = r.getString(1)
+      r.getLong(0) -> (TextAnalysisEval.tokenCount(t), TextAnalysisEval.langId(t),
+        TextAnalysisEval.qualityPpm(t))
+    }.toMap
+    assert(viaColumns == viaScala)
+  }
+
+  test("simhash SQL function equals the Column-API sketch") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "lorem ipsum dolor sit amet").toDF("text")
+    df.createOrReplaceTempView("t_sketch")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(split(trim(text), '\\\\s+')) FROM t_sketch")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(TextDedup.simhash64(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+}
