@@ -141,6 +141,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale tier the
+    * training-data pipelines use when hyperplane LSH recall is too blunt:
+    * a coarse spherical-k-means quantizer (trained driver-side on a
+    * deterministic sample — standard IVF practice; the corpus itself never
+    * leaves the cluster) maps every vector to its nearest centroid, and a
+    * query probes only its `nProbe` closest inverted lists. Candidate
+    * volume ≈ nProbe/nClusters of the corpus per query, shuffles are
+    * sharded by cluster id.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 2,
+      sampleSize: Int = 512, iters: Int = 5): DataFrame = {
+    val sample = corpus.select(asDouble(col(vecCol))).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = sphericalKMeans(sample, nClusters, iters)
+
+    def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, j) => struct(dot(v, array(c.map(lit).toIndexedSeq: _*)).as("d"), lit(j).as("j"))
+    }
+    // nearest list per corpus vector; nProbe nearest lists per query vector
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val assigned = vecs.withColumn("cluster",
+      sort_array(array(centroidDots(col("v")): _*), asc = false)(0).getField("j"))
+    val probes = vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(sort_array(array(centroidDots(col("v")): _*), asc = false),
+          1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"), col("p.j").as("cluster"))
+
+    val scored = probes.join(
+        assigned.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Driver-side spherical k-means on a sample: deterministic init (first K
+    * sample points), assignments by max dot over normalized centroids.
+    */
+  private[ops] def sphericalKMeans(sample: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids = sample.take(k).map(normalize)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val nv = normalize(v)
+        val best = centroids.indices.maxBy { j =>
+          var s = 0.0; var i = 0
+          while (i < nv.length) { s += nv(i) * centroids(j)(i); i += 1 }
+          s
+        }
+        var i = 0
+        while (i < nv.length) { sums(best)(i) += nv(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j) else normalize(sums(j))
+      }.toArray
+    }
+    centroids.toIndexedSeq
+  }
+
   /** Embedding-based near-duplicate pairs: cosine ≥ threshold via
     * multi-table LSH candidates (the embedding leg of the dedup suite).
     */

@@ -249,7 +249,16 @@ object ExtensionQueries {
       |FROM sid GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** q32 — IVF approximate cosine top-1 (coarse-quantizer tier; rows-only
+    * driver check, planted-twin recall asserted in ScalaTest).
+    */
+  val q32_ivf_cosine: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 1, dim = 64)
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
+    "q32_ivf_cosine" -> q32_ivf_cosine,
     "q27_sessionize" -> q27_sessionize,
     "q17_exact_dedup" -> q17_exact_dedup,
     "q18_ngram_jaccard" -> q18_ngram_jaccard,

@@ -99,6 +99,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val hits = expected.count { case (a, b) =>
       top1.get(a).contains(b) || top1.get(b).contains(a) }
     assert(hits.toDouble / n >= 0.95, s"LSH top-1 found only $hits/$n planted twins")
+
+    val ivfTop1 = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      k = 1, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfHits = expected.count { case (a, b) =>
+      ivfTop1.get(a).contains(b) || ivfTop1.get(b).contains(a) }
+    assert(ivfHits.toDouble / n >= 0.95, s"IVF top-1 found only $ivfHits/$n planted twins")
   }
 
   test("multimodal frame-offset sampling is pure metadata arithmetic") {
