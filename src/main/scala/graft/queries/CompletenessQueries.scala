@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-completeness queries: the relational surface a user of a general
+  * analytics engine expects beyond the reference's own operators —
+  * correlated-subquery-as-window rewrites, conditional aggregation, rollup,
+  * pivot, semi/full-outer joins. All DuckDB-oracle-checked.
+  */
+object CompletenessQueries {
+  import Tables.exactSum
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q33 — min-per-group lookup (TPC-H Q2 shape): the correlated
+    * `WHERE price = (SELECT min(price) ...)` decorrelated into a window
+    * min — no self-join, one shuffle on the group key.
+    */
+  val q33_min_cost_supplier: Q = (s, d) => {
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .withColumn("min_price", min("l_extendedprice").over(w))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .groupBy("l_partkey", "l_extendedprice")
+      .agg(min("l_suppkey").as("supp"))
+      .select(col("l_partkey"), col("supp"), col("l_extendedprice").as("price"))
+      .orderBy("l_partkey")
+  }
+
+  val q33Sql: String =
+    """SELECT l_partkey, min(l_suppkey) AS supp, l_extendedprice AS price
+      |FROM (
+      |  SELECT l_partkey, l_suppkey, l_extendedprice,
+      |    min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mp
+      |  FROM lineitem) t
+      |WHERE l_extendedprice = mp
+      |GROUP BY l_partkey, l_extendedprice
+      |ORDER BY l_partkey""".stripMargin
+
+  /** q34 — conditional-aggregation share (TPC-H Q14 shape): percentage of
+    * revenue from one part type; exact decimal sums, one double division.
+    */
+  val q34_promo_share: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        (exactSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0d)))
+          * 100d /
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  val q34Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(18,4))) AS DOUBLE) * 100
+      |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS promo_share,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** q35 — top customers by returned-item revenue (TPC-H Q10 shape). */
+  val q35_top_customers: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q35Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q36 — rollup with grouping id: subtotal rows carry nulls, so the
+    * deterministic ordering keys on grouping() first (and the oracle pins
+    * NULLS FIRST to match Spark's ascending null order).
+    */
+  val q36_rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  val q36Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q37 — pivot: order counts + exact revenue per status column, one row
+    * per priority (oracle spells the pivot as conditional aggregation).
+    */
+  val q37_pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
+  val q37Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q38 — full-outer join with coalesced keys plus a semi-join count:
+    * orders↔lineitem coverage accounting (which side has unmatched rows).
+    */
+  val q38_outer_semi: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderkey"))
+      .withColumn("has_order", lit(1))
+    val l = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("okey"),
+        when(col("has_order").isNotNull && col("n_items").isNotNull, "both")
+          .when(col("has_order").isNotNull, "order_only")
+          .otherwise(lit("line_only")).as("side"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"))
+      .orderBy("okey")
+  }
+
+  val q38Sql: String =
+    """SELECT coalesce(o.o_orderkey, l.l_orderkey) AS okey,
+      |  CASE WHEN o.o_orderkey IS NOT NULL AND l.l_orderkey IS NOT NULL THEN 'both'
+      |       WHEN o.o_orderkey IS NOT NULL THEN 'order_only'
+      |       ELSE 'line_only' END AS side,
+      |  coalesce(l.n_items, 0) AS n_items
+      |FROM (SELECT o_orderkey FROM orders) o
+      |FULL OUTER JOIN (SELECT l_orderkey, count(*) AS n_items
+      |                 FROM lineitem GROUP BY l_orderkey) l
+      |ON o.o_orderkey = l.l_orderkey
+      |ORDER BY okey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q33_min_cost_supplier" -> q33_min_cost_supplier,
+    "q34_promo_share" -> q34_promo_share,
+    "q35_top_customers" -> q35_top_customers,
+    "q36_rollup" -> q36_rollup,
+    "q37_pivot" -> q37_pivot,
+    "q38_outer_semi" -> q38_outer_semi)
+
+  val oracleSql: Map[String, String] = Map(
+    "q33_min_cost_supplier" -> q33Sql,
+    "q34_promo_share" -> q34Sql,
+    "q35_top_customers" -> q35Sql,
+    "q36_rollup" -> q36Sql,
+    "q37_pivot" -> q37Sql,
+    "q38_outer_semi" -> q38Sql)
+}
