@@ -160,7 +160,37 @@ object CompletenessQueries {
       |ON o.o_orderkey = l.l_orderkey
       |ORDER BY okey""".stripMargin
 
+  /** q39 — as-of join (point-in-time): each click matched to the user's
+    * latest view at or before it. Composed via union+window (one shuffle,
+    * one sort — see graft.ops.AsOf); the oracle spells the same semantics
+    * as a correlated top-1 subquery.
+    */
+  val q39_asof_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts")
+    graft.ops.AsOf.asofJoin(clicks, views, "user_id", "ts", "event_id", "event_id")
+      .orderBy("event_id")
+  }
+
+  val q39Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+      |SELECT c.user_id, c.event_id, c.ts,
+      |  (SELECT v.event_id FROM views v
+      |   WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_id,
+      |  (SELECT v.ts FROM views v
+      |   WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_ts
+      |FROM clicks c ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_asof_join" -> q39_asof_join,
     "q33_min_cost_supplier" -> q33_min_cost_supplier,
     "q34_promo_share" -> q34_promo_share,
     "q35_top_customers" -> q35_top_customers,
@@ -169,6 +199,7 @@ object CompletenessQueries {
     "q38_outer_semi" -> q38_outer_semi)
 
   val oracleSql: Map[String, String] = Map(
+    "q39_asof_join" -> q39Sql,
     "q33_min_cost_supplier" -> q33Sql,
     "q34_promo_share" -> q34Sql,
     "q35_top_customers" -> q35Sql,
