@@ -79,9 +79,14 @@ object JobsPipeline {
     Impute.mergeUpdateWhenAllNull(parsedJobs, imputed, "job_id",
       Seq("min_salary", "max_salary"))
 
-  /** Stage 6: the data-quality gate; throws on violation. */
-  def qualityGate(rawScrapedUrl: DataFrame): Quality.Report =
-    Quality.enforce(rawScrapedUrl, "job_id", "url", "scrape_date",
+  /** Stage 6: the data-quality gate over the scraped-job LEDGER (the
+    * reference's sanity_check runs on raw.scraped_job, whose job_id is the
+    * PK — scrape_url.py:424-436): job_id unique, file_path never null,
+    * scraped_date in range. NOT on raw sightings, where one job legitimately
+    * appears once per salary band. Throws on violation.
+    */
+  def qualityGate(scrapedLedger: DataFrame): Quality.Report =
+    Quality.enforce(scrapedLedger, "job_id", "file_path", "scraped_date",
       java.sql.Date.valueOf("2022-07-01"), java.sql.Date.valueOf("2026-12-31"))
 
   /** End-to-end: sightings + fetched pages → parsed_jobs with imputed bands. */

@@ -91,18 +91,23 @@ class JobsPipelineSpec extends AnyFunSuite {
     assert(twice.collect().toSet == once.collect().toSet)
   }
 
-  test("quality gate passes on clean data and throws on duplicates (A2)") {
+  test("quality gate on the scraped ledger: clean passes, dup PK / null path throw (A2/A4)") {
     import spark.implicits._
     val d = Date.valueOf("2022-10-08")
     val clean = Seq(
-      RawScrapedUrl("kw", "J1", Some(1), Some(2), d, "u1"),
-      RawScrapedUrl("kw", "J2", Some(3), Some(4), d, "u2")).toDF()
+      ("J1", "/lake/2022/10/08/J1.html", d),
+      ("J2", "/lake/2022/10/08/J2.html", d))
+      .toDF("job_id", "file_path", "scraped_date")
     val report = JobsPipeline.qualityGate(clean)
     assert(report.nRows == 2 && report.dupKeys == 0)
 
-    val dirty = clean.unionByName(
-      Seq(RawScrapedUrl("kw2", "J1", Some(5), Some(6), d, "u1")).toDF())
-    assertThrows[IllegalStateException](JobsPipeline.qualityGate(dirty))
+    val dupPk = clean.unionByName(
+      Seq(("J1", "/lake/other.html", d)).toDF("job_id", "file_path", "scraped_date"))
+    assertThrows[IllegalStateException](JobsPipeline.qualityGate(dupPk))
+
+    val nullPath = clean.unionByName(
+      Seq(("J3", null.asInstanceOf[String], d)).toDF("job_id", "file_path", "scraped_date"))
+    assertThrows[IllegalStateException](JobsPipeline.qualityGate(nullPath))
   }
 
   test("backfill only touches rows whose min+max are both null (P6 guard)") {
