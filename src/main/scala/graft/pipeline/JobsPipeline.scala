@@ -85,9 +85,13 @@ object JobsPipeline {
     * scraped_date in range. NOT on raw sightings, where one job legitimately
     * appears once per salary band. Throws on violation.
     */
-  def qualityGate(scrapedLedger: DataFrame): Quality.Report =
-    Quality.enforce(scrapedLedger, "job_id", "file_path", "scraped_date",
-      java.sql.Date.valueOf("2022-07-01"), java.sql.Date.valueOf("2026-12-31"))
+  def qualityGate(scrapedLedger: DataFrame,
+      notNullCol: String = "file_path",
+      rangeMin: java.sql.Date = java.sql.Date.valueOf("2022-07-01"),
+      rangeMax: java.sql.Date =
+        java.sql.Date.valueOf(java.time.LocalDate.now.plusYears(1))): Quality.Report =
+    Quality.enforce(scrapedLedger, "job_id", notNullCol, "scraped_date",
+      rangeMin, rangeMax)
 
   /** End-to-end: sightings + fetched pages → parsed_jobs with imputed bands. */
   def run(spark: SparkSession, batches: Seq[DataFrame], pages: DataFrame): DataFrame = {

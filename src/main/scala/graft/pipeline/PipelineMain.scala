@@ -16,37 +16,51 @@ import graft.sources.Sources
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println(
+        "usage: PipelineMain <sightingsCsvDir> <lakeGlob> <outDir>")
+      sys.exit(2)
+    }
     val Array(csvDir, lakeGlob, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-jobs-pipeline")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val sightings = Sources.readCsv(spark, graft.schema.Schemas.rawScrapedUrl, csvDir)
+    // anchor the date to the three segments right above the file name —
+    // a date-like segment elsewhere in the lake root must not win
     val pages = Sources.readHtmlLake(spark, lakeGlob)
       .select(
         regexp_extract(col("path"), "([^/]+)\\.html$", 1).as("job_id"),
         col("html"),
         col("path").as("file_path"),
-        to_date(regexp_extract(col("path"), "(\\d{4}/\\d{2}/\\d{2})", 1), "yyyy/MM/dd")
-          .as("scraped_date"))
+        // try_to_timestamp: a path without the yyyy/MM/dd layout yields a
+        // NULL date the gate reports cleanly (ANSI to_date would kill the
+        // scan with CANNOT_PARSE_TIMESTAMP instead)
+        try_to_timestamp(
+          regexp_extract(col("path"), "(\\d{4}/\\d{2}/\\d{2})/[^/]+$", 1),
+          lit("yyyy/MM/dd")).cast("date").as("scraped_date"))
 
-    val raw = JobsPipeline.ingest(Seq(sightings))
-    // the ledger view of the lake: one row per fetched job
+    // ledger gate: job_id unique + scraped_date parseable and in range
+    // (file_path from binaryFile is non-null by construction — checking the
+    // DERIVED date is what catches a mis-laid-out lake)
     val report = JobsPipeline.qualityGate(
-      pages.select("job_id", "file_path", "scraped_date"))
-    val parsed = JobsPipeline.parse(pages)
-    val imputed = JobsPipeline.imputeSalaries(raw)
-    val result = JobsPipeline.backfill(parsed, imputed)
+      pages.select("job_id", "file_path", "scraped_date"),
+      notNullCol = "scraped_date")
 
+    val result = JobsPipeline.run(spark, Seq(sightings), pages)
     result.write.mode(SaveMode.Overwrite).parquet(s"$outDir/parsed_jobs")
-    Sources.writeCsv(result, s"$outDir/parsed_jobs_csv", header = true)
-    println(s"[pipeline] rows=${result.count()} " +
+    // derive CSV + count from the written parquet: re-running the full
+    // parse DAG once per action would triple the lake scan
+    val written = spark.read.parquet(s"$outDir/parsed_jobs")
+    Sources.writeCsv(written, s"$outDir/parsed_jobs_csv", header = true)
+    println(s"[pipeline] rows=${written.count()} " +
       s"quality(nRows=${report.nRows}, dupKeys=${report.dupKeys}, nNulls=${report.nNulls})")
     spark.stop()
   }
