@@ -189,8 +189,29 @@ object CompletenessQueries {
       |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_ts
       |FROM clicks c ORDER BY c.event_id""".stripMargin
 
+  /** q40 — exact percentiles (median / p90) per group: Spark's exact
+    * `percentile` and DuckDB's quantile_cont share the linear-interpolation
+    * definition, so results are comparable bit-for-bit on sorted doubles.
+    */
+  val q40_percentiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val q40Sql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS med,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_asof_join" -> q39_asof_join,
+    "q40_percentiles" -> q40_percentiles,
     "q33_min_cost_supplier" -> q33_min_cost_supplier,
     "q34_promo_share" -> q34_promo_share,
     "q35_top_customers" -> q35_top_customers,
@@ -200,6 +221,7 @@ object CompletenessQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q39_asof_join" -> q39Sql,
+    "q40_percentiles" -> q40Sql,
     "q33_min_cost_supplier" -> q33Sql,
     "q34_promo_share" -> q34Sql,
     "q35_top_customers" -> q35Sql,
