@@ -209,7 +209,34 @@ object CompletenessQueries {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q41 — set operations (INTERSECT / EXCEPT): customers both with orders
+    * in 1996 and 1999 (intersect) and with 1996 orders but none in 1999
+    * (except). Spark plans these as left-semi/left-anti aggregates — the
+    * same machinery as the ledger idiom, surfaced through SQL set algebra.
+    */
+  val q41_set_ops: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def buyers(year: Int) = o.filter(expr(s"year(o_orderdate) = $year"))
+      .select(col("o_custkey").as("custkey")).distinct()
+    val both = buyers(1996).intersect(buyers(1999))
+      .withColumn("membership", lit("both"))
+    val only96 = buyers(1996).except(buyers(1999))
+      .withColumn("membership", lit("only_1996"))
+    both.unionByName(only96).orderBy("membership", "custkey")
+  }
+
+  val q41Sql: String =
+    """WITH b96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |             WHERE year(o_orderdate) = 1996),
+      |b99 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |        WHERE year(o_orderdate) = 1999)
+      |SELECT custkey, 'both' AS membership FROM (SELECT custkey FROM b96 INTERSECT SELECT custkey FROM b99) t1
+      |UNION ALL
+      |SELECT custkey, 'only_1996' AS membership FROM (SELECT custkey FROM b96 EXCEPT SELECT custkey FROM b99) t2
+      |ORDER BY membership, custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q41_set_ops" -> q41_set_ops,
     "q39_asof_join" -> q39_asof_join,
     "q40_percentiles" -> q40_percentiles,
     "q33_min_cost_supplier" -> q33_min_cost_supplier,
@@ -222,6 +249,7 @@ object CompletenessQueries {
   val oracleSql: Map[String, String] = Map(
     "q39_asof_join" -> q39Sql,
     "q40_percentiles" -> q40Sql,
+    "q41_set_ops" -> q41Sql,
     "q33_min_cost_supplier" -> q33Sql,
     "q34_promo_share" -> q34Sql,
     "q35_top_customers" -> q35Sql,
