@@ -235,7 +235,37 @@ object CompletenessQueries {
       |SELECT custkey, 'only_1996' AS membership FROM (SELECT custkey FROM b96 EXCEPT SELECT custkey FROM b99) t2
       |ORDER BY membership, custkey""".stripMargin
 
+  /** q42 — top-k per group as a TYPED IMPERATIVE AGGREGATE
+    * (graft.functions.TopKByScore): the map side keeps a k-bounded counted
+    * buffer per group, so the shuffle moves ≤ k·partitions rows per group
+    * instead of every input row (what the q11 window form must do).
+    * Semantics — (score DESC, id ASC), duplicate rows preserved — are
+    * pinned to the window oracle.
+    */
+  val q42_topk_aggregate: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"))
+      .groupBy("l_suppkey")
+      .agg(graft.functions.TopKAggregate
+        .topKByScore(col("l_extendedprice"), col("line_id"), 3).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.score").as("price"), col("col.id").as("line_id"))
+      .orderBy("l_suppkey", "rk")
+
+  val q42Sql: String =
+    """SELECT l_suppkey, rk, price, line_id FROM (
+      |  SELECT l_suppkey, l_extendedprice AS price,
+      |    l_orderkey * 10 + l_linenumber AS line_id,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC)
+      |      AS INTEGER) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_topk_aggregate" -> q42_topk_aggregate,
     "q41_set_ops" -> q41_set_ops,
     "q39_asof_join" -> q39_asof_join,
     "q40_percentiles" -> q40_percentiles,
@@ -250,6 +280,7 @@ object CompletenessQueries {
     "q39_asof_join" -> q39Sql,
     "q40_percentiles" -> q40Sql,
     "q41_set_ops" -> q41Sql,
+    "q42_topk_aggregate" -> q42Sql,
     "q33_min_cost_supplier" -> q33Sql,
     "q34_promo_share" -> q34Sql,
     "q35_top_customers" -> q35Sql,

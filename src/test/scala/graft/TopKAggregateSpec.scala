@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TopKAggregate, TopKByScore}
+
+class TopKAggregateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("TopKAggregateSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def drain(b: TopKByScore.Buf): Seq[(Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    b.foreachDescending((s, i) => out += ((s, i)))
+    out.toSeq
+  }
+
+  test("buffer: rank order is (score desc, id asc), bounded at k") {
+    val b = new TopKByScore.Buf(3)
+    Seq((5.0, 7L), (9.0, 2L), (5.0, 1L), (1.0, 9L), (9.0, 5L)).foreach {
+      case (s, i) => b.add(s, i, 1)
+    }
+    assert(drain(b) == Seq((9.0, 2L), (9.0, 5L), (5.0, 1L)))
+  }
+
+  test("buffer: duplicate multiplicity preserved across boundary and merges") {
+    val a = new TopKByScore.Buf(3)
+    a.add(4.0, 1L, 2) // two identical rows
+    a.add(9.0, 8L, 1)
+    val b = new TopKByScore.Buf(3)
+    b.add(4.0, 1L, 1)
+    b.add(7.0, 3L, 1)
+    b.foreachEntry(a.add)
+    // pool: 9.0/8 ×1, 7.0/3 ×1, 4.0/1 ×3 → top3 keeps one 4.0 duplicate
+    assert(drain(a) == Seq((9.0, 8L), (7.0, 3L), (4.0, 1L)))
+    // and serialization round-trips the counted form
+    val c = TopKByScore.Buf.fromBytes(3, {
+      val aa = new TopKByScore.Buf(3); aa.add(4.0, 1L, 2); aa.add(9.0, 8L, 1); aa.toBytes
+    })
+    assert(drain(c) == Seq((9.0, 8L), (4.0, 1L), (4.0, 1L)))
+  }
+
+  test("aggregate equals the window form on a skewed DataFrame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000).map(i => ("g" + (i % 3), (i % 7).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+      .repartition(8) // force partial/merge paths across partitions
+    val agg = df.groupBy("g")
+      .agg(TopKAggregate.topKByScore(col("score"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"), col("col.score"), col("col.id"))
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val win = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("g", "rk", "score", "id")
+      .collect().map(_.toSeq).toSet
+    assert(agg == win)
+  }
+}
