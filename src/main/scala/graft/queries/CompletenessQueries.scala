@@ -264,7 +264,70 @@ object CompletenessQueries {
       |  FROM lineitem) t
       |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin
 
+  /** q43 — window FRAMES: per-customer running order total (rows unbounded
+    * preceding) and a trailing 3-order moving average; decimal-exact
+    * running sums so frame accumulation order cannot flap the hash.
+    */
+  val q43_moving_agg: Q = (s, d) => {
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("p"))
+      .withColumn("running_total",
+        sum(col("p")).over(byCust.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("trailing3_avg",
+        (sum(col("p")).over(byCust.rowsBetween(-2, 0)).cast("double") /
+          count(lit(1)).over(byCust.rowsBetween(-2, 0))).as("trailing3_avg"))
+      .select("o_custkey", "o_orderkey", "running_total", "trailing3_avg")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q43Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_run AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_3 AS DOUBLE)
+      |    / COUNT(*) OVER w_3 AS trailing3_avg
+      |FROM orders
+      |WINDOW
+      |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_3   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q44 — ordered array aggregation: deterministic list building
+    * (sort_array ∘ collect_list = DuckDB list(... ORDER BY)) plus array
+    * transforms over the result.
+    */
+  val q44_array_agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .select(col("l_orderkey"),
+        // string-join the arrays: scalar output hashes/sorts cleanly in any
+        // compare harness while still pinning element order + content
+        array_join(col("lines"), ",").as("lines"),
+        array_join(col("flags"), ",").as("flags"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), 1).as("first_line"),
+        array_contains(col("flags"), "R").as("has_return"))
+      .orderBy("l_orderkey")
+
+  val q44Sql: String =
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
+      |  array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ',') AS flags,
+      |  CAST(len(list(l_linenumber ORDER BY l_linenumber)) AS INTEGER) AS n_lines,
+      |  list(l_linenumber ORDER BY l_linenumber)[1] AS first_line,
+      |  list_contains(list(DISTINCT l_returnflag ORDER BY l_returnflag), 'R') AS has_return
+      |FROM lineitem WHERE l_orderkey <= 1000
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q43_moving_agg" -> q43_moving_agg,
+    "q44_array_agg" -> q44_array_agg,
     "q42_topk_aggregate" -> q42_topk_aggregate,
     "q41_set_ops" -> q41_set_ops,
     "q39_asof_join" -> q39_asof_join,
@@ -281,6 +344,8 @@ object CompletenessQueries {
     "q40_percentiles" -> q40Sql,
     "q41_set_ops" -> q41Sql,
     "q42_topk_aggregate" -> q42Sql,
+    "q43_moving_agg" -> q43Sql,
+    "q44_array_agg" -> q44Sql,
     "q33_min_cost_supplier" -> q33Sql,
     "q34_promo_share" -> q34Sql,
     "q35_top_customers" -> q35Sql,
