@@ -169,11 +169,14 @@ object TextDedup {
       .select(col("id"), col("sk"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
+    // verify (one xor+popcount, codegen'd) BEFORE deduping: the candidate
+    // stream can be ~n²/2^width per band and must never hit a shuffle; only
+    // the tiny verified set pays the dropDuplicates exchange
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 }
