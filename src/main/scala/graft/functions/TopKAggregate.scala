@@ -92,7 +92,10 @@ object TopKByScore {
   final class Buf(k: Int) {
     private val ord = new java.util.Comparator[(Double, Long)] {
       override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(a._1, b._1)
+        // primitive comparisons, NOT Double.compare: Spark SQL ordering has
+        // -0.0 == 0.0 and the window oracle this aggregate is pinned to
+        // must agree (scores are non-NaN by contract)
+        val c = if (a._1 < b._1) -1 else if (a._1 > b._1) 1 else 0
         if (c != 0) c else java.lang.Long.compare(b._2, a._2)
       }
     }
@@ -164,9 +167,14 @@ object TopKByScore {
 }
 
 object TopKAggregate {
-  /** Column surface: top-k (score, id) pairs per group in rank order. */
+  /** Column surface: top-k (score, id) pairs per group in rank order.
+    * Score/id are cast here (double/long) — the expression evals raw values
+    * and would ClassCastException on decimal or int inputs otherwise.
+    */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnShim.column(
-      TopKByScore(ColumnShim.expression(score), ColumnShim.expression(id), k)
+      TopKByScore(
+        ColumnShim.expression(score.cast("double")),
+        ColumnShim.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

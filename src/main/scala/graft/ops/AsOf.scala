@@ -31,24 +31,33 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       leftIdCol: String, rightIdCol: String): DataFrame = {
+    // mirror the RIGHT side's actual types — hard casts would throw under
+    // ANSI (string ids) or silently null out matches
+    val ridType = right.schema(rightIdCol).dataType
+    val rtsType = right.schema(tsCol).dataType
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("ts"),
       col(leftIdCol).as("lid"),
-      lit(null).cast("long").as("rid"), lit(null).cast("timestamp").as("rts"),
+      lit(null).cast(ridType).as("rid"), lit(null).cast(rtsType).as("rts"),
       lit(0).as("is_right"))
-    val r = right.select(col(keyCol).as("k"), col(tsCol).as("ts"),
-      lit(null).cast(l.schema("lid").dataType).as("lid"),
-      col(rightIdCol).cast("long").as("rid"), col(tsCol).as("rts"),
-      lit(1).as("is_right"))
+    val r = right
+      .filter(col(tsCol).isNotNull) // a null-ts right row is never "before" anything
+      .select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        lit(null).cast(left.schema(leftIdCol).dataType).as("lid"),
+        col(rightIdCol).as("rid"), col(tsCol).as("rts"),
+        lit(1).as("is_right"))
     // right rows sort before left rows at equal ts (eligible), and among
-    // equal-ts right rows the largest id lands last (wins last())
+    // equal-ts right rows the largest id lands last (wins last()); the
+    // match travels as ONE struct so id and ts can never come from
+    // different right rows
     val w = Window.partitionBy("k")
       .orderBy(col("ts"), col("is_right").desc, col("rid").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("m_rid", last(col("rid"), ignoreNulls = true).over(w))
-      .withColumn("m_rts", last(col("rts"), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("is_right") === 1, struct(col("rid"), col("rts"))),
+          ignoreNulls = true).over(w))
       .filter(col("is_right") === 0)
       .select(col("k").as(keyCol), col("lid").as(leftIdCol), col("ts").as(tsCol),
-        col("m_rid").as("matched_id"), col("m_rts").as("matched_ts"))
+        col("m.rid").as("matched_id"), col("m.rts").as("matched_ts"))
   }
 }

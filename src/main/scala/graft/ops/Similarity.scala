@@ -48,14 +48,24 @@ object Similarity {
     * Norms are computed once per ROW before the join (not once per pair):
     * per-pair work is a single codegen'd dot product.
     */
+  /** @param excludeSelfIds drop pairs with equal ids — correct when
+    *        `queries` IS (a subset of) `corpus`; pass false when the two
+    *        sides are distinct datasets whose id spaces may coincide.
+    * Zero-norm (or empty) vectors are excluded up front: they have no
+    * defined cosine, and under ANSI mode the division would abort the job.
+    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfIds: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", l2norm(col("qv"))))
+      .withColumn("qn", l2norm(col("qv")))
+      .filter(col("qn") > 0d))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .filter(col("cn") > 0d)
+    val scored = q.join(c,
+        if (excludeSelfIds) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
     if (k == 1) {
@@ -106,6 +116,7 @@ object Similarity {
     }
     corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d) // zero vectors have no cosine; ANSI would throw
       .select(col("id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -153,8 +164,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 2,
       sampleSize: Int = 512, iters: Int = 5): DataFrame = {
-    val sample = corpus.select(asDouble(col(vecCol))).limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // deterministic sample: lowest ids (TakeOrdered — no full sort); a bare
+    // limit() depends on partition layout and would retrain the quantizer
+    // differently between runs
+    val sample = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+      .filter(v => v.exists(_ != 0d))
+    if (sample.isEmpty) {
+      // empty (or all-zero) corpus: empty result in the output shape
+      return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0d).as("cos"), lit(1).as("rank")).limit(0)
+    }
     val centroids = sphericalKMeans(sample, nClusters, iters)
 
     def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
@@ -163,6 +184,7 @@ object Similarity {
     // nearest list per corpus vector; nProbe nearest lists per query vector
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
     val assigned = vecs.withColumn("cluster",
       sort_array(array(centroidDots(col("v")): _*), asc = false)(0).getField("j"))
     val probes = vecs.select(col("id").as("query_id"), col("v").as("qv"),
@@ -220,14 +242,18 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+    // candidates on keys only; vectors join back after pair dedup (never
+    // drag array payloads through the band explode + dedup shuffle)
+    val keys = bucketed.select(col("id"), col("tbl"), col("bucket"))
+    val candidates = keys.as("a").join(keys.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = bucketed.select("id", "v", "nrm").dropDuplicates("id")
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .filter(col("cos") >= threshold)

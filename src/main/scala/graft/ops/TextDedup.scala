@@ -61,7 +61,11 @@ object TextDedup {
       .select(col("id"), col("block"),
         transform(col("os"), o => o.getField("s")).as("ss"))
       .withColumn("nsz", size(col("ss")))
-      .withColumn("plen", (col("nsz") - ceil(col("nsz") * threshold) + 1).cast("int"))
+      // the 1e-9 slack makes float-boundary cases (nsz·t landing exactly on
+      // an integer but computed as x.000000001) err toward a LONGER prefix —
+      // never a shorter one, so the recall guarantee survives rounding
+      .withColumn("plen",
+        (col("nsz") - ceil(col("nsz") * threshold - 1e-9) + 1).cast("int"))
       .select(col("id"), col("block"), col("nsz"),
         explode(slice(col("ss"), lit(1), col("plen"))).as("p"))
 
@@ -73,8 +77,9 @@ object TextDedup {
     val candidates = a.join(b,
         col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
           col("a.id") < col("b.id") &&
-          col("a.nsz") * threshold <= col("b.nsz") &&
-          col("b.nsz") * threshold <= col("a.nsz"))
+          // same 1e-9 slack: a boundary-exact size ratio must not be pruned
+          col("a.nsz") * threshold <= col("b.nsz") + 1e-9 &&
+          col("b.nsz") * threshold <= col("a.nsz") + 1e-9)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -100,6 +105,9 @@ object TextDedup {
     * group; two docs sharing any banded hash become candidates.
     */
   def lshBandKeys(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — zero-width bands " +
+        "put every doc in one bucket and the self-join degenerates to O(n²)")
     val rows = numHashes / bands
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
