@@ -54,20 +54,20 @@ object TextDedup {
     val exploded = sh.select(col("id"), col("block"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
 
-    // each doc's shingles sorted by (df, s); keep only the rarity prefix
+    // the rarity prefix directly from a per-doc rank — no collect/sort/
+    // re-explode array round-trip; one shuffle on the doc id either way.
+    // The 1e-9 slack makes float-boundary cases (nsz·t landing exactly on
+    // an integer but computed as x.000000001) err toward a LONGER prefix —
+    // never a shorter one, so the recall guarantee survives rounding.
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "s")
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val prefixRows = exploded.join(freq, "s")
-      .groupBy("id", "block")
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"))
-      .select(col("id"), col("block"),
-        transform(col("os"), o => o.getField("s")).as("ss"))
-      .withColumn("nsz", size(col("ss")))
-      // the 1e-9 slack makes float-boundary cases (nsz·t landing exactly on
-      // an integer but computed as x.000000001) err toward a LONGER prefix —
-      // never a shorter one, so the recall guarantee survives rounding
-      .withColumn("plen",
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("nsz", count(lit(1)).over(perDoc))
+      .filter(col("rn") <=
         (col("nsz") - ceil(col("nsz") * threshold - 1e-9) + 1).cast("int"))
-      .select(col("id"), col("block"), col("nsz"),
-        explode(slice(col("ss"), lit(1), col("plen"))).as("p"))
+      .select(col("id"), col("block"), col("nsz"), col("s").as("p"))
 
     // candidates: shared prefix shingle + size-ratio prune; ids only (the
     // shingle arrays are joined back after dedup, not dragged through the
