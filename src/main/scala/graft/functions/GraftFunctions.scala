@@ -77,12 +77,21 @@ object TextAnalysisEval {
     if (best <= 0d) "und" else ratios.find(_._2 == best).map(_._1).getOrElse("und")
   }
 
+  // Same character classes as TextAnalysis.punctCount's [^A-Za-z0-9\s]
+  // (Java \s = ASCII whitespace) so the SQL UDF and Column API agree on
+  // non-ASCII text; Character.isLetterOrDigit would diverge on e.g. 'é'.
+  private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def qualityPpm(s: String): Long = {
     if (s == null) return 0L
     val M = 1000000L
     val len = s.length.toLong
     val toks = math.max(tokenCount(s), 1).toLong
-    val punct = s.count(c => !c.isLetterOrDigit && !c.isWhitespace).toLong
+    val punct = s.count(c => !isAsciiAlnum(c) && !isAsciiSpace(c)).toLong
     val stops = {
       val list = TextAnalysis.stopwords("en").toSet
       tokens(s).count(list.contains).toLong

@@ -142,6 +142,9 @@ object MiniHtml {
     val root = new Elem("#root", Map.empty)
     var cur = root
     val n = html.length
+    // lowercased once: raw-text close-tag scans are case-insensitive, and a
+    // per-element toLowerCase would copy the whole document per <script>
+    val lower = html.toLowerCase
     var i = 0
 
     def appendText(raw: String): Unit =
@@ -155,7 +158,7 @@ object MiniHtml {
         if (rawTextElements.contains(tag)) {
           // raw text until the matching close tag (case-insensitive)
           val close = s"</$tag"
-          val j = html.toLowerCase.indexOf(close, i)
+          val j = lower.indexOf(close, i)
           val end = if (j < 0) n else j
           if (end > i) e.children += TextNode(html.substring(i, end))
           i = if (j < 0) n else {

@@ -40,9 +40,21 @@ object Quality {
     if (nulls != 0) throw new IllegalStateException(s"$nulls nulls in $notNullCol")
     val lo = r.get(3)
     val hi = r.get(4)
+    // A mis-typed bound must fail the gate loudly, not disable the check:
+    // returning false here would report success on data that was never
+    // validated (e.g. TimestampType column vs java.sql.Date bound).
     def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Comparable[Any] @unchecked, y) => x.compareTo(y.asInstanceOf[Any]) < 0
-      case _ => false
+      case (null, _) | (_, null) => false
+      case (x: Comparable[Any] @unchecked, y) =>
+        try x.compareTo(y) < 0
+        catch {
+          case e: ClassCastException => throw new IllegalArgumentException(
+            s"range check on $rangeCol: ${a.getClass.getName} is not " +
+              s"comparable to ${b.getClass.getName}", e)
+        }
+      case _ => throw new IllegalArgumentException(
+        s"range check on $rangeCol: ${a.getClass.getName} is not " +
+          s"comparable to ${b.getClass.getName}")
     }
     if (lt(lo, rangeMin)) throw new IllegalStateException(s"$rangeCol min $lo < $rangeMin")
     if (lt(rangeMax, hi)) throw new IllegalStateException(s"$rangeCol max $hi > $rangeMax")

@@ -58,8 +58,13 @@ object Sources {
     * current sink contents are appended (SURVEY §4.3 ledger contract).
     */
   def appendNewKeys(spark: SparkSession, df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    // Existence must be resolved through the path's own filesystem —
+    // java.io.File is always false for hdfs:// / s3a:// URIs, which would
+    // silently skip the anti-join and append duplicate keys on re-run.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incoming =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(hPath)) {
         val existing = spark.read.parquet(path).select(keys.map(col): _*)
         df.join(existing, keys, "left_anti")
       } else df

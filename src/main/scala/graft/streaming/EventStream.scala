@@ -48,29 +48,88 @@ object EventStream {
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Fold a key's sorted event times into sessions, seeded with the open
+    * session carried over from previous micro-batches (if any). Returns
+    * (closed sessions in start order, still-open trailing session).
+    *
+    * Cross-batch correctness assumes a key's events arrive in event-time
+    * order ACROSS batches (within a batch we sort); that is the standard
+    * append-log contract for session logs.
+    */
+  private[streaming] def foldSessions(open: Option[SessionState],
+      sortedTimes: Seq[Long], gapMs: Long): (List[SessionState], Option[SessionState]) = {
+    val folded = sortedTimes.foldLeft(open.toList) {
+      case (Nil, t) => List(SessionState(t, t, 1))
+      case (head :: tail, t) if t - head.last <= gapMs =>
+        head.copy(last = math.max(head.last, t), nEvents = head.nEvents + 1) :: tail
+      case (acc, t) => SessionState(t, t, 1) :: acc
+    }
+    folded match {
+      case Nil => (Nil, None)
+      case newest :: older => (older.reverse, Some(newest))
+    }
+  }
+
+  private def toSession(userId: Long, s: SessionState): UserSession =
+    UserSession(userId, new java.sql.Timestamp(s.start),
+      new java.sql.Timestamp(s.last), s.nEvents)
+
   /** Custom-state sessionization: a session closes after `gapMinutes` of
-    * inactivity (processing-time timeout in streaming; in tests the final
-    * state flush is asserted).
+    * inactivity.
+    *
+    * Streaming input: the open session is held in `GroupState` so sessions
+    * spanning micro-batches merge instead of splitting; an EVENT-TIME
+    * timeout flushes a session once the watermark passes its last event by
+    * the gap (Append mode — each session is emitted exactly once, when it
+    * closes). Event-time (not processing-time) keeps the operator
+    * deterministic under replay/backfill, and keeps `processAllAvailable`
+    * usable: a processing-time timeout makes `shouldRunAnotherBatch` true
+    * forever, busy-spinning no-data batches. State is one `SessionState`
+    * per active key, hash-partitioned by key, and evicted on timeout —
+    * bounded by the number of concurrently-active keys regardless of total
+    * volume.
+    *
+    * Batch input: all of a key's rows arrive in one call, so every session
+    * (including the trailing one) is emitted directly — same output as
+    * [[sessionizeSql]].
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch-mode semantics: all of a key's rows arrive in one call, so
-          // sessions can be derived by sorting the group's event times
+    if (events.isStreaming) {
+      events
+        .withWatermark("ts", s"$gapMinutes minutes")
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, UserSession](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+            if (state.hasTimedOut) {
+              val out = state.getOption.map(toSession(userId, _))
+              state.remove()
+              out.iterator
+            } else {
+              val times = rows.map(_.ts.getTime).toVector.sorted
+              val (closed, open) = foldSessions(state.getOption, times, gapMs)
+              open match {
+                case Some(s) =>
+                  state.update(s)
+                  // must be strictly beyond the current watermark (late data
+                  // may leave last+gap behind it)
+                  state.setTimeoutTimestamp(
+                    math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+                case None => if (state.exists) state.remove()
+              }
+              closed.iterator.map(toSession(userId, _))
+            }
+        }
+    } else {
+      events.groupByKey(_.user_id).flatMapGroups {
+        (userId: Long, rows: Iterator[Event]) =>
           val times = rows.map(_.ts.getTime).toVector.sorted
-          val sessions = times.foldLeft(List.empty[SessionState]) {
-            case (Nil, t) => List(SessionState(t, t, 1))
-            case (head :: tail, t) if t - head.last <= gapMs =>
-              head.copy(last = t, nEvents = head.nEvents + 1) :: tail
-            case (acc, t) => SessionState(t, t, 1) :: acc
-          }.reverse
-          sessions.iterator.map(s => UserSession(userId,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents))
+          val (closed, open) = foldSessions(None, times, gapMs)
+          (closed ++ open).iterator.map(toSession(userId, _))
       }
+    }
   }
 
   /** Batch-equivalent sessionization with window functions (lag + cumulative

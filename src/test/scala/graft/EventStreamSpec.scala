@@ -17,6 +17,8 @@ class EventStreamSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the async checksum writer can deadlock under rapid local state commits
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -37,6 +39,40 @@ class EventStreamSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize merges a session across micro-batches via GroupState") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, minute: Long): EventStream.Event =
+      EventStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+    def m(minute: Long): Long = minute * 60000L
+    val source = MemoryStream[EventStream.Event](spark)
+    val q = EventStream.sessionize(source.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .start()
+    def emitted(): Set[(Long, Long, Long, Long)] = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    try {
+      // batch 1: two events 10 min apart — one OPEN session, nothing emitted
+      source.addData(ev(1, 1, 600), ev(2, 1, 610))
+      q.processAllAvailable()
+      assert(emitted().isEmpty,
+        "open session must be held in state, not emitted per batch")
+      // batch 2: an event past the gap closes the carried-over session
+      source.addData(ev(3, 1, 720))
+      q.processAllAvailable()
+      assert(emitted() === Set((1L, m(600), m(610), 2L)),
+        "the cross-batch session must merge batches 1+2 into one closed session")
+      // batch 3: a different user far in the future advances the watermark
+      // past user 1's last+gap — the idle session flushes via timeout alone
+      source.addData(ev(4, 2, 840))
+      q.processAllAvailable()
+      assert(emitted() === Set((1L, m(600), m(610), 2L), (1L, m(720), m(720), 1L)),
+        "watermark passing last+gap must flush the idle session by timeout")
     } finally q.stop()
   }
 
