@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 surface expansion: grouping sets, window navigation functions,
+  * range joins, histograms, vocabulary building, correlated EXISTS
+  * subqueries, sketch aggregates, and deterministic hash sampling — each
+  * DuckDB-oracle-checked except the sketches (engine-specific by design,
+  * error-bound-tested in ScalaTest instead).
+  */
+object ExpansionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q45 — GROUPING SETS with grouping id: per-status and per-priority
+    * subtotals plus a grand total in ONE aggregate pass (Spark expands the
+    * sets map-side; no multi-scan union). SQL surface on a temp view.
+    */
+  val q45_grouping_sets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q45Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q46 — window NAVIGATION family: lag/lead, ntile quartiles,
+    * percent_rank/cume_dist, first/last value over the full frame — the
+    * per-customer order-history shape. percent_rank and cume_dist are exact
+    * rational arithmetic (rank−1)/(n−1), so doubles compare bit-for-bit
+    * across engines.
+    */
+  val q46_window_nav: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("first_key", first("o_orderkey").over(wFull))
+      .withColumn("last_key", last("o_orderkey").over(wFull))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price",
+        "quartile", "pct_rank", "cume", "first_key", "last_key")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q46Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER w_full AS first_key,
+      |  last_value(o_orderkey) OVER w_full AS last_key
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q47 — range join WITHOUT an equi key: for each click, the view events
+    * within ±60 s (any user), via graft.ops.RangeJoin's bin bucketing —
+    * an equi-join on 60 s bins instead of an O(n·m) nested loop; the oracle
+    * spells the same predicate as a raw inequality join.
+    */
+  val q47_range_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "us")
+    val views = ev.filter(col("event_type") === "view").select("event_id", "us")
+    graft.ops.RangeJoin.withinTime(clicks, views, "us", windowSec = 60000000L)
+      .groupBy(col("p_event_id").as("click_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(abs(col("p_us") - col("b_us"))).as("min_gap_us"),
+        min(col("b_event_id")).as("min_view_id"))
+      .orderBy("click_id")
+  }
+
+  val q47Sql: String =
+    """SELECT c.event_id AS click_id, count(*) AS n_views,
+      |  min(abs(epoch_us(c.ts) - epoch_us(v.ts))) AS min_gap_us,
+      |  min(v.event_id) AS min_view_id
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 60000000
+      |GROUP BY c.event_id
+      |ORDER BY click_id""".stripMargin
+
+  /** q48 — fixed-width histogram with cumulative distribution: binning is a
+    * pure projection (no pre-pass), the per-bin aggregate is partial+final,
+    * and the cumulative share is a window over the (tiny) bin table.
+    */
+  val q48_histogram: Q = (s, d) => {
+    val binWidth = 25000d
+    val binned = Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / binWidth)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("lo", (col("bin") * binWidth))
+      .withColumn("hi", ((col("bin") + 1) * binWidth))
+      .select("bin", "lo", "hi", "n", "cum_n")
+      .orderBy("bin")
+  }
+
+  val q48Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT bin, bin * 25000.0 AS lo, (bin + 1) * 25000.0 AS hi, n,
+      |  SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_n
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** q49 — vocabulary building over the document corpus: token frequencies
+    * ranked into ids (freq DESC, token ASC — deterministic), top 500.
+    * The shape every tokenizer-training / vocab-pruning pipeline needs;
+    * tokenization matches q22's whitespace contract.
+    */
+  val q49_vocab: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("int"))
+      .filter(col("vocab_id") <= 500)
+      .select("vocab_id", "token", "n")
+      .orderBy("vocab_id")
+
+  val q49Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |freq AS (
+      |  SELECT token, count(*) AS n FROM toks
+      |  WHERE len(token) > 0 GROUP BY token)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+      |    AS vocab_id, token, n
+      |FROM freq
+      |QUALIFY vocab_id <= 500
+      |ORDER BY vocab_id""".stripMargin
+
+  /** q50 — correlated EXISTS / NOT EXISTS subqueries through the SQL
+    * surface: Catalyst decorrelates both into semi/anti hash joins (no
+    * per-row subquery execution — the classic row-at-a-time trap).
+    */
+  val q50_exists: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND year(o.o_orderdate) = 1999)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1999)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q51 — sketch aggregates (rows-only: HLL++ and T-digest internals are
+    * engine-specific, so the driver records shape and ScalaTest pins the
+    * ≤5% relative-error contract against the exact tier): the 100 TB
+    * cardinality/quantile path where exact distinct or a full sort per
+    * group is not an option.
+    */
+  val q51_sketches: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q52 — deterministic hash sampling: a stable 10% slice keyed on
+    * md5(doc_id), reproducible across engines, runs, and partitionings —
+    * how corpus subsets are cut for ablations without materializing state.
+    * (First 8 hex chars → 32-bit int → bucket 0-99; the oracle spells the
+    * identical arithmetic.)
+    */
+  val q52_hash_sample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .filter(col("bucket") < 10)
+      .orderBy("doc_id")
+
+  val q52Sql: String =
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |    % 100 AS BIGINT) AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |    % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** q53 — embedding-cosine near-duplicate pairs (rows-only: the LSH
+    * candidate set is sketch-dependent; ScalaTest pins planted-twin recall):
+    * the embedding leg of the dedup suite over the corpus table.
+    */
+  val q53_embedding_neardup: Q = (s, d) =>
+    graft.ops.Similarity.embeddingNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.3, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, Q] = Map(
+    "q45_grouping_sets" -> q45_grouping_sets,
+    "q46_window_nav" -> q46_window_nav,
+    "q47_range_join" -> q47_range_join,
+    "q48_histogram" -> q48_histogram,
+    "q49_vocab" -> q49_vocab,
+    "q50_exists" -> q50_exists,
+    "q51_sketches" -> q51_sketches,
+    "q52_hash_sample" -> q52_hash_sample,
+    "q53_embedding_neardup" -> q53_embedding_neardup)
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_grouping_sets" -> q45Sql,
+    "q46_window_nav" -> q46Sql,
+    "q47_range_join" -> q47Sql,
+    "q48_histogram" -> q48Sql,
+    "q49_vocab" -> q49Sql,
+    "q50_exists" -> q50Sql,
+    "q52_hash_sample" -> q52Sql)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RangeJoin
+import graft.queries.{ExpansionQueries, Tables}
+
+/** Contracts for the round-2 expansion operators that the DuckDB oracle
+  * can't check: range-join equivalence to the naive predicate join, sketch
+  * error bounds against the exact tier, and hash-sampling determinism.
+  */
+class ExpansionSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("ExpansionSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("withinTime equals the naive inequality join (recall AND precision)") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "us")
+    val views = ev.filter(col("event_type") === "view").select("event_id", "us")
+
+    val binned = RangeJoin.withinTime(clicks, views, "us", windowSec = 60000000L)
+      .select(col("p_event_id"), col("b_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val naive = clicks.as("c").join(views.as("v"),
+        abs(col("c.us") - col("v.us")) <= 60000000L)
+      .select(col("c.event_id"), col("v.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(binned.length === naive.length, "no duplicate pairs from binning")
+    assert(binned.toSet === naive.toSet)
+    assert(binned.nonEmpty, "fixture must exercise the join")
+  }
+
+  test("pointInInterval finds exactly the containing intervals") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 100L))
+      .toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 10L), (20L, 8L, 30L), (30L, 50L, 60L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi",
+        binWidth = 10L)
+      .select(col("p_pid"), col("i_iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("sketch aggregates stay within 5% of the exact tier") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ExpansionQueries.q51_sketches(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (flag, (aOrders, aMed, aP90)) =>
+      val (eOrders, eMed, eP90) = exact(flag)
+      assert(math.abs(aOrders - eOrders).toDouble / eOrders <= 0.05,
+        s"$flag approx_count_distinct off by >5%: $aOrders vs $eOrders")
+      assert(math.abs(aMed - eMed) / eMed <= 0.05,
+        s"$flag approx median off by >5%: $aMed vs $eMed")
+      assert(math.abs(aP90 - eP90) / eP90 <= 0.05,
+        s"$flag approx p90 off by >5%: $aP90 vs $eP90")
+    }
+  }
+
+  test("hash sampling is deterministic, disjoint across buckets, ~uniform") {
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+    val n = all.count()
+    val sampled = ExpansionQueries.q52_hash_sample(spark, sf)
+    val again = ExpansionQueries.q52_hash_sample(spark, sf)
+    assert(sampled.collect().toSeq === again.collect().toSeq,
+      "same slice on every run")
+    val frac = sampled.count().toDouble / n
+    assert(frac > 0.02 && frac < 0.25, s"10% slice wildly off: $frac")
+    // buckets partition the corpus: every doc in exactly one bucket
+    assert(all.groupBy("doc_id").agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") =!= 1).isEmpty)
+  }
+
+  test("grouping sets equals the union of its component aggregates") {
+    val gs = ExpansionQueries.q45_grouping_sets(spark, sf)
+    val n = Tables.orders(spark, sf)
+    val byStatus = n.groupBy("o_orderstatus").count().count()
+    val byPrio = n.groupBy("o_orderpriority").count().count()
+    assert(gs.count() === byStatus + byPrio + 1)
+  }
+}
