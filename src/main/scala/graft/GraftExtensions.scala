@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+
+/** Installable engine surface: `spark.sql.extensions=graft.GraftExtensions`
+  * registers the native expression family at session BUILD time, so every
+  * session of a deployment — spark-shell, thrift server, jobs — gets the
+  * functions without calling `GraftFunctions.registerAll` first. The
+  * builders construct the same Catalyst expressions as the Column API
+  * (codegen'd / single-pass eval — never UDF-wrapped).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression):
+      Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - left-to-right dot product of two double arrays"),
+      arity("graft_dot", 2)(e => DotProduct(e(0), e(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, h) - MinHash signature of h permutations"),
+      arity("graft_minhash", 2)(e =>
+        MinHashSignature(e(0), e(1).eval().asInstanceOf[Int]))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash sketch"),
+      arity("graft_simhash", 1)(e => SimHash64(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, n) - word n-gram shingle set"),
+      arity("graft_shingles", 2)(e =>
+        WordShingles(e(0), e(1).eval().asInstanceOf[Int]))))
+  }
+}

@@ -239,7 +239,86 @@ object ExpansionQueries {
         Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.3, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** q54 — SCD2 history build (graft.ops.Scd2): per-customer order-status
+    * change log collapsed to versioned validity intervals — change rows
+    * survive only when the tracked attribute differs (null-safely) from the
+    * previous row, lead() closes each interval. The warehouse shape every
+    * point-in-time training-data join reads from.
+    */
+  val q54_scd2: Q = (s, d) =>
+    graft.ops.Scd2.buildHistory(Tables.orders(s, d),
+        keyCol = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+        trackedCols = Seq("o_orderstatus"))
+      .orderBy("o_custkey", "version")
+
+  val q54Sql: String =
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CASE WHEN lag(o_orderkey) OVER win IS NULL
+      |           OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER win
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, o_orderstatus,
+      |  o_orderdate AS effective_from,
+      |  lead(o_orderdate) OVER win2 AS effective_to,
+      |  CAST(row_number() OVER win2 AS INTEGER) AS version,
+      |  lead(o_orderdate) OVER win2 IS NULL AS is_current
+      |FROM w WHERE chg = 1
+      |WINDOW win2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
+  /** q55 — feature normalization (z-score + min-max) per group with EXACT
+    * integer moments: prices are 2-decimal, so cents and squared cents are
+    * exact SCALE-0 decimals; sums accumulate exactly (order-insensitive —
+    * a distributed double sum would flap the oracle hash) and reach double
+    * land through ONE correctly-rounded int→double conversion plus one
+    * division, identical in both engines. (A DECIMAL(p,4) sum is exact too,
+    * but DuckDB's scaled-int128→double conversion can be 1 ulp off the
+    * correctly-rounded value, which a 38-digit scale-0 decimal avoids.)
+    * The z/mm formulas are then spelled identically so every double op is
+    * the same correctly-rounded IEEE op on the same bits.
+    */
+  val q55_normalize: Q = (s, d) => {
+    val centsT = org.apache.spark.sql.types.DecimalType(19, 0)
+    val l = Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+      col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+    val cents = (col("price") * 100).cast(centsT)
+    val stats = l.groupBy("flag").agg(
+      (sum(cents).cast("double") / 100).as("s1"),
+      (sum(cents * cents).cast("double") / 10000).as("s2"),
+      count(lit(1)).as("n"),
+      min("price").as("mn"), max("price").as("mx"))
+    val mean = col("s1") / col("n")
+    l.join(broadcast(stats), "flag")
+      .withColumn("mean", mean)
+      .select(col("line_id"), col("flag"), col("price"),
+        ((col("price") - col("mean")) /
+          sqrt((col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1)))
+          .as("z"),
+        ((col("price") - col("mn")) / (col("mx") - col("mn"))).as("mm"))
+      .orderBy("line_id", "price")
+  }
+
+  val q55Sql: String =
+    """WITH stats AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(19,0))) AS DOUBLE) / 100 AS s1,
+      |    CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(19,0))
+      |           * CAST(l_extendedprice * 100 AS DECIMAL(19,0))) AS DOUBLE) / 10000 AS s2,
+      |    count(*) AS n, min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_orderkey * 10 + l_linenumber AS line_id, flag, l_extendedprice AS price,
+      |  (l_extendedprice - s1 / n)
+      |    / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS z,
+      |  (l_extendedprice - mn) / (mx - mn) AS mm
+      |FROM lineitem JOIN stats ON l_returnflag = flag
+      |ORDER BY line_id, price""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_scd2" -> q54_scd2,
+    "q55_normalize" -> q55_normalize,
     "q45_grouping_sets" -> q45_grouping_sets,
     "q46_window_nav" -> q46_window_nav,
     "q47_range_join" -> q47_range_join,
@@ -251,6 +330,8 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_scd2" -> q54Sql,
+    "q55_normalize" -> q55Sql,
     "q45_grouping_sets" -> q45Sql,
     "q46_window_nav" -> q46Sql,
     "q47_range_join" -> q47Sql,

@@ -132,6 +132,19 @@ object EventStream {
     }
   }
 
+  /** Streaming ingestion dedup: drop events whose id was already seen,
+    * holding ids in state only as long as the watermark requires —
+    * the streaming-native form of the reference's ledger anti-join
+    * (SURVEY §2.8 I1: "process each row once") with BOUNDED state, where
+    * a naive `dropDuplicates("event_id")` would grow state forever.
+    * Exactly-once per id holds for duplicates arriving within the
+    * watermark delay; older replays are the checkpoint's job.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-equivalent sessionization with window functions (lag + cumulative
     * session ids) — the declarative cross-check for the stateful operator,
     * and itself a §2.6-style capability (oracle-friendly).

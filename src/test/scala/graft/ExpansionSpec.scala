@@ -21,6 +21,8 @@ class ExpansionSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the async checksum writer can deadlock under rapid local state commits
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -95,6 +97,64 @@ class ExpansionSpec extends AnyFunSuite {
     // buckets partition the corpus: every doc in exactly one bucket
     assert(all.groupBy("doc_id").agg(countDistinct("bucket").as("nb"))
       .filter(col("nb") =!= 1).isEmpty)
+  }
+
+  test("GraftExtensions installs the native functions at session build time") {
+    val orig = spark // force-init the shared session first
+    // a fresh SparkSession over the SAME context — getOrCreate would hand
+    // back the active session and silently skip the extensions config
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `spark.sql.extensions` is a STATIC conf — honored only at context
+    // launch (spark-submit --conf), which a shared-JVM test can't redo;
+    // withExtensions drives the exact same class programmatically
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("ExtensionsInstallSpec")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(dot === 11.0)
+      val sh = s2.sql(
+        "SELECT size(graft_shingles(split('a b c d', ' '), 3)) AS n")
+        .head().getInt(0)
+      assert(sh === 2)
+      assert(s2.sql("SELECT graft_simhash(array('a','b')) AS h").head().getLong(0)
+        === orig.range(1)
+          .select(graft.functions.SketchExpressions.simhash64(
+            array(lit("a"), lit("b")))).head().getLong(0),
+        "extension-injected function matches the Column API expression")
+    } finally {
+      // restore the suite's session; never stop() — the context is shared
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
+  test("streaming dedup within watermark drops cross-batch duplicate ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val events = source.toDF().toDF("event_id", "ts")
+    val q = graft.streaming.EventStream.dedupStream(events, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    try {
+      source.addData((1L, ts(100)), (2L, ts(101)), (1L, ts(100)))
+      q.processAllAvailable()
+      source.addData((1L, ts(102)), (3L, ts(103))) // id 1 replayed within delay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        "each id emitted once despite in-batch and cross-batch replays")
+    } finally q.stop()
   }
 
   test("grouping sets equals the union of its component aggregates") {
