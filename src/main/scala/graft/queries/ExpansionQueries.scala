@@ -316,9 +316,52 @@ object ExpansionQueries {
       |FROM lineitem JOIN stats ON l_returnflag = flag
       |ORDER BY line_id, price""".stripMargin
 
+  /** q56 — dedup GROUPS from near-dup pairs: connected components (min
+    * reachable doc id) over the oracle-checked q18 Jaccard pairs, singleton
+    * docs included — the step that turns pairwise matches into keep-one
+    * groups. Spark has no recursive CTE, so graft.ops.Components iterates
+    * min-label propagation in the driver; the oracle IS a recursive CTE
+    * (transitive closure + min), checking the fixpoint semantics
+    * end-to-end.
+    */
+  val q56_dedup_groups: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.TextDedup
+      .ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.ops.Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS doc_id, min(dst) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_scd2" -> q54_scd2,
     "q55_normalize" -> q55_normalize,
+    "q56_dedup_groups" -> q56_dedup_groups,
     "q45_grouping_sets" -> q45_grouping_sets,
     "q46_window_nav" -> q46_window_nav,
     "q47_range_join" -> q47_range_join,
@@ -332,6 +375,7 @@ object ExpansionQueries {
   val oracleSql: Map[String, String] = Map(
     "q54_scd2" -> q54Sql,
     "q55_normalize" -> q55Sql,
+    "q56_dedup_groups" -> q56Sql,
     "q45_grouping_sets" -> q45Sql,
     "q46_window_nav" -> q46Sql,
     "q47_range_join" -> q47Sql,

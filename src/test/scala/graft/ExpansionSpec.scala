@@ -157,6 +157,25 @@ class ExpansionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("connected components: paths, cliques, singletons, determinism") {
+    import spark.implicits._
+    // component 1: path 1-2-3-4 (diameter 3); component 2: triangle 10-11-12;
+    // singletons: 20, 21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val got = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+    // non-convergence must throw, not mislabel
+    val long = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val longNodes = (1L to 30L).toDF("id")
+    intercept[IllegalStateException] {
+      graft.ops.Components.connectedComponents(longNodes, long, maxIter = 3)
+    }
+  }
+
   test("grouping sets equals the union of its component aggregates") {
     val gs = ExpansionQueries.q45_grouping_sets(spark, sf)
     val n = Tables.orders(spark, sf)
