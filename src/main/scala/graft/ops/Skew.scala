@@ -45,4 +45,25 @@ object Skew {
       .agg(partial(col(valueCol)).as("__p"))
       .groupBy(col(key))
       .agg(merge(col("__p")).as(s"agg_$valueCol"))
+
+  /** Multi-aggregate form of [[saltedAgg]]: several (partial, merge)
+    * semigroup pairs in the same two passes. `partials` aggregate over
+    * (key, salt); `merges` (keyed by the SAME output names) combine the
+    * partials per key. Results equal the direct single-pass groupBy for
+    * any semigroup aggregates (count+sum, sum+sum, min+min, max+max).
+    */
+  def saltedAggMulti(df: DataFrame, key: String, saltFromCol: String, nSalt: Int,
+      partials: Seq[(String, org.apache.spark.sql.Column)],
+      merges: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(partials.nonEmpty && partials.map(_._1) == merges.map(_._1),
+      "partials and merges must align by name")
+    val staged = df.withColumn("__salt",
+        pmod(xxhash64(col(saltFromCol)), lit(nSalt)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    staged.groupBy(col(key))
+      .agg(merges.head._2.as(merges.head._1),
+        merges.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 }

@@ -358,10 +358,111 @@ object ExpansionQueries {
       |SELECT src AS doc_id, min(dst) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** q57 — multimodal frame sampling: every 2nd fixed-size frame's offset
+    * from the payload length (graft.multimodal.Multimodal.frameOffsets —
+    * pure per-row generator arithmetic; a real container parser replaces
+    * only the offset math), then a digest of each sampled frame. The
+    * oracle predicts offsets and digests from the source text, checking
+    * the sampling arithmetic end-to-end. Frames are character-addressed in
+    * both engines, so no ASCII assumption is needed.
+    */
+  val q57_frame_sample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text"),
+        length(col("text")).cast("long").as("nb"))
+      .select(col("media_id"), col("text"),
+        explode(graft.multimodal.Multimodal.frameOffsets(col("nb"), 32, 2)).as("off"))
+      .select(col("media_id"), col("off"),
+        md5(col("text").substr(col("off").cast("int") + 1, lit(32))).as("frame_md5"))
+      .orderBy("media_id", "off")
+
+  val q57Sql: String =
+    """SELECT doc_id AS media_id, off,
+      |  md5(substring(text, CAST(off AS INTEGER) + 1, 32)) AS frame_md5
+      |FROM documents,
+      |  unnest([CAST(32 * i AS BIGINT)
+      |          for i in generate_series(0, CAST(floor(length(text) / 32) AS BIGINT) - 1)
+      |          if i % 2 = 0]) AS t(off)
+      |ORDER BY media_id, off""".stripMargin
+
+  /** q58 — skew-mitigated aggregation (graft.ops.Skew.saltedAggMulti): the
+    * events table concentrates on a handful of event types, the textbook
+    * hot-key shape; partials aggregate on (key, salt) so no single task
+    * owns a whole hot key, and the merge pass combines ≤ nSalt rows per
+    * key. Count/min/max are semigroups, so the result — and the oracle's
+    * plain GROUP BY — is exactly the direct aggregate.
+    */
+  val q58_salted_agg: Q = (s, d) =>
+    graft.ops.Skew.saltedAggMulti(
+        Tables.events(s, d).select("event_type", "value"),
+        key = "event_type", saltFromCol = "value", nSalt = 16,
+        partials = Seq(
+          "n" -> count(lit(1)), "mn" -> min("value"), "mx" -> max("value")),
+        merges = Seq(
+          "n" -> sum("n"), "mn" -> min("mn"), "mx" -> max("mx")))
+      .select(col("event_type"), col("n"), col("mn"), col("mx"))
+      .orderBy("event_type")
+
+  val q58Sql: String =
+    """SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q59 — time-series resampling: a complete daily spine per order status
+    * (missing days zero-filled) with the day's max price forward-filled
+    * across gaps (last_value IGNORE NULLS). The spine is sequence+explode
+    * over one aggregate row — no driver-side date loop; the as-of fill is
+    * one window pass per status.
+    */
+  val q59_gap_fill: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"),
+        date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
+    val span = Tables.orders(s, d)
+      .agg(date_trunc("DAY", min("o_orderdate")).as("lo"),
+        date_trunc("DAY", max("o_orderdate")).as("hi"))
+    val spine = span
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val statuses = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status")).distinct()
+    val wFill = Window.partitionBy("status").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    statuses.crossJoin(spine)
+      .join(daily, Seq("status", "day"), "left")
+      .select(col("status"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("mx"), ignoreNulls = true).over(wFill).as("mx_filled"))
+      .orderBy("status", "day")
+  }
+
+  val q59Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS status, date_trunc('day', o_orderdate) AS day,
+      |    count(*) AS n, max(o_totalprice) AS mx
+      |  FROM orders GROUP BY 1, 2),
+      |span AS (
+      |  SELECT date_trunc('day', min(o_orderdate)) AS lo,
+      |    date_trunc('day', max(o_orderdate)) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+      |statuses AS (SELECT DISTINCT o_orderstatus AS status FROM orders)
+      |SELECT s.status, sp.day,
+      |  coalesce(d.n, 0) AS n,
+      |  last_value(d.mx IGNORE NULLS) OVER (PARTITION BY s.status ORDER BY sp.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_filled
+      |FROM statuses s CROSS JOIN spine sp
+      |LEFT JOIN daily d ON d.status = s.status AND d.day = sp.day
+      |ORDER BY s.status, sp.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_scd2" -> q54_scd2,
     "q55_normalize" -> q55_normalize,
     "q56_dedup_groups" -> q56_dedup_groups,
+    "q57_frame_sample" -> q57_frame_sample,
+    "q58_salted_agg" -> q58_salted_agg,
+    "q59_gap_fill" -> q59_gap_fill,
     "q45_grouping_sets" -> q45_grouping_sets,
     "q46_window_nav" -> q46_window_nav,
     "q47_range_join" -> q47_range_join,
@@ -376,6 +477,9 @@ object ExpansionQueries {
     "q54_scd2" -> q54Sql,
     "q55_normalize" -> q55Sql,
     "q56_dedup_groups" -> q56Sql,
+    "q57_frame_sample" -> q57Sql,
+    "q58_salted_agg" -> q58Sql,
+    "q59_gap_fill" -> q59Sql,
     "q45_grouping_sets" -> q45Sql,
     "q46_window_nav" -> q46Sql,
     "q47_range_join" -> q47Sql,

@@ -176,6 +176,21 @@ class ExpansionSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedAggMulti equals the direct single-pass aggregate") {
+    val ev = Tables.events(spark, sf).select("event_type", "value")
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val salted = graft.ops.Skew.saltedAggMulti(ev, "event_type", "value", 16,
+        partials = Seq("n" -> count(lit(1)), "mn" -> min("value"),
+          "mx" -> max("value")),
+        merges = Seq("n" -> sum("n"), "mn" -> min("mn"), "mx" -> max("mx")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(salted === direct)
+  }
+
   test("grouping sets equals the union of its component aggregates") {
     val gs = ExpansionQueries.q45_grouping_sets(spark, sf)
     val n = Tables.orders(spark, sf)
