@@ -276,7 +276,12 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val vecs = bucketed.select("id", "v", "nrm").dropDuplicates("id")
+    // vectors come straight from the corpus — re-deriving them from
+    // `bucketed` would recompute all numTables×planes hyperplane dots a
+    // third time and pay a dedup shuffle just to undo the band explode
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
     candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

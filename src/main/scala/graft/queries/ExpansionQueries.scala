@@ -456,7 +456,27 @@ object ExpansionQueries {
       |LEFT JOIN daily d ON d.status = s.status AND d.day = sp.day
       |ORDER BY s.status, sp.day""".stripMargin
 
+  /** q60 — mergeable cardinality sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg/hll_union_agg): distinct customers per month
+    * computed by MERGING per-day sketches — the pre-aggregation pattern
+    * that makes 100 TB rollups incremental (store day sketches once, union
+    * for any period; an exact distinct would re-scan raw data per period).
+    * Rows-only (sketch binaries are engine-specific); ExpansionSpec pins
+    * the estimate to ≤5% of the exact tier.
+    */
+  val q60_hll_merge: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"),
+        date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    daily.groupBy("month")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+        count(lit(1)).as("n_days"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_hll_merge" -> q60_hll_merge,
     "q54_scd2" -> q54_scd2,
     "q55_normalize" -> q55_normalize,
     "q56_dedup_groups" -> q56_dedup_groups,

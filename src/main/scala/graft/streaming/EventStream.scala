@@ -145,6 +145,31 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream INTERVAL join: each click matched to the same user's
+    * views in the preceding `gapSeconds`. Both sides carry watermarks and
+    * the join condition bounds event time in both directions, so Spark can
+    * evict buffered state once the watermark passes a row's last possible
+    * match — the state stays proportional to the time window, not the
+    * stream history. Works unchanged on batch inputs (a plain equi+range
+    * join), which is what the equivalence spec exploits.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      gapSeconds: Int, delay: String): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val v = views.select(col("user_id").as("v_user"),
+        col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val (cw, vw) =
+      if (clicks.isStreaming) (c.withWatermark("c_ts", delay),
+        v.withWatermark("v_ts", delay))
+      else (c, v)
+    cw.join(vw, expr(
+        s"c_user = v_user AND v_ts >= c_ts - interval $gapSeconds seconds" +
+          " AND v_ts <= c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Batch-equivalent sessionization with window functions (lag + cumulative
     * session ids) — the declarative cross-check for the stateful operator,
     * and itself a §2.6-style capability (oracle-friendly).

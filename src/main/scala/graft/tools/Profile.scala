@@ -144,6 +144,13 @@ object Profile {
     time("q26.full")(graft.queries.ExtensionQueries.q26_lsh_cosine(spark, sfDir))
     println("=== q19 phases ===")
     time("q19.full")(graft.queries.ExtensionQueries.q19_minhash_lsh(spark, sfDir))
+    println("=== round-2 additions (2 reps each) ===")
+    (1 to 2).foreach { rep =>
+      time(s"q53.full#$rep")(graft.queries.ExpansionQueries.q53_embedding_neardup(spark, sfDir))
+      time(s"q55.full#$rep")(graft.queries.ExpansionQueries.q55_normalize(spark, sfDir))
+      time(s"q56.full#$rep")(graft.queries.ExpansionQueries.q56_dedup_groups(spark, sfDir))
+      time(s"q60.full#$rep")(graft.queries.ExpansionQueries.q60_hll_merge(spark, sfDir))
+    }
 
     spark.stop()
   }

@@ -191,6 +191,58 @@ class ExpansionSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("merged daily HLL sketches estimate monthly distincts within 5%") {
+    val exact = Tables.orders(spark, sf)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(countDistinct("o_custkey").as("exact"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val approx = ExpansionQueries.q60_hll_merge(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (m, a) =>
+      val e = exact(m)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$m: $a vs $e")
+    }
+  }
+
+  test("stream-stream interval join equals its batch form across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, sec: Long) =
+      (id, user, new java.sql.Timestamp(sec * 1000L))
+    val clickSrc = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val viewSrc = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts")
+    val q = graft.streaming.EventStream.clickViewJoin(
+        named(clickSrc.toDF()), named(viewSrc.toDF()),
+        gapSeconds = 60, delay = "2 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    try {
+      // batch 1: views for users 1,2; batch 2: clicks — matches must
+      // pair across micro-batches from buffered join state
+      viewSrc.addData(ev(100, 1, 1000), ev(101, 1, 1030), ev(102, 2, 1030),
+        ev(103, 1, 900)) // too old for the 60s window
+      q.processAllAvailable()
+      clickSrc.addData(ev(200, 1, 1040), ev(201, 2, 1080))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.streaming.EventStream.clickViewJoin(
+          Seq(ev(200, 1, 1040), ev(201, 2, 1080)).toDF("event_id", "user_id", "ts"),
+          Seq(ev(100, 1, 1000), ev(101, 1, 1030), ev(102, 2, 1030),
+            ev(103, 1, 900)).toDF("event_id", "user_id", "ts"),
+          gapSeconds = 60, delay = "2 minutes")
+        .select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((200L, 100L), (200L, 101L), (201L, 102L)))
+    } finally q.stop()
+  }
+
   test("grouping sets equals the union of its component aggregates") {
     val gs = ExpansionQueries.q45_grouping_sets(spark, sf)
     val n = Tables.orders(spark, sf)
