@@ -54,6 +54,42 @@ object Sources {
       .partitionBy(partitions: _*)
       .parquet(path)
 
+  /** Dynamic partition overwrite: replace ONLY the hive partitions present
+    * in `df`, leaving every other partition untouched — the idempotent
+    * daily-rewrite primitive for a partitioned lake (re-running a day's
+    * job rewrites that day, never truncates the table). Static overwrite
+    * (the default) would drop ALL partitions first.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitions: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitions: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/targetFileBytes⌉ files. Streaming appends and per-key upserts
+    * accrete small files until footer/open overheads dominate scans — at
+    * lake scale compaction is a scheduled maintenance pass. Writes to a
+    * sibling temp dir and swaps via the path's own FileSystem, so the
+    * source is never read and clobbered concurrently; the swap is the
+    * standard non-transactional lake compromise (a table format's atomic
+    * commit replaces it where available).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
   /** S2-equivalent idempotent append: only rows whose key is absent from the
     * current sink contents are appended (SURVEY §4.3 ledger contract).
     */
