@@ -67,7 +67,10 @@ object TextDedup {
       .withColumn("nsz", count(lit(1)).over(perDoc))
       .filter(col("rn") <=
         (col("nsz") - ceil(col("nsz") * threshold - 1e-9) + 1).cast("int"))
-      .select(col("id"), col("block"), col("nsz"), col("s").as("p"))
+      // candidates only need EQUALITY on the prefix shingle — a 64-bit hash
+      // shuffles and compares cheaper than the string; a collision can only
+      // ADD a candidate, which the exact-Jaccard verify removes
+      .select(col("id"), col("block"), col("nsz"), xxhash64(col("s")).as("p"))
 
     // candidates: shared prefix shingle + size-ratio prune; ids only (the
     // shingle arrays are joined back after dedup, not dragged through the

@@ -475,7 +475,42 @@ object ExpansionQueries {
       .orderBy("month")
   }
 
+  /** q61 — TIME-based window frames (RANGE BETWEEN INTERVAL): per-customer
+    * trailing-30-day order totals — the frame is bounded by event TIME, not
+    * row count, so bursts and gaps weight correctly (q43's ROWS frames
+    * can't express this). SQL surface; decimal-exact running sums.
+    */
+  val q61_range_frame: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rf")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing30_total,
+        |  CAST(COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trailing30_n
+        |FROM orders_rf
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
+  val q61Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS trailing30_total,
+      |  CAST(COUNT(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS trailing30_n
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_range_frame" -> q61_range_frame,
     "q60_hll_merge" -> q60_hll_merge,
     "q54_scd2" -> q54_scd2,
     "q55_normalize" -> q55_normalize,
@@ -494,6 +529,7 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q61_range_frame" -> q61Sql,
     "q54_scd2" -> q54Sql,
     "q55_normalize" -> q55Sql,
     "q56_dedup_groups" -> q56Sql,
