@@ -56,7 +56,7 @@ object EventStream {
     * order ACROSS batches (within a batch we sort); that is the standard
     * append-log contract for session logs.
     */
-  private[streaming] def foldSessions(open: Option[SessionState],
+  private[graft] def foldSessions(open: Option[SessionState],
       sortedTimes: Seq[Long], gapMs: Long): (List[SessionState], Option[SessionState]) = {
     val folded = sortedTimes.foldLeft(open.toList) {
       case (Nil, t) => List(SessionState(t, t, 1))
