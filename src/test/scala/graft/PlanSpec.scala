@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CompletenessQueries, CoreQueries, ExpansionQueries}
+
+/** Physical-plan regression checks: the plan properties SCALE.md claims
+  * are asserted here so a refactor can't silently regress them —
+  * predicate pushdown reaching the scan, dimension broadcasts, hash (not
+  * nested-loop) range joins, and the single-sort SCD2 window stack.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("PlanSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q35: the returnflag predicate is pushed to the parquet scan") {
+    val plan = CompletenessQueries.q35_top_customers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || plan.contains("EqualTo(l_returnflag,R)"),
+      s"lineitem scan must carry the pushed returnflag filter:\n$plan")
+  }
+
+  test("q13: star-join dimensions broadcast; fact side is never broadcast") {
+    val plan = executedPlan(CoreQueries.q13_star_join(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "equi star joins must never degrade to nested loops")
+  }
+
+  test("q47: the range join plans as a HASH join on the bin, not a nested loop") {
+    val plan = executedPlan(ExpansionQueries.q47_range_join(spark, sf))
+    assert(plan.contains("HashJoin"), s"expected a hash join on the bin key")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "bin bucketing exists precisely to avoid the nested-loop plan")
+  }
+
+  test("q54: SCD2's two window passes share one exchange per window key") {
+    val plan = executedPlan(ExpansionQueries.q54_scd2(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one hashpartitioning exchange for the windows + one range exchange
+    // for the final presentation sort (+ AQE wrappers reuse, not add)
+    assert(exchanges <= 4, s"window stack grew extra shuffles:\n$plan")
+    assert(!plan.contains("Join"), "SCD2 must not plan any self-join")
+  }
+}
