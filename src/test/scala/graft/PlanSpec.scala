@@ -28,6 +28,17 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The suites share one SparkContext, and getOrCreate applies any later
+    * builder's runtime confs to the EXISTING session — BucketingSpec
+    * disables broadcasting to force sort-merge paths, which would leak
+    * into these assertions depending on suite order. Pin what we assert.
+    */
+  private def withBroadcastEnabled[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q35: the returnflag predicate is pushed to the parquet scan") {
     val plan = CompletenessQueries.q35_top_customers(spark, sf)
       .queryExecution.executedPlan.toString
@@ -37,14 +48,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q13: star-join dimensions broadcast; fact side is never broadcast") {
-    val plan = executedPlan(CoreQueries.q13_star_join(spark, sf))
+    val plan = withBroadcastEnabled(executedPlan(CoreQueries.q13_star_join(spark, sf)))
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "equi star joins must never degrade to nested loops")
   }
 
   test("q47: the range join plans as a HASH join on the bin, not a nested loop") {
-    val plan = executedPlan(ExpansionQueries.q47_range_join(spark, sf))
+    val plan = withBroadcastEnabled(executedPlan(ExpansionQueries.q47_range_join(spark, sf)))
     assert(plan.contains("HashJoin"), s"expected a hash join on the bin key")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
