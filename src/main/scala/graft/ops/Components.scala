@@ -51,6 +51,9 @@ object Components {
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .isEmpty
+      // superseded generations' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced (Dataset.unpersist doesn't touch
+      // localCheckpoint blocks); only the live generation is re-read
       labels = next
       i += 1
     }
