@@ -509,7 +509,113 @@ object ExpansionQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** q62 — robust outlier flagging via MAD (median absolute deviation):
+    * per-group median, then median of |x − med|, then a 3×MAD flag —
+    * the data-cleaning pass that survives heavy tails where mean/stddev
+    * z-scores get dragged by the outliers themselves. Two exact-percentile
+    * aggregates + broadcast joins back; no sort of the full table.
+    */
+  val q62_mad_outliers: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val med = o.groupBy("status")
+      .agg(expr("percentile(price, 0.5)").as("med"))
+    val withMed = o.join(broadcast(med), "status")
+    val mad = withMed.groupBy("status")
+      .agg(expr("percentile(abs(price - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "status")
+      .select(col("o_orderkey"), col("status"), col("price"),
+        col("med"), col("mad"),
+        (abs(col("price") - col("med")) > col("mad") * 3).as("is_outlier"))
+      .orderBy("o_orderkey")
+  }
+
+  val q62Sql: String =
+    """WITH med AS (
+      |  SELECT o_orderstatus AS status, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY 1),
+      |mad AS (
+      |  SELECT o.o_orderstatus AS status,
+      |    quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      |  FROM orders o JOIN med m ON o.o_orderstatus = m.status
+      |  GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_orderstatus AS status, o.o_totalprice AS price,
+      |  m.med, d.mad,
+      |  abs(o.o_totalprice - m.med) > d.mad * 3 AS is_outlier
+      |FROM orders o
+      |JOIN med m ON o.o_orderstatus = m.status
+      |JOIN mad d ON o.o_orderstatus = d.status
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q63 — array higher-order functions over per-order price lists:
+    * transform→aggregate folds as exact integer cents (a double fold's
+    * order-dependence would flap the hash), filter counts, zip-free
+    * element tests — the F-family surface beyond q44's construction ops.
+    */
+  val q63_array_hof: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("prices"))
+      .select(col("l_orderkey"),
+        size(col("prices")).as("n_lines"),
+        (aggregate(
+          transform(col("prices"),
+            x => (x * 100).cast(org.apache.spark.sql.types.DecimalType(19, 0))
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / 100).as("total"),
+        size(filter(col("prices"), _ > 50000d)).as("n_big"),
+        element_at(col("prices"), 1).as("cheapest"),
+        element_at(col("prices"), -1).as("dearest"))
+      .orderBy("l_orderkey")
+
+  val q63Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(len(ps) AS INTEGER) AS n_lines,
+      |  CAST(list_sum(list_transform(ps,
+      |    x -> CAST(CAST(x * 100 AS DECIMAL(19,0)) AS BIGINT))) AS DOUBLE) / 100
+      |    AS total,
+      |  CAST(len(list_filter(ps, x -> x > 50000)) AS INTEGER) AS n_big,
+      |  ps[1] AS cheapest,
+      |  ps[-1] AS dearest
+      |FROM (
+      |  SELECT l_orderkey, list(l_extendedprice ORDER BY l_extendedprice) AS ps
+      |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q64 — blocked fuzzy string join: near-identical part names within a
+    * (brand, size) block at Levenshtein ≤ 5 — entity-resolution's core
+    * move. Blocking turns the quadratic name-distance scan into per-block
+    * work (~tens of rows each), the same candidates-then-verify shape as
+    * the text dedup tiers; the edit distance runs only inside blocks.
+    */
+  val q64_fuzzy_join: Q = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey").as("key"), col("p_brand").as("brand"),
+        col("p_size").as("sz"), col("p_name").as("name"))
+    p.as("a").join(p.as("b"),
+        col("a.brand") === col("b.brand") && col("a.sz") === col("b.sz") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= 5)
+      .orderBy("key_a", "key_b")
+  }
+
+  val q64Sql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 5
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q62_mad_outliers" -> q62_mad_outliers,
+    "q63_array_hof" -> q63_array_hof,
+    "q64_fuzzy_join" -> q64_fuzzy_join,
     "q61_range_frame" -> q61_range_frame,
     "q60_hll_merge" -> q60_hll_merge,
     "q54_scd2" -> q54_scd2,
@@ -529,6 +635,9 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q62_mad_outliers" -> q62Sql,
+    "q63_array_hof" -> q63Sql,
+    "q64_fuzzy_join" -> q64Sql,
     "q61_range_frame" -> q61Sql,
     "q54_scd2" -> q54Sql,
     "q55_normalize" -> q55Sql,
