@@ -509,6 +509,25 @@ object ExpansionQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** q65 — CUBE: all four grouping combinations (status×priority, each
+    * alone, grand total) in one pass — completes the grouping family next
+    * to q36's ROLLUP and q45's explicit GROUPING SETS.
+    */
+  val q65_cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("o_totalprice")).as("total"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  val q65Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** q62 — robust outlier flagging via MAD (median absolute deviation):
     * per-group median, then median of |x − med|, then a 3×MAD flag —
     * the data-cleaning pass that survives heavy tails where mean/stddev
@@ -613,6 +632,7 @@ object ExpansionQueries {
       |ORDER BY key_a, key_b""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q65_cube" -> q65_cube,
     "q62_mad_outliers" -> q62_mad_outliers,
     "q63_array_hof" -> q63_array_hof,
     "q64_fuzzy_join" -> q64_fuzzy_join,
@@ -635,6 +655,7 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q65_cube" -> q65Sql,
     "q62_mad_outliers" -> q62Sql,
     "q63_array_hof" -> q63Sql,
     "q64_fuzzy_join" -> q64Sql,

@@ -243,6 +243,31 @@ class ExpansionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + appendNewKeys = an idempotent streaming upsert sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toFile.getAbsolutePath + "/t"
+    val source = MemoryStream[(Long, String)](spark)
+    val q = source.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Sources.appendNewKeys(spark, batch, sink, Seq("id"))
+      }
+      .start()
+    try {
+      source.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      // replayed and new keys in one batch: only key 3 may append
+      source.addData((1L, "a"), (2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(sink)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "a", 2L -> "b", 3L -> "c"),
+        "replays must not duplicate or overwrite existing keys")
+    } finally q.stop()
+  }
+
   test("grouping sets equals the union of its component aggregates") {
     val gs = ExpansionQueries.q45_grouping_sets(spark, sf)
     val n = Tables.orders(spark, sf)
