@@ -509,6 +509,59 @@ object ExpansionQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** q66 — POINT-IN-TIME enrichment: each shipped line item joined to the
+    * customer-status version valid AT ITS SHIP DATE — SCD2 history
+    * (graft.ops.Scd2) composed with a per-row as-of match, the join that
+    * keeps training features leak-free (never reading a future version).
+    * The key-equi join fans out only to the customer's OWN versions
+    * (bounded by change rate, not corpus size) before the validity filter;
+    * ship ≥ order date ≥ first version start, so exactly one version
+    * matches every fact row.
+    */
+  val q66_pit_enrich: Q = (s, d) => {
+    val hist = graft.ops.Scd2.buildHistory(Tables.orders(s, d),
+      keyCol = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+      trackedCols = Seq("o_orderstatus"))
+    val facts = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 3000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(hist, Seq("o_custkey"))
+      .filter(col("effective_from") <= col("l_shipdate") &&
+        (col("effective_to").isNull || col("l_shipdate") < col("effective_to")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_shipdate"), col("o_orderstatus").as("status_at_ship"),
+        col("version"))
+      .orderBy("l_orderkey", "l_linenumber", "version")
+  }
+
+  val q66Sql: String =
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CASE WHEN lag(o_orderkey) OVER win IS NULL
+      |           OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER win
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |hist AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    o_orderdate AS effective_from,
+      |    lead(o_orderdate) OVER win2 AS effective_to,
+      |    CAST(row_number() OVER win2 AS INTEGER) AS version
+      |  FROM w WHERE chg = 1
+      |  WINDOW win2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |facts AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey <= 3000)
+      |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+      |  h.o_orderstatus AS status_at_ship, h.version
+      |FROM facts f JOIN hist h ON f.o_custkey = h.o_custkey
+      |WHERE h.effective_from <= f.l_shipdate
+      |  AND (h.effective_to IS NULL OR f.l_shipdate < h.effective_to)
+      |ORDER BY l_orderkey, l_linenumber, version""".stripMargin
+
   /** q65 — CUBE: all four grouping combinations (status×priority, each
     * alone, grand total) in one pass — completes the grouping family next
     * to q36's ROLLUP and q45's explicit GROUPING SETS.
@@ -632,6 +685,7 @@ object ExpansionQueries {
       |ORDER BY key_a, key_b""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q66_pit_enrich" -> q66_pit_enrich,
     "q65_cube" -> q65_cube,
     "q62_mad_outliers" -> q62_mad_outliers,
     "q63_array_hof" -> q63_array_hof,
@@ -655,6 +709,7 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q66_pit_enrich" -> q66Sql,
     "q65_cube" -> q65Sql,
     "q62_mad_outliers" -> q62Sql,
     "q63_array_hof" -> q63Sql,
