@@ -44,14 +44,29 @@ object TextDedup {
     * candidate join; survivors are verified with exact set Jaccard.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(
+      blockCol: String, n: Int, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
+    // The shingle relation is referenced three times in this DAG (frequency
+    // derivation + both verify join-backs) and the prefix relation twice
+    // (the candidate self-join). Without materialization Spark re-executes
+    // the scan+shingle pipeline per reference; an eager localCheckpoint
+    // computes each once and serves the re-reads from executor-local blocks
+    // (reclaimed by the ContextCleaner once the plan is unreferenced). At
+    // cluster scale the same role is played by persist(MEMORY_AND_DISK) on
+    // a corpus-sized shingle relation.
+    // sorted so the verify step can count the intersection with one linear
+    // merge (SortedOverlapCount) instead of two hash-set builds per pair
+    val shRaw = df.select(
       col(idCol).as("id"), col(blockCol).as("block"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
+      sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    val sh = if (materialize) shRaw.localCheckpoint() else shRaw
 
-    // global shingle document-frequency = the rarity order
-    val exploded = sh.select(col("id"), col("block"), explode(col("sh")).as("s"))
+    // global shingle document-frequency = the rarity order; nsz rides along
+    // from the array size (shingles are distinct by construction) — no
+    // count-over-partition window needed
+    val exploded = sh.select(col("id"), col("block"),
+      size(col("sh")).as("nsz"), explode(col("sh")).as("s"))
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
 
     // the rarity prefix directly from a per-doc rank — no collect/sort/
@@ -61,20 +76,36 @@ object TextDedup {
     // never a shorter one, so the recall guarantee survives rounding.
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "s")
-    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val prefixRows = exploded.join(freq, "s")
+    val prefixRowsRaw = exploded.join(freq, "s")
       .withColumn("rn", row_number().over(byRarity))
-      .withColumn("nsz", count(lit(1)).over(perDoc))
       .filter(col("rn") <=
         (col("nsz") - ceil(col("nsz") * threshold - 1e-9) + 1).cast("int"))
       // candidates only need EQUALITY on the prefix shingle — a 64-bit hash
       // shuffles and compares cheaper than the string; a collision can only
       // ADD a candidate, which the exact-Jaccard verify removes
-      .select(col("id"), col("block"), col("nsz"), xxhash64(col("s")).as("p"))
+      .select(col("id"), col("block"), col("nsz"), col("rn"),
+        xxhash64(col("s")).as("p"))
+    val prefixRows =
+      if (materialize) prefixRowsRaw.localCheckpoint() else prefixRowsRaw
 
-    // candidates: shared prefix shingle + size-ratio prune; ids only (the
-    // shingle arrays are joined back after dedup, not dragged through the
-    // explode)
+    // Overlap needed for J >= t: |A∩B| >= t/(1+t) · (|A|+|B|). The 1e-9
+    // slack errs toward a SMALLER required overlap — candidates at the
+    // boundary are kept, never pruned.
+    val overlapNeeded =
+      ceil((col("a.nsz") + col("b.nsz")) * (threshold / (1d + threshold))
+        - 1e-9)
+
+    // candidates: shared prefix shingle + size-ratio prune + PPJoin-style
+    // positional prune; ids only (the shingle arrays are joined back after
+    // dedup, not dragged through the explode).
+    //
+    // Positional bound: for a match at rarity ranks (i, j), common shingles
+    // are totally ordered the same way in both docs, so at most min(i,j)−1
+    // precede the match and at most min(|A|−i, |B|−j) follow it:
+    //   |A∩B| ≤ min(i,j) + min(|A|−i, |B|−j).
+    // The bound holds for EVERY matching row (not just the first common
+    // shingle), so pruning rows whose bound can't reach the needed overlap
+    // keeps recall at exactly 1.
     val a = prefixRows.as("a")
     val b = prefixRows.as("b")
     val candidates = a.join(b,
@@ -82,17 +113,27 @@ object TextDedup {
           col("a.id") < col("b.id") &&
           // same 1e-9 slack: a boundary-exact size ratio must not be pruned
           col("a.nsz") * threshold <= col("b.nsz") + 1e-9 &&
-          col("b.nsz") * threshold <= col("a.nsz") + 1e-9)
+          col("b.nsz") * threshold <= col("a.nsz") + 1e-9 &&
+          (least(col("a.rn"), col("b.rn")) +
+            least(col("a.nsz") - col("a.rn"), col("b.nsz") - col("b.rn")))
+            >= overlapNeeded)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify with exact set Jaccard
+    // verify with exact set Jaccard: one sorted-merge intersection count;
+    // |A∪B| = |A|+|B|−|A∩B| (both sides distinct), so the double division
+    // has the identical integer numerator/denominator as the
+    // intersect/union formulation — bit-for-bit the same jaccard
     val verified = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "id_b")
+      .withColumn("ov", graft.functions.SketchExpressions
+        .sortedOverlapCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("ov").cast("double") /
+          (col("na") + col("nb") - col("ov")).cast("double")).as("jaccard"))
     verified.filter(col("jaccard") >= threshold)
   }
 
@@ -123,10 +164,14 @@ object TextDedup {
     * jaccard) candidate-verified pairs.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        TextAnalysis.shingles(col(textCol), n).as("sh"))
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
+    // referenced 3× (signature pipeline + both verify join-backs) — same
+    // materialize-once rationale as ngramJaccardPairs
+    val shRaw = df.select(col(idCol).as("id"),
+        sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    val sh = if (materialize) shRaw.localCheckpoint() else shRaw
     // banded bucket keys only — the shingle arrays are joined back onto the
     // deduped candidate pairs, not replicated through the band explode
     val banded = sh
@@ -141,12 +186,18 @@ object TextDedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // same sorted-merge verify kernel (and identical jaccard double) as
+    // ngramJaccardPairs — see there
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "id_b")
+      .withColumn("ov", graft.functions.SketchExpressions
+        .sortedOverlapCount(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("ov").cast("double") /
+          (col("na") + col("nb") - col("ov")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

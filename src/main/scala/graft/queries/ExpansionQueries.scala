@@ -128,8 +128,11 @@ object ExpansionQueries {
       |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
       |    count(*) AS n
       |  FROM orders GROUP BY 1)
-      |SELECT bin, bin * 25000.0 AS lo, (bin + 1) * 25000.0 AS hi, n,
-      |  SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_n
+      |SELECT bin,
+      |  CAST(bin * 25000.0 AS DOUBLE) AS lo,
+      |  CAST((bin + 1) * 25000.0 AS DOUBLE) AS hi, n,
+      |  CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_n
       |FROM b ORDER BY bin""".stripMargin
 
   /** q49 — vocabulary building over the document corpus: token frequencies
@@ -142,9 +145,16 @@ object ExpansionQueries {
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
+      // Top-k FIRST (TakeOrderedAndProject — parallel partial top-k per
+      // partition, merged on the driver), THEN rank the <=500 survivors.
+      // (n DESC, token ASC) is a total order (token is unique after the
+      // group-by), so the limit is deterministic and ranking the survivors
+      // reproduces row_number over the full table. The global window only
+      // ever sees 500 rows — no single-task sort over the whole vocabulary.
+      .orderBy(col("n").desc, col("token"))
+      .limit(500)
       .withColumn("vocab_id", row_number().over(
         Window.orderBy(col("n").desc, col("token"))).cast("int"))
-      .filter(col("vocab_id") <= 500)
       .select("vocab_id", "token", "n")
       .orderBy("vocab_id")
 

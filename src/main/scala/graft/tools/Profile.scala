@@ -41,41 +41,55 @@ object Profile {
     graft.queries.CoreQueries.queries("q13_star_join")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    println("=== q18 phases ===")
-    val docs = Tables.documents(spark, sfDir)
-    val sh = docs.select(col("doc_id").as("id"), col("lang").as("block"),
-        TextAnalysis.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    timeCount("q18.sh")(sh)
-    val exploded = sh.select(col("id"), col("block"), explode(col("sh")).as("s"))
-    timeCount("q18.exploded")(exploded)
-    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-    timeCount("q18.freq")(freq)
+    println("=== q18 phases (mirrors TextDedup.ngramJaccardPairs) ===")
     // NOTE: an array-local reformulation (left-join df≥2 freq + groupBy
     // collect_list + sort_array + slice/explode) was A/B-tested at sf0.1 and
     // lost 3-4× to this window form on the high-df corpus (collect_list
-    // shuffles full buffers; the window rank pipelines) — keep the windows.
+    // shuffles full buffers; the window rank pipelines) — keep the window.
+    val docs = Tables.documents(spark, sfDir)
+    val sh = docs.select(col("doc_id").as("id"), col("lang").as("block"),
+        sort_array(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    timeCount("q18.sh(ckpt)")(sh)
+    val exploded = sh.select(col("id"), col("block"),
+      size(col("sh")).as("nsz"), explode(col("sh")).as("s"))
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    timeCount("q18.freq")(freq)
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "s")
-    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val prefixRows = exploded.join(freq, "s")
       .withColumn("rn", row_number().over(byRarity))
-      .withColumn("nsz", count(lit(1)).over(perDoc))
       .filter(col("rn") <=
         (col("nsz") - ceil(col("nsz") * 0.5 - 1e-9) + 1).cast("int"))
-      .select(col("id"), col("block"), col("nsz"), col("s").as("p"))
-    timeCount("q18.prefixRows")(prefixRows)
+      .select(col("id"), col("block"), col("nsz"), col("rn"),
+        xxhash64(col("s")).as("p")).localCheckpoint()
+    timeCount("q18.prefixRows(ckpt)")(prefixRows)
+    val overlapNeeded = ceil((col("a.nsz") + col("b.nsz")) * (0.5 / 1.5) - 1e-9)
     val a = prefixRows.as("a")
     val b = prefixRows.as("b")
     val candidates = a.join(b,
         col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
           col("a.id") < col("b.id") &&
           col("a.nsz") * 0.5 <= col("b.nsz") + 1e-9 &&
-          col("b.nsz") * 0.5 <= col("a.nsz") + 1e-9)
+          col("b.nsz") * 0.5 <= col("a.nsz") + 1e-9 &&
+          (least(col("a.rn"), col("b.rn")) +
+            least(col("a.nsz") - col("a.rn"), col("b.nsz") - col("b.rn")))
+            >= overlapNeeded)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     timeCount("q18.candidates")(candidates)
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "id_b")
+      .withColumn("ov", graft.functions.SketchExpressions
+        .sortedOverlapCount(col("sh_a"), col("sh_b")))
+      .filter(col("ov").cast("double") /
+        (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
+    timeCount("q18.verified")(verified)
     time("q18.full")(graft.queries.ExtensionQueries.q18_ngram_jaccard(spark, sfDir))
+    time("q56.full")(graft.queries.ExpansionQueries.q56_dedup_groups(spark, sfDir))
 
     println("=== q21 phases ===")
     val emb = Tables.embeddings(spark, sfDir)

@@ -62,6 +62,19 @@ class PlanSpec extends AnyFunSuite {
       "bin bucketing exists precisely to avoid the nested-loop plan")
   }
 
+  test("q49: vocab top-k runs as TakeOrdered; the rank window sees <=500 rows") {
+    val plan = executedPlan(ExpansionQueries.q49_vocab(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as parallel TakeOrdered, not a global sort:\n$plan")
+    // the only Window in the plan must sit ABOVE the TakeOrdered (i.e. rank
+    // the 500 survivors), never directly over the full token aggregate
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      s"rank window must consume the TakeOrdered output (window above " +
+        s"take in the tree):\n$plan")
+  }
+
   test("q54: SCD2's two window passes share one exchange per window key") {
     val plan = executedPlan(ExpansionQueries.q54_scd2(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
