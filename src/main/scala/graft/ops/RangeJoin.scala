@@ -24,33 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** All (probe, build) pairs with |probeTs − buildTs| ≤ `windowSec`,
-    * both timestamps in seconds (timestamp columns cast upstream).
+  /** All (probe, build) pairs with |probeTs − buildTs| ≤ `window`. The
+    * math is unit-agnostic: `tsCol` and `window` just need the SAME unit
+    * (seconds, micros, …) — the callers here pass epoch-micros.
     * Output columns: probe's prefixed `p_*`, build's `b_*`.
     *
     * @param probe    rows seeking partners (each output row keys back to it)
     * @param build    rows offered as partners
-    * @param tsCol    epoch-seconds column name, present in both inputs
+    * @param tsCol    numeric time column name, present in both inputs
+    * @param window   max |Δt|, in `tsCol`'s unit (also the bin width)
     */
   def withinTime(probe: DataFrame, build: DataFrame, tsCol: String,
-      windowSec: Long): DataFrame = {
-    require(windowSec > 0, "windowSec must be positive")
+      window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
     val pPref = probe.columns.map(c => col(c).as(s"p_$c"))
     val bPref = build.columns.map(c => col(c).as(s"b_$c"))
     val p = probe.select(pPref.toIndexedSeq: _*)
     val b = build.select(bPref.toIndexedSeq: _*)
 
     // home bin on the build side; the probe explodes to bin−1, bin, bin+1 —
-    // any partner within windowSec lives in one of those (bin width =
-    // windowSec, so a gap ≤ windowSec spans at most one bin boundary).
-    val bBinned = b.withColumn("bin", floor(col(s"b_$tsCol") / windowSec))
+    // any partner within the window lives in one of those (bin width =
+    // window, so a gap ≤ window spans at most one bin boundary).
+    val bBinned = b.withColumn("bin", floor(col(s"b_$tsCol") / window))
     val pBinned = p.withColumn("bin",
-      explode(array(floor(col(s"p_$tsCol") / windowSec) - 1,
-        floor(col(s"p_$tsCol") / windowSec),
-        floor(col(s"p_$tsCol") / windowSec) + 1)))
+      explode(array(floor(col(s"p_$tsCol") / window) - 1,
+        floor(col(s"p_$tsCol") / window),
+        floor(col(s"p_$tsCol") / window) + 1)))
 
     pBinned.join(bBinned, Seq("bin"))
-      .filter(abs(col(s"p_$tsCol") - col(s"b_$tsCol")) <= windowSec)
+      .filter(abs(col(s"p_$tsCol") - col(s"b_$tsCol")) <= window)
       .drop("bin")
   }
 

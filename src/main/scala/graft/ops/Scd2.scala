@@ -35,11 +35,13 @@ object Scd2 {
       tieCol: String, trackedCols: Seq[String]): DataFrame = {
     require(trackedCols.nonEmpty, "must track at least one attribute")
     val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
-    // null-safe "any tracked attribute differs from the previous row";
-    // the first row of a key (lag tie = null) always opens a version
+    // null-safe "any tracked attribute differs from the previous row"; the
+    // first row of a key always opens a version — detected positionally
+    // (row_number = 1), NOT via lag(tieCol).isNull, which would also fire
+    // on the row AFTER a null tie-break value and fabricate a version
     val changed = trackedCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
-      .reduce(_ || _) || lag(col(tieCol), 1).over(w).isNull
+      .reduce(_ || _) || row_number().over(w) === 1
     val changes = df
       .withColumn("chg", changed)
       .filter(col("chg"))

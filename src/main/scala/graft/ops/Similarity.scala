@@ -94,9 +94,17 @@ object Similarity {
     // round(cos·1e9): cos is already 9-decimal-rounded so the product is
     // within float noise of an integer; the second round snaps it exactly.
     val c9 = round(col("cos") * 1e9).cast("long")
+    // the packing precondition is ENFORCED, not just documented: an id
+    // outside [0, 2^32) would silently decode to a different neighbor
+    val idChecked = when(
+      col("neighbor_id") >= 0L && col("neighbor_id") <= IdMask,
+      col("neighbor_id"))
+      .otherwise(raise_error(concat(
+        lit("top1ByCos: neighbor_id outside [0, 2^32): "),
+        col("neighbor_id").cast("string"))))
     scored
       .select(col("query_id"),
-        (c9 * lit(IdMask + 1L) + (lit(IdMask) - col("neighbor_id"))).as("pk"))
+        (c9 * lit(IdMask + 1L) + (lit(IdMask) - idChecked)).as("pk"))
       .groupBy("query_id")
       .agg(max(col("pk")).as("pk"))
       .select(col("query_id"),

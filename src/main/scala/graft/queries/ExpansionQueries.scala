@@ -87,7 +87,7 @@ object ExpansionQueries {
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "us")
     val views = ev.filter(col("event_type") === "view").select("event_id", "us")
-    graft.ops.RangeJoin.withinTime(clicks, views, "us", windowSec = 60000000L)
+    graft.ops.RangeJoin.withinTime(clicks, views, "us", window = 60000000L)
       .groupBy(col("p_event_id").as("click_id"))
       .agg(count(lit(1)).as("n_views"),
         min(abs(col("p_us") - col("b_us"))).as("min_gap_us"),
@@ -601,15 +601,8 @@ object ExpansionQueries {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("price"))
-    val med = o.groupBy("status")
-      .agg(expr("percentile(price, 0.5)").as("med"))
-    val withMed = o.join(broadcast(med), "status")
-    val mad = withMed.groupBy("status")
-      .agg(expr("percentile(abs(price - med), 0.5)").as("mad"))
-    withMed.join(broadcast(mad), "status")
-      .select(col("o_orderkey"), col("status"), col("price"),
-        col("med"), col("mad"),
-        (abs(col("price") - col("med")) > col("mad") * 3).as("is_outlier"))
+    graft.ops.Robust.madOutliers(o, "status", "price")
+      .select("o_orderkey", "status", "price", "med", "mad", "is_outlier")
       .orderBy("o_orderkey")
   }
 
@@ -694,7 +687,111 @@ object ExpansionQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 5
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** q68 — intra-document repetition quality signal: per document, total vs
+    * distinct 3-gram shingles, the hottest shingle's count, and the
+    * repetition ratio — the "loops of boilerplate" detector every corpus
+    * quality filter runs before training. Shape: trigram instances are
+    * produced POSITIONALLY (posexplode + two leads over the doc-ordered
+    * window) so the token array is never replicated through an explode;
+    * then two partial+final aggregates (per (doc, shingle) counts, then
+    * per-doc stats). Everything codegen'd; shuffles are keyed by doc id.
+    */
+  val q68_doc_repetition: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+    tri.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_rep"))
+      .withColumn("rep_ratio",
+        lit(1d) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double"))
+      .select("doc_id", "n_shingles", "n_distinct", "top_rep", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+      |                 for i in generate_series(1, len(ws)-2)]) AS s
+      |  FROM t WHERE len(ws) >= 3),
+      |per AS (
+      |  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+      |SELECT doc_id,
+      |  SUM(c) AS n_shingles,
+      |  count(*) AS n_distinct,
+      |  MAX(c) AS top_rep,
+      |  1.0 - CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+      |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q69 — eval-set contamination check: fraction of each corpus document's
+    * distinct shingles that appear anywhere in a held-out "eval" document
+    * set (here a deterministic 5% slice of the corpus; in production the
+    * benchmark suite's prompts/answers). The decontamination pass every
+    * training-data pipeline runs before a model ships. Shape: the eval
+    * shingle UNIVERSE is deduped and BROADCAST (eval sets are small by
+    * definition — benchmarks, not corpora); corpus shingles stream past it
+    * with a broadcast left join — no shuffle of the corpus by shingle.
+    * Keys are md5 digests: fixed 16-byte broadcast entries at any shingle
+    * length, and portable to the oracle (unlike xxhash64).
+    */
+  val q69_eval_contamination: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("s"))
+      .select(md5(col("s")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val corpusSh = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    corpusSh.join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("is_contaminated", col("contamination") >= 0.5)
+      .select("doc_id", "n_shingles", "n_hit", "contamination", "is_contaminated")
+      .orderBy("doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                 for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |ev AS (
+      |  SELECT DISTINCT md5(unnest(sh)) AS h FROM s WHERE doc_id % 20 = 0),
+      |cs AS (
+      |  SELECT doc_id, md5(unnest(sh)) AS h FROM s WHERE doc_id % 20 <> 0)
+      |SELECT cs.doc_id,
+      |  count(*) AS n_shingles,
+      |  count(ev.h) AS n_hit,
+      |  CAST(count(ev.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination,
+      |  CAST(count(ev.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+      |    AS is_contaminated
+      |FROM cs LEFT JOIN ev ON cs.h = ev.h
+      |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_doc_repetition" -> q68_doc_repetition,
+    "q69_eval_contamination" -> q69_eval_contamination,
     "q66_pit_enrich" -> q66_pit_enrich,
     "q65_cube" -> q65_cube,
     "q62_mad_outliers" -> q62_mad_outliers,
@@ -719,6 +816,8 @@ object ExpansionQueries {
     "q53_embedding_neardup" -> q53_embedding_neardup)
 
   val oracleSql: Map[String, String] = Map(
+    "q68_doc_repetition" -> q68Sql,
+    "q69_eval_contamination" -> q69Sql,
     "q66_pit_enrich" -> q66Sql,
     "q65_cube" -> q65Sql,
     "q62_mad_outliers" -> q62Sql,

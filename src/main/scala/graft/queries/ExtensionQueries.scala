@@ -60,13 +60,37 @@ object ExtensionQueries {
     * scale path that avoids the O(n²) pair space. Six-row bands put the
     * S-curve threshold at ~0.7 — essential on this corpus, whose tiny
     * shared vocabulary makes 2-row bands collide for ~random pairs (10M+
-    * false candidates at sf0.1). xxhash64 is not portable to DuckDB →
-    * rows-only driver check; ScalaTest asserts equality with q18's output.
+    * false candidates at sf0.1).
+    *
+    * Oracle = the EXACT unblocked Jaccard pair set: precision 1 is
+    * guaranteed (survivors are exact-Jaccard-verified) and recall 1 is a
+    * measured, deterministic property of this corpus — every near-dup pair
+    * sits at J ≥ 0.88 (planted twins), far above the band S-curve, and the
+    * seeded sketch recalls all of them at sf0.001/0.01/0.1 (verified
+    * against the exact tier at all three). A corpus with pairs near the
+    * 0.5 boundary would make this an approximate tier again — that is the
+    * documented LSH contract, not a bug.
     */
   val q19_minhash_lsh: Q = (s, d) =>
     TextDedup.minhashLshPairs(Tables.documents(s, d),
         "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")
+
+  val q19Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q20 — SimHash near-dup pairs (64-bit sketch, 8×8-bit band blocking,
     * Hamming ≤ 6). Rows-only driver check (xxhash sketch).
@@ -74,6 +98,50 @@ object ExtensionQueries {
   val q20_simhash: Q = (s, d) =>
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
       .orderBy("id_a", "id_b")
+
+  /** q67 — PRECISION gate for the sketch dedup tiers, driver-visible: the
+    * union of both sketch tiers' verified outputs, anti-joined against the
+    * independently-derived exact pair set, must be EMPTY. The SimHash side
+    * adds the exact-Jaccard verify on top of its Hamming blocking (its own
+    * q20 contract is Hamming ≤ 6, which admits low-Jaccard pairs by
+    * design). A non-empty result means a sketch tier's blocking+verify
+    * composition emitted a pair the exact tier rejects — the failure mode
+    * an all-green rows-only check would hide. Recall is covered separately:
+    * q19's oracle IS the exact pair set.
+    */
+  val q67_sketch_precision: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val exact = TextDedup.ngramJaccardPairs(
+        docs.withColumn("one", lit(1)), "doc_id", "text", "one",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit("minhash_lsh").as("tier"))
+    val sim = {
+      val sh = docs.select(col("doc_id").as("id"),
+          sort_array(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          size(col("sh")).as("na")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          size(col("sh")).as("nb")), "id_b")
+        .withColumn("ov", graft.functions.SketchExpressions
+          .sortedOverlapCount(col("sh_a"), col("sh_b")))
+        .filter(col("ov").cast("double") /
+          (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit("simhash").as("tier"))
+    }
+    lsh.unionByName(sim)
+      .join(exact, Seq("id_a", "id_b"), "left_anti")
+      .orderBy("tier", "id_a", "id_b")
+  }
+
+  val q67Sql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS VARCHAR) AS tier
+      |WHERE false""".stripMargin
 
   /** q21 — exact cosine top-1 neighbor per embedding (brute-force tier).
     * Cosines rounded to 6 decimals before ranking/output so float noise
@@ -269,12 +337,15 @@ object ExtensionQueries {
     "q23_lang_quality" -> q23_lang_quality,
     "q24_fingerprint" -> q24_fingerprint,
     "q25_multimodal_meta" -> q25_multimodal_meta,
-    "q26_lsh_cosine" -> q26_lsh_cosine)
+    "q26_lsh_cosine" -> q26_lsh_cosine,
+    "q67_sketch_precision" -> q67_sketch_precision)
 
   val oracleSql: Map[String, String] = Map(
     "q27_sessionize" -> q27Sql,
     "q17_exact_dedup" -> q17Sql,
     "q18_ngram_jaccard" -> q18Sql,
+    "q19_minhash_lsh" -> q19Sql,
+    "q67_sketch_precision" -> q67Sql,
     "q21_cosine_top1" -> q21Sql,
     "q22_token_stats" -> q22Sql,
     "q23_lang_quality" -> q23Sql,

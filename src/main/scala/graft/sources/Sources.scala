@@ -35,6 +35,29 @@ object Sources {
       .option("nullValue", "")
       .csv(path)
 
+  /** S5 single-file variant: the reference's `COPY TO` emits exactly ONE
+    * csv file (export_to_csv.py:12-26). coalesce(1) funnels the write
+    * through one task — correct ONLY for export-sized results (the final
+    * projection of a report, not a table dump); the part file is then
+    * renamed to the requested path so downstream consumers see a plain
+    * file, not a directory.
+    */
+  def writeCsvSingleFile(df: DataFrame, file: String,
+      header: Boolean = false): Unit = {
+    val tmpDir = file + "__csvtmp"
+    writeCsv(df.coalesce(1), tmpDir, header)
+    val hTmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = hTmp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(hTmp)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no part file under $tmpDir"))
+    val target = new org.apache.hadoop.fs.Path(file)
+    fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
+    fs.delete(hTmp, true)
+  }
+
   /** S6: the HTML lake read. One row per file: (path, modificationTime,
     * length, content). Partition columns in the path (yyyy/MM/dd) prune at
     * the file index, so a day's reparse touches a day's files.
@@ -76,15 +99,26 @@ object Sources {
     * commit replaces it where available).
     */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitions: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A hive-partitioned lake path (e.g. one written by overwritePartitions)
+    // rewritten WITHOUT partitionBy would silently flatten the layout —
+    // partition columns become data columns and pruning/dynamic-overwrite
+    // stop working. Refuse rather than flatten.
+    val looksPartitioned = fs.listStatus(hPath)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partitions.nonEmpty || !looksPartitioned,
+      s"compact: $path contains hive partition directories; pass " +
+        "partitions=Seq(...) so the rewrite preserves the layout")
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val compacted = spark.read.parquet(path).repartition(nFiles)
+    val writer = compacted.write.mode(SaveMode.Overwrite)
+    (if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer)
+      .parquet(tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(tmp, hPath))
       throw new java.io.IOException(s"compaction swap failed for $path")

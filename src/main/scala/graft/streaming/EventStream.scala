@@ -45,6 +45,11 @@ object EventStream {
 
   case class SessionState(start: Long, last: Long, nEvents: Long)
 
+  /** Streaming state: the key's disjoint session fragments that the
+    * watermark has not yet sealed (sorted by start, pairwise gaps > gap).
+    */
+  case class SessionFragments(frags: List[SessionState])
+
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
@@ -74,20 +79,41 @@ object EventStream {
     UserSession(userId, new java.sql.Timestamp(s.start),
       new java.sql.Timestamp(s.last), s.nEvents)
 
+  /** Merge session fragments (single events are 1-element fragments) into
+    * maximal sessions: sort by start, coalesce neighbors whose gap ≤ gapMs.
+    * Associative over fragments, so a late-but-within-watermark event can
+    * BRIDGE two fragments buffered in earlier micro-batches — the property
+    * the emit-eagerly fold lacked.
+    */
+  private[graft] def mergeFragments(frags: Seq[SessionState],
+      gapMs: Long): List[SessionState] = {
+    val sorted = frags.sortBy(s => (s.start, s.last))
+    sorted.foldLeft(List.empty[SessionState]) {
+      case (Nil, f) => List(f)
+      case (head :: tail, f) if f.start - head.last <= gapMs =>
+        SessionState(head.start, math.max(head.last, f.last),
+          head.nEvents + f.nEvents) :: tail
+      case (acc, f) => f :: acc
+    }.reverse
+  }
+
   /** Custom-state sessionization: a session closes after `gapMinutes` of
     * inactivity.
     *
-    * Streaming input: the open session is held in `GroupState` so sessions
-    * spanning micro-batches merge instead of splitting; an EVENT-TIME
-    * timeout flushes a session once the watermark passes its last event by
-    * the gap (Append mode — each session is emitted exactly once, when it
-    * closes). Event-time (not processing-time) keeps the operator
-    * deterministic under replay/backfill, and keeps `processAllAvailable`
-    * usable: a processing-time timeout makes `shouldRunAnotherBatch` true
-    * forever, busy-spinning no-data batches. State is one `SessionState`
-    * per active key, hash-partitioned by key, and evicted on timeout —
-    * bounded by the number of concurrently-active keys regardless of total
-    * volume.
+    * Streaming input: the key's not-yet-sealed session FRAGMENTS are held
+    * in `GroupState`, and a fragment is emitted only once the watermark
+    * passes its last event by the gap — at that point no admissible event
+    * (all have ts > watermark ≥ last+gap) can extend it or bridge it to a
+    * later fragment, so emission is final (Append mode, exactly once per
+    * session). Buffering fragments instead of eagerly folding makes the
+    * operator correct under CROSS-BATCH DISORDER: a late-but-within-
+    * watermark event arriving a micro-batch later merges into — or bridges
+    * between — buffered fragments instead of splitting a true session. An
+    * EVENT-TIME timeout (not processing-time: deterministic under replay,
+    * and `processAllAvailable` stays usable) flushes whatever remains.
+    * State per key is the fragment summaries within roughly
+    * watermark-delay + gap of the frontier — bounded by the watermark, not
+    * stream history — and hash-partitioned by key across the cluster.
     *
     * Batch input: all of a key's rows arrive in one call, so every session
     * (including the trailing one) is emitted directly — same output as
@@ -100,26 +126,35 @@ object EventStream {
       events
         .withWatermark("ts", s"$gapMinutes minutes")
         .groupByKey(_.user_id)
-        .flatMapGroupsWithState[SessionState, UserSession](
+        .flatMapGroupsWithState[SessionFragments, UserSession](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          (userId: Long, rows: Iterator[Event], state: GroupState[SessionFragments]) =>
             if (state.hasTimedOut) {
-              val out = state.getOption.map(toSession(userId, _))
+              // watermark ≥ maxLast+gap ⇒ every buffered fragment is final
+              val out = state.getOption.map(_.frags).getOrElse(Nil)
+                .map(toSession(userId, _))
               state.remove()
               out.iterator
             } else {
-              val times = rows.map(_.ts.getTime).toVector.sorted
-              val (closed, open) = foldSessions(state.getOption, times, gapMs)
-              open match {
-                case Some(s) =>
-                  state.update(s)
-                  // must be strictly beyond the current watermark (late data
-                  // may leave last+gap behind it)
-                  state.setTimeoutTimestamp(
-                    math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
-                case None => if (state.exists) state.remove()
+              val prev = state.getOption.map(_.frags).getOrElse(Nil)
+              val incoming = rows
+                .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toList
+              val merged = mergeFragments(prev ++ incoming, gapMs)
+              val wm = state.getCurrentWatermarkMs
+              // sealed = no admissible future event can touch it; later
+              // fragments can't resurrect it either (their events are
+              // even later), so emitting out of timeout order is safe
+              val (finalized, pending) = merged.partition(_.last + gapMs <= wm)
+              if (pending.isEmpty) {
+                if (state.exists) state.remove()
+              } else {
+                state.update(SessionFragments(pending))
+                // strictly beyond the current watermark (a late batch can
+                // leave last+gap at/behind it)
+                state.setTimeoutTimestamp(
+                  math.max(pending.map(_.last).max + gapMs, wm + 1))
               }
-              closed.iterator.map(toSession(userId, _))
+              finalized.iterator.map(toSession(userId, _))
             }
         }
     } else {

@@ -62,17 +62,59 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(emitted().isEmpty,
         "open session must be held in state, not emitted per batch")
-      // batch 2: an event past the gap closes the carried-over session
+      // batch 2: an event past the gap starts a new fragment, but the first
+      // session is NOT emitted yet — the watermark (610−30=580) hasn't
+      // passed its last+gap (640), so a late event could still extend it
       source.addData(ev(3, 1, 720))
       q.processAllAvailable()
-      assert(emitted() === Set((1L, m(600), m(610), 2L)),
-        "the cross-batch session must merge batches 1+2 into one closed session")
+      assert(emitted().isEmpty,
+        "a session is sealed by the watermark, not by a later event alone")
       // batch 3: a different user far in the future advances the watermark
-      // past user 1's last+gap — the idle session flushes via timeout alone
+      // past both fragments' last+gap — both flush (the second via timeout)
       source.addData(ev(4, 2, 840))
       q.processAllAvailable()
       assert(emitted() === Set((1L, m(600), m(610), 2L), (1L, m(720), m(720), 1L)),
-        "watermark passing last+gap must flush the idle session by timeout")
+        "watermark passing last+gap must seal both buffered sessions")
+    } finally q.stop()
+  }
+
+  test("late-but-within-watermark event bridges fragments across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, minute: Long): EventStream.Event =
+      EventStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+    def m(minute: Long): Long = minute * 60000L
+    val source = MemoryStream[EventStream.Event](spark)
+    val q = EventStream.sessionize(source.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .start()
+    try {
+      // batch 1: minutes 600 and 640 — 40 min apart, TWO fragments
+      source.addData(ev(1, 1, 600), ev(2, 1, 640))
+      q.processAllAvailable()
+      // batch 2: minute 620 is LATE (before 640) but within the watermark
+      // (640−30=610 < 620) — it must bridge the fragments into one session
+      source.addData(ev(3, 1, 620))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past 640+30
+      source.addData(ev(4, 2, 900))
+      q.processAllAvailable()
+      val got = spark.table("sess_late_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(got === Set((1L, m(600), m(640), 3L)),
+        "disordered-but-admissible events must merge, never split, a session")
+      // and the sealed output agrees with the batch SQL sessionization of
+      // the same events
+      val sql = EventStream.sessionizeSql(
+          Seq((1L, 1L, new java.sql.Timestamp(m(600))),
+            (3L, 1L, new java.sql.Timestamp(m(620))),
+            (2L, 1L, new java.sql.Timestamp(m(640))))
+            .toDF("event_id", "user_id", "ts"), gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4))).toSet
+      assert(got === sql)
     } finally q.stop()
   }
 

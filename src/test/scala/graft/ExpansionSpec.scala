@@ -32,7 +32,7 @@ class ExpansionSpec extends AnyFunSuite {
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "us")
     val views = ev.filter(col("event_type") === "view").select("event_id", "us")
 
-    val binned = RangeJoin.withinTime(clicks, views, "us", windowSec = 60000000L)
+    val binned = RangeJoin.withinTime(clicks, views, "us", window = 60000000L)
       .select(col("p_event_id"), col("b_event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
@@ -274,5 +274,32 @@ class ExpansionSpec extends AnyFunSuite {
     val byStatus = n.groupBy("o_orderstatus").count().count()
     val byPrio = n.groupBy("o_orderpriority").count().count()
     assert(gs.count() === byStatus + byPrio + 1)
+  }
+
+  test("approx MAD tier tracks the exact tier within sketch tolerance") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    def stats(exact: Boolean): Map[String, (Double, Double, Long)] =
+      graft.ops.Robust.madOutliers(o, "status", "price", exact = exact)
+        .groupBy("status")
+        .agg(first("med").as("med"), first("mad").as("mad"),
+          sum(col("is_outlier").cast("long")).as("n_out"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+    val ex = stats(exact = true)
+    val ap = stats(exact = false)
+    assert(ex.keySet == ap.keySet)
+    for (k <- ex.keySet) {
+      val (em, ed, en) = ex(k)
+      val (am, ad, an) = ap(k)
+      assert(math.abs(am - em) / em <= 0.02,
+        s"approx median for $k drifted: $am vs $em")
+      assert(math.abs(ad - ed) / ed <= 0.05,
+        s"approx MAD for $k drifted: $ad vs $ed")
+      assert(math.abs(an - en) <= math.max(2L, en / 50),
+        s"outlier count for $k drifted: $an vs $en")
+    }
   }
 }

@@ -92,4 +92,62 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("month=11") || plan.contains("PartitionFilters"),
       "partition filters applied at the file index")
   }
+
+  test("single-file CSV export: one plain file, null='' contract (S5)") {
+    import spark.implicits._
+    val file = Files.createTempDirectory("graft_csv1").toString + "/export.csv"
+    val df = Seq(("J1", Some(11000)), ("J2", None))
+      .toDF("job_id", "salary")
+    Sources.writeCsvSingleFile(df, file, header = true)
+    val p = java.nio.file.Path.of(file)
+    assert(Files.isRegularFile(p), "export must be a plain file, not a directory")
+    val lines = Files.readAllLines(p)
+    assert(lines.size == 3, "header + 2 rows in ONE file")
+    assert(lines.get(0) == "job_id,salary")
+    assert(lines.contains("J2,"), "NULL exports as empty field")
+  }
+
+  test("compact preserves a hive-partitioned layout and refuses to flatten") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cmp").toString + "/lake"
+    val df = Seq(("J1", 8, "a"), ("J2", 8, "b"), ("J3", 9, "c"))
+      .toDF("job_id", "day", "payload").repartition(3)
+    Sources.writePartitioned(df, path, Seq("day"))
+    // without the partition spec: loud refusal, layout untouched
+    val e = intercept[IllegalArgumentException] {
+      Sources.compact(spark, path)
+    }
+    assert(e.getMessage.contains("partition"))
+    Sources.compact(spark, path, partitions = Seq("day"))
+    assert(Files.isDirectory(java.nio.file.Path.of(path, "day=8")),
+      "partition directories survive compaction")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.filter($"day" === 8).count() == 2,
+      "partition column still prunes after compaction")
+  }
+
+  test("jdbc option builders pin the connector mapping (S1/S2)") {
+    val r = graft.sources.Jdbc.readOptions(
+      "jdbc:postgresql://db:5432/jobs", "raw.scraped_url",
+      query = Some("SELECT job_id, url FROM raw.scraped_url WHERE done;"),
+      partition = Some(graft.sources.Jdbc.PartitionBounds("job_seq", 0L, 1000000L, 32)),
+      fetchSize = 5000)
+    // query composes with partition bounds ONLY as a dbtable subquery
+    assert(r("dbtable") ==
+      "(SELECT job_id, url FROM raw.scraped_url WHERE done) AS graft_pushdown")
+    assert(!r.contains("query"))
+    assert(r("partitionColumn") == "job_seq" && r("numPartitions") == "32"
+      && r("lowerBound") == "0" && r("upperBound") == "1000000")
+    assert(r("fetchsize") == "5000")
+    val w = graft.sources.Jdbc.writeOptions(
+      "jdbc:postgresql://db:5432/jobs", "jobsdb.job", batchSize = 2000)
+    assert(w("dbtable") == "jobsdb.job" && w("batchsize") == "2000")
+    intercept[IllegalArgumentException] {
+      graft.sources.Jdbc.readOptions("postgresql://nope", "t")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Jdbc.PartitionBounds("c", 10L, 10L, 4)
+    }
+  }
 }
