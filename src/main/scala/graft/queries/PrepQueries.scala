@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data-preparation surface: the operators between a raw
+  * deduped corpus and a tokenizer/training run — native session windows,
+  * chunk materialization, OOV statistics against a built vocabulary, and
+  * the daily incremental-ingest dedup. All DuckDB-oracle-checked.
+  */
+object PrepQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q70 — native session windows: Spark's `session_window` aggregation is
+    * the declarative form of q27's custom-state sessionization (merging
+    * variable-length windows inside the aggregate; in streaming the same
+    * expression runs incrementally with watermark-evicted state). Session
+    * end is event-time max + gap — the session_window contract, checked
+    * against an islands-and-gaps oracle.
+    */
+  val q70_session_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val q70Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sid AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** q71 — chunk materialization: fixed 64-token windows at stride 48
+    * (16-token overlap), the shape every pretraining tokenizer pipeline
+    * feeds. The token array IS replicated through the chunk explode — that
+    * is intrinsic (output ≈ overlap-factor × input) and the work is per-row
+    * and embarrassingly parallel; no shuffle until the final presentation
+    * sort, which production drops.
+    */
+  val q71_chunks: Q = (s, d) => {
+    val chunkLen = 64
+    val stride = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(size(col("toks")) - col("start"), lit(chunkLen)).cast("int")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkLen)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q71Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS start
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 48 AS INTEGER) AS chunk_id,
+      |  CAST(least(len(ws) - start, 64) AS INTEGER) AS n_tokens,
+      |  array_to_string(ws[start + 1 : start + 64], ' ') AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q72 — OOV statistics against the built vocabulary (q49's top-500):
+    * per document, tokens in/out of vocab and the unk rate — the number a
+    * tokenizer team watches when sizing a vocab. The vocab is tiny by
+    * construction (top-k) and BROADCAST; the corpus token stream joins
+    * map-side, so the corpus is never shuffled by token.
+    */
+  val q72_oov_stats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(500)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_known"))
+      .withColumn("n_unk", col("n_tokens") - col("n_known"))
+      .withColumn("unk_rate",
+        col("n_unk").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_known", "n_unk", "unk_rate")
+      .orderBy("doc_id")
+  }
+
+  val q72Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS n FROM tok GROUP BY token
+      |    ORDER BY n DESC, token LIMIT 500)),
+      |j AS (
+      |  SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS known
+      |  FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+      |SELECT doc_id,
+      |  count(*) AS n_tokens,
+      |  CAST(SUM(known) AS BIGINT) AS n_known,
+      |  CAST(count(*) - SUM(known) AS BIGINT) AS n_unk,
+      |  CAST(count(*) - SUM(known) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS unk_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q73 — incremental ingest dedup: the daily shape — a "new batch" (one
+    * source slice) lands against the standing corpus; keep only new-batch
+    * docs whose content digest is (a) unseen in the corpus and (b) the
+    * batch-internal survivor (min doc id per digest). One digest group-by
+    * inside the batch + one anti-join against corpus digests — both keyed
+    * on the 128-bit digest, map-side combined; the corpus side prunes to
+    * the digest column only.
+    */
+  val q73_ingest_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val survivors = batch
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_batch_dups"))
+    survivors
+      .join(corpus.select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      .select("doc_id", "h", "n_batch_dups")
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH batch AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS doc_id,
+      |    count(*) AS n_batch_dups
+      |  FROM documents WHERE source = 'src0' GROUP BY md5(text)),
+      |corpus AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src0')
+      |SELECT b.doc_id, b.h, b.n_batch_dups
+      |FROM batch b LEFT JOIN corpus c ON b.h = c.h
+      |WHERE c.h IS NULL
+      |ORDER BY b.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_session_window" -> q70_session_window,
+    "q71_chunks" -> q71_chunks,
+    "q72_oov_stats" -> q72_oov_stats,
+    "q73_ingest_dedup" -> q73_ingest_dedup)
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_session_window" -> q70Sql,
+    "q71_chunks" -> q71Sql,
+    "q72_oov_stats" -> q72Sql,
+    "q73_ingest_dedup" -> q73Sql)
+}

@@ -75,6 +75,15 @@ class PlanSpec extends AnyFunSuite {
         s"take in the tree):\n$plan")
   }
 
+  test("q72: the vocab joins map-side (broadcast); corpus never shuffles by token") {
+    val plan = withBroadcastEnabled(executedPlan(
+      graft.queries.PrepQueries.q72_oov_stats(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-500 vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus token stream must not shuffle for the vocab join:\n$plan")
+  }
+
   test("q54: SCD2's two window passes share one exchange per window key") {
     val plan = executedPlan(ExpansionQueries.q54_scd2(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
