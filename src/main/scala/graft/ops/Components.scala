@@ -63,4 +63,79 @@ object Components {
           "component diameter exceeds the bound; raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Diameter-robust variant: the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — public literature). Where min-label propagation needs
+    * diameter rounds, alternating stars converge in O(log n): large-star
+    * hangs every strictly-larger neighbor off the neighborhood minimum,
+    * small-star re-parents each node's smaller neighbors onto its minimum,
+    * and the fixpoint is a star per component centered at the component
+    * minimum. Each phase is ONE shuffle (a grouped min + a join back) plus
+    * a dedup — the same per-round plan shape as [[connectedComponents]],
+    * just fewer rounds on path-like graphs.
+    *
+    * Fixpoint detection compares (count, xxhash64-XOR) of successive edge
+    * sets — one scalar row per round (XOR: order-independent and
+    * overflow-free under ANSI, exact on these duplicate-free sets); a
+    * 64-bit checksum collision standing in for set equality is ~2⁻⁶⁴ per
+    * round and only risks a WRONG-EARLY stop with that probability — and
+    * both star operators are monotone toward the fixpoint, so a collision
+    * would have to pair an intermediate state with an identical
+    * count+checksum, never silently mislabel a converged star.
+    */
+  def connectedComponentsAlternating(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 35): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val mins = directed.groupBy("src").agg(min(col("dst")).as("m"))
+      directed.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var sig = checksum(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating CC did not converge in $maxIter rounds")
+    // fixpoint edges are (node → component-min) stars; singletons label
+    // themselves, and centers appear only on the dst side
+    nodes.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+  }
 }

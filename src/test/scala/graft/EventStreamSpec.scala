@@ -118,6 +118,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window streaming agrees with its batch form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, minute: Long): EventStream.Event =
+      EventStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
+    val all = Seq(ev(1, 1, 600), ev(2, 1, 610), ev(3, 1, 720), ev(4, 2, 900))
+    val source = MemoryStream[EventStream.Event](spark)
+    val q = source.toDS()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .start()
+    try {
+      // three micro-batches; the last (user 2, minute 900) drives the
+      // watermark past both of user 1's session ends
+      source.addData(all(0), all(1)); q.processAllAvailable()
+      source.addData(all(2)); q.processAllAvailable()
+      source.addData(all(3)); q.processAllAvailable()
+      val streamed = spark.table("sw_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      val batchClosed = all.toDS()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"))
+        .filter(col("user_id") === 1) // user 2's session is still open upstream
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(streamed === batchClosed,
+        "closed native session windows must match the batch aggregation")
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the SQL-window sessionization") {
     import spark.implicits._
     val events = Tables.events(spark, sf)

@@ -276,6 +276,29 @@ class ExpansionSpec extends AnyFunSuite {
     assert(gs.count() === byStatus + byPrio + 1)
   }
 
+  test("alternating CC matches min-label CC; converges on deep paths") {
+    import spark.implicits._
+    import graft.ops.{Components, TextDedup}
+    val docs = Tables.documents(spark, sf)
+    val pairs = TextDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    val minLabel = Components.connectedComponents(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val alternating = Components.connectedComponentsAlternating(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alternating === minLabel)
+    // a 150-hop path: diameter far beyond min-label's default round bound,
+    // closed by the alternating stars in O(log n) rounds
+    val path = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathNodes = (0L to 150L).toDF("id")
+    val got = Components.connectedComponentsAlternating(pathNodes, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L to 150L).map(_ -> 0L).toSet,
+      "every path node must label to the path minimum")
+  }
+
   test("approx MAD tier tracks the exact tier within sketch tolerance") {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
