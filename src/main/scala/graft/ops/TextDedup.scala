@@ -43,6 +43,20 @@ object TextDedup {
     * A size-ratio prune (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) is applied in the
     * candidate join; survivors are verified with exact set Jaccard.
     */
+  /** The (id, block, sh) shingle relation every dedup tier consumes: sh is
+    * the doc's DISTINCT word n-grams, SORTED so verification is a single
+    * linear merge (SortedOverlapCount). Build it once, `localCheckpoint()`
+    * (or persist(MEMORY_AND_DISK) on a cluster) and feed the
+    * `...FromShingles` tiers — a multi-tier pipeline (e.g. the q67
+    * precision gate) then pays the scan+shingle cost once.
+    */
+  def shingleRelation(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"), blockCol.as("block"),
+      sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       materialize: Boolean = true): DataFrame = {
@@ -54,14 +68,14 @@ object TextDedup {
     // (reclaimed by the ContextCleaner once the plan is unreferenced). At
     // cluster scale the same role is played by persist(MEMORY_AND_DISK) on
     // a corpus-sized shingle relation.
-    // sorted so the verify step can count the intersection with one linear
-    // merge (SortedOverlapCount) instead of two hash-set builds per pair
-    val shRaw = df.select(
-      col(idCol).as("id"), col(blockCol).as("block"),
-      sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val shRaw = shingleRelation(df, idCol, textCol, col(blockCol), n)
     val sh = if (materialize) shRaw.localCheckpoint() else shRaw
+    ngramJaccardPairsFromShingles(sh, threshold, materialize)
+  }
 
+  /** The prefix-filtered exact tier over a prebuilt [[shingleRelation]]. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
     // global shingle document-frequency = the rarity order; nsz rides along
     // from the array size (shingles are distinct by construction) — no
     // count-over-partition window needed
@@ -168,10 +182,14 @@ object TextDedup {
       materialize: Boolean = true): DataFrame = {
     // referenced 3× (signature pipeline + both verify join-backs) — same
     // materialize-once rationale as ngramJaccardPairs
-    val shRaw = df.select(col(idCol).as("id"),
-        sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val shRaw = shingleRelation(df, idCol, textCol, lit(""), n)
     val sh = if (materialize) shRaw.localCheckpoint() else shRaw
+    minhashLshPairsFromShingles(sh, numHashes, bands, threshold)
+  }
+
+  /** The banded MinHash tier over a prebuilt [[shingleRelation]]. */
+  def minhashLshPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     // banded bucket keys only — the shingle arrays are joined back onto the
     // deduped candidate pairs, not replicated through the band explode
     val banded = sh

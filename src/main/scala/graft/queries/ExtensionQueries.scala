@@ -111,28 +111,26 @@ object ExtensionQueries {
     */
   val q67_sketch_precision: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val exact = TextDedup.ngramJaccardPairs(
-        docs.withColumn("one", lit(1)), "doc_id", "text", "one",
-        n = 3, threshold = 0.5)
+    // ONE shingle relation feeds all three tiers (exact, MinHash verify,
+    // SimHash verify) — the multi-tier reuse shingleRelation exists for
+    val sh = TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3)
+      .localCheckpoint()
+    val exact = TextDedup.ngramJaccardPairsFromShingles(sh, threshold = 0.5)
       .select("id_a", "id_b")
-    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+    val lsh = TextDedup
+      .minhashLshPairsFromShingles(sh, numHashes = 48, bands = 8,
+        threshold = 0.5)
       .select(col("id_a"), col("id_b"), lit("minhash_lsh").as("tier"))
-    val sim = {
-      val sh = docs.select(col("doc_id").as("id"),
-          sort_array(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
-          size(col("sh")).as("na")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
-          size(col("sh")).as("nb")), "id_b")
-        .withColumn("ov", graft.functions.SketchExpressions
-          .sortedOverlapCount(col("sh_a"), col("sh_b")))
-        .filter(col("ov").cast("double") /
-          (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
-        .select(col("id_a"), col("id_b"), lit("simhash").as("tier"))
-    }
+    val sim = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "id_b")
+      .withColumn("ov", graft.functions.SketchExpressions
+        .sortedOverlapCount(col("sh_a"), col("sh_b")))
+      .filter(col("ov").cast("double") /
+        (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit("simhash").as("tier"))
     lsh.unionByName(sim)
       .join(exact, Seq("id_a", "id_b"), "left_anti")
       .orderBy("tier", "id_a", "id_b")
