@@ -171,15 +171,107 @@ object PrepQueries {
       |WHERE c.h IS NULL
       |ORDER BY b.doc_id""".stripMargin
 
+  /** q74 — dedup SURVIVOR selection: pairs → connected components →
+    * canonical doc per group (longest wins, smaller id breaks ties) — the
+    * step that turns dedup analysis into the actual keep-list a corpus
+    * build writes out. Survivor choice is a per-component window (groups
+    * are near-dup clusters — tiny), on top of the oracle-checked pair +
+    * component machinery.
+    */
+  val q74_dedup_survivors: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.TextDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val comp = graft.ops.Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val w = Window.partitionBy("component")
+    val byLen = w.orderBy(col("n_chars").desc, col("id"))
+    comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .withColumn("rk", row_number().over(byLen))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("id").as("survivor_id"),
+        col("n_chars"), col("n_docs"))
+      .orderBy("component")
+  }
+
+  val q74Sql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (
+      |  SELECT src AS doc_id, min(dst) AS component
+      |  FROM reach GROUP BY src),
+      |ranked AS (
+      |  SELECT c.component, c.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY c.component
+      |      ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY c.component) AS n_docs
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+      |SELECT component, doc_id AS survivor_id, n_chars,
+      |  CAST(n_docs AS BIGINT) AS n_docs
+      |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+
+  /** q75 — STRATIFIED deterministic sampling: an exact per-language rate
+    * via the same md5-bucket arithmetic as q52's global sample, so every
+    * stratum is sampled at its own rate (upsample rare langs, downsample
+    * the head) with partition-invariant, engine-portable selection — the
+    * data-mixing knob of corpus construction. Pure projection+filter: no
+    * shuffle, no per-stratum pass.
+    */
+  val q75_stratified_sample: Q = (s, d) => {
+    val bucket = (conv(substring(
+      md5(concat_ws("|", col("lang"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000)
+    val rate = when(col("lang") === "en", 100L).otherwise(400L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+      |    1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+      |    1, 8)) AS UBIGINT) % 1000
+      |  < CASE WHEN lang = 'en' THEN 100 ELSE 400 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q70_session_window" -> q70_session_window,
     "q71_chunks" -> q71_chunks,
     "q72_oov_stats" -> q72_oov_stats,
-    "q73_ingest_dedup" -> q73_ingest_dedup)
+    "q73_ingest_dedup" -> q73_ingest_dedup,
+    "q74_dedup_survivors" -> q74_dedup_survivors,
+    "q75_stratified_sample" -> q75_stratified_sample)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
     "q71_chunks" -> q71Sql,
     "q72_oov_stats" -> q72Sql,
-    "q73_ingest_dedup" -> q73Sql)
+    "q73_ingest_dedup" -> q73Sql,
+    "q74_dedup_survivors" -> q74Sql,
+    "q75_stratified_sample" -> q75Sql)
 }
