@@ -99,24 +99,26 @@ object ExtensionQueries {
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
       .orderBy("id_a", "id_b")
 
-  /** q67 — PRECISION gate for the sketch dedup tiers, driver-visible: the
-    * union of both sketch tiers' verified outputs, anti-joined against the
-    * independently-derived exact pair set, must be EMPTY. The SimHash side
-    * adds the exact-Jaccard verify on top of its Hamming blocking (its own
+  /** q67 — PRECISION gate for the sketch dedup tiers, driver-visible:
+    * every pair either sketch tier emits is RE-VERIFIED with Spark's
+    * built-in set operations (array_intersect/array_union — an
+    * INDEPENDENT code path from the custom SortedOverlapCount kernel the
+    * tiers verify with), and any pair whose built-in exact Jaccard falls
+    * below the threshold is emitted — so the result must be EMPTY.
+    * "Sketch pairs ⊆ exact pairs" is equivalent to "every sketch pair has
+    * exact J ≥ t", so this IS the subset check, without re-deriving the
+    * whole exact tier; and because the recheck uses different machinery, a
+    * regression in the merge kernel cannot self-certify. The SimHash side
+    * adds the kernel verify on top of its Hamming blocking first (its own
     * q20 contract is Hamming ≤ 6, which admits low-Jaccard pairs by
-    * design). A non-empty result means a sketch tier's blocking+verify
-    * composition emitted a pair the exact tier rejects — the failure mode
-    * an all-green rows-only check would hide. Recall is covered separately:
-    * q19's oracle IS the exact pair set.
+    * design). Recall is covered separately: q19's oracle IS the exact
+    * pair set.
     */
   val q67_sketch_precision: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // ONE shingle relation feeds all three tiers (exact, MinHash verify,
-    // SimHash verify) — the multi-tier reuse shingleRelation exists for
+    // ONE shingle relation feeds both tiers and the recheck
     val sh = TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3)
       .localCheckpoint()
-    val exact = TextDedup.ngramJaccardPairsFromShingles(sh, threshold = 0.5)
-      .select("id_a", "id_b")
     val lsh = TextDedup
       .minhashLshPairsFromShingles(sh, numHashes = 48, bands = 8,
         threshold = 0.5)
@@ -132,7 +134,12 @@ object ExtensionQueries {
         (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
       .select(col("id_a"), col("id_b"), lit("simhash").as("tier"))
     lsh.unionByName(sim)
-      .join(exact, Seq("id_a", "id_b"), "left_anti")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") < 0.5)
+      .select("id_a", "id_b", "tier")
       .orderBy("tier", "id_a", "id_b")
   }
 

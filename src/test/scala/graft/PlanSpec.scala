@@ -84,6 +84,25 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus token stream must not shuffle for the vocab join:\n$plan")
   }
 
+  test("whole suite: every query plans, and no UNDECLARED nested-loop join") {
+    // Three queries cross tiny-by-construction sides on purpose (SCALE.md):
+    // q21's broadcast all-pairs scorer, q31's 1-row corpus-size scalar,
+    // q59's statuses×date-spine. Everything else must hash/broadcast-join —
+    // an accidental nested loop is the classic silent 100×-scale killer.
+    val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill")
+    val offenders = withBroadcastEnabled {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+        // sparkPlan (pre-AQE) compiles without executing the query
+        val plan = q(spark, sf).queryExecution.sparkPlan.toString
+        val nested = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (nested && !declaredCross.contains(name)) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"undeclared nested-loop/cartesian joins in: $offenders")
+  }
+
   test("q54: SCD2's two window passes share one exchange per window key") {
     val plan = executedPlan(ExpansionQueries.q54_scd2(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
