@@ -259,13 +259,90 @@ object PrepQueries {
       |  < CASE WHEN lang = 'en' THEN 100 ELSE 400 END
       |ORDER BY doc_id""".stripMargin
 
+  /** q76 — multimodal RESIZE stub: stride-sample the payload down to ≤64
+    * sample points — the plan shape of image thumbnailing / audio
+    * downsampling (per-row, partition-parallel, no shuffle). The sampling
+    * arithmetic is real and oracle-checked end-to-end via a digest of the
+    * resized payload; a real codec replaces only the per-sample kernel
+    * (pixel filter vs character pick), as with Multimodal.decodeStub.
+    */
+  val q76_media_resize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("greatest(1L, length(text) div 64)").as("stride"),
+        expr("""array_join(
+            transform(
+              slice(sequence(1L, length(text), greatest(1L, length(text) div 64)),
+                1, 64),
+              i -> substring(text, cast(i as int), 1)), '')""").as("resized"))
+      .select(col("media_id"), col("n_chars"), col("stride"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy("media_id")
+
+  val q76Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(len(text) AS BIGINT) AS n_chars,
+      |    greatest(1, len(text) // 64) AS stride,
+      |    list_aggregate(
+      |      [substr(text, CAST(i AS INTEGER), 1)
+      |       for i in generate_series(1, len(text), greatest(1, len(text) // 64))
+      |      ][1:64],
+      |      'string_agg', '') AS resized
+      |  FROM documents)
+      |SELECT media_id, n_chars, CAST(stride AS BIGINT) AS stride,
+      |  CAST(len(resized) AS BIGINT) AS resized_len,
+      |  md5(resized) AS resized_md5
+      |FROM r ORDER BY media_id""".stripMargin
+
+  /** q77 — multimodal FEATURE-EXTRACT stub: a fixed-dimension numeric
+    * feature vector per payload (here code-point statistics: count, sum,
+    * sum-of-squares, min, max, exact mean) — the binary → features plan
+    * every embedding/feature pipeline runs. One explode + one partial+final
+    * aggregate keyed by media id; exact integer moments make the vector
+    * bit-stable under any partitioning (and the oracle portable). A real
+    * extractor swaps the per-element kernel (pixels/samples for chars).
+    */
+  val q77_media_features: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .select(col("media_id"), ascii(col("c")).cast("long").as("code"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("code")).as("sum_code"),
+        sum(col("code") * col("code")).as("sum_code_sq"),
+        min(col("code")).as("min_code"),
+        max(col("code")).as("max_code"))
+      .withColumn("mean_code",
+        col("sum_code").cast("double") / col("n").cast("double"))
+      .orderBy("media_id")
+
+  val q77Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id AS media_id,
+      |    ord(unnest(string_split(text, ''))) AS code
+      |  FROM documents)
+      |SELECT media_id,
+      |  count(*) AS n,
+      |  CAST(SUM(code) AS BIGINT) AS sum_code,
+      |  CAST(SUM(code * code) AS BIGINT) AS sum_code_sq,
+      |  CAST(MIN(code) AS BIGINT) AS min_code,
+      |  CAST(MAX(code) AS BIGINT) AS max_code,
+      |  CAST(SUM(code) AS DOUBLE) / count(*) AS mean_code
+      |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q70_session_window" -> q70_session_window,
     "q71_chunks" -> q71_chunks,
     "q72_oov_stats" -> q72_oov_stats,
     "q73_ingest_dedup" -> q73_ingest_dedup,
     "q74_dedup_survivors" -> q74_dedup_survivors,
-    "q75_stratified_sample" -> q75_stratified_sample)
+    "q75_stratified_sample" -> q75_stratified_sample,
+    "q76_media_resize" -> q76_media_resize,
+    "q77_media_features" -> q77_media_features)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -273,5 +350,7 @@ object PrepQueries {
     "q72_oov_stats" -> q72Sql,
     "q73_ingest_dedup" -> q73Sql,
     "q74_dedup_survivors" -> q74Sql,
-    "q75_stratified_sample" -> q75Sql)
+    "q75_stratified_sample" -> q75Sql,
+    "q76_media_resize" -> q76Sql,
+    "q77_media_features" -> q77Sql)
 }

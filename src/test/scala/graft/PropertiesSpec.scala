@@ -157,4 +157,27 @@ class PropertiesSpec extends AnyFunSuite {
       "<a b=c d='e' f=\"g\">h</a>", "<p><b>i</p></b>", " <x> ")
       .foreach(h => assert(MiniHtml.parse(h) != null))
   }
+
+  test("SortedOverlapCount equals array_intersect size on random sorted sets") {
+    import spark.implicits._
+    val genSet: Gen[Seq[String]] = Gen.listOf(
+      Gen.oneOf("a", "b", "cc", "d", "ee", "f", "gg", "h", "ii", "jj",
+        "k", "zz", "", "é", "0"))
+      .map(_.distinct.take(12))
+    val genPair: Gen[(Seq[String], Seq[String])] =
+      for (a <- genSet; b <- genSet) yield (a, b)
+    forAll(genPair, n = 40) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a0", "b0")
+        // sort with sort_array — the SAME (UTF8String binary) order the
+        // kernel's merge assumes, not Scala's UTF-16 String ordering
+        .select(sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+        .select(
+          graft.functions.SketchExpressions
+            .sortedOverlapCount(col("a"), col("b")).as("merge"),
+          size(array_intersect(col("a"), col("b"))).as("builtin"))
+      val r = df.head()
+      assert(r.getInt(0) == r.getInt(1),
+        s"kernel/builtin intersection mismatch for a=$a b=$b")
+    }
+  }
 }
