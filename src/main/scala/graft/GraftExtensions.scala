@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{DotProduct, MinHashSignature, SimHash64, SortedOverlapCount, WordShingles}
 
 /** Installable engine surface: `spark.sql.extensions=graft.GraftExtensions`
   * registers the native expression family at session BUILD time, so every
@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingles", "graft_shingles(text, n) - word n-gram shingle set"),
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), e(1).eval().asInstanceOf[Int]))))
+    ext.injectFunction((FunctionIdentifier("graft_overlap"),
+      info("graft_overlap",
+        "graft_overlap(a, b) - intersection size of two SORTED string arrays"),
+      arity("graft_overlap", 2)(e => SortedOverlapCount(e(0), e(1)))))
   }
 }

@@ -36,6 +36,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles",
       arity("graft_shingles", 2)(exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int])), "built-in")
+    reg.createOrReplaceTempFunction("graft_overlap",
+      arity("graft_overlap", 2)(exprs =>
+        SortedOverlapCount(exprs(0), exprs(1))), "built-in")
 
     // column-composition functions surfaced as SQL via UDF-free views is
     // not possible; register them as thin UDF-less wrappers instead:

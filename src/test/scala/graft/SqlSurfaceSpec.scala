@@ -31,12 +31,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  size(graft_minhash(array('a', 'b'), 16)) AS mh_len,
         |  graft_simhash(array('x', 'y')) AS sh,
-        |  graft_shingles(array('a', 'b', 'c', 'b', 'a', 'b', 'c'), 3) AS sg
+        |  graft_shingles(array('a', 'b', 'c', 'b', 'a', 'b', 'c'), 3) AS sg,
+        |  graft_overlap(array('a', 'b', 'd'), array('b', 'c', 'd')) AS ov
       """.stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 16)
     assert(r.getLong(2) != 0L)
     assert(r.getSeq[String](3) == Seq("a b c", "b c b", "c b a", "b a b"))
+    assert(r.getInt(4) == 2)
   }
 
   test("html family callable from SQL") {
