@@ -163,15 +163,133 @@ object AnalyticsQueries {
       |    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t1) t2
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** q78 — EQUI-DEPTH histogram (the quantile-binned complement of q48's
+    * fixed-width bins): ntile(10) per order-status over a total order
+    * (price, key) so tile assignment is deterministic; per-tile count and
+    * [lo, hi] bounds. The window partitions by status — no global sort;
+    * at extreme per-group cardinality the approx-percentile boundary
+    * variant (Robust-style) swaps in.
+    */
+  val q78_equidepth_hist: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("status").orderBy("price", "okey")
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      .withColumn("tile", ntile(10).over(w))
+      .groupBy("status", "tile")
+      .agg(count(lit(1)).as("n"), min("price").as("lo"), max("price").as("hi"))
+      .select(col("status"), col("tile"), col("n"), col("lo"), col("hi"))
+      .orderBy("status", "tile")
+  }
+
+  val q78SqlFull: String =
+    """WITH t AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile,
+      |    o_totalprice AS price
+      |  FROM orders)
+      |SELECT status, tile, count(*) AS n, min(price) AS lo, max(price) AS hi
+      |FROM t GROUP BY status, tile ORDER BY status, tile""".stripMargin
+
+  /** q79 — event FUNNEL: per user, first view, first click strictly after
+    * that view, first purchase strictly after that click — the ordered
+    * conversion funnel, reported as users-per-deepest-stage. Three
+    * conditional min-aggregates with broadcast join-backs (each aggregate
+    * is partial+final; no window over the event stream).
+    */
+  val q79_funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+    val c = ev.join(broadcast(v), "user_id")
+      .groupBy("user_id", "v_ts")
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
+    val p = ev.join(broadcast(c), "user_id")
+      .groupBy("user_id", "v_ts", "c_ts")
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") > col("c_ts"), col("ts"))).as("p_ts"))
+    p.select(col("user_id"),
+        when(col("p_ts").isNotNull, 3)
+          .when(col("c_ts").isNotNull, 2)
+          .when(col("v_ts").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  val q79Sql: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.v_ts,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts
+      |        THEN e.ts END) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  GROUP BY e.user_id, v.v_ts),
+      |p AS (
+      |  SELECT e.user_id, c.v_ts, c.c_ts,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts
+      |        THEN e.ts END) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.v_ts, c.c_ts)
+      |SELECT CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+      |            WHEN c_ts IS NOT NULL THEN 2
+      |            WHEN v_ts IS NOT NULL THEN 1
+      |            ELSE 0 END AS INTEGER) AS stage,
+      |  count(*) AS n_users
+      |FROM p GROUP BY 1 ORDER BY stage""".stripMargin
+
+  /** q80 — COHORT retention: users grouped by first-active day, counted as
+    * active at each later day offset — the activation/retention matrix.
+    * One aggregate for cohorts (broadcast back), one distinct-activity
+    * aggregate, one count — all partial+final, keyed by user or
+    * (cohort, offset).
+    */
+  val q80_cohort_retention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.dropDuplicates("user_id", "day")
+      .join(broadcast(cohort), "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q80Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+      |  count(*) AS n_users
+      |FROM act a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_pricing_summary" -> q28_pricing_summary,
     "q29_top_orders" -> q29_top_orders,
     "q30_region_revenue" -> q30_region_revenue,
-    "q31_tfidf" -> q31_tfidf)
+    "q31_tfidf" -> q31_tfidf,
+    "q78_equidepth_hist" -> q78_equidepth_hist,
+    "q79_funnel" -> q79_funnel,
+    "q80_cohort_retention" -> q80_cohort_retention)
 
   val oracleSql: Map[String, String] = Map(
     "q28_pricing_summary" -> q28Sql,
     "q29_top_orders" -> q29Sql,
     "q30_region_revenue" -> q30Sql,
-    "q31_tfidf" -> q31Sql)
+    "q31_tfidf" -> q31Sql,
+    "q78_equidepth_hist" -> q78SqlFull,
+    "q79_funnel" -> q79Sql,
+    "q80_cohort_retention" -> q80Sql)
 }
