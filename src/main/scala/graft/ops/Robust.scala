@@ -44,4 +44,25 @@ object Robust {
       .withColumn("is_outlier",
         abs(col(valCol) - col("med")) > col("mad") * nSigmas)
   }
+
+  /** Scale-safe equi-depth bucketing: `ntile(k)` sorts each key's whole
+    * partition through its task — a near-global sort when keys are few and
+    * groups are huge. This variant computes k−1 approximate quantile
+    * boundaries per key (a bounded-memory, mergeable aggregate), broadcasts
+    * the tiny boundary table, and assigns each row's bucket map-side by
+    * counting boundaries below its value — no sort of the data anywhere.
+    * Buckets are approximately equi-depth (within the sketch's rank error);
+    * the exact-ntile form remains the oracle tier (q78).
+    */
+  def equiDepthBuckets(df: DataFrame, keyCol: String, valCol: String,
+      k: Int, accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val bounds = df.groupBy(keyCol)
+      .agg(percentile_approx(col(valCol), probs, lit(accuracy)).as("bounds"))
+    df.join(F.broadcast(bounds), keyCol)
+      .withColumn("bucket",
+        (size(filter(col("bounds"), b => col(valCol) > b)) + 1).cast("int"))
+      .drop("bounds")
+  }
 }

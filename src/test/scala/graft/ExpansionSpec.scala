@@ -299,6 +299,29 @@ class ExpansionSpec extends AnyFunSuite {
       "every path node must label to the path minimum")
   }
 
+  test("approx equi-depth buckets track exact ntile within sketch tolerance") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    val approx = graft.ops.Robust.equiDepthBuckets(o, "status", "price", k = 10)
+      .groupBy("status", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("status").orderBy("price", "okey")
+    val exact = o.withColumn("tile", ntile(10).over(w))
+      .groupBy("status", "tile").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // same bucket ids on both sides; per-bucket sizes within 10% of the
+    // ideal depth (ties and sketch rank error both move rows at edges)
+    assert(approx.keySet == exact.keySet)
+    val perStatus = exact.groupBy(_._1._1).view.mapValues(_.values.sum)
+    for (((st, b), n) <- approx) {
+      val ideal = perStatus(st) / 10.0
+      assert(math.abs(n - ideal) <= math.max(3.0, ideal * 0.1),
+        s"bucket ($st, $b) depth $n drifted from ideal $ideal")
+    }
+  }
+
   test("approx MAD tier tracks the exact tier within sketch tolerance") {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
