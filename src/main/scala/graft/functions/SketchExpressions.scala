@@ -138,6 +138,22 @@ case class SortedOverlapCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // analysis-time rejection of non-string arrays (the SQL surface exposes
+  // this as graft_overlap — without this an int array would be misread as
+  // UTF8String offsets at runtime)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_overlap expects two array<string> arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  // null elements sort FIRST under sort_array's default ordering; mirror
+  // array_intersect: null matches null (counted once — inputs are sets)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -147,7 +163,13 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     var j = 0
     var o = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val an = x.isNullAt(i)
+      val bn = y.isNullAt(j)
+      val c =
+        if (an && bn) 0
+        else if (an) -1
+        else if (bn) 1
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c == 0) { o += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -161,6 +183,8 @@ case class SortedOverlapCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val o = ctx.freshName("o")
       val c = ctx.freshName("c")
+      val an = ctx.freshName("an")
+      val bn = ctx.freshName("bn")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
@@ -168,7 +192,10 @@ case class SortedOverlapCount(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $o = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  boolean $an = $a.isNullAt($i);
+         |  boolean $bn = $b.isNullAt($j);
+         |  int $c = ($an && $bn) ? 0 : $an ? -1 : $bn ? 1
+         |    : $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $o++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

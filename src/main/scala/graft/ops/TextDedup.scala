@@ -24,6 +24,16 @@ import graft.functions.TextAnalysis
   */
 object TextDedup {
 
+  /** Eager localCheckpoint, unless `spark.graft.eagerMaterialize=false` —
+    * the escape hatch for plan-only inspection (PlanSpec's suite audit),
+    * where executing the shingle pipeline just to look at a physical plan
+    * is waste. Queries and benchmarks run with the default (true).
+    */
+  def maybeMaterialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean)
+      df.localCheckpoint()
+    else df
+
   /** Exact duplicate groups by content digest: survivor = min id per digest.
     * (Digest-collision risk at 100 TB: md5 over normalized text; swap for
     * sha2-256 via `hashCol` if paranoia demands.)
@@ -33,16 +43,6 @@ object TextDedup {
     df.groupBy(hashCol(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** EXACT pairwise n-gram Jaccard ≥ threshold within a blocking column,
-    * via prefix filtering (the AllPairs/PPJoin family): sort every doc's
-    * shingle set by global rarity, emit only the first
-    * |S| - ⌈t·|S|⌉ + 1 shingles, and generate candidates from docs sharing
-    * a prefix shingle — any pair with J ≥ t is guaranteed to collide
-    * (pigeonhole over the common total order), so recall is exactly 1 while
-    * the pair space drops from O(block²) to near-linear in true matches.
-    * A size-ratio prune (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) is applied in the
-    * candidate join; survivors are verified with exact set Jaccard.
-    */
   /** The (id, block, sh) shingle relation every dedup tier consumes: sh is
     * the doc's DISTINCT word n-grams, SORTED so verification is a single
     * linear merge (SortedOverlapCount). Build it once, `localCheckpoint()`
@@ -57,6 +57,16 @@ object TextDedup {
       sort_array(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** EXACT pairwise n-gram Jaccard ≥ threshold within a blocking column,
+    * via prefix filtering (the AllPairs/PPJoin family): sort every doc's
+    * shingle set by global rarity, emit only the first
+    * |S| - ⌈t·|S|⌉ + 1 shingles, and generate candidates from docs sharing
+    * a prefix shingle — any pair with J ≥ t is guaranteed to collide
+    * (pigeonhole over the common total order), so recall is exactly 1 while
+    * the pair space drops from O(block²) to near-linear in true matches.
+    * A size-ratio prune (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) is applied in the
+    * candidate join; survivors are verified with exact set Jaccard.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       materialize: Boolean = true): DataFrame = {
@@ -69,7 +79,7 @@ object TextDedup {
     // cluster scale the same role is played by persist(MEMORY_AND_DISK) on
     // a corpus-sized shingle relation.
     val shRaw = shingleRelation(df, idCol, textCol, col(blockCol), n)
-    val sh = if (materialize) shRaw.localCheckpoint() else shRaw
+    val sh = if (materialize) maybeMaterialize(shRaw) else shRaw
     ngramJaccardPairsFromShingles(sh, threshold, materialize)
   }
 
@@ -100,7 +110,7 @@ object TextDedup {
       .select(col("id"), col("block"), col("nsz"), col("rn"),
         xxhash64(col("s")).as("p"))
     val prefixRows =
-      if (materialize) prefixRowsRaw.localCheckpoint() else prefixRowsRaw
+      if (materialize) maybeMaterialize(prefixRowsRaw) else prefixRowsRaw
 
     // Overlap needed for J >= t: |A∩B| >= t/(1+t) · (|A|+|B|). The 1e-9
     // slack errs toward a SMALLER required overlap — candidates at the
@@ -183,7 +193,7 @@ object TextDedup {
     // referenced 3× (signature pipeline + both verify join-backs) — same
     // materialize-once rationale as ngramJaccardPairs
     val shRaw = shingleRelation(df, idCol, textCol, lit(""), n)
-    val sh = if (materialize) shRaw.localCheckpoint() else shRaw
+    val sh = if (materialize) maybeMaterialize(shRaw) else shRaw
     minhashLshPairsFromShingles(sh, numHashes, bands, threshold)
   }
 

@@ -203,11 +203,11 @@ object AnalyticsQueries {
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
     val v = ev.groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
-    val c = ev.join(broadcast(v), "user_id")
+    val c = ev.join(v, "user_id")
       .groupBy("user_id", "v_ts")
       .agg(min(when(col("event_type") === "click" &&
         col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
-    val p = ev.join(broadcast(c), "user_id")
+    val p = ev.join(c, "user_id")
       .groupBy("user_id", "v_ts", "c_ts")
       .agg(min(when(col("event_type") === "purchase" &&
         col("ts") > col("c_ts"), col("ts"))).as("p_ts"))
@@ -246,16 +246,16 @@ object AnalyticsQueries {
 
   /** q80 — COHORT retention: users grouped by first-active day, counted as
     * active at each later day offset — the activation/retention matrix.
-    * One aggregate for cohorts (broadcast back), one distinct-activity
-    * aggregate, one count — all partial+final, keyed by user or
-    * (cohort, offset).
+    * One aggregate for cohorts (joined back on user — unbounded
+    * cardinality, so no broadcast hint), one distinct-activity aggregate,
+    * one count — all partial+final, keyed by user or (cohort, offset).
     */
   val q80_cohort_retention: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     ev.dropDuplicates("user_id", "day")
-      .join(broadcast(cohort), "user_id")
+      .join(cohort, "user_id")
       .select(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
       .groupBy("cohort_day", "day_offset")

@@ -117,8 +117,8 @@ object ExtensionQueries {
   val q67_sketch_precision: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     // ONE shingle relation feeds both tiers and the recheck
-    val sh = TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3)
-      .localCheckpoint()
+    val sh = TextDedup.maybeMaterialize(
+      TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3))
     val lsh = TextDedup
       .minhashLshPairsFromShingles(sh, numHashes = 48, bands = 8,
         threshold = 0.5)

@@ -32,14 +32,14 @@ object PrepQueries {
 
   val q70Sql: String =
     """WITH g AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, event_id, ts,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
       |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |sid AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM g)
       |SELECT user_id,
@@ -271,11 +271,14 @@ object PrepQueries {
       .select(col("doc_id").as("media_id"),
         length(col("text")).cast("long").as("n_chars"),
         expr("greatest(1L, length(text) div 64)").as("stride"),
-        expr("""array_join(
+        // CASE guard: sequence(1, 0) throws on an empty payload (Spark),
+        // while the oracle's generate_series(1, 0) is empty — both sides
+        // resolve empty input to '' explicitly
+        expr("""CASE WHEN length(text) = 0 THEN '' ELSE array_join(
             transform(
               slice(sequence(1L, length(text), greatest(1L, length(text) div 64)),
                 1, 64),
-              i -> substring(text, cast(i as int), 1)), '')""").as("resized"))
+              i -> substring(text, cast(i as int), 1)), '') END""").as("resized"))
       .select(col("media_id"), col("n_chars"), col("stride"),
         length(col("resized")).cast("long").as("resized_len"),
         md5(col("resized")).as("resized_md5"))
@@ -286,11 +289,11 @@ object PrepQueries {
       |  SELECT doc_id AS media_id,
       |    CAST(len(text) AS BIGINT) AS n_chars,
       |    greatest(1, len(text) // 64) AS stride,
-      |    list_aggregate(
+      |    coalesce(list_aggregate(
       |      [substr(text, CAST(i AS INTEGER), 1)
       |       for i in generate_series(1, len(text), greatest(1, len(text) // 64))
       |      ][1:64],
-      |      'string_agg', '') AS resized
+      |      'string_agg', ''), '') AS resized
       |  FROM documents)
       |SELECT media_id, n_chars, CAST(stride AS BIGINT) AS stride,
       |  CAST(len(resized) AS BIGINT) AS resized_len,
@@ -310,6 +313,12 @@ object PrepQueries {
       .select(col("doc_id").as("media_id"), explode(split(col("text"), "")).as("c"))
       .filter(col("c") =!= "")
       .select(col("media_id"), ascii(col("c")).cast("long").as("code"))
+      // ASCII sub-stream only: Spark's ascii() maps any non-ASCII char to
+      // U+FFFD (65533) while the oracle's ord() returns the code point —
+      // both land outside [0, 127], so this filter makes the two engines
+      // agree EXACTLY on every input. A real byte-level extractor works on
+      // encode(text,'UTF-8') and has no such restriction.
+      .filter(col("code").between(0L, 127L))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n"),
         sum(col("code")).as("sum_code"),
@@ -321,10 +330,11 @@ object PrepQueries {
       .orderBy("media_id")
 
   val q77Sql: String =
-    """WITH c AS (
+    """WITH c0 AS (
       |  SELECT doc_id AS media_id,
       |    ord(unnest(string_split(text, ''))) AS code
-      |  FROM documents)
+      |  FROM documents),
+      |c AS (SELECT media_id, code FROM c0 WHERE code BETWEEN 0 AND 127)
       |SELECT media_id,
       |  count(*) AS n,
       |  CAST(SUM(code) AS BIGINT) AS sum_code,

@@ -52,9 +52,18 @@ object Sources {
       .map(_.getPath).find(_.getName.startsWith("part-"))
       .getOrElse(throw new java.io.IOException(s"no part file under $tmpDir"))
     val target = new org.apache.hadoop.fs.Path(file)
+    // stage the complete file NEXT TO the target first, so a failure at any
+    // rename leaves the previous export intact (same non-transactional-FS
+    // compromise as compact's swap); only the final same-directory rename
+    // sits between old and new
+    val staged = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + "__staged")
+    fs.delete(staged, false)
+    if (!fs.rename(part, staged))
+      throw new java.io.IOException(s"rename $part -> $staged failed")
     fs.delete(target, false)
-    if (!fs.rename(part, target))
-      throw new java.io.IOException(s"rename $part -> $target failed")
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"rename $staged -> $target failed")
     fs.delete(hTmp, true)
   }
 

@@ -90,15 +90,19 @@ class PlanSpec extends AnyFunSuite {
     // q59's statuses×date-spine. Everything else must hash/broadcast-join —
     // an accidental nested loop is the classic silent 100×-scale killer.
     val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill")
-    val offenders = withBroadcastEnabled {
+    // sparkPlan (pre-AQE) compiles without executing the query; eager
+    // shingle materialization is switched off so the dedup queries don't
+    // run their pipelines just to be plan-inspected (iterative CC queries
+    // still execute by nature — a driver loop has no single lazy plan)
+    spark.conf.set("spark.graft.eagerMaterialize", "false")
+    val offenders = try withBroadcastEnabled {
       graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-        // sparkPlan (pre-AQE) compiles without executing the query
         val plan = q(spark, sf).queryExecution.sparkPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") ||
           plan.contains("CartesianProduct")
         if (nested && !declaredCross.contains(name)) Some(name) else None
       }
-    }
+    } finally spark.conf.unset("spark.graft.eagerMaterialize")
     assert(offenders.isEmpty,
       s"undeclared nested-loop/cartesian joins in: $offenders")
   }

@@ -41,6 +41,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(4) == 2)
   }
 
+  test("graft_overlap rejects non-string arrays; null elements match as in array_intersect") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_overlap(array(1, 2), array(2, 3))").head()
+    }
+    assert(e.getMessage.contains("array<string>"),
+      s"type mismatch must be an analysis error, got: ${e.getMessage}")
+    val r = spark.sql(
+      """SELECT graft_overlap(
+        |  sort_array(array('a', cast(null as string))),
+        |  sort_array(array(cast(null as string), 'b')))""".stripMargin).head()
+    assert(r.getInt(0) == 1, "null matches null, once")
+  }
+
   test("html family callable from SQL") {
     val html = """<div data-automation="detailsTitle"><h1> T1 </h1><span>Co</span></div>"""
     val r = spark.sql(
