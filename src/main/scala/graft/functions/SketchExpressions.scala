@@ -142,15 +142,21 @@ case class SortedOverlapCount(left: Expression, right: Expression)
   // this as graft_overlap — without this an int array would be misread as
   // UTF8String offsets at runtime)
   override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (l, r) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_overlap expects two array<string> arguments, got " +
-            s"${l.catalogString} and ${r.catalogString}")
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // array<void> admits the untyped empty/all-null literal (array());
+    // the merge's isNullAt guards never dereference such elements
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(StringType, _) => true
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => true
+      case _ => false
     }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_overlap expects two array<string> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   // null elements sort FIRST under sort_array's default ordering; mirror
   // array_intersect: null matches null (counted once — inputs are sets)

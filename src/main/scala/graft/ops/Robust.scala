@@ -50,9 +50,18 @@ object Robust {
     * groups are huge. This variant computes k−1 approximate quantile
     * boundaries per key (a bounded-memory, mergeable aggregate), broadcasts
     * the tiny boundary table, and assigns each row's bucket map-side by
-    * counting boundaries below its value — no sort of the data anywhere.
-    * Buckets are approximately equi-depth (within the sketch's rank error);
-    * the exact-ntile form remains the oracle tier (q78).
+    * counting boundaries below its value (a plain comparison chain — stays
+    * inside whole-stage codegen, no interpreted lambda on the hot path).
+    * No sort of the data anywhere.
+    *
+    * Semantics: bucket edges are VALUE cutpoints, so equal values always
+    * share a bucket — approximately equi-depth when values are
+    * near-distinct (within the sketch's rank error), but a heavily tied
+    * column collapses its ties into one bucket (an equi-depth split of a
+    * constant column is ill-defined; `ntile`'s row-rank split is the tier
+    * for that). Rows whose key or value is NULL are kept with a NULL
+    * bucket (left join; `ntile` would rank them — callers pick the
+    * treatment).
     */
   def equiDepthBuckets(df: DataFrame, keyCol: String, valCol: String,
       k: Int, accuracy: Int = 10000): DataFrame = {
@@ -60,9 +69,11 @@ object Robust {
     val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
     val bounds = df.groupBy(keyCol)
       .agg(percentile_approx(col(valCol), probs, lit(accuracy)).as("bounds"))
-    df.join(F.broadcast(bounds), keyCol)
-      .withColumn("bucket",
-        (size(filter(col("bounds"), b => col(valCol) > b)) + 1).cast("int"))
+    val bucket = (0 until k - 1)
+      .map(i => (col(valCol) > col("bounds")(i)).cast("int"))
+      .reduce(_ + _) + 1
+    df.join(F.broadcast(bounds), Seq(keyCol), "left")
+      .withColumn("bucket", bucket.cast("int"))
       .drop("bounds")
   }
 }

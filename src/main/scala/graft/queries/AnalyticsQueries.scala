@@ -196,8 +196,11 @@ object AnalyticsQueries {
   /** q79 — event FUNNEL: per user, first view, first click strictly after
     * that view, first purchase strictly after that click — the ordered
     * conversion funnel, reported as users-per-deepest-stage. Three
-    * conditional min-aggregates with broadcast join-backs (each aggregate
-    * is partial+final; no window over the event stream).
+    * conditional min-aggregates with join-backs keyed on user (each
+    * aggregate is partial+final; no window over the event stream). The
+    * per-user tables grow with the user base, so they carry NO broadcast
+    * hint — AQE broadcasts when they happen to be small, and shuffles on
+    * user_id when they are not.
     */
   val q79_funnel: Q = (s, d) => {
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")

@@ -268,7 +268,11 @@ object PrepQueries {
     */
   val q76_media_resize: Q = (s, d) =>
     Tables.documents(s, d)
+      // NULL payloads normalize to '' FIRST, so both engines see identical
+      // non-null input (greatest/len null semantics differ between them)
       .select(col("doc_id").as("media_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      .select(col("media_id"),
         length(col("text")).cast("long").as("n_chars"),
         expr("greatest(1L, length(text) div 64)").as("stride"),
         // CASE guard: sequence(1, 0) throws on an empty payload (Spark),
@@ -285,7 +289,9 @@ object PrepQueries {
       .orderBy("media_id")
 
   val q76Sql: String =
-    """WITH r AS (
+    """WITH d AS (
+      |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |r AS (
       |  SELECT doc_id AS media_id,
       |    CAST(len(text) AS BIGINT) AS n_chars,
       |    greatest(1, len(text) // 64) AS stride,
@@ -294,7 +300,7 @@ object PrepQueries {
       |       for i in generate_series(1, len(text), greatest(1, len(text) // 64))
       |      ][1:64],
       |      'string_agg', ''), '') AS resized
-      |  FROM documents)
+      |  FROM d)
       |SELECT media_id, n_chars, CAST(stride AS BIGINT) AS stride,
       |  CAST(len(resized) AS BIGINT) AS resized_len,
       |  md5(resized) AS resized_md5

@@ -107,6 +107,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.contains("J2,"), "NULL exports as empty field")
   }
 
+  test("single-file CSV export overwrites an existing export in place") {
+    import spark.implicits._
+    val file = Files.createTempDirectory("graft_csv2").toString + "/export.csv"
+    Sources.writeCsvSingleFile(Seq(("J1", 1)).toDF("job_id", "v"), file)
+    Sources.writeCsvSingleFile(Seq(("J2", 2), ("J3", 3)).toDF("job_id", "v"), file)
+    val lines = Files.readAllLines(java.nio.file.Path.of(file))
+    assert(lines.size == 2 && !lines.contains("J1,1"),
+      "re-export must replace the previous file's contents")
+    assert(!Files.exists(java.nio.file.Path.of(file + "__csvtmp")) &&
+      !Files.exists(java.nio.file.Path.of(file + "__staged")),
+      "no staging artifacts left behind")
+  }
+
   test("compact preserves a hive-partitioned layout and refuses to flatten") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_cmp").toString + "/lake"
