@@ -350,7 +350,76 @@ object PrepQueries {
       |  CAST(SUM(code) AS DOUBLE) / count(*) AS mean_code
       |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** q81 — CDC changelog APPLY: compact a multi-version change log
+    * (latest seq wins per key), then merge onto a snapshot — upserts
+    * replace or insert, deletes drop — the MERGE INTO semantics every
+    * lakehouse table maintains. Compaction is a per-key window (bounded by
+    * versions per key, not table size); the merge is two key-partitioned
+    * anti-joins + a union, all partial+final — at lake scale the
+    * snapshot side prunes to the changed partition range. Change batches
+    * are derived deterministically from the orders table via modulo
+    * predicates, so the oracle replays the identical log.
+    */
+  val q81_cdc_apply: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val snapshot = o.filter(col("key") % 4 =!= 0)
+    val c1 = o.filter(col("key") % 3 === 0)
+      .select(col("key"),
+        when(col("key") % 9 === 0, "D").otherwise("U").as("op"),
+        col("status"), (col("price") * 1.05).as("price"), lit(1).as("seq"))
+    val c2 = o.filter(col("key") % 6 === 0)
+      .select(col("key"), lit("U").as("op"),
+        col("status"), (col("price") * 1.10).as("price"), lit(2).as("seq"))
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    val latest = c1.unionByName(c2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val deletes = latest.filter(col("op") === "D").select("key")
+    val upserts = latest.filter(col("op") === "U")
+      .select(col("key"), col("status"), col("price"))
+    snapshot
+      .join(deletes, Seq("key"), "left_anti")
+      .join(upserts.select("key"), Seq("key"), "left_anti")
+      .withColumn("src", lit("kept"))
+      .unionByName(upserts.withColumn("src", lit("applied")))
+      .select("key", "status", "price", "src")
+      .orderBy("key")
+  }
+
+  val q81Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |    o_totalprice AS price
+      |  FROM orders),
+      |snapshot AS (SELECT * FROM o WHERE key % 4 <> 0),
+      |c1 AS (
+      |  SELECT key, CASE WHEN key % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    status, price * 1.05 AS price, 1 AS seq
+      |  FROM o WHERE key % 3 = 0),
+      |c2 AS (
+      |  SELECT key, 'U' AS op, status, price * 1.10 AS price, 2 AS seq
+      |  FROM o WHERE key % 6 = 0),
+      |latest AS (
+      |  SELECT key, op, status, price FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+      |      AS rk
+      |    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
+      |  WHERE rk = 1),
+      |deletes AS (SELECT key FROM latest WHERE op = 'D'),
+      |upserts AS (SELECT key, status, price FROM latest WHERE op = 'U')
+      |SELECT key, status, price, 'kept' AS src
+      |FROM snapshot
+      |WHERE key NOT IN (SELECT key FROM deletes)
+      |  AND key NOT IN (SELECT key FROM upserts)
+      |UNION ALL
+      |SELECT key, status, price, 'applied' AS src FROM upserts
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q81_cdc_apply" -> q81_cdc_apply,
     "q70_session_window" -> q70_session_window,
     "q71_chunks" -> q71_chunks,
     "q72_oov_stats" -> q72_oov_stats,
@@ -368,5 +437,6 @@ object PrepQueries {
     "q74_dedup_survivors" -> q74Sql,
     "q75_stratified_sample" -> q75Sql,
     "q76_media_resize" -> q76Sql,
-    "q77_media_features" -> q77Sql)
+    "q77_media_features" -> q77Sql,
+    "q81_cdc_apply" -> q81Sql)
 }
