@@ -80,12 +80,12 @@ object TextDedup {
     // a corpus-sized shingle relation.
     val shRaw = shingleRelation(df, idCol, textCol, col(blockCol), n)
     val sh = if (materialize) maybeMaterialize(shRaw) else shRaw
-    ngramJaccardPairsFromShingles(sh, threshold, materialize)
+    ngramJaccardPairsFromShingles(sh, threshold)
   }
 
   /** The prefix-filtered exact tier over a prebuilt [[shingleRelation]]. */
-  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
-      materialize: Boolean = true): DataFrame = {
+  def ngramJaccardPairsFromShingles(sh: DataFrame,
+      threshold: Double): DataFrame = {
     // global shingle document-frequency = the rarity order; nsz rides along
     // from the array size (shingles are distinct by construction) — no
     // count-over-partition window needed
@@ -109,8 +109,11 @@ object TextDedup {
       // ADD a candidate, which the exact-Jaccard verify removes
       .select(col("id"), col("block"), col("nsz"), col("rn"),
         xxhash64(col("s")).as("p"))
-    val prefixRows =
-      if (materialize) maybeMaterialize(prefixRowsRaw) else prefixRowsRaw
+    // NOT materialized: both sides of the candidate self-join are this
+    // same plan, so Spark's ReuseExchange serves the second side from the
+    // first's shuffle files — measured FASTER than an eager checkpoint,
+    // which serializes a full materialization job before the join starts
+    val prefixRows = prefixRowsRaw
 
     // Overlap needed for J >= t: |A∩B| >= t/(1+t) · (|A|+|B|). The 1e-9
     // slack errs toward a SMALLER required overlap — candidates at the
