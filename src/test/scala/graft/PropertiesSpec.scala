@@ -158,6 +158,37 @@ class PropertiesSpec extends AnyFunSuite {
       .foreach(h => assert(MiniHtml.parse(h) != null))
   }
 
+  test("fragment merge equals the sorted session fold on any event-time multiset") {
+    import graft.streaming.EventStream
+    val genTimes: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L)).map(_.take(60))
+    forAll(genTimes, n = 50) { times =>
+      val gap = 100L
+      val frags = EventStream.mergeFragments(
+        times.map(t => EventStream.SessionState(t, t, 1)), gap)
+      val (closed, open) = EventStream.foldSessions(None, times.sorted, gap)
+      assert(frags == closed ++ open,
+        s"fragment merge and linear fold disagree on $times")
+    }
+  }
+
+  test("alternating CC equals min-label CC on random graphs") {
+    import spark.implicits._
+    import graft.ops.Components
+    val genEdges: Gen[List[(Long, Long)]] = Gen.listOf(
+      for (a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L) if a != b)
+        yield (math.min(a, b), math.max(a, b))).map(_.take(14))
+    val nodes = (0L to 11L).toDF("id")
+    forAll(genEdges, n = 6) { edges =>
+      val e = edges.toDF("id_a", "id_b")
+      val a = Components.connectedComponents(nodes, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Components.connectedComponentsAlternating(nodes, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"CC variants disagree on edges $edges")
+    }
+  }
+
   test("SortedOverlapCount equals array_intersect size on random sorted sets") {
     import spark.implicits._
     val genSet: Gen[Seq[String]] = Gen.listOf(
