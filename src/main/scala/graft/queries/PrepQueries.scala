@@ -418,7 +418,44 @@ object PrepQueries {
       |SELECT key, status, price, 'applied' AS src FROM upserts
       |ORDER BY key""".stripMargin
 
+  /** q82 — corpus HEALTH rollup: per (lang, source) slice — document
+    * count, distinct-content count, duplicate rate, char-length mean, and
+    * token volume — the monitoring table a corpus build publishes after
+    * every ingest. One grouped aggregate (partial+final); the dup rate
+    * rides on a distinct-count of the content digest, and the exact token
+    * total reuses q22's whitespace contract.
+    */
+  val q82_corpus_health: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"))
+      .withColumn("dup_rate",
+        lit(1d) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+      .select("lang", "source", "n_docs", "n_unique", "dup_rate",
+        "total_chars", "total_tokens")
+      .orderBy("lang", "source")
+
+  val q82Sql: String =
+    """SELECT lang, source,
+      |  count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS dup_rate,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS total_tokens
+      |FROM documents
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_corpus_health" -> q82_corpus_health,
     "q81_cdc_apply" -> q81_cdc_apply,
     "q70_session_window" -> q70_session_window,
     "q71_chunks" -> q71_chunks,
@@ -438,5 +475,6 @@ object PrepQueries {
     "q75_stratified_sample" -> q75Sql,
     "q76_media_resize" -> q76Sql,
     "q77_media_features" -> q77Sql,
-    "q81_cdc_apply" -> q81Sql)
+    "q81_cdc_apply" -> q81Sql,
+    "q82_corpus_health" -> q82Sql)
 }
