@@ -730,7 +730,7 @@ object ExpansionQueries {
       |per AS (
       |  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
       |SELECT doc_id,
-      |  SUM(c) AS n_shingles,
+      |  CAST(SUM(c) AS BIGINT) AS n_shingles,
       |  count(*) AS n_distinct,
       |  MAX(c) AS top_rep,
       |  1.0 - CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio

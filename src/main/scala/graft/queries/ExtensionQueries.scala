@@ -123,23 +123,38 @@ object ExtensionQueries {
       .minhashLshPairsFromShingles(sh, numHashes = 48, bands = 8,
         threshold = 0.5)
       .select(col("id_a"), col("id_b"), lit("minhash_lsh").as("tier"))
-    val sim = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+    // LEFT joins onto the shingle relation: a SimHash pair touching a doc
+    // with no shingle row (< 3 tokens) must SURFACE as a violation, not
+    // silently vanish from the gate — an inner join here would weaken the
+    // "result must be EMPTY" guarantee for exactly the ids the kernel
+    // can't verify. (The LSH tier is derived FROM sh, so its ids are
+    // present by construction; the same left-join shape guards it anyway.)
+    val simJoined = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        size(col("sh")).as("na")), "id_a")
+        size(col("sh")).as("na")), Seq("id_a"), "left")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        size(col("sh")).as("nb")), "id_b")
+        size(col("sh")).as("nb")), Seq("id_b"), "left")
+    val simMissing = simJoined
+      .filter(col("sh_a").isNull || col("sh_b").isNull)
+      .select(col("id_a"), col("id_b"),
+        lit("simhash_missing_shingles").as("tier"))
+    val sim = simJoined
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("ov", graft.functions.SketchExpressions
         .sortedOverlapCount(col("sh_a"), col("sh_b")))
       .filter(col("ov").cast("double") /
         (col("na") + col("nb") - col("ov")).cast("double") >= 0.5)
       .select(col("id_a"), col("id_b"), lit("simhash").as("tier"))
-    lsh.unionByName(sim)
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(
+    val rechecked = lsh.unionByName(sim)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"), "left")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"), "left")
+      .filter(col("sh_a").isNull || col("sh_b").isNull ||
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") < 0.5)
       .select("id_a", "id_b", "tier")
+    rechecked.unionByName(simMissing)
       .orderBy("tier", "id_a", "id_b")
   }
 

@@ -17,7 +17,11 @@ object PrepQueries {
     * variable-length windows inside the aggregate; in streaming the same
     * expression runs incrementally with watermark-evicted state). Session
     * end is event-time max + gap — the session_window contract, checked
-    * against an islands-and-gaps oracle.
+    * against an islands-and-gaps oracle. Boundary ties: session_window
+    * merges only on STRICT window overlap, so two events exactly `gap`
+    * apart start separate sessions — the oracle's new-session predicate is
+    * therefore `>=` (unlike q27's custom fold, which merges the inclusive
+    * gap).
     */
   val q70_session_window: Q = (s, d) => {
     Tables.events(s, d)
@@ -35,7 +39,7 @@ object PrepQueries {
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
       |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |      > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+      |      >= 30*60*1000000 THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |sid AS (
       |  SELECT user_id, ts,

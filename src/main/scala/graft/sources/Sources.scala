@@ -124,7 +124,18 @@ object Sources {
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val compacted = spark.read.parquet(path).repartition(nFiles)
+    // Partitioned mode must repartition BY the partition columns: a plain
+    // repartition(nFiles) scatters each hive partition's rows across all
+    // nFiles tasks, so partitionBy then emits up to nFiles files PER
+    // partition directory — file count can go UP. Hashing on the partition
+    // columns routes each directory's rows to one task → one output file
+    // per partition (directories far above targetFileBytes are rare in a
+    // partitioned lake; a per-partition file-count pass is the next tier).
+    val source = spark.read.parquet(path)
+    val compacted =
+      if (partitions.nonEmpty)
+        source.repartition(nFiles, partitions.map(col): _*)
+      else source.repartition(nFiles)
     val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer)
       .parquet(tmp.toString)
