@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, ExpansionQueries, ExtensionQueries, PrepQueries}
+import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, PrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtensionQueries.queries ++
       AnalyticsQueries.queries ++ CompletenessQueries.queries ++
-      ExpansionQueries.queries ++ PrepQueries.queries
+      ExpansionQueries.queries ++ PrepQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ CompletenessQueries.oracleSql ++
-      ExpansionQueries.oracleSql ++ PrepQueries.oracleSql
+      ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGries, TextAnalysis}
+import graft.ops.{Bloom, Similarity}
+
+/** Round-4 corpus-curation and governance surface: PII redaction,
+  * deterministic split assignment, snapshot diffing, heavy hitters with an
+  * exact recount tier, explicit bloom-filter semi-join pruning, quality
+  * filter funnels, dataset profiling — and driver-visible error gates for
+  * the approximate tiers (ANN cosine values, HLL / quantile sketches) so
+  * every rows-only sketch query has a checked invariant next to it.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** q83 — PII detection + redaction over a free-text column: count and
+    * scrub emails/phone numbers with codegen'd regexp built-ins (one pass,
+    * no UDF — the scan IS the operator at 100 TB). The note text is derived
+    * deterministically from the customer table so the regexes exercise real
+    * matches; both engines build the identical string.
+    */
+  val q83_pii_redact: Q = (s, d) => {
+    val note = concat(
+      col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+      lit("@example.com> tel +1-555-"),
+      lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("cust_id"), note.as("note"))
+      .select(
+        col("cust_id"),
+        regexp_count(col("note"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("note"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("note"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+      .orderBy("cust_id")
+  }
+
+  val q83Sql: String =
+    """WITH n AS (
+      |  SELECT c_custkey AS cust_id,
+      |    c_name || ' <' ||
+      |    lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) ||
+      |    '@example.com> tel +1-555-' ||
+      |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS note
+      |  FROM customer)
+      |SELECT cust_id,
+      |  CAST(len(regexp_extract_all(note,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(note, '\+1-555-[0-9]{4}')) AS BIGINT)
+      |    AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(note,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+      |FROM n ORDER BY cust_id""".stripMargin
+
+  /** q84 — train/val/test split assignment: the md5-bucket arithmetic of
+    * q52 extended to the canonical 90/5/5 three-way split. Pure
+    * projection — partition-invariant, reproducible on any engine, and
+    * stable as the corpus grows (a doc's split never changes when other
+    * docs are added — the property random sampling lacks).
+    */
+  val q84_split_assign: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val q84Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q85 — corpus snapshot diff: content-hash comparison of two crawl
+    * snapshots via one full-outer join on the document key →
+    * added/removed/changed/unchanged. The audit table behind every
+    * incremental recrawl ("what actually changed since last month?").
+    * Hashes, not texts, ride the join — at 100 TB the shuffle carries
+    * 16-byte digests. The two snapshots are deterministic slices of the
+    * corpus (with a text perturbation on every 5th doc) so all four
+    * statuses occur.
+    */
+  val q85_snapshot_diff: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val prev = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val cur = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h_new"))
+    prev.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val q85Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS h_old
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |c AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)
+      |      AS h_new
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN h_old IS NULL THEN 'added'
+      |       WHEN h_new IS NULL THEN 'removed'
+      |       WHEN h_old <> h_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q86 — heavy hitters, exact via a Misra-Gries candidate tier: the MG
+    * aggregate (graft.functions.MisraGriesTopK, k=8 counters) finds every
+    * value that CAN exceed a 1/9 share with O(k)-bounded state per task;
+    * the ≤k candidates are broadcast back for an exact recount restricted
+    * to them, and the true threshold (count·9 > n) filters. No full
+    * group-by of the value space ever happens — at 100 TB the only
+    * full-width pass is the MG scan with k-sized partials, yet the output
+    * is exact and oracle-checkable.
+    */
+  val q86_heavy_hitters: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_type")
+    val cand = ev
+      .agg(MisraGries.frequentItems(col("event_type"), 8).as("mg"))
+      .select(explode(col("mg.item")).as("event_type"))
+    val counts = ev.join(broadcast(cand), Seq("event_type"), "left_semi")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val total = ev.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 9 > col("n"))
+      .select(col("event_type"), col("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
+  val q86Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type
+      |HAVING count(*) * 9 > (SELECT count(*) FROM events)
+      |ORDER BY cnt DESC, event_type""".stripMargin
+
+  /** q87 — bloom-pruned semi-join (graft.ops.Bloom): lineitem rows for a
+    * selective part subset. The dimension subset's keys build a ~10-bit/key
+    * bloom (one bounded aggregate), fact rows probe it inside
+    * WholeStageCodegen and non-members die at the scan; the closing exact
+    * semi-join only sees survivors. Result is exactly the semi-join — the
+    * bloom never drops a true match (no false negatives).
+    */
+  val q87_bloom_semijoin: Q = (s, d) =>
+    Bloom.semiJoin(
+        Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d).filter(col("p_size") >= 46), "p_partkey")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+  val q87Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 46)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
+  /** Independent cosine recompute for the ANN gate: zip_with/aggregate
+    * higher-order functions — a deliberately DIFFERENT code path from the
+    * native DotProduct expression the tiers score with, so a kernel
+    * regression cannot self-certify.
+    */
+  private def cosCheck(qv: org.apache.spark.sql.Column,
+      nv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    round(dotHof(qv, nv) / (sqrt(dotHof(qv, qv)) * sqrt(dotHof(nv, nv))), 9)
+  }
+
+  /** q88 — ANN consistency gate, driver-visible: every (query, neighbor,
+    * cos) row the approximate tiers emit (LSH q26, IVF q32, near-dup q53)
+    * is re-scored with the independent HOF cosine; any row whose reported
+    * cosine deviates, self-matches, or references a missing vector is
+    * emitted — so the result must be EMPTY. Complements the ScalaTest
+    * recall specs: precision/consistency is oracle-checked even where
+    * recall can't be.
+    */
+  val q88_ann_gate: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+    def gate(res: DataFrame, tier: String): DataFrame =
+      res.join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+          Seq("query_id"), "left")
+        .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          Seq("neighbor_id"), "left")
+        .withColumn("cos_check",
+          when(col("qv").isNotNull && col("nv").isNotNull,
+            cosCheck(col("qv"), col("nv"))))
+        .filter(col("qv").isNull || col("nv").isNull ||
+          col("query_id") === col("neighbor_id") ||
+          abs(col("cos") - col("cos_check")) > 1e-6)
+        .select(lit(tier).as("tier"), col("query_id"), col("neighbor_id"),
+          col("cos"), col("cos_check"))
+
+    val lsh = gate(Similarity.lshCosineTopK(emb, "vec_id", "embedding",
+      k = 1, dim = 64).select("query_id", "neighbor_id", "cos"), "lsh")
+    val ivf = gate(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 1, dim = 64).select("query_id", "neighbor_id", "cos"), "ivf")
+    val nd = gate(Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, dim = 64)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+        col("cos")), "neardup")
+    lsh.unionByName(ivf).unionByName(nd)
+      .orderBy("tier", "query_id", "neighbor_id")
+  }
+
+  val q88Sql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS BIGINT) AS query_id,
+      |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cos,
+      |  CAST(NULL AS DOUBLE) AS cos_check
+      |WHERE false""".stripMargin
+
+  /** q89 — sketch error gate, driver-visible: the q51/q60 sketch rollups
+    * re-run next to their exact counterparts and any group whose relative
+    * error exceeds the configured bound (5%) is emitted — result must be
+    * EMPTY. The exact tier is affordable exactly because it's a gate (run
+    * on an audit slice / at audit cadence at scale), and it turns the
+    * rows-only sketch queries into oracle-checked invariants.
+    */
+  val q89_sketch_error_gate: Q = (s, d) => {
+    val hll = Tables.orders(s, d)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("approx"),
+        countDistinct(col("o_custkey")).cast("double").as("exact"))
+      .filter(abs(col("approx") - col("exact")) > col("exact") * 0.05)
+      .select(lit("hll_customers_month").as("check"),
+        col("month").cast("string").as("key"),
+        col("approx").cast("double").as("approx"), col("exact"))
+    val pct = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .filter(abs(col("approx") - col("exact")) >
+        greatest(abs(col("exact")) * 0.05, lit(1e-9)))
+      .select(lit("p50_price_flag").as("check"), col("l_returnflag").as("key"),
+        col("approx").cast("double").as("approx"), col("exact"))
+    hll.unionByName(pct).orderBy("check", "key")
+  }
+
+  val q89Sql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS "check", CAST(NULL AS VARCHAR) AS key,
+      |  CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS exact
+      |WHERE false""".stripMargin
+
+  /** q90 — quality filter funnel: the per-stage attrition report every
+    * corpus build publishes (raw → min-length → min-tokens → exact-dedup →
+    * quality threshold). One pass computes all stage flags per document and
+    * one aggregate folds them — no per-stage materialization; the dedup
+    * stage counts distinct content digests, and the quality stage reuses
+    * the exact integer-ppm score so both engines agree bit-for-bit.
+    */
+  val q90_filter_funnel: Q = (s, d) => {
+    val flags = Tables.documents(s, d).select(
+      (col("n_chars") >= 100).as("f1"),
+      (TextAnalysis.tokenCount(col("text")).cast("long") >= 20L).as("f2"),
+      (TextAnalysis.qualityScorePpm(col("text")) >= 400000L).as("f4"),
+      md5(col("text")).as("h"))
+    val a = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+      countDistinct(when(col("f1") && col("f2"), col("h"))).as("n3"),
+      countDistinct(when(col("f1") && col("f2") && col("f4"), col("h")))
+        .as("n4"))
+    a.select(explode(array(
+        struct(lit("1_min_chars").as("stage"), col("n0").as("n_in"),
+          col("n1").as("n_out")),
+        struct(lit("2_min_tokens").as("stage"), col("n1").as("n_in"),
+          col("n2").as("n_out")),
+        struct(lit("3_exact_dedup").as("stage"), col("n2").as("n_in"),
+          col("n3").as("n_out")),
+        struct(lit("4_quality").as("stage"), col("n3").as("n_in"),
+          col("n4").as("n_out")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_in").as("n_in"),
+        col("s.n_out").as("n_out"),
+        (col("s.n_in") - col("s.n_out")).as("n_dropped"))
+      .orderBy("stage")
+  }
+
+  val q90Sql: String = {
+    val enList = TextAnalysis.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT n_chars >= 100 AS f1,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) >= 20
+       |      AS f2,
+       |    ((least((CAST(length(text) AS BIGINT) * 1000000) // 500, 1000000)
+       |      + (1000000 - (CAST(len(regexp_extract_all(text,
+       |          '[^A-Za-z0-9\\s]')) AS BIGINT) * 1000000)
+       |        // greatest(CAST(length(text) AS BIGINT), 1))
+       |      + least((CAST(len(list_filter(string_split_regex(trim(text),
+       |            '\\s+'), x -> list_contains($enList, x))) AS BIGINT)
+       |          * 4 * 1000000)
+       |        // greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |            AS BIGINT), 1), 1000000)
+       |      + least((CAST(length(text) AS BIGINT) * 1000000)
+       |        // (greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |            AS BIGINT), 1) * 8), 1000000)) // 4) >= 400000 AS f4,
+       |    md5(text) AS h
+       |  FROM documents),
+       |a AS (SELECT
+       |  CAST(count(*) AS BIGINT) AS n0,
+       |  CAST(count(CASE WHEN f1 THEN 1 END) AS BIGINT) AS n1,
+       |  CAST(count(CASE WHEN f1 AND f2 THEN 1 END) AS BIGINT) AS n2,
+       |  CAST(count(DISTINCT CASE WHEN f1 AND f2 THEN h END) AS BIGINT)
+       |    AS n3,
+       |  CAST(count(DISTINCT CASE WHEN f1 AND f2 AND f4 THEN h END)
+       |    AS BIGINT) AS n4
+       |  FROM f)
+       |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+       |  SELECT '1_min_chars' AS stage, n0 AS n_in, n1 AS n_out FROM a
+       |  UNION ALL SELECT '2_min_tokens', n1, n2 FROM a
+       |  UNION ALL SELECT '3_exact_dedup', n2, n3 FROM a
+       |  UNION ALL SELECT '4_quality', n3, n4 FROM a)
+       |ORDER BY stage""".stripMargin
+  }
+
+  /** q91 — dataset profile: per-column null count, exact distinct count,
+    * and min/max (as strings) for the corpus table — the schema-drift /
+    * data-contract check run on every delivery. One scan; Spark expands
+    * the multi-distinct aggregate map-side, and the stack to long format
+    * is a 1-row explode.
+    */
+  val q91_profile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val a = docs.agg(aggs.head, aggs.tail: _*)
+    a.select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), (col("n") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"), col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"))
+      }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.n_null").as("n_null"),
+        col("s.n_distinct").as("n_distinct"), col("s.min_v").as("min_v"),
+        col("s.max_v").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  val q91Sql: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_v,
+         |  CAST(max($c) AS VARCHAR) AS max_v
+         |FROM documents""".stripMargin
+    Seq("doc_id", "text", "lang", "source", "n_chars").map(row)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q83_pii_redact" -> q83_pii_redact,
+    "q84_split_assign" -> q84_split_assign,
+    "q85_snapshot_diff" -> q85_snapshot_diff,
+    "q86_heavy_hitters" -> q86_heavy_hitters,
+    "q87_bloom_semijoin" -> q87_bloom_semijoin,
+    "q88_ann_gate" -> q88_ann_gate,
+    "q89_sketch_error_gate" -> q89_sketch_error_gate,
+    "q90_filter_funnel" -> q90_filter_funnel,
+    "q91_profile" -> q91_profile)
+
+  val oracleSql: Map[String, String] = Map(
+    "q83_pii_redact" -> q83Sql,
+    "q84_split_assign" -> q84Sql,
+    "q85_snapshot_diff" -> q85Sql,
+    "q86_heavy_hitters" -> q86Sql,
+    "q87_bloom_semijoin" -> q87Sql,
+    "q88_ann_gate" -> q88Sql,
+    "q89_sketch_error_gate" -> q89Sql,
+    "q90_filter_funnel" -> q90Sql,
+    "q91_profile" -> q91Sql)
+}

@@ -85,11 +85,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("whole suite: every query plans, and no UNDECLARED nested-loop join") {
-    // Three queries cross tiny-by-construction sides on purpose (SCALE.md):
+    // Four queries cross tiny-by-construction sides on purpose (SCALE.md):
     // q21's broadcast all-pairs scorer, q31's 1-row corpus-size scalar,
-    // q59's statuses×date-spine. Everything else must hash/broadcast-join —
+    // q59's statuses×date-spine, q86's 1-row total-count scalar against the
+    // ≤k heavy-hitter candidates. Everything else must hash/broadcast-join —
     // an accidental nested loop is the classic silent 100×-scale killer.
-    val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill")
+    val declaredCross =
+      Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill", "q86_heavy_hitters")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
