@@ -209,30 +209,34 @@ object CurationQueries {
     val emb = Tables.embeddings(s, d)
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-
-    def gate(res: DataFrame, tier: String): DataFrame =
-      res.join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
-          Seq("query_id"), "left")
-        .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
-          Seq("neighbor_id"), "left")
-        .withColumn("cos_check",
-          when(col("qv").isNotNull && col("nv").isNotNull,
-            cosCheck(col("qv"), col("nv"))))
-        .filter(col("qv").isNull || col("nv").isNull ||
-          col("query_id") === col("neighbor_id") ||
-          abs(col("cos") - col("cos_check")) > 1e-6)
-        .select(lit(tier).as("tier"), col("query_id"), col("neighbor_id"),
-          col("cos"), col("cos_check"))
-
-    val lsh = gate(Similarity.lshCosineTopK(emb, "vec_id", "embedding",
-      k = 1, dim = 64).select("query_id", "neighbor_id", "cos"), "lsh")
-    val ivf = gate(Similarity.ivfTopK(emb, "vec_id", "embedding",
-      k = 1, dim = 64).select("query_id", "neighbor_id", "cos"), "ivf")
-    val nd = gate(Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.3, dim = 64)
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
-        col("cos")), "neardup")
-    lsh.unionByName(ivf).unionByName(nd)
+    // union the tier outputs FIRST, then recompute/join once — the gate
+    // pays one pair of vector joins and one HOF rescoring pass for all
+    // three tiers instead of three
+    val claimed = Similarity.lshCosineTopK(emb, "vec_id", "embedding",
+        k = 1, dim = 64)
+      .select(lit("lsh").as("tier"), col("query_id"), col("neighbor_id"),
+        col("cos"))
+      .unionByName(Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 1, dim = 64)
+        .select(lit("ivf").as("tier"), col("query_id"), col("neighbor_id"),
+          col("cos")))
+      .unionByName(Similarity.embeddingNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.3, dim = 64)
+        .select(lit("neardup").as("tier"), col("id_a").as("query_id"),
+          col("id_b").as("neighbor_id"), col("cos")))
+    claimed
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"), "left")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"), "left")
+      .withColumn("cos_check",
+        when(col("qv").isNotNull && col("nv").isNotNull,
+          cosCheck(col("qv"), col("nv"))))
+      .filter(col("qv").isNull || col("nv").isNull ||
+        col("query_id") === col("neighbor_id") ||
+        abs(col("cos") - col("cos_check")) > 1e-6)
+      .select(col("tier"), col("query_id"), col("neighbor_id"),
+        col("cos"), col("cos_check"))
       .orderBy("tier", "query_id", "neighbor_id")
   }
 
