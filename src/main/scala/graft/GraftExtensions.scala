@@ -44,5 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_overlap",
         "graft_overlap(a, b) - intersection size of two SORTED string arrays"),
       arity("graft_overlap", 2)(e => SortedOverlapCount(e(0), e(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom, key) - bloom-filter membership probe " +
+          "(bytes from graft.ops.Bloom.build, key a 64-bit hash)"),
+      arity("graft_bloom_contains", 2)(e =>
+        graft.ops.Bloom.BloomMightContain(e(0), e(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_frequent_items"),
+      info("graft_frequent_items",
+        "graft_frequent_items(item, k) - Misra-Gries frequent-items " +
+          "summary: array<struct<item,lb>> of at most k candidates"),
+      arity("graft_frequent_items", 2)(e =>
+        graft.functions.MisraGriesTopK(e(0), e(1).eval().asInstanceOf[Int]))))
   }
 }

@@ -39,6 +39,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_overlap",
       arity("graft_overlap", 2)(exprs =>
         SortedOverlapCount(exprs(0), exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      arity("graft_bloom_contains", 2)(exprs =>
+        graft.ops.Bloom.BloomMightContain(exprs(0), exprs(1))), "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression, same as the built-in aggregates
+    reg.createOrReplaceTempFunction("graft_frequent_items",
+      arity("graft_frequent_items", 2)(exprs =>
+        MisraGriesTopK(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      "built-in")
 
     // column-composition functions surfaced as SQL via UDF-free views is
     // not possible; register them as thin UDF-less wrappers instead:

@@ -393,6 +393,87 @@ object CurationQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q92 — per-source quota sampling: cap every source at 30 documents,
+    * chosen by deterministic hash order — how mixture weights get applied
+    * to an over-represented crawl source without a global shuffle of the
+    * winners' content. The per-source window shuffles doc KEYS only; at
+    * scale the same selection runs as the bounded TopKByScore aggregate
+    * (q42's operator) when source cardinality is low enough to skew —
+    * map-side k-bounded partials instead of a full per-source sort.
+    */
+  val q92_source_quota: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= 30)
+      .select("doc_id", "source", "pick_rank")
+      .orderBy("doc_id")
+  }
+
+  val q92Sql: String =
+    """SELECT doc_id, source, pick_rank FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |      AS pick_rank
+      |  FROM documents)
+      |WHERE pick_rank <= 30
+      |ORDER BY doc_id""".stripMargin
+
+  /** q93 — vocabulary coverage curve: cumulative share of total token
+    * volume covered by the top-k vocabulary entries — the plot that decides
+    * a tokenizer's vocab size. Top-30 via TakeOrdered (q49's pattern: no
+    * global sort of the vocabulary), the cumulative window runs over 30
+    * rows by construction, and the total token volume is a 1-row
+    * projection-only aggregate broadcast across them.
+    */
+  val q93_vocab_coverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val top = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+    val total = docs
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
+  val q93Sql: String =
+    """WITH freq AS (
+      |  SELECT token, count(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE len(token) > 0 GROUP BY token),
+      |top AS (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT 30),
+      |t AS (
+      |  SELECT CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+      |    AS BIGINT) AS total
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+      |    AS rank,
+      |  token, n,
+      |  CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_n,
+      |  CAST(CAST(SUM(n) OVER (ORDER BY n DESC, token
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / CAST(total AS DOUBLE) AS coverage
+      |FROM top, t ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -402,7 +483,9 @@ object CurationQueries {
     "q88_ann_gate" -> q88_ann_gate,
     "q89_sketch_error_gate" -> q89_sketch_error_gate,
     "q90_filter_funnel" -> q90_filter_funnel,
-    "q91_profile" -> q91_profile)
+    "q91_profile" -> q91_profile,
+    "q92_source_quota" -> q92_source_quota,
+    "q93_vocab_coverage" -> q93_vocab_coverage)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -413,5 +496,7 @@ object CurationQueries {
     "q88_ann_gate" -> q88Sql,
     "q89_sketch_error_gate" -> q89Sql,
     "q90_filter_funnel" -> q90Sql,
-    "q91_profile" -> q91Sql)
+    "q91_profile" -> q91Sql,
+    "q92_source_quota" -> q92Sql,
+    "q93_vocab_coverage" -> q93Sql)
 }

@@ -70,6 +70,40 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: the summary's guarantee holds across micro-batches " +
+      "(state round-trips serialize/merge)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val k = 8
+    val stream = skewedStream(6000, 100, seed = 19)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String](spark)
+    val q = input.toDF().toDF("item")
+      .agg(MisraGries.frequentItems(col("item"), k).as("mg"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      stream.grouped(2000).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val summary = spark.table("mg_stream")
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.lb"))
+        .as[(String, Long)].collect().toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = stream.size.toLong / (k + 1)
+      exact.foreach { case (item, c) =>
+        if (c > bound)
+          assert(summary.contains(item), s"frequent item $item lost in streaming")
+      }
+      summary.foreach { case (item, lb) =>
+        assert(lb <= exact(item) && exact(item) - lb <= bound,
+          s"$item estimate $lb violates bound (true ${exact(item)})")
+      }
+    } finally q.stop()
+  }
+
   test("serialization round-trips") {
     val b = new MisraGriesTopK.Buf(4)
     Seq("a", "b", "a", "c", "a", "b", "δδ").foreach(b.add(_, 1L))

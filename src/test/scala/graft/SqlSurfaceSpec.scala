@@ -93,4 +93,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaCol = df.select(TextDedup.simhash64(col("text"))).collect().map(_.getLong(0)).toSeq
     assert(viaSql == viaCol)
   }
+
+  test("graft_bloom_contains and graft_frequent_items callable from SQL") {
+    import spark.implicits._
+    val bloom = graft.ops.Bloom.build((0L until 100L).toDF("k"), "k", 100L)
+    val hex = bloom.map("%02X".format(_)).mkString
+    spark.range(0, 200).createOrReplaceTempView("t_bloom")
+    val hits = spark.sql(
+      s"""SELECT count(*) AS n FROM t_bloom
+         |WHERE graft_bloom_contains(X'$hex', xxhash64(id))""".stripMargin)
+      .head().getLong(0)
+    assert(hits >= 100, s"inserted keys must all probe true, got $hits")
+    assert(hits < 150, s"false-positive rate implausible: $hits of 200")
+
+    Seq("a", "a", "a", "b", "b", "c").toDF("item")
+      .createOrReplaceTempView("t_mg")
+    val mg = spark.sql(
+      "SELECT graft_frequent_items(item, 2) AS mg FROM t_mg").head()
+    val items = mg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(items.contains("a"), s"dominant item missing from $items")
+  }
 }
