@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_frequent_items(item, k) - Misra-Gries frequent-items " +
           "summary: array<struct<item,lb>> of at most k candidates"),
       arity("graft_frequent_items", 2)(e =>
-        graft.functions.MisraGriesTopK(e(0), e(1).eval().asInstanceOf[Int]))))
+        graft.functions.MisraGriesTopK(e(0),
+          e(1).eval().asInstanceOf[Number].intValue()))))
   }
 }

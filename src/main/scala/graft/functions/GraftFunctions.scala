@@ -46,7 +46,8 @@ object GraftFunctions {
     // registry in an AggregateExpression, same as the built-in aggregates
     reg.createOrReplaceTempFunction("graft_frequent_items",
       arity("graft_frequent_items", 2)(exprs =>
-        MisraGriesTopK(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+        MisraGriesTopK(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())),
       "built-in")
 
     // column-composition functions surfaced as SQL via UDF-free views is

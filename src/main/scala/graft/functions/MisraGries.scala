@@ -40,6 +40,18 @@ case class MisraGriesTopK(
 
   require(k > 0, "k must be positive")
 
+  // analysis-time check: the SQL surface (graft_frequent_items) passes the
+  // raw child — a non-string column must be a clean analysis error, not an
+  // executor-side ClassCastException
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_frequent_items expects a string item column, got " +
+          child.dataType.catalogString + " (cast explicitly)")
+
   override def createAggregationBuffer(): Buf = new Buf(k)
 
   override def update(buf: Buf, input: InternalRow): Buf = {

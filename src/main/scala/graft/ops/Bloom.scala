@@ -69,8 +69,15 @@ object Bloom {
 
   /** Static membership kernel, referenced from both interpreted eval and
     * generated code. bits are the little-endian longs of the filter bytes.
+    * Malformed payloads (anything not produced by BloomBuild — reachable
+    * through the public graft_bloom_contains SQL function) fail with a
+    * clear message instead of a low-level arithmetic/index error.
     */
   def mightContain(bytes: Array[Byte], key: Long): Boolean = {
+    require(bytes.length > 4 && (bytes.length - 4) % 8 == 0 &&
+        ((bytes(0) & 0xff) | ((bytes(1) & 0xff) << 8) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 24)) == (bytes.length - 4) * 8,
+      s"not a graft bloom filter (${bytes.length} bytes; header/length mismatch)")
     val numBits = (bytes.length - 4) * 8
     val h1 = mix64(key)
     val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
@@ -189,7 +196,14 @@ object Bloom {
     * bounded-summary-to-driver pattern as IVF centroid training.
     */
   def build(small: DataFrame, key: String, expectedKeys: Long): Array[Byte] = {
-    val bits = math.max(64L, expectedKeys * BitsPerKey)
+    val bits = math.max(64L, expectedKeys * BitsPerKey.toLong)
+    // a single bit array tops out at ~2^31 bits (~214M keys at 10 bits/key,
+    // a ~256 MB filter). Beyond that a flat bloom is the wrong tool — shard
+    // by key range and probe the matching shard. Fail loudly rather than
+    // silently wrapping to a tiny (fpp ≈ 1) filter.
+    require(bits <= Int.MaxValue - 63,
+      s"bloom for $expectedKeys keys needs $bits bits — exceeds a single " +
+        "filter; shard the key space (or pre-partition) instead")
     val numBits = ((bits + 63) / 64 * 64).toInt
     val agg = ColumnShim.column(
       BloomBuild(ColumnShim.expression(xxhash64(col(key))), numBits)
@@ -204,12 +218,29 @@ object Bloom {
     */
   def semiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String): DataFrame = {
-    val keys = small.select(col(smallKey)).where(col(smallKey).isNotNull)
-    val n = keys.distinct().count()
+    // xxhash64 hashes IntegerType and LongType values DIFFERENTLY — the
+    // build and probe sides must hash the same type or every true match
+    // fails the probe. Widen integrals to long on both sides; anything
+    // else must already match exactly.
+    val bt = big.schema(bigKey).dataType
+    val st = small.schema(smallKey).dataType
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val (bigKeyCol, smallKeyCol) =
+      if (integral.contains(bt) && integral.contains(st))
+        (col(bigKey).cast("long"), col(smallKey).cast("long"))
+      else if (bt == st) (col(bigKey), col(smallKey))
+      else throw new IllegalArgumentException(
+        s"bloom semiJoin key types must match: $bigKey is " +
+          s"${bt.catalogString}, $smallKey is ${st.catalogString}")
+    // no distinct() anywhere: bloom insertion and left_semi are both
+    // duplicate-insensitive, and the count only sizes the filter (an
+    // over-count just lowers the fpp)
+    val keys = small.select(smallKeyCol.as(smallKey))
+      .where(col(smallKey).isNotNull)
+    val n = keys.count()
     val bloom = build(keys, smallKey, math.max(1L, n))
-    big.filter(col(bigKey).isNotNull &&
-        mightContainCol(bloom, col(bigKey)))
-      .join(keys.distinct().withColumnRenamed(smallKey, bigKey),
-        Seq(bigKey), "left_semi")
+    big.filter(bigKeyCol.isNotNull && mightContainCol(bloom, bigKeyCol))
+      .join(keys.withColumnRenamed(smallKey, "__graft_bloom_key"),
+        bigKeyCol === col("__graft_bloom_key"), "left_semi")
   }
 }

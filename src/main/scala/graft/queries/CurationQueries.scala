@@ -146,14 +146,21 @@ object CurationQueries {
     * is exact and oracle-checkable.
     */
   val q86_heavy_hitters: Q = (s, d) => {
+    // NULL policy: NULL items are excluded on BOTH sides (the MG aggregate
+    // skips them like every SQL aggregate; the oracle filters them) — a
+    // corpus where NULL itself is a heavy hitter should count it as an
+    // explicit sentinel value instead.
     val ev = Tables.events(s, d).select("event_type")
+      .filter(col("event_type").isNotNull)
+    // ONE full-width pass: the MG summary and the total row count ride the
+    // same aggregate; the only other scan is the candidate recount.
     val cand = ev
-      .agg(MisraGries.frequentItems(col("event_type"), 8).as("mg"))
-      .select(explode(col("mg.item")).as("event_type"))
-    val counts = ev.join(broadcast(cand), Seq("event_type"), "left_semi")
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    val total = ev.agg(count(lit(1)).as("n"))
-    counts.crossJoin(broadcast(total))
+      .agg(MisraGries.frequentItems(col("event_type"), 8).as("mg"),
+        count(lit(1)).as("n"))
+      .select(explode(col("mg.item")).as("event_type"), col("n"))
+    Tables.events(s, d).select("event_type")
+      .join(broadcast(cand), Seq("event_type"))
+      .groupBy("event_type", "n").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 9 > col("n"))
       .select(col("event_type"), col("cnt"))
       .orderBy(col("cnt").desc, col("event_type"))
@@ -161,8 +168,10 @@ object CurationQueries {
 
   val q86Sql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
-      |FROM events GROUP BY event_type
-      |HAVING count(*) * 9 > (SELECT count(*) FROM events)
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY event_type
+      |HAVING count(*) * 9 > (SELECT count(*) FROM events
+      |                       WHERE event_type IS NOT NULL)
       |ORDER BY cnt DESC, event_type""".stripMargin
 
   /** q87 — bloom-pruned semi-join (graft.ops.Bloom): lineitem rows for a
@@ -194,7 +203,10 @@ object CurationQueries {
       nv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
-    round(dotHof(qv, nv) / (sqrt(dotHof(qv, qv)) * sqrt(dotHof(nv, nv))), 9)
+    // null (not a divide-by-zero error, not a bogus value) on zero norms —
+    // the gate's filter surfaces NULL cos_check as a violation
+    val den = sqrt(dotHof(qv, qv)) * sqrt(dotHof(nv, nv))
+    when(den > 0d, round(dotHof(qv, nv) / den, 9))
   }
 
   /** q88 — ANN consistency gate, driver-visible: every (query, neighbor,
@@ -232,7 +244,11 @@ object CurationQueries {
       .withColumn("cos_check",
         when(col("qv").isNotNull && col("nv").isNotNull,
           cosCheck(col("qv"), col("nv"))))
+      // cos_check.isNull matters: a NULL recompute (missing vector, NULL
+      // element, zero norm) must SURFACE — without it the three-valued
+      // abs(...) > 1e-6 comparison silently drops exactly the broken rows
       .filter(col("qv").isNull || col("nv").isNull ||
+        col("cos_check").isNull ||
         col("query_id") === col("neighbor_id") ||
         abs(col("cos") - col("cos_check")) > 1e-6)
       .select(col("tier"), col("query_id"), col("neighbor_id"),
@@ -434,13 +450,13 @@ object CurationQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val top = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(30)
     val total = docs
-      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
       .agg(sum(col("nt")).as("total"))
     val w = Window.orderBy(col("n").desc, col("token"))
     top.crossJoin(broadcast(total))

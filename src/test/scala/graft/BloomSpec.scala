@@ -54,6 +54,47 @@ class BloomSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("semiJoin widens mismatched integral key types before hashing " +
+      "(xxhash64 hashes int and long differently)") {
+    import spark.implicits._
+    val big = spark.range(0, 1000)
+      .select(col("id").cast("int").as("k"), col("id").as("payload"))
+    val small = spark.range(0, 1000).filter(col("id") % 10 === 0)
+      .select(col("id").as("pk")) // LongType vs big's IntegerType
+    val got = Bloom.semiJoin(big, "k", small, "pk").count()
+    assert(got == 100, s"type-mismatched keys dropped true matches: $got")
+  }
+
+  test("semiJoin refuses un-widenable key type mismatches loudly") {
+    import spark.implicits._
+    val big = Seq(("1", 1L)).toDF("k", "payload")
+    val small = Seq(1L).toDF("pk")
+    val e = intercept[IllegalArgumentException] {
+      Bloom.semiJoin(big, "k", small, "pk")
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
+
+  test("malformed filter bytes fail with a clear message, not an " +
+      "arithmetic/index error") {
+    Seq(Array.empty[Byte], Array[Byte](0, 0, 0, 0),
+        Array[Byte](1, 2, 3, 4, 5)).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Bloom.mightContain(bad, 42L)
+      }
+      assert(e.getMessage.contains("not a graft bloom filter"))
+    }
+  }
+
+  test("oversized expectedKeys fails loudly instead of wrapping to a " +
+      "tiny filter") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Bloom.build(Seq(1L).toDF("k"), "k", 400L * 1000 * 1000)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("membership probe compiles into WholeStageCodegen") {
     import spark.implicits._
     val bloom = Bloom.build((0L until 64L).toDF("k"), "k", 64L)

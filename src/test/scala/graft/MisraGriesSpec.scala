@@ -104,6 +104,21 @@ class MisraGriesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("non-string item column is an analysis error, not an executor CCE") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(1L, 2L, 2L).toDF("v").createOrReplaceTempView("t_mg_long")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_frequent_items(v, 4) FROM t_mg_long").head()
+    }
+    assert(e.getMessage.contains("string"))
+    // and a BIGINT k literal resolves (Number.intValue, not a blind cast)
+    val ok = spark.sql(
+      "SELECT graft_frequent_items(CAST(v AS STRING), CAST(4 AS BIGINT)) " +
+        "FROM t_mg_long").head()
+    assert(ok.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+  }
+
   test("serialization round-trips") {
     val b = new MisraGriesTopK.Buf(4)
     Seq("a", "b", "a", "c", "a", "b", "δδ").foreach(b.add(_, 1L))
