@@ -117,4 +117,27 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"window stack grew extra shuffles:\n$plan")
     assert(!plan.contains("Join"), "SCD2 must not plan any self-join")
   }
+
+  test("q87: the bloom probe filters fact rows BEFORE the closing join") {
+    val plan = executedPlan(withBroadcastEnabled(
+      graft.queries.CurationQueries.q87_bloom_semijoin(spark, sf)))
+    val probeAt = plan.indexOf("bloommightcontain")
+    val joinAt = "(?i)join".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(probeAt >= 0, s"bloom probe missing from plan:\n$plan")
+    assert(joinAt >= 0, s"closing semi-join missing from plan:\n$plan")
+    // executedPlan prints top-down: the probe Filter must sit BELOW the
+    // join (appear after it in the string), i.e. on the scan side
+    assert(probeAt > joinAt,
+      s"bloom probe is not below the closing join:\n$plan")
+  }
+
+  test("q91: the five-column profile runs as ONE scan of the table") {
+    val plan = executedPlan(
+      graft.queries.CurationQueries.q91_profile(spark, sf))
+    // AQE toString repeats the plan under "== Initial Plan ==" — count
+    // scans only in the final section
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "FileScan".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"profile re-scanned the table ($scans scans):\n$plan")
+  }
 }
