@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.pipeline.CorpusBuild
+import graft.queries.Tables
+
+class CorpusBuildSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("CorpusBuildSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("survivors: quality floor holds, no duplicate fingerprints, " +
+      "no surviving near-dup pair") {
+    val cfg = CorpusBuild.Config()
+    val keep = CorpusBuild.survivors(docs, cfg)
+    val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+
+    val badQuality = kept.filter(
+      col("n_chars") < cfg.minChars ||
+        TextAnalysis.tokenCount(col("text")) < cfg.minTokens ||
+        TextAnalysis.qualityScorePpm(col("text")) < cfg.minQualityPpm)
+      .count()
+    assert(badQuality == 0, s"$badQuality kept docs violate the quality floor")
+
+    val dupFp = kept
+      .groupBy(TextAnalysis.fingerprintMd5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupFp == 0, s"$dupFp duplicate fingerprints survived")
+
+    // no kept pair may still be near-dup at the configured threshold
+    val pairs = graft.ops.TextDedup.minhashLshPairs(kept, "doc_id", "text",
+      n = cfg.shingleN, numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.jaccardThreshold)
+    assert(pairs.count() == 0, "near-dup pair survived dedup")
+  }
+
+  test("run: manifest is deterministic across re-runs, splits partition " +
+      "the keep-list, partitioned write round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_build")
+      .resolve("corpus").toString
+    val m1 = CorpusBuild.run(docs, Some(out)).collect().toSeq
+    val m2 = CorpusBuild.run(docs, None).collect().toSeq
+    assert(m1 == m2, "manifest changed between identical runs")
+    assert(m1.map(_.getString(0)).sorted ==
+      m1.map(_.getString(0)).distinct.sorted)
+
+    val written = spark.read.parquet(out)
+    assert(written.select("split").distinct().count() == m1.size)
+    val totalKept = CorpusBuild.survivors(docs).count()
+    assert(written.count() == totalKept,
+      "written corpus disagrees with the keep-list")
+    assert(m1.map(_.getLong(1)).sum == totalKept,
+      "manifest doc counts disagree with the keep-list")
+  }
+}
