@@ -72,13 +72,9 @@ object CurationQueries {
     */
   val q84_split_assign: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), graft.ops.Splits.bucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test").as("split"))
+        graft.ops.Splits.splitOfBucket(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   val q84Sql: String =

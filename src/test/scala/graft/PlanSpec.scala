@@ -119,7 +119,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q87: the bloom probe filters fact rows BEFORE the closing join") {
-    val plan = executedPlan(withBroadcastEnabled(
+    // helper nests OUTSIDE executedPlan: planning happens at collect(),
+    // so the conf pin must still be in force there
+    val plan = withBroadcastEnabled(executedPlan(
       graft.queries.CurationQueries.q87_bloom_semijoin(spark, sf)))
     val probeAt = plan.indexOf("bloommightcontain")
     val joinAt = "(?i)join".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
