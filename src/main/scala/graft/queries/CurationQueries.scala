@@ -486,6 +486,100 @@ object CurationQueries {
       |    / CAST(total AS DOUBLE) AS coverage
       |FROM top, t ORDER BY rank""".stripMargin
 
+  /** q94 — vocabulary-mapped tokenization: every document becomes its
+    * array of integer token ids (top-500 vocab, OOV → 0), the actual
+    * tensor-feed step after q49/q72's vocab analysis. The vocab is
+    * TakeOrdered top-k then BROADCAST; the corpus token stream maps
+    * against it with a map-side join (no shuffle of the corpus by token),
+    * and per-doc arrays reassemble position-sorted. Output arrays ride a
+    * doc_id-keyed aggregate — the one shuffle, proportional to output.
+    */
+  val q94_tokenize: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(500)
+      .withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("int"))
+      .select("token", "vocab_id")
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("vocab_id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        // string-join the id array (q44's pattern): element order and
+        // content stay pinned, and the compare harness sorts/hashes a
+        // scalar instead of a nested array
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), ",").as("ids"))
+      .orderBy("doc_id")
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      |  FROM t),
+      |tok AS (
+      |  SELECT doc_id, pos, ws[pos] AS token FROM e
+      |  WHERE len(ws[pos]) > 0),
+      |freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token)
+      |    AS INTEGER) AS vocab_id
+      |  FROM (SELECT * FROM freq ORDER BY n DESC, token LIMIT 500)),
+      |ids AS (
+      |  SELECT doc_id, pos, COALESCE(vocab_id, 0) AS tid
+      |  FROM tok LEFT JOIN vocab USING (token))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',')
+      |    AS ids
+      |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q95 — sequence packing: GPT-style concat-then-chunk placement. Docs
+    * concatenate in doc_id order within each source shard; each doc's
+    * landing position is (seq_id, seq_offset) over 2048-token sequences,
+    * both pure functions of the per-source running token total. The
+    * window is PARTITIONED (per-source, never global), and dividing by a
+    * power of two keeps the long→double→floor arithmetic exact.
+    */
+  val q95_pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("cum_before") / 2048).cast("long").as("seq_id"),
+        pmod(col("cum_before"), lit(2048L)).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  val q95Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM c)
+      |SELECT doc_id, source, n_toks,
+      |  cum_before // 2048 AS seq_id,
+      |  cum_before % 2048 AS seq_offset
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -497,7 +591,9 @@ object CurationQueries {
     "q90_filter_funnel" -> q90_filter_funnel,
     "q91_profile" -> q91_profile,
     "q92_source_quota" -> q92_source_quota,
-    "q93_vocab_coverage" -> q93_vocab_coverage)
+    "q93_vocab_coverage" -> q93_vocab_coverage,
+    "q94_tokenize" -> q94_tokenize,
+    "q95_pack" -> q95_pack)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -510,5 +606,7 @@ object CurationQueries {
     "q90_filter_funnel" -> q90Sql,
     "q91_profile" -> q91Sql,
     "q92_source_quota" -> q92Sql,
-    "q93_vocab_coverage" -> q93Sql)
+    "q93_vocab_coverage" -> q93Sql,
+    "q94_tokenize" -> q94Sql,
+    "q95_pack" -> q95Sql)
 }
