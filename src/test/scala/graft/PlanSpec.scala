@@ -133,6 +133,17 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe is not below the closing join:\n$plan")
   }
 
+  test("q94: the corpus token stream maps against a BROADCAST vocab " +
+      "(no shuffle of the corpus by token)") {
+    val plan = withBroadcastEnabled(executedPlan(
+      graft.queries.CurationQueries.q94_tokenize(spark, sf)))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"corpus tokens must not shuffle for the vocab join:\n$plan")
+  }
+
   test("q91: the five-column profile runs as ONE scan of the table") {
     val plan = executedPlan(
       graft.queries.CurationQueries.q91_profile(spark, sf))
