@@ -155,7 +155,18 @@ object Similarity {
     * n²→Σ bucket² pair space and a bucket-sharded shuffle — the 100 TB path.
     */
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+      k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame =
+    lshCosineTopKFromScored(
+      lshScoredPairs(corpus, idCol, vecCol, dim, numTables, planesPerTable), k)
+
+  /** Directed LSH candidate pairs with rounded cosines — the shared
+    * substrate of the top-k tier, the near-dup tier, and the q88 gate that
+    * audits both: ONE bucketed relation, ONE candidate join, ONE scoring
+    * pass. A suite needing several LSH consumers should build this once
+    * (localCheckpoint / persist) and derive each tier from it.
+    */
+  def lshScoredPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
     // candidate generation on (id, bucket) only — vectors join back onto the
     // deduped pair set instead of riding the band explode and pair shuffle
@@ -168,20 +179,34 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val scored = candidates
+    candidates
       .join(vecs.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
         "query_id")
       .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
+  }
+
+  /** Top-k over a prebuilt [[lshScoredPairs]] relation. */
+  def lshCosineTopKFromScored(scored: DataFrame, k: Int): DataFrame =
     if (k == 1) top1ByCos(scored)
     else {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
-  }
+
+  /** Near-dup pairs over a prebuilt [[lshScoredPairs]] relation: the
+    * directed candidate set contains both orientations of every undirected
+    * collision, so `query < neighbor` + the threshold reproduces exactly
+    * the pair set [[embeddingNearDupPairs]] emits.
+    */
+  def nearDupFromScored(scored: DataFrame, threshold: Double): DataFrame =
+    scored
+      .filter(col("query_id") < col("neighbor_id") && col("cos") >= threshold)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos"))
 
   /** IVF (inverted-file) approximate top-k — the second scale tier the
     * training-data pipelines use when hyperplane LSH recall is too blunt:

@@ -219,17 +219,20 @@ object CurationQueries {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // union the tier outputs FIRST, then recompute/join once — the gate
     // pays one pair of vector joins and one HOF rescoring pass for all
-    // three tiers instead of three
-    val claimed = Similarity.lshCosineTopK(emb, "vec_id", "embedding",
-        k = 1, dim = 64)
+    // three tiers instead of three. The LSH top-1 and near-dup tiers also
+    // SHARE one scored-candidate relation (one bucketing + candidate join
+    // + scoring pass serves both — nearDupFromScored reproduces exactly
+    // the q53 pair set).
+    val scored = graft.ops.TextDedup.maybeMaterialize(
+      Similarity.lshScoredPairs(emb, "vec_id", "embedding", dim = 64))
+    val claimed = Similarity.lshCosineTopKFromScored(scored, k = 1)
       .select(lit("lsh").as("tier"), col("query_id"), col("neighbor_id"),
         col("cos"))
       .unionByName(Similarity.ivfTopK(emb, "vec_id", "embedding",
           k = 1, dim = 64)
         .select(lit("ivf").as("tier"), col("query_id"), col("neighbor_id"),
           col("cos")))
-      .unionByName(Similarity.embeddingNearDupPairs(emb, "vec_id",
-          "embedding", threshold = 0.3, dim = 64)
+      .unionByName(Similarity.nearDupFromScored(scored, threshold = 0.3)
         .select(lit("neardup").as("tier"), col("id_a").as("query_id"),
           col("id_b").as("neighbor_id"), col("cos")))
     claimed

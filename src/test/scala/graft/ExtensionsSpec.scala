@@ -109,6 +109,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ivfHits.toDouble / n >= 0.95, s"IVF top-1 found only $ivfHits/$n planted twins")
   }
 
+  test("nearDupFromScored over the shared scored relation equals " +
+      "embeddingNearDupPairs exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val scored = Similarity.lshScoredPairs(emb, "vec_id", "embedding", dim = 64)
+    val viaShared = Similarity.nearDupFromScored(scored, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Similarity.embeddingNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaShared == direct)
+  }
+
   test("multimodal frame-offset sampling is pure metadata arithmetic") {
     import spark.implicits._
     val df = Seq((1L, 1000L), (2L, 150L), (3L, 50L)).toDF("media_id", "n_bytes")
