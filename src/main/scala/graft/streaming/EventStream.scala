@@ -40,6 +40,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming cardinality monitoring: distinct users per tumbling window
+    * via HLL sketches — exact distinct is not incrementally maintainable
+    * under bounded state (it would hold every seen user per open window),
+    * while the sketch is a few KB per window and its merge is
+    * order-insensitive, so the streaming result is bit-identical to the
+    * batch aggregate over the same data (spec-pinned). The same rollup
+    * shape as q60: per-window sketches could be persisted and re-merged
+    * into day/month tiers without raw re-scans.
+    */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("approx_users"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -42,6 +42,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct-user sketches are bit-identical to " +
+      "the batch HLL aggregate") {
+    val stream = EventStream.readEventStream(spark, s"$sf")
+      .filter(col("event_id").isNotNull)
+    val q = EventStream.windowedDistinctUsers(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_win_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_win_out")
+        .collect().map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      // HLL merge is order-insensitive, so streaming == batch EXACTLY
+      val batch = Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("approx_users"), count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch)
+      // and the sketch stays within its error bound of exact distinct
+      val exact = Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(countDistinct(col("user_id")).cast("double").as("ex"))
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (h, ex) =>
+        val approx = streamed(h)._1.toDouble
+        assert(math.abs(approx - ex) <= 0.05 * ex,
+          s"window $h: approx $approx vs exact $ex")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionize merges a session across micro-batches via GroupState") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
