@@ -98,7 +98,11 @@ object CorpusBuild {
       case Some(dir) =>
         corpus.write.mode(SaveMode.Overwrite)
           .partitionBy("split").parquet(dir)
-        docs.sparkSession.read.parquet(dir)
+        // explicit schema: an all-filtered (empty) corpus writes only
+        // _SUCCESS, and schema INFERENCE over a part-less dir throws —
+        // the build must return an empty manifest, not die after a
+        // successful write
+        docs.sparkSession.read.schema(corpus.schema).parquet(dir)
       case None => corpus
     }
     manifestSource

@@ -503,10 +503,7 @@ object CurationQueries {
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
       .filter(length(col("token")) > 0)
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token")).limit(500)
-      .withColumn("vocab_id", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))).cast("int"))
+    val vocab = graft.ops.Vocab.topK(toks.select("token"), 500)
       .select("token", "vocab_id")
     toks.join(broadcast(vocab), Seq("token"), "left")
       .withColumn("tid", coalesce(col("vocab_id"), lit(0)))

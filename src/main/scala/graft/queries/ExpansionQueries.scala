@@ -141,20 +141,10 @@ object ExpansionQueries {
     * tokenization matches q22's whitespace contract.
     */
   val q49_vocab: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      // Top-k FIRST (TakeOrderedAndProject — parallel partial top-k per
-      // partition, merged on the driver), THEN rank the <=500 survivors.
-      // (n DESC, token ASC) is a total order (token is unique after the
-      // group-by), so the limit is deterministic and ranking the survivors
-      // reproduces row_number over the full table. The global window only
-      // ever sees 500 rows — no single-task sort over the whole vocabulary.
-      .orderBy(col("n").desc, col("token"))
-      .limit(500)
-      .withColumn("vocab_id", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))).cast("int"))
+    graft.ops.Vocab.topK(
+        Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("token")),
+        500)
       .select("vocab_id", "token", "n")
       .orderBy("vocab_id")
 

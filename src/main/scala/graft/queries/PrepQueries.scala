@@ -99,12 +99,9 @@ object PrepQueries {
     */
   val q72_oov_stats: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val vocab = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(500)
+    val vocab = graft.ops.Vocab.topK(
+        docs.select(explode(split(trim(col("text")), "\\s+")).as("token")),
+        500)
       .select(col("token"), lit(1L).as("in_vocab"))
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))

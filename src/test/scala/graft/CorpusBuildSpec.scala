@@ -48,6 +48,15 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(pairs.count() == 0, "near-dup pair survived dedup")
   }
 
+  test("run: an all-filtered corpus returns an empty manifest instead of " +
+      "dying on the post-write read-back") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_empty")
+      .resolve("corpus").toString
+    val strict = CorpusBuild.Config(minChars = Long.MaxValue)
+    val manifest = CorpusBuild.run(docs, Some(out), strict)
+    assert(manifest.collect().isEmpty)
+  }
+
   test("run: manifest is deterministic across re-runs, splits partition " +
       "the keep-list, partitioned write round-trips") {
     val out = java.nio.file.Files.createTempDirectory("corpus_build")
