@@ -203,13 +203,7 @@ object TextDedup {
   /** The banded MinHash tier over a prebuilt [[shingleRelation]]. */
   def minhashLshPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
-    // banded bucket keys only — the shingle arrays are joined back onto the
-    // deduped candidate pairs, not replicated through the band explode
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val banded = bandedKeys(sh, numHashes, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
@@ -217,8 +211,25 @@ object TextDedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // same sorted-merge verify kernel (and identical jaccard double) as
-    // ngramJaccardPairs — see there
+    verifyPairs(candidates, sh, threshold)
+  }
+
+  /** Banded MinHash bucket keys only — the shingle arrays are joined back
+    * onto the deduped candidate pairs, never replicated through the band
+    * explode.
+    */
+  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * shingle relation — the sorted-merge kernel (and identical jaccard
+    * double) shared by every MinHash tier; see ngramJaccardPairs.
+    */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         size(col("sh")).as("na")), "id_a")
@@ -230,6 +241,34 @@ object TextDedup {
         (col("ov").cast("double") /
           (col("na") + col("nb") - col("ov")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Incremental near-dup detection for a daily ingest: candidate pairs
+    * must touch the NEW batch — new×standing bucket collisions plus
+    * new×new within the batch — so the standing corpus is never re-paired
+    * against itself. At scale the standing side's shingle/signature
+    * relation is a stored artifact (built once per corpus version, cf.
+    * shingleRelation's doc); the per-ingest cost is proportional to the
+    * batch, not the corpus. Ids of the two sides must be disjoint (the
+    * ingest contract); pairs normalize to id_a < id_b.
+    */
+  def minhashLshPairsIncremental(newDf: DataFrame, standingDf: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val shNew = maybeMaterialize(shingleRelation(newDf, idCol, textCol, lit(""), n))
+    val shStand = shingleRelation(standingDf, idCol, textCol, lit(""), n)
+    val bNew = bandedKeys(shNew, numHashes, bands)
+    val bStand = bandedKeys(shStand, numHashes, bands)
+    val cross = bNew.select(col("id").as("new_id"), col("band"), col("bucket"))
+      .join(bStand.select(col("id").as("std_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(least(col("new_id"), col("std_id")).as("id_a"),
+        greatest(col("new_id"), col("std_id")).as("id_b"))
+    val within = bNew.as("x").join(bNew.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val candidates = cross.unionByName(within).dropDuplicates("id_a", "id_b")
+    verifyPairs(candidates, shNew.unionByName(shStand), threshold)
   }
 
   /** 64-bit SimHash from token hashes: bit i of the sketch is set when more

@@ -580,6 +580,44 @@ object CurationQueries {
       |  cum_before % 2048 AS seq_offset
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q96 — incremental near-dup ingest check: a 5% "new batch" slice is
+    * LSH-paired against the standing 95% (and within itself) WITHOUT
+    * re-pairing the standing corpus — the daily-ingest counterpart of
+    * q73's exact-digest dedup, at per-batch cost. Full equality oracle
+    * like q19 (LSH recall is deterministically 1 on this corpus).
+    */
+  val q96_ingest_neardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.TextDedup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") % 20 === 0),
+        docs.filter(col("doc_id") % 20 =!= 0),
+        "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .withColumn("scope",
+        when(col("id_a") % 20 === 0 && col("id_b") % 20 === 0, "batch")
+          .otherwise("corpus"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q96Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard,
+      |  CASE WHEN a.doc_id % 20 = 0 AND b.doc_id % 20 = 0 THEN 'batch'
+      |       ELSE 'corpus' END AS scope
+      |FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      |  AND (a.doc_id % 20 = 0 OR b.doc_id % 20 = 0)
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -593,7 +631,8 @@ object CurationQueries {
     "q92_source_quota" -> q92_source_quota,
     "q93_vocab_coverage" -> q93_vocab_coverage,
     "q94_tokenize" -> q94_tokenize,
-    "q95_pack" -> q95_pack)
+    "q95_pack" -> q95_pack,
+    "q96_ingest_neardup" -> q96_ingest_neardup)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -608,5 +647,6 @@ object CurationQueries {
     "q92_source_quota" -> q92Sql,
     "q93_vocab_coverage" -> q93Sql,
     "q94_tokenize" -> q94Sql,
-    "q95_pack" -> q95Sql)
+    "q95_pack" -> q95Sql,
+    "q96_ingest_neardup" -> q96Sql)
 }
