@@ -205,6 +205,32 @@ object CurationQueries {
     when(den > 0d, round(dotHof(qv, nv) / den, 9))
   }
 
+  /** The rescoring gate over claimed (tier, query_id, neighbor_id, cos)
+    * rows: left-join the vectors, recompute the cosine with the
+    * independent HOF path, surface every deviation / missing vector /
+    * NULL recompute / self-pair. Factored out of q88 so the spec can
+    * poison a claim and prove the gate FIRES — a must-be-empty check is
+    * only as strong as its demonstrated ability to be non-empty.
+    */
+  def annGate(claimed: DataFrame, vecs: DataFrame): DataFrame =
+    claimed
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"), "left")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"), "left")
+      .withColumn("cos_check",
+        when(col("qv").isNotNull && col("nv").isNotNull,
+          cosCheck(col("qv"), col("nv"))))
+      // cos_check.isNull matters: a NULL recompute (missing vector, NULL
+      // element, zero norm) must SURFACE — without it the three-valued
+      // abs(...) > 1e-6 comparison silently drops exactly the broken rows
+      .filter(col("qv").isNull || col("nv").isNull ||
+        col("cos_check").isNull ||
+        col("query_id") === col("neighbor_id") ||
+        abs(col("cos") - col("cos_check")) > 1e-6)
+      .select(col("tier"), col("query_id"), col("neighbor_id"),
+        col("cos"), col("cos_check"))
+
   /** q88 — ANN consistency gate, driver-visible: every (query, neighbor,
     * cos) row the approximate tiers emit (LSH q26, IVF q32, near-dup q53)
     * is re-scored with the independent HOF cosine; any row whose reported
@@ -235,24 +261,7 @@ object CurationQueries {
       .unionByName(Similarity.nearDupFromScored(scored, threshold = 0.3)
         .select(lit("neardup").as("tier"), col("id_a").as("query_id"),
           col("id_b").as("neighbor_id"), col("cos")))
-    claimed
-      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
-        Seq("query_id"), "left")
-      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
-        Seq("neighbor_id"), "left")
-      .withColumn("cos_check",
-        when(col("qv").isNotNull && col("nv").isNotNull,
-          cosCheck(col("qv"), col("nv"))))
-      // cos_check.isNull matters: a NULL recompute (missing vector, NULL
-      // element, zero norm) must SURFACE — without it the three-valued
-      // abs(...) > 1e-6 comparison silently drops exactly the broken rows
-      .filter(col("qv").isNull || col("nv").isNull ||
-        col("cos_check").isNull ||
-        col("query_id") === col("neighbor_id") ||
-        abs(col("cos") - col("cos_check")) > 1e-6)
-      .select(col("tier"), col("query_id"), col("neighbor_id"),
-        col("cos"), col("cos_check"))
-      .orderBy("tier", "query_id", "neighbor_id")
+    annGate(claimed, vecs).orderBy("tier", "query_id", "neighbor_id")
   }
 
   val q88Sql: String =

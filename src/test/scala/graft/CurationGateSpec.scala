@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CurationQueries
+
+/** The must-be-empty gates are only meaningful if they can demonstrably
+  * fire: poison each violation class and assert the gate surfaces it.
+  */
+class CurationGateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("CurationGateSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.6, 0.8)),
+      (3L, Seq(0.0, 0.0)) // zero norm: cosine undefined
+    ).toDF("vec_id", "v")
+  }
+
+  private def gate(claims: Seq[(String, Long, Long, Double)]) = {
+    import spark.implicits._
+    CurationQueries.annGate(
+        claims.toDF("tier", "query_id", "neighbor_id", "cos"), vecs)
+      .collect()
+  }
+
+  test("a correct claim passes; every violation class fires") {
+    // cos(v1, v2) = 0.6 exactly
+    assert(gate(Seq(("t", 1L, 2L, 0.6))).isEmpty, "correct claim must pass")
+    assert(gate(Seq(("t", 1L, 2L, 0.7))).length == 1, "wrong cosine must fire")
+    assert(gate(Seq(("t", 1L, 99L, 0.6))).length == 1, "missing vector must fire")
+    assert(gate(Seq(("t", 1L, 1L, 1.0))).length == 1, "self-pair must fire")
+    assert(gate(Seq(("t", 1L, 3L, 0.0))).length == 1,
+      "zero-norm (NULL recompute) must fire, not silently pass")
+  }
+}
