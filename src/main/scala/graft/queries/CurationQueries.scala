@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MisraGries, TextAnalysis}
 import graft.ops.{Bloom, Similarity}
 
-/** Round-4 corpus-curation and governance surface: PII redaction,
-  * deterministic split assignment, snapshot diffing, heavy hitters with an
-  * exact recount tier, explicit bloom-filter semi-join pruning, quality
-  * filter funnels, dataset profiling — and driver-visible error gates for
-  * the approximate tiers (ANN cosine values, HLL / quantile sketches) so
-  * every rows-only sketch query has a checked invariant next to it.
+/** Round-4 corpus-curation and governance surface (q83–q96): PII
+  * redaction, deterministic split assignment, snapshot diffing, heavy
+  * hitters with an exact recount tier, explicit bloom-filter semi-join
+  * pruning, quality filter funnels, dataset profiling, per-source quota
+  * sampling, vocabulary coverage, vocab-mapped tokenization, sequence
+  * packing, incremental near-dup ingest — and driver-visible error gates
+  * for the approximate tiers (ANN cosine values, HLL / quantile sketches)
+  * so every rows-only sketch query has a checked invariant next to it.
   */
 object CurationQueries {
 
