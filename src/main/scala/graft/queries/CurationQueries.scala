@@ -629,6 +629,54 @@ object CurationQueries {
       |    / len(list_distinct(a.sh || b.sh)) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q97 — dedup-cluster size distribution: how many near-dup clusters of
+    * each size exist — the governance readout that decides whether dedup
+    * is worth another pass (a heavy tail of large clusters = template
+    * spam). Two partial+final aggregates over the oracle-checked q56
+    * component labels; cost is dominated by the pair/CC machinery it
+    * reuses.
+    */
+  val q97_cluster_sizes: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.TextDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.ops.Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  val q97Sql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (
+      |  SELECT src AS doc_id, min(dst) AS component
+      |  FROM reach GROUP BY src),
+      |sizes AS (
+      |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY component)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -643,7 +691,8 @@ object CurationQueries {
     "q93_vocab_coverage" -> q93_vocab_coverage,
     "q94_tokenize" -> q94_tokenize,
     "q95_pack" -> q95_pack,
-    "q96_ingest_neardup" -> q96_ingest_neardup)
+    "q96_ingest_neardup" -> q96_ingest_neardup,
+    "q97_cluster_sizes" -> q97_cluster_sizes)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -659,5 +708,6 @@ object CurationQueries {
     "q93_vocab_coverage" -> q93Sql,
     "q94_tokenize" -> q94Sql,
     "q95_pack" -> q95Sql,
-    "q96_ingest_neardup" -> q96Sql)
+    "q96_ingest_neardup" -> q96Sql,
+    "q97_cluster_sizes" -> q97Sql)
 }
