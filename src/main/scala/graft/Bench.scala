@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * (a count() would let Catalyst prune projections and under-report);
   * a warm-up pass on the flagship star join absorbs one-time JIT/codegen
   * cost before timing.
+  *
+  * Timings are emitted by two routes so neither can be lost: the stdout
+  * line (rounded to ms so it stays within the driver's captured tail) and
+  * a full-precision per-query file, BENCH_LOCAL.json, written into the
+  * repo so the artifact survives any stdout truncation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,10 +40,34 @@ object Bench {
     exec("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Millisecond precision keeps the one-line stdout payload compact
+    // enough to fit entirely within the driver's captured output tail.
+    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    val entries = results
+      .map { case (k, v) => s"""    "$k": $v""" }
+      .mkString(",\n")
+    val full =
+      s"""{
+         |  "metric": "total",
+         |  "value": $total,
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "queries": {
+         |$entries
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * the minimum node id wins — so output is unique regardless of
   * partitioning or join order. Rounds needed = component diameter: tiny
   * for dedup clusters (near-cliques). Each round is ONE shuffle join +
-  * map-side-combining min aggregate; `localCheckpoint` cuts the growing
-  * lineage so round N's plan doesn't replay rounds 1..N−1. (At extreme
+  * map-side-combining min aggregate; [[Materialize]] cuts the growing
+  * lineage so round N's plan doesn't replay rounds 1..N−1 — tier chosen
+  * by `spark.graft.checkpointMode` (localCheckpoint for local runs,
+  * persist/reliable for executor-loss-tolerant cluster runs). (At extreme
   * diameters the classic large-star/small-star variant drops rounds to
   * O(log n); the per-round plan shape below is the same one it needs.)
   */
@@ -32,29 +34,30 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    val sym = Materialize(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = Materialize(nodes.select(col("id"), col("id").as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min("nl").as("nbr_min"))
-      val next = labels
+      val next = Materialize(labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .isEmpty
-      // superseded generations' checkpoint blocks are reclaimed by the
-      // ContextCleaner once unreferenced (Dataset.unpersist doesn't touch
-      // localCheckpoint blocks); only the live generation is re-read
+      // reclaim the superseded generation now: unpersist frees
+      // persist-mode blocks immediately; local/reliable checkpoint blocks
+      // ignore it and are reclaimed by the ContextCleaner once unreferenced
+      val prev = labels
       labels = next
+      prev.unpersist(blocking = false)
       i += 1
     }
     if (!converged)
@@ -114,19 +117,20 @@ object Components {
         .unionByName(mins.select(col("src"), col("m").as("dst")))
         .distinct()
     }
-    var e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    var e = Materialize(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var sig = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Materialize(smallStar(largeStar(e)))
       val nextSig = checksum(next)
       converged = nextSig == sig
+      val prev = e
       e = next
       sig = nextSig
+      prev.unpersist(blocking = false)
       i += 1
     }
     if (!converged)

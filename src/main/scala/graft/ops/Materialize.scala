@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization tier for iterative loops (connected components) and
+  * multi-consumer relations (the shingle relation), selected by
+  * `spark.graft.checkpointMode`:
+  *
+  *  - `local` (default) — `localCheckpoint()`: fastest, but blocks are
+  *    executor-local and NON-recomputable; one lost executor mid-loop
+  *    kills the job. Right for local[n] and short interactive runs.
+  *  - `persist` — `persist(MEMORY_AND_DISK)` forced eagerly: blocks are
+  *    recomputable from lineage after executor loss — the cluster
+  *    default. Lineage still grows across loop rounds (each generation's
+  *    plan chains on the previous), so very long loops should escalate
+  *    to `reliable`; dedup CC loops converge in a handful of rounds.
+  *  - `reliable` — `checkpoint()` to `spark.graft.checkpointDir`
+  *    (DFS-backed): cuts lineage AND survives executor loss — the
+  *    100 TB long-loop tier.
+  *
+  * The loops' fixpoint checks compare successive generations, so every
+  * mode materializes EAGERLY — a lazy persist would re-execute the
+  * not-yet-cached plan once per downstream action and could interleave
+  * with the next round's mutation of `labels`.
+  */
+object Materialize {
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.checkpointMode", "local") match {
+      case "local" => df.localCheckpoint()
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // force now: fixpoint checks must read a stable snapshot
+        p
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(spark.conf.get("spark.graft.checkpointDir",
+            sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+        }
+        df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.checkpointMode must be local|persist|reliable, got '$other'")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: GPT-style concat-then-chunk placement. Docs
+  * concatenate in id order within each source; each doc's landing position
+  * is (seq_id, seq_offset) over fixed-length token sequences — both pure
+  * functions of the per-source running token total.
+  *
+  * Scale design — the naive form is a window PARTITIONED BY source ORDER
+  * BY id, which serializes ALL of one source's rows through a single task;
+  * a dominant source (Common Crawl is >50% of any real mix) makes that the
+  * job's straggler at 100 TB. This implementation packs HIERARCHICALLY:
+  *
+  *  1. shard every source by id range (`shard = id / shardRows` — range,
+  *     not hash, so shard order IS id order within a source);
+  *  2. a per-(source, shard) window computes each doc's LOCAL running
+  *     total — parallel across shards, each sort bounded by `shardRows`;
+  *  3. per-shard token totals (one row per (source, shard) — tiny: ~1e5
+  *     rows for 1e11 docs at the default shard size) get a per-source
+  *     prefix sum, the only source-partitioned window left, over
+  *     shard-count rows instead of doc-count rows;
+  *  4. the broadcast shard bases rebase every local total to the global
+  *     running total — identical output to the single-window form for any
+  *     shardRows (PackingSpec pins this by property).
+  *
+  * This is the same two-stage partial/rebase trick Skew.saltedAgg uses for
+  * skewed aggregation, applied to a prefix sum.
+  */
+object Packing {
+
+  /** @param counts    (idCol, srcCol, tokCol) — one row per doc; idCol must
+    *                  be numeric and unique (packing order is idCol asc)
+    * @param seqLen    tokens per packed sequence (power of two keeps the
+    *                  long→double→floor division exact)
+    * @param shardRows id-range width of one packing shard
+    * @return (idCol, srcCol, tokCol, seq_id, seq_offset)
+    */
+  def packSequences(counts: DataFrame, idCol: String, srcCol: String,
+      tokCol: String, seqLen: Long, shardRows: Long): DataFrame = {
+    require(seqLen > 0 && shardRows > 0, "seqLen and shardRows must be positive")
+    val sharded = counts.withColumn("_shard",
+      floor(col(idCol) / shardRows).cast("long"))
+    val wLocal = Window.partitionBy(col(srcCol), col("_shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("_local_before",
+      coalesce(sum(col(tokCol)).over(wLocal), lit(0L)))
+    // one row per (source, shard): the per-source prefix sum over these is
+    // over shard-count rows, never doc-count rows
+    val wShard = Window.partitionBy(col(srcCol)).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded.groupBy(col(srcCol), col("_shard"))
+      .agg(sum(col(tokCol)).as("_shard_toks"))
+      .withColumn("_shard_base",
+        coalesce(sum(col("_shard_toks")).over(wShard), lit(0L)))
+      .select(col(srcCol), col("_shard"), col("_shard_base"))
+    local.join(broadcast(bases), Seq(srcCol, "_shard"))
+      .withColumn("_cum_before", col("_shard_base") + col("_local_before"))
+      .select(col(idCol), col(srcCol), col(tokCol),
+        (col("_cum_before") / seqLen).cast("long").as("seq_id"),
+        pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"))
+  }
+}

@@ -24,14 +24,16 @@ import graft.functions.TextAnalysis
   */
 object TextDedup {
 
-  /** Eager localCheckpoint, unless `spark.graft.eagerMaterialize=false` —
-    * the escape hatch for plan-only inspection (PlanSpec's suite audit),
-    * where executing the shingle pipeline just to look at a physical plan
-    * is waste. Queries and benchmarks run with the default (true).
+  /** Eager materialization at the `spark.graft.checkpointMode` tier (see
+    * [[Materialize]]: localCheckpoint locally, persist/reliable checkpoint
+    * on a cluster), unless `spark.graft.eagerMaterialize=false` — the
+    * escape hatch for plan-only inspection (PlanSpec's suite audit), where
+    * executing the shingle pipeline just to look at a physical plan is
+    * waste. Queries and benchmarks run with the default (true).
     */
   def maybeMaterialize(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean)
-      df.localCheckpoint()
+      Materialize(df)
     else df
 
   /** Exact duplicate groups by content digest: survivor = min id per digest.
@@ -81,6 +83,25 @@ object TextDedup {
     val shRaw = shingleRelation(df, idCol, textCol, col(blockCol), n)
     val sh = if (materialize) maybeMaterialize(shRaw) else shRaw
     ngramJaccardPairsFromShingles(sh, threshold)
+  }
+
+  /** The shared pair + connected-components substrate behind the dedup
+    * cluster family — q56 groups, q74 survivor selection, q97 cluster-size
+    * distribution are all readouts over THIS relation: exact n-gram
+    * Jaccard pairs within a blocking column, closed into min-label
+    * components over every doc (singletons label themselves). Returns
+    * ("id", "component").
+    *
+    * Factored to one definition so a driver that caches (or a pipeline
+    * that materializes it q88-style, one scored relation → N consumers)
+    * pays the pair+CC cost once for all three readouts; under the
+    * standalone per-query contract each query still calls it directly.
+    */
+  def dedupClusterRelation(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, blockCol, n, threshold)
+      .select("id_a", "id_b")
+    Components.connectedComponents(docs.select(col(idCol).as("id")), pairs)
   }
 
   /** The prefix-filtered exact tier over a prebuilt [[shingleRelation]]. */

@@ -422,10 +422,12 @@ object CurationQueries {
   /** q92 — per-source quota sampling: cap every source at 30 documents,
     * chosen by deterministic hash order — how mixture weights get applied
     * to an over-represented crawl source without a global shuffle of the
-    * winners' content. The per-source window shuffles doc KEYS only; at
-    * scale the same selection runs as the bounded TopKByScore aggregate
-    * (q42's operator) when source cardinality is low enough to skew —
-    * map-side k-bounded partials instead of a full per-source sort.
+    * winners' content. The per-source window shuffles doc KEYS only; the
+    * AT-SCALE form — q98 below — runs the same selection as the bounded
+    * TopKByScore aggregate (q42's operator): map-side k-bounded partials
+    * instead of a full per-source sort, for when source cardinality is
+    * low enough to skew. q98 shares this query's oracle, so the two
+    * variants are driver-checked interchangeable.
     */
   val q92_source_quota: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -448,6 +450,34 @@ object CurationQueries {
       |  FROM documents)
       |WHERE pick_rank <= 30
       |ORDER BY doc_id""".stripMargin
+
+  /** q98 — q92's AT-SCALE variant, actually executed: the same per-source
+    * quota selection as a k-BOUNDED AGGREGATE (q42's TopKByScore
+    * TypedImperativeAggregate) instead of a per-source window. The window
+    * form shuffles and sorts EVERY doc of a source through one task; the
+    * aggregate keeps a 30-entry heap per source in the partial (map-side)
+    * phase, so the shuffle carries ≤ 30·partitions rows per source — the
+    * skew-proof shape when one source dominates the mix. Selection order
+    * is q92's: ascending md5, doc_id tiebreak — encoded as score =
+    * −(first 13 hex nibbles, 52 bits: exact in the aggregate's double
+    * score; fixed-width lowercase hex compares identically as string or
+    * number), so the oracle is LITERALLY q92's SQL and the driver
+    * hash-checks window ≡ aggregate end-to-end. Q92ParitySpec pins the
+    * same equivalence property-style on adversarial corpora.
+    */
+  val q98_source_quota_agg: Q = (s, d) => {
+    val score = (lit(0L) -
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")).cast("double")
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(graft.functions.TopKAggregate
+        .topKByScore(score, col("doc_id"), 30).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id").as("doc_id"), col("source"),
+        (col("i") + 1).cast("long").as("pick_rank"))
+      .orderBy("doc_id")
+  }
 
   /** q93 — vocabulary coverage curve: cumulative share of total token
     * volume covered by the top-k vocabulary entries — the plot that decides
@@ -553,24 +583,22 @@ object CurationQueries {
       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q95 — sequence packing: GPT-style concat-then-chunk placement. Docs
-    * concatenate in doc_id order within each source shard; each doc's
-    * landing position is (seq_id, seq_offset) over 2048-token sequences,
-    * both pure functions of the per-source running token total. The
-    * window is PARTITIONED (per-source, never global), and dividing by a
-    * power of two keeps the long→double→floor arithmetic exact.
+    * concatenate in doc_id order within each source; each doc's landing
+    * position is (seq_id, seq_offset) over 2048-token sequences (dividing
+    * by a power of two keeps the long→double→floor arithmetic exact).
+    * Runs as ops.Packing's HIERARCHICAL two-stage pack — per-(source,
+    * shard) local prefix sums rebased by broadcast per-shard totals — so
+    * no doc-scale window ever partitions by bare `source`: a dominant
+    * source can't serialize through one task (PlanSpec pins the contract,
+    * PackingSpec pins shardRows-invariance of the result).
     */
   val q95_pack: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    counts
-      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_toks"),
-        (col("cum_before") / 2048).cast("long").as("seq_id"),
-        pmod(col("cum_before"), lit(2048L)).as("seq_offset"))
+    val shardRows = s.conf.get("spark.graft.packShardRows", "1048576").toLong
+    graft.ops.Packing
+      .packSequences(counts, "doc_id", "source", "n_toks", 2048L, shardRows)
       .orderBy("doc_id")
   }
 
@@ -637,12 +665,8 @@ object CurationQueries {
     * reuses.
     */
   val q97_cluster_sizes: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val pairs = graft.ops.TextDedup.ngramJaccardPairs(
-        docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
-      .select("id_a", "id_b")
-    graft.ops.Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
+    graft.ops.TextDedup.dedupClusterRelation(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3, threshold = 0.5)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
@@ -692,7 +716,8 @@ object CurationQueries {
     "q94_tokenize" -> q94_tokenize,
     "q95_pack" -> q95_pack,
     "q96_ingest_neardup" -> q96_ingest_neardup,
-    "q97_cluster_sizes" -> q97_cluster_sizes)
+    "q97_cluster_sizes" -> q97_cluster_sizes,
+    "q98_source_quota_agg" -> q98_source_quota_agg)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -709,5 +734,8 @@ object CurationQueries {
     "q94_tokenize" -> q94Sql,
     "q95_pack" -> q95Sql,
     "q96_ingest_neardup" -> q96Sql,
-    "q97_cluster_sizes" -> q97Sql)
+    "q97_cluster_sizes" -> q97Sql,
+    // the aggregate variant must reproduce the window variant EXACTLY —
+    // same oracle, so the driver hash-checks the equivalence end-to-end
+    "q98_source_quota_agg" -> q92Sql)
 }

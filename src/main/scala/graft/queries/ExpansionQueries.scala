@@ -325,12 +325,8 @@ object ExpansionQueries {
     * end-to-end.
     */
   val q56_dedup_groups: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val pairs = graft.ops.TextDedup
-      .ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
-      .select("id_a", "id_b")
-    graft.ops.Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
+    graft.ops.TextDedup.dedupClusterRelation(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3, threshold = 0.5)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
   }
