@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.graft.checkpointMode` materialization tiers (ops.Materialize)
+  * must be execution-equivalent: the iterative CC loops and the shingle
+  * relation run the same fixpoint whatever tier cut their lineage. The
+  * cluster tiers (persist, reliable) are exercised END-TO-END on q56 —
+  * the full shingle → prefix-filter → connected-components pipeline —
+  * against the default localCheckpoint tier's result.
+  */
+class MaterializeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("MaterializeSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q56InMode(mode: String): Seq[(Long, Long)] = {
+    spark.conf.set("spark.graft.checkpointMode", mode)
+    try graft.queries.ExpansionQueries.q56_dedup_groups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally spark.conf.unset("spark.graft.checkpointMode")
+  }
+
+  test("q56 runs end-to-end on the persist tier and matches localCheckpoint") {
+    val local = q56InMode("local")
+    assert(local.nonEmpty)
+    assert(q56InMode("persist") === local)
+  }
+
+  test("q56 runs end-to-end on the reliable-checkpoint tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try assert(q56InMode("reliable") === q56InMode("local"))
+    finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("an unknown checkpointMode fails loudly, not silently") {
+    spark.conf.set("spark.graft.checkpointMode", "turbo")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Materialize(spark.range(3).toDF())
+      }
+      assert(e.getMessage.contains("checkpointMode"))
+    } finally spark.conf.unset("spark.graft.checkpointMode")
+  }
+}

@@ -144,6 +144,26 @@ class PlanSpec extends AnyFunSuite {
       s"corpus tokens must not shuffle for the vocab join:\n$plan")
   }
 
+  test("q95: no doc-scale window partitions by bare source (pack skew contract)") {
+    // force multiple shards even on the tiny test corpus so the plan under
+    // inspection is the real hierarchical one
+    spark.conf.set("spark.graft.packShardRows", "100")
+    try {
+      val plan = executedPlan(
+        graft.queries.CurationQueries.q95_pack(spark, sf))
+      val finalPlan = plan.split("== Initial Plan ==")(0)
+      // the skewed shape: Window [...], [source#N], [doc_id#M ...] — a
+      // per-source running sum whose sort sees every doc of a source
+      val bare = """\[source#\d+\], \[doc_id#""".r
+      assert(bare.findFirstIn(finalPlan).isEmpty,
+        s"a doc-ordered window partitions by bare source — one dominant " +
+          s"source serializes through a single task:\n$plan")
+      // and the doc-scale window really partitions by (source, shard)
+      assert(finalPlan.contains("_shard"),
+        s"expected the hierarchical (source, _shard) pack windows:\n$plan")
+    } finally spark.conf.unset("spark.graft.packShardRows")
+  }
+
   test("q91: the five-column profile runs as ONE scan of the table") {
     val plan = executedPlan(
       graft.queries.CurationQueries.q91_profile(spark, sf))
