@@ -31,12 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** @param counts    (idCol, srcCol, tokCol) — one row per doc; idCol must
-    *                  be numeric and unique (packing order is idCol asc)
+  /** @param counts    one row per doc, carrying at least (idCol, srcCol,
+    *                  tokCol); idCol must be numeric and unique (packing
+    *                  order is idCol asc); extra columns pass through
     * @param seqLen    tokens per packed sequence (power of two keeps the
     *                  long→double→floor division exact)
     * @param shardRows id-range width of one packing shard
-    * @return (idCol, srcCol, tokCol, seq_id, seq_offset)
+    * @return the input columns + (seq_id, seq_offset)
     */
   def packSequences(counts: DataFrame, idCol: String, srcCol: String,
       tokCol: String, seqLen: Long, shardRows: Long): DataFrame = {
@@ -59,8 +60,8 @@ object Packing {
       .select(col(srcCol), col("_shard"), col("_shard_base"))
     local.join(broadcast(bases), Seq(srcCol, "_shard"))
       .withColumn("_cum_before", col("_shard_base") + col("_local_before"))
-      .select(col(idCol), col(srcCol), col(tokCol),
-        (col("_cum_before") / seqLen).cast("long").as("seq_id"),
-        pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"))
+      .select(counts.columns.map(col) :+
+        (col("_cum_before") / seqLen).cast("long").as("seq_id") :+
+        pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"): _*)
   }
 }
