@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.ops.{Components, Dedupe, Splits, TextDedup}
+import graft.ops.{Components, Dedupe, Mixing, Packing, Splits, TextDedup}
 
 /** The end-to-end corpus build — the LLM-side counterpart of JobsPipeline:
   * what a training-data team actually runs, composed entirely from the
@@ -23,6 +23,10 @@ import graft.ops.{Components, Dedupe, Splits, TextDedup}
   *                ([[Splits]] — the same arithmetic q84 oracle-checks)
   *  5. write    — parquet partitioned by split + a per-split manifest
   *                (doc/token counts — q82's rollup shape)
+  *  6. feed     — (optional, [[trainFeed]]) temperature-mix the train
+  *                split's sources and place every mixed doc into its
+  *                2048-token training sequence in deterministic shuffled
+  *                order ([[Mixing]]/[[Packing]] — q99/q100's operators)
   *
   * Every stage is a pure DataFrame transform and every shuffle is keyed
   * (digests, shingle buckets, component labels, split values), so the same
@@ -114,5 +118,32 @@ object CorpusBuild {
         sum(col("n_toks")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
       .orderBy("split")
+  }
+
+  /** Stage 6: the train-feed — from a split-assigned corpus (the shape
+    * [[run]] writes) to the actual training order: temperature-mix the
+    * train split's sources (√-weights upweight small sources;
+    * [[Mixing]]), give every accepted doc a unique 60-bit shuffle key
+    * (40 md5 bits + its own id — unique while ids stay under 2^20;
+    * widen the bit split for a larger id space, per q100's note), and
+    * place it into fixed-length token
+    * sequences in key order via [[Packing]]'s hierarchical pack — no
+    * global window, no driver-side data. Output: one row per accepted
+    * train doc with (skey, n_toks, seq_id, seq_offset); byte-identical
+    * across re-runs, so epoch order is auditable.
+    */
+  def trainFeed(corpus: DataFrame, targetDocs: Long,
+      seqLen: Long = 2048L, shardRows: Long = 1L << 52): DataFrame = {
+    val train = corpus.filter(col("split") === "train")
+    val mixed = Mixing.sqrtTemperatureSample(
+      train, "doc_id", "source", targetDocs)
+    val keyed = mixed.select(
+      col("doc_id"), col("source"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+        .cast("long") * lit(1048576L) + col("doc_id")).as("skey"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+      lit("all").as("mix"))
+    Packing.packSequences(keyed, "skey", "mix", "n_toks", seqLen, shardRows)
+      .select("doc_id", "source", "skey", "n_toks", "seq_id", "seq_offset")
   }
 }

