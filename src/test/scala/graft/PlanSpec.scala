@@ -165,6 +165,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.packShardRows")
   }
 
+  test("q100: the globally-shuffled pack never runs a doc-scale global " +
+      "window — unpartitioned windows may consume only the per-shard " +
+      "aggregate") {
+    // a global epoch order is the classic place an implementation slips
+    // in `row_number() over (order by key)` — one task sorts the corpus.
+    // In the global pack the constant mix column folds out of the rebase
+    // window's partition spec, so that window IS unpartitioned — which is
+    // fine exactly when its input is the per-shard aggregate (one row per
+    // shard, bounded by keyspace/shardRows), never the doc relation.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = graft.queries.MixQueries.q100_shuffle_pack(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "expected the hierarchical pack windows")
+    val (global, sharded) = windows.partition(_.partitionSpec.isEmpty)
+    assert(sharded.nonEmpty &&
+      sharded.forall(_.partitionSpec.exists(_.toString.contains("_shard"))),
+      s"the doc-scale window must partition by the range shard:\n$windows")
+    global.foreach { w =>
+      val agg = w.child.collectFirst { case a: logical.Aggregate => a }
+      assert(agg.isDefined,
+        s"unpartitioned window consumes non-aggregated (doc-scale) input:\n$w")
+      assert(agg.get.groupingExpressions.exists(_.toString.contains("_shard")),
+        s"unpartitioned window's aggregate is not per-shard:\n${agg.get}")
+    }
+  }
+
   test("q91: the five-column profile runs as ONE scan of the table") {
     val plan = executedPlan(
       graft.queries.CurationQueries.q91_profile(spark, sf))
