@@ -44,19 +44,21 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min("nl").as("nbr_min"))
+      // the change flag is computed IN the label pass, so convergence
+      // detection is a filter over the just-materialized generation —
+      // no per-round join of consecutive generations (at corpus scale
+      // that join is a full extra shuffle per round)
       val next = Materialize(labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("_changed")))
+      converged = next.filter(col("_changed")).isEmpty
       // reclaim the superseded generation now: unpersist frees
       // persist-mode blocks immediately; local/reliable checkpoint blocks
       // ignore it and are reclaimed by the ContextCleaner once unreferenced
       val prev = labels
-      labels = next
+      labels = next.select("id", "label")
       prev.unpersist(blocking = false)
       i += 1
     }
