@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import graft.ops.{Mixing, Packing}
 
-/** Round-5 data-mixing surface (q99–q100): the two steps between a curated
-  * corpus and a training run — choosing HOW MUCH of each source to take
-  * (deterministic temperature-scaled mixing) and WHAT ORDER to feed it in
-  * (deterministic global shuffle, packed into fixed-length sequences).
-  * Both are pure functions of (doc_id, per-source aggregates), so the mix
-  * and the order are reproducible on any engine and stable under re-runs —
-  * the property that makes a 100 TB training corpus auditable.
+/** Round-5 surface (q99–q101): the steps between a curated corpus and a
+  * training run — choosing HOW MUCH of each source to take (deterministic
+  * temperature-scaled mixing), WHAT ORDER to feed it in (deterministic
+  * global shuffle, packed into fixed-length sequences), and WHICH TOKEN
+  * SPANS are corpus-level duplicates (exact substring-duplication audit).
+  * All are pure functions of (doc_id, corpus aggregates), so results are
+  * reproducible on any engine and stable under re-runs — the property
+  * that makes a 100 TB training corpus auditable.
   */
 object MixQueries {
 
@@ -99,11 +100,110 @@ object MixQueries {
       |  cum_before % 2048 AS seq_offset
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q101 — duplicated-substring spans (the exact-substring dedup audit of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — public literature): every k-token window occurring ≥ 2
+    * times ANYWHERE in the corpus marks its positions as duplicated;
+    * per doc, overlapping/adjacent marked windows merge into maximal
+    * spans (gaps-and-islands over positions), yielding span count,
+    * duplicated-token count, and an integer-ppm duplication fraction —
+    * the readout that decides whether substring-level (not just
+    * doc-level) dedup is worth running.
+    *
+    * Scale shape: one shuffle groups shingle occurrences by content key
+    * (map-side combine), a semi-join marks duplicated positions, and the
+    * island windows partition per doc — bounded by document length,
+    * never corpus size. The join key here is the shingle STRING for
+    * oracle parity; at 100 TB swap in xxhash64(sh) — 8-byte keys, same
+    * plan. All arithmetic is integer (hash-exact across engines).
+    */
+  val q101_dup_spans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val ws = TextAnalysis.tokens(col("text"))
+    // guard BEFORE sequence(): Spark's sequence(1, stop) runs DESCENDING
+    // for stop < 1, which would fabricate positions on short docs
+    val occ = docs
+      .filter(size(ws) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(k))))).as(Seq("i0", "sh")))
+      .select(col("doc_id"), (col("i0") + 1).as("p"), col("sh"))
+    val dup = occ.groupBy("sh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sh")
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = occ.join(dup, Seq("sh"), "left_semi")
+      .withColumn("prev_end", max(col("p") + (k - 1)).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).as("s0"), max(col("p") + (k - 1)).as("e0"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("spans"),
+        sum(col("e0") - col("s0") + lit(1)).as("dup_toks"))
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"),
+        expr("(1000000 * coalesce(dup_toks, 0L)) DIV greatest(n_toks, 1L)")
+          .as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS p, array_to_string(ws[i:i+4], ' ') AS sh
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 4)) AS i
+      |        FROM t WHERE len(ws) >= 5)),
+      |dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT doc_id, p,
+      |    MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM occ WHERE sh IN (SELECT sh FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+      |      AS island
+      |  FROM cov),
+      |sp AS (
+      |  SELECT doc_id, island, min(p) AS s0, max(p + 4) AS e0
+      |  FROM isl GROUP BY doc_id, island),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS spans, SUM(e0 - s0 + 1) AS dup_toks
+      |  FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+      |    AS n_toks,
+      |  CAST(COALESCE(pd.spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(COALESCE(pd.dup_toks, 0) AS BIGINT) AS n_dup_tokens,
+      |  CAST((1000000 * COALESCE(pd.dup_toks, 0))
+      |    // greatest(CAST(len(string_split_regex(trim(d.text), '\s+'))
+      |                AS BIGINT), 1) AS BIGINT) AS dup_ppm
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_temperature_mix" -> q99_temperature_mix,
-    "q100_shuffle_pack" -> q100_shuffle_pack)
+    "q100_shuffle_pack" -> q100_shuffle_pack,
+    "q101_dup_spans" -> q101_dup_spans)
 
   val oracleSql: Map[String, String] = Map(
     "q99_temperature_mix" -> q99Sql,
-    "q100_shuffle_pack" -> q100Sql)
+    "q100_shuffle_pack" -> q100Sql,
+    "q101_dup_spans" -> q101Sql)
 }
