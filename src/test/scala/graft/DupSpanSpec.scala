@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q101's duplicated-substring span semantics, pinned against a
+  * driver-side single-pass reference on adversarial corpora the oracle
+  * corpus can't cover: exact whole-doc copies, spans that touch
+  * end-to-end (adjacency merging), docs shorter than the window, and
+  * within-doc repetition (a window occurring twice in ONE doc is a
+  * corpus-level duplicate too).
+  */
+class DupSpanSpec extends AnyFunSuite {
+
+  private val K = 5
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(4242L + i)).foreach(body)
+    }
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("DupSpanSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Tiny token alphabet so k-windows collide often; some docs are exact
+    * copies of earlier ones, some are shorter than the window.
+    */
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(2, 25)
+    texts <- Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.chooseNum(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))),
+      1 -> Gen.const(""))) // empty doc: 0 windows, 0 spans
+  } yield {
+    val withCopies = texts.zipWithIndex.map { case (t, i) =>
+      if (i > 0 && i % 4 == 0) texts(i - 1) else t // force exact copies
+    }
+    withCopies.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  /** The definition, single-pass: mark every position whose k-window
+    * occurs >= 2 times corpus-wide, merge overlapping/adjacent marks.
+    */
+  private def refSpans(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val occs = for {
+      (id, ts) <- toks
+      if ts.size >= K
+      i <- 0 to ts.size - K
+    } yield (id, i + 1L, ts.slice(i, i + K).mkString(" "))
+    val dupKeys = occs.groupBy(_._3).filter(_._2.size >= 2).keySet
+    toks.map { case (id, _) =>
+      val ps = occs.filter(o => o._1 == id && dupKeys(o._3)).map(_._2).sorted
+      var spans = 0L; var dup = 0L
+      var curS = -1L; var curE = -2L
+      ps.foreach { p =>
+        if (p > curE + 1) {
+          if (curS >= 0) { spans += 1; dup += curE - curS + 1 }
+          curS = p; curE = p + K - 1
+        } else curE = math.max(curE, p + K - 1)
+      }
+      if (curS >= 0) { spans += 1; dup += curE - curS + 1 }
+      id -> (spans, dup)
+    }.toMap
+  }
+
+  test("property: q101 span counts match the single-pass reference on " +
+      "corpora with copies, adjacency, and sub-window docs") {
+    import spark.implicits._
+    forAll(genCorpus) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("dupspan").toString
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.MixQueries.q101_dup_spans(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(1)))
+        .toMap
+      val want = refSpans(docs)
+      assert(got.keySet === docs.map(_._1).toSet, "every doc must appear")
+      docs.foreach { case (id, _) =>
+        val (spans, dupToks, ppm, nToks) = got(id)
+        assert((spans, dupToks) === want(id),
+          s"doc $id: got ($spans,$dupToks), reference ${want(id)}")
+        assert(ppm === 1000000L * dupToks / math.max(nToks, 1L),
+          s"doc $id: ppm arithmetic drifted")
+        assert(dupToks <= nToks)
+      }
+    }
+  }
+}
