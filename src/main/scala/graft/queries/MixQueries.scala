@@ -117,21 +117,34 @@ object MixQueries {
     * oracle parity; at 100 TB swap in xxhash64(sh) — 8-byte keys, same
     * plan. All arithmetic is integer (hash-exact across engines).
     */
-  val q101_dup_spans: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val k = 5
-    val docs = Tables.documents(s, d)
+  /** The positional k-shingle occurrence relation (doc_id, p, sh) shared
+    * by q101/q102 — materialized once (checkpointMode tier) because both
+    * consumers reference it twice (the duplicate count and the position
+    * join-back). The size(ws) >= k guard comes BEFORE sequence(): Spark's
+    * sequence(1, stop) runs DESCENDING for stop < 1, which would
+    * fabricate positions on short docs.
+    */
+  private def shingleOcc(docs: DataFrame, k: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col("text"))
-    // guard BEFORE sequence(): Spark's sequence(1, stop) runs DESCENDING
-    // for stop < 1, which would fabricate positions on short docs
-    val occ = docs
+    graft.ops.TextDedup.maybeMaterialize(docs
       .filter(size(ws) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(ws) - (k - 1)),
           i => concat_ws(" ", slice(ws, i, lit(k))))).as(Seq("i0", "sh")))
-      .select(col("doc_id"), (col("i0") + 1).as("p"), col("sh"))
-    val dup = occ.groupBy("sh").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), (col("i0") + 1).as("p"), col("sh")))
+  }
+
+  /** Corpus-wide duplicated k-shingle keys over [[shingleOcc]]. */
+  private def dupShingles(occ: DataFrame): DataFrame =
+    occ.groupBy("sh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("sh")
+
+  val q101_dup_spans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val occ = shingleOcc(docs, k)
+    val dup = dupShingles(occ)
     val wPrev = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("p")
@@ -197,13 +210,88 @@ object MixQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q102 — duplicated-span REMOVAL: the transform q101 audits. Every
+    * token position covered by a corpus-duplicated k-window is excised;
+    * surviving tokens reassemble position-sorted into the cleaned text
+    * (the q94 reassembly pattern — the one corpus-keyed shuffle is the
+    * per-doc aggregate, proportional to output). A fully-duplicated doc
+    * comes back empty rather than disappearing, so the drop decision
+    * stays with the caller. Covered positions expand each duplicated
+    * window into its k token slots (×k fan-out, then distinct) — bounded
+    * by k·duplicated-windows, never the corpus.
+    */
+  val q102_dup_span_removal: Q = (s, d) => {
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val occ = shingleOcc(docs, k)
+    val covered = occ.join(dupShingles(occ), Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("tp"))
+      .distinct()
+    val ws = TextAnalysis.tokens(col("text"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("tp"), col("tok"))
+      .filter(length(col("tok")) > 0)
+    val cleaned = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("ct"))
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val q102Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS p, array_to_string(ws[i:i+4], ' ') AS sh
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 4)) AS i
+      |        FROM t WHERE len(ws) >= 5)),
+      |dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, tp FROM (
+      |    SELECT doc_id, unnest(generate_series(p, p + 4)) AS tp
+      |    FROM occ WHERE sh IN (SELECT sh FROM dup))),
+      |tok AS (
+      |  SELECT doc_id, i AS tp, ws[i] AS tok
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      |        FROM t)
+      |  WHERE len(ws[i]) > 0),
+      |kept AS (
+      |  SELECT k.doc_id, k.tp, k.tok
+      |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+      |  WHERE c.tp IS NULL),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS kept,
+      |    array_to_string(list(tok ORDER BY tp), ' ') AS ct
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+      |    AS n_toks,
+      |  CAST(COALESCE(pd.kept, 0) AS BIGINT) AS n_kept_tokens,
+      |  COALESCE(pd.ct, '') AS clean_text
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
-    "q101_dup_spans" -> q101_dup_spans)
+    "q101_dup_spans" -> q101_dup_spans,
+    "q102_dup_span_removal" -> q102_dup_span_removal)
 
   val oracleSql: Map[String, String] = Map(
     "q99_temperature_mix" -> q99Sql,
     "q100_shuffle_pack" -> q100Sql,
-    "q101_dup_spans" -> q101Sql)
+    "q101_dup_spans" -> q101Sql,
+    "q102_dup_span_removal" -> q102Sql)
 }

@@ -73,6 +73,56 @@ class DupSpanSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** Reference removal: drop every position covered by a duplicated
+    * window, keep the rest in order.
+    */
+  private def refClean(docs: Seq[(Long, String)]): Map[Long, String] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val occs = for {
+      (id, ts) <- toks
+      if ts.size >= K
+      i <- 0 to ts.size - K
+    } yield (id, i + 1, ts.slice(i, i + K).mkString(" "))
+    val dupKeys = occs.groupBy(_._3).filter(_._2.size >= 2).keySet
+    toks.map { case (id, ts) =>
+      val covered = occs
+        .filter(o => o._1 == id && dupKeys(o._3))
+        .flatMap(o => o._2 to o._2 + K - 1).toSet
+      id -> ts.zipWithIndex.collect {
+        case (tok, i) if !covered(i + 1) => tok
+      }.mkString(" ")
+    }.toMap
+  }
+
+  test("property: q102 removal matches the reference, and q101 + q102 " +
+      "tile every doc (dup + kept = total tokens)") {
+    import spark.implicits._
+    forAll(genCorpus) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("dupclean").toString
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val audit = graft.queries.MixQueries.q101_dup_spans(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val removed = graft.queries.MixQueries.q102_dup_span_removal(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      val want = refClean(docs)
+      docs.foreach { case (id, text) =>
+        val (kept, clean) = removed(id)
+        assert(clean === want(id), s"doc $id cleaned text diverged")
+        assert(kept === want(id).split("\\s+").count(_.nonEmpty))
+        // the audit's duplicated tokens and the removal's kept tokens
+        // must tile the doc exactly (every token is non-empty here)
+        if (text.trim.nonEmpty) {
+          val (nToks, dupToks) = audit(id)
+          assert(dupToks + kept === nToks,
+            s"doc $id: dup $dupToks + kept $kept != total $nToks")
+        }
+      }
+    }
+  }
+
   test("property: q101 span counts match the single-pass reference on " +
       "corpora with copies, adjacency, and sub-window docs") {
     import spark.implicits._
