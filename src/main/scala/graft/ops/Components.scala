@@ -144,4 +144,50 @@ object Components {
       .join(e.select(col("src").as("id"), col("dst").as("c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
   }
+
+  /** INCREMENTAL merge: fold a new batch's edges into a STANDING
+    * component labeling without re-running CC over the corpus — the
+    * daily-ingest shape at 100 TB, where the standing labels are a stored
+    * table and only the day's quotient graph iterates.
+    *
+    * Standing endpoints collapse to their component ids, so the CC runs
+    * on the QUOTIENT graph of (new nodes + touched components) — sized by
+    * the day's edges, never the corpus. Because a component's id IS its
+    * minimum member id, minima compose: the quotient fixpoint's labels
+    * equal the full recompute's labels exactly (q103 oracle-checks this
+    * equivalence end-to-end; IncrementalCCSpec pins it on random graphs).
+    *
+    * @param standing ("id", "component") fixpoint labels of the standing
+    *                 corpus (component = min member id, the invariant
+    *                 [[connectedComponents]] guarantees)
+    * @param newNodes ("id") the new batch (disjoint from standing ids)
+    * @param edges    ("id_a", "id_b") pairs touching the new batch
+    *                 (new×new or new×standing; standing×standing edges
+    *                 are legal and merge standing components)
+    * @return ("id", "component") for standing ∪ new
+    */
+  def mergeIncremental(standing: DataFrame, newNodes: DataFrame,
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sLab = standing.select(col("id").as("sid"), col("component").as("scomp"))
+    val mapped = edges
+      .join(sLab.select(col("sid").as("id_a"), col("scomp").as("ca")),
+        Seq("id_a"), "left")
+      .join(sLab.select(col("sid").as("id_b"), col("scomp").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+    val qNodes = newNodes.select(col("id"))
+      .unionByName(mapped.select(col("id_a").as("id")))
+      .unionByName(mapped.select(col("id_b").as("id")))
+      .distinct()
+    val quotient = connectedComponents(qNodes, mapped, maxIter)
+    val merged = quotient.select(col("id").as("component"),
+      col("component").as("relabel"))
+    val standingOut = standing.join(merged, Seq("component"), "left")
+      .select(col("id"), coalesce(col("relabel"), col("component")).as("component"))
+    val newOut = newNodes.select(col("id"))
+      .join(quotient.withColumnRenamed("component", "relabel"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("relabel"), col("id")).as("component"))
+    standingOut.unionByName(newOut)
+  }
 }

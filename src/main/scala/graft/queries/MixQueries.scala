@@ -283,15 +283,75 @@ object MixQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q103 — INCREMENTAL dedup-group maintenance: a 5% "new batch" folds
+    * into the STANDING corpus's component labels via
+    * Components.mergeIncremental — standing endpoints collapse to their
+    * component ids and CC iterates only the QUOTIENT graph (new docs +
+    * touched components), sized by the day's pairs, never the corpus.
+    * The oracle is the FULL recursive-CTE recompute over all docs, so
+    * the driver hash-checks the incremental algebra ≡ batch recompute —
+    * the invariant that lets a 100 TB deployment keep dedup groups as a
+    * stored table and pay per-batch cost daily. (In-query the standing
+    * labels are derived too — a standalone query has no stored state —
+    * but only the quotient CC touches the new edges.) Pairs are
+    * MinHash-LSH with exact verification (q19/q96's tiers: precision
+    * exact by construction, recall deterministically 1 on this corpus).
+    */
+  val q103_incremental_cc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 20 === 0
+    val newDocs = docs.filter(isNew)
+    val standingDocs = docs.filter(!isNew)
+    val standingPairs = graft.ops.TextDedup.minhashLshPairs(
+        standingDocs, "doc_id", "text",
+        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b")
+    val standing = graft.ops.Components.connectedComponents(
+      standingDocs.select(col("doc_id").as("id")), standingPairs)
+    val newPairs = graft.ops.TextDedup.minhashLshPairsIncremental(
+        newDocs, standingDocs, "doc_id", "text",
+        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.ops.Components.mergeIncremental(
+        standing, newDocs.select(col("doc_id").as("id")), newPairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val q103Sql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS doc_id, min(dst) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
     "q101_dup_spans" -> q101_dup_spans,
-    "q102_dup_span_removal" -> q102_dup_span_removal)
+    "q102_dup_span_removal" -> q102_dup_span_removal,
+    "q103_incremental_cc" -> q103_incremental_cc)
 
   val oracleSql: Map[String, String] = Map(
     "q99_temperature_mix" -> q99Sql,
     "q100_shuffle_pack" -> q100Sql,
     "q101_dup_spans" -> q101Sql,
-    "q102_dup_span_removal" -> q102Sql)
+    "q102_dup_span_removal" -> q102Sql,
+    "q103_incremental_cc" -> q103Sql)
 }
