@@ -277,6 +277,18 @@ object TextDedup {
       threshold: Double): DataFrame = {
     val shNew = maybeMaterialize(shingleRelation(newDf, idCol, textCol, lit(""), n))
     val shStand = shingleRelation(standingDf, idCol, textCol, lit(""), n)
+    minhashLshPairsIncrementalFromShingles(shNew, shStand, numHashes, bands,
+      threshold)
+  }
+
+  /** The incremental tier over prebuilt shingle relations — for pipelines
+    * that already hold the standing corpus's (materialized) shingles,
+    * e.g. q103's standing-CC + incremental-merge pair, which pays the
+    * standing scan+shingle cost once for both tiers.
+    */
+  def minhashLshPairsIncrementalFromShingles(shNew: DataFrame,
+      shStand: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val bNew = bandedKeys(shNew, numHashes, bands)
     val bStand = bandedKeys(shStand, numHashes, bands)
     val cross = bNew.select(col("id").as("new_id"), col("band"), col("bucket"))

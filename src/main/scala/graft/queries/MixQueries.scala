@@ -298,19 +298,24 @@ object MixQueries {
     * exact by construction, recall deterministically 1 on this corpus).
     */
   val q103_incremental_cc: Q = (s, d) => {
+    import graft.ops.TextDedup
     val docs = Tables.documents(s, d)
     val isNew = col("doc_id") % 20 === 0
     val newDocs = docs.filter(isNew)
     val standingDocs = docs.filter(!isNew)
-    val standingPairs = graft.ops.TextDedup.minhashLshPairs(
-        standingDocs, "doc_id", "text",
-        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+    // one materialized shingle relation per corpus side serves BOTH pair
+    // tiers (standing×standing and the incremental candidates)
+    val shStand = TextDedup.maybeMaterialize(
+      TextDedup.shingleRelation(standingDocs, "doc_id", "text", lit(""), 3))
+    val shNew = TextDedup.maybeMaterialize(
+      TextDedup.shingleRelation(newDocs, "doc_id", "text", lit(""), 3))
+    val standingPairs = TextDedup.minhashLshPairsFromShingles(
+        shStand, numHashes = 48, bands = 8, threshold = 0.5)
       .select("id_a", "id_b")
     val standing = graft.ops.Components.connectedComponents(
       standingDocs.select(col("doc_id").as("id")), standingPairs)
-    val newPairs = graft.ops.TextDedup.minhashLshPairsIncremental(
-        newDocs, standingDocs, "doc_id", "text",
-        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+    val newPairs = TextDedup.minhashLshPairsIncrementalFromShingles(
+        shNew, shStand, numHashes = 48, bands = 8, threshold = 0.5)
       .select("id_a", "id_b")
     graft.ops.Components.mergeIncremental(
         standing, newDocs.select(col("doc_id").as("id")), newPairs)
