@@ -14,11 +14,19 @@ import org.apache.spark.sql.SparkSession
   * line (rounded to ms so it stays within the driver's captured tail) and
   * a full-precision per-query file, BENCH_LOCAL.json, written into the
   * repo so the artifact survives any stdout truncation.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * recorded time is the per-query MIN. A single-shot timer on a shared
+  * host conflates scheduler noise with plan cost (round 5 recorded
+  * q88/q97 at 2x their reproducible time); min-of-N measures the plan,
+  * not the host. The emitted JSON carries a "runs" field so readers know
+  * the discipline.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +37,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
+    def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -37,7 +45,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    exec("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
+    // Min over `runs` attempts; a failure (-1) on any attempt reports -1.
+    def exec(name: String): Double = {
+      val ts = (1 to runs).map(_ => execOnce(name))
+      if (ts.contains(-1.0)) -1.0 else ts.min
+    }
+
+    execOnce("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val total = results.map(_._2).sum
@@ -48,7 +62,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
 
     val outPath = java.nio.file.Paths.get(
@@ -61,6 +75,7 @@ object Bench {
          |  "metric": "total",
          |  "value": $total,
          |  "unit": "sec",
+         |  "runs": $runs,
          |  "sf": "$sfDir",
          |  "queries": {
          |$entries

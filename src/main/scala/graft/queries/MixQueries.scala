@@ -113,14 +113,17 @@ object MixQueries {
     * Scale shape: one shuffle groups shingle occurrences by content key
     * (map-side combine), a semi-join marks duplicated positions, and the
     * island windows partition per doc — bounded by document length,
-    * never corpus size. The join key here is the shingle STRING for
-    * oracle parity; at 100 TB swap in xxhash64(sh) — 8-byte keys, same
-    * plan. All arithmetic is integer (hash-exact across engines).
+    * never corpus size. The shingle string is hashed to an 8-byte
+    * xxhash64 key BEFORE any shuffle (same discipline as TextDedup's
+    * prefix keys), so an Exchange never carries k-token strings; the
+    * emitted columns are positional only, so the oracle is unaffected.
+    * All arithmetic is integer (hash-exact across engines).
     */
-  /** The positional k-shingle occurrence relation (doc_id, p, sh) shared
-    * by q101/q102 — materialized once (checkpointMode tier) because both
-    * consumers reference it twice (the duplicate count and the position
-    * join-back). The size(ws) >= k guard comes BEFORE sequence(): Spark's
+  /** The positional k-shingle occurrence relation (doc_id, p, shk) shared
+    * by q101/q102, where shk = xxhash64 of the k-token window —
+    * materialized once (checkpointMode tier) because both consumers
+    * reference it twice (the duplicate count and the position join-back).
+    * The size(ws) >= k guard comes BEFORE sequence(): Spark's
     * sequence(1, stop) runs DESCENDING for stop < 1, which would
     * fabricate positions on short docs.
     */
@@ -130,14 +133,15 @@ object MixQueries {
       .filter(size(ws) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(ws) - (k - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(k))))).as(Seq("i0", "sh")))
-      .select(col("doc_id"), (col("i0") + 1).as("p"), col("sh")))
+          i => xxhash64(concat_ws(" ", slice(ws, i, lit(k))))))
+          .as(Seq("i0", "shk")))
+      .select(col("doc_id"), (col("i0") + 1).as("p"), col("shk")))
   }
 
   /** Corpus-wide duplicated k-shingle keys over [[shingleOcc]]. */
   private def dupShingles(occ: DataFrame): DataFrame =
-    occ.groupBy("sh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("sh")
+    occ.groupBy("shk").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("shk")
 
   val q101_dup_spans: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -149,7 +153,7 @@ object MixQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val spans = occ.join(dup, Seq("sh"), "left_semi")
+    val spans = occ.join(dup, Seq("shk"), "left_semi")
       .withColumn("prev_end", max(col("p") + (k - 1)).over(wPrev))
       .withColumn("is_new",
         when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
@@ -224,7 +228,7 @@ object MixQueries {
     val k = 5
     val docs = Tables.documents(s, d)
     val occ = shingleOcc(docs, k)
-    val covered = occ.join(dupShingles(occ), Seq("sh"), "left_semi")
+    val covered = occ.join(dupShingles(occ), Seq("shk"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("tp"))
       .distinct()

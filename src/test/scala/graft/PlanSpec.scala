@@ -191,6 +191,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q101/q102: no shingle STRING ever reaches an Exchange — windows " +
+      "shuffle as 8-byte xxhash64 keys") {
+    // a k-token shingle string is ~10x the row's payload; shuffling it as
+    // a join/group key is the constant-factor the xxhash64 key removes.
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    // read-spread repartitions of the raw scan (RoundRobin, from
+    // Tables.documents) legitimately carry `text`; the contract is about
+    // KEY shuffles — hash/range exchanges that group, join, or sort.
+    // sparkPlan predates EnsureRequirements (no key exchanges yet) and
+    // AQE wraps executedPlan in a leaf node, so: AQE off, executedPlan —
+    // fully planned, never executed.
+    def keyExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+    spark.conf.set("spark.graft.eagerMaterialize", "false")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q101 is pure positional arithmetic: every key shuffle must be
+      // string-free end to end
+      val ex101 = keyExchanges(
+        graft.queries.MixQueries.q101_dup_spans(spark, sf))
+      assert(ex101.nonEmpty, "expected key shuffles in the span audit")
+      val strings101 = ex101.flatMap(_.output.filter(_.dataType == StringType))
+      assert(strings101.isEmpty,
+        s"q101 shuffles string columns: ${strings101.map(_.name)}")
+      // q102 reassembles text, so its per-doc aggregate legitimately
+      // shuffles `tok` (proportional to OUTPUT); the shingle relation
+      // itself must still shuffle hashed — no `sh` attribute anywhere
+      val ex102 = keyExchanges(
+        graft.queries.MixQueries.q102_dup_span_removal(spark, sf))
+      val stringNames102 =
+        ex102.flatMap(_.output.filter(_.dataType == StringType)).map(_.name)
+      assert(!stringNames102.contains("sh"),
+        s"q102 shuffles the raw shingle string")
+      assert(stringNames102.toSet.subsetOf(Set("tok", "ct", "clean_text")),
+        s"q102 shuffles unexpected strings: $stringNames102")
+    } finally {
+      spark.conf.unset("spark.graft.eagerMaterialize")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q91: the five-column profile runs as ONE scan of the table") {
     val plan = executedPlan(
       graft.queries.CurationQueries.q91_profile(spark, sf))
