@@ -35,11 +35,16 @@ object Materialize {
         p.count() // force now: fixpoint checks must read a stable snapshot
         p
       case "reliable" =>
+        // No silent fallback: a driver-local tmpdir is node-local storage,
+        // which voids exactly the executor-loss tolerance this tier is for.
+        val dir = spark.conf.getOption("spark.graft.checkpointDir")
+          .getOrElse(throw new IllegalArgumentException(
+            "checkpointMode=reliable requires spark.graft.checkpointDir " +
+              "to name a DFS-backed path (a local tmpdir would not " +
+              "survive executor loss)"))
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          sc.setCheckpointDir(spark.conf.get("spark.graft.checkpointDir",
-            sys.props("java.io.tmpdir") + "/graft-checkpoints"))
-        }
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case other => throw new IllegalArgumentException(
         s"spark.graft.checkpointMode must be local|persist|reliable, got '$other'")

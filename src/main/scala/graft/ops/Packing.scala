@@ -34,8 +34,8 @@ object Packing {
   /** @param counts    one row per doc, carrying at least (idCol, srcCol,
     *                  tokCol); idCol must be numeric and unique (packing
     *                  order is idCol asc); extra columns pass through
-    * @param seqLen    tokens per packed sequence (power of two keeps the
-    *                  long→double→floor division exact)
+    * @param seqLen    tokens per packed sequence (any positive value —
+    *                  placement math is long integer division throughout)
     * @param shardRows id-range width of one packing shard
     * @return the input columns + (seq_id, seq_offset)
     */
@@ -58,10 +58,13 @@ object Packing {
       .withColumn("_shard_base",
         coalesce(sum(col("_shard_toks")).over(wShard), lit(0L)))
       .select(col(srcCol), col("_shard"), col("_shard_base"))
+    // DIV, not `/`: Column./ is double division, whose long round-trip is
+    // only exact for power-of-two divisors under 2^53 — integer division
+    // is exact for ANY seqLen and corpus size
     local.join(broadcast(bases), Seq(srcCol, "_shard"))
       .withColumn("_cum_before", col("_shard_base") + col("_local_before"))
       .select(counts.columns.map(col) :+
-        (col("_cum_before") / seqLen).cast("long").as("seq_id") :+
+        expr(s"_cum_before DIV ${seqLen}L").as("seq_id") :+
         pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"): _*)
   }
 }

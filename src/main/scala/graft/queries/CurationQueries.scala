@@ -458,21 +458,26 @@ object CurationQueries {
     * aggregate keeps a 30-entry heap per source in the partial (map-side)
     * phase, so the shuffle carries ≤ 30·partitions rows per source — the
     * skew-proof shape when one source dominates the mix. Selection order
-    * is q92's: ascending md5, doc_id tiebreak — encoded as score =
-    * −(first 13 hex nibbles, 52 bits: exact in the aggregate's double
-    * score; fixed-width lowercase hex compares identically as string or
-    * number), so the oracle is LITERALLY q92's SQL and the driver
-    * hash-checks window ≡ aggregate end-to-end. Q92ParitySpec pins the
-    * same equivalence property-style on adversarial corpora.
+    * is q92's: ascending md5, doc_id tiebreak — encoded as TWO score
+    * levels, score = −(md5 nibbles 1–13) and score2 = −(nibbles 14–26)
+    * (each 52 bits: exact in the aggregate's double scores; fixed-width
+    * lowercase hex compares identically as string or number), so the two
+    * forms can only diverge from q92's full-hash ordering on a 104-bit
+    * hash-prefix collision (P < 10⁻⁷ even at 10¹² docs — nibbles 27–32
+    * stay uncompared, a documented residual, not an exact guarantee).
+    * The oracle is LITERALLY q92's SQL and the driver hash-checks
+    * window ≡ aggregate end-to-end. Q92ParitySpec pins the same
+    * equivalence property-style on adversarial corpora.
     */
   val q98_source_quota_agg: Q = (s, d) => {
-    val score = (lit(0L) -
-      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+    def negNibbles(from: Int): org.apache.spark.sql.Column = (lit(0L) -
+      conv(substring(md5(col("doc_id").cast("string")), from, 13), 16, 10)
         .cast("long")).cast("double")
     Tables.documents(s, d)
       .groupBy("source")
       .agg(graft.functions.TopKAggregate
-        .topKByScore(score, col("doc_id"), 30).as("top"))
+        .topKByScore(negNibbles(1), negNibbles(14), col("doc_id"), 30)
+        .as("top"))
       .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
       .select(col("e.id").as("doc_id"), col("source"),
         (col("i") + 1).cast("long").as("pick_rank"))

@@ -43,6 +43,17 @@ class MaterializeSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("reliable mode with no checkpointDir fails loudly — a driver-local " +
+      "tmpdir fallback would silently void executor-loss tolerance") {
+    spark.conf.set("spark.graft.checkpointMode", "reliable")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Materialize(spark.range(3).toDF())
+      }
+      assert(e.getMessage.contains("spark.graft.checkpointDir"))
+    } finally spark.conf.unset("spark.graft.checkpointMode")
+  }
+
   test("an unknown checkpointMode fails loudly, not silently") {
     spark.conf.set("spark.graft.checkpointMode", "turbo")
     try {

@@ -79,6 +79,13 @@ class PackingSpec extends AnyFunSuite {
         assert(runPack(rows, 2048L, shardRows) === expected,
           s"shardRows=$shardRows diverged from the reference pack")
       }
+      // NON-power-of-two seqLen: placement is long integer division, so
+      // any divisor must be exact (the old double-division form was only
+      // exact for power-of-two seqLen)
+      for (seqLen <- Seq(1000L, 7L)) {
+        assert(runPack(rows, seqLen, 3L) === refPack(rows, seqLen),
+          s"seqLen=$seqLen diverged from the reference pack")
+      }
     }
   }
 
