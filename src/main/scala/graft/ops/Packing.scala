@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,35 @@ import org.apache.spark.sql.functions._
   * skewed aggregation, applied to a prefix sum.
   */
 object Packing {
+
+  /** Deterministic global-shuffle key: the doc's md5 prefix in the high
+    * bits, its own id in the low `idBits` — so key order is a
+    * pseudo-random permutation (hash-prefix order) that stays
+    * collision-free BY CONSTRUCTION for any distinct in-range ids, with
+    * no global ranking step. The split is width-configurable: hash
+    * nibbles = (60 − idBits)/4, keeping every key under 2^61 (exact in a
+    * long, and in DuckDB's BIGINT for oracle parity). idBits=20 (the
+    * q100 default) gives 40 hash bits; a 10⁹-doc deployment passes
+    * idBits=32 and trades 12 hash bits for the wider id space.
+    *
+    * Out-of-range ids fail LOUDLY per row (raise_error inside the
+    * projection — one codegen'd comparison): a key collision would
+    * silently make packing placement run-dependent, which is exactly the
+    * byte-identical-feed guarantee this key exists to provide.
+    */
+  def shuffleKey(id: Column, idBits: Int = 20): Column = {
+    require(idBits >= 4 && idBits <= 56 && idBits % 4 == 0,
+      s"idBits must be a multiple of 4 in [4, 56], got $idBits")
+    val lim = 1L << idBits
+    val hashNibbles = (60 - idBits) / 4
+    val guard = when(id.cast("long") < 0 || id.cast("long") >= lim,
+      raise_error(format_string(
+        s"shuffleKey(idBits=$idBits) overflow: doc_id %s outside [0, $lim)" +
+          " — widen idBits", id.cast("long"))).cast("long"))
+      .otherwise(lit(0L))
+    conv(substring(md5(id.cast("string")), 1, hashNibbles), 16, 10)
+      .cast("long") * lit(lim) + id.cast("long") + guard
+  }
 
   /** @param counts    one row per doc, carrying at least (idCol, srcCol,
     *                  tokCol); idCol must be numeric and unique (packing

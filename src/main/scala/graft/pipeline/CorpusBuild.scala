@@ -123,9 +123,10 @@ object CorpusBuild {
   /** Stage 6: the train-feed — from a split-assigned corpus (the shape
     * [[run]] writes) to the actual training order: temperature-mix the
     * train split's sources (√-weights upweight small sources;
-    * [[Mixing]]), give every accepted doc a unique 60-bit shuffle key
-    * (40 md5 bits + its own id — unique while ids stay under 2^20;
-    * widen the bit split for a larger id space, per q100's note), and
+    * [[Mixing]]), give every accepted doc a unique shuffle key
+    * ([[Packing.shuffleKey]]: md5 prefix + its own id in the low
+    * `idBits`; out-of-range ids raise per-row instead of silently
+    * colliding and making placement run-dependent), and
     * place it into fixed-length token
     * sequences in key order via [[Packing]]'s hierarchical pack — no
     * global window, no driver-side data. Output: one row per accepted
@@ -133,14 +134,14 @@ object CorpusBuild {
     * across re-runs, so epoch order is auditable.
     */
   def trainFeed(corpus: DataFrame, targetDocs: Long,
-      seqLen: Long = 2048L, shardRows: Long = 1L << 52): DataFrame = {
+      seqLen: Long = 2048L, shardRows: Long = 1L << 52,
+      idBits: Int = 20): DataFrame = {
     val train = corpus.filter(col("split") === "train")
     val mixed = Mixing.sqrtTemperatureSample(
       train, "doc_id", "source", targetDocs)
     val keyed = mixed.select(
       col("doc_id"), col("source"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
-        .cast("long") * lit(1048576L) + col("doc_id")).as("skey"),
+      Packing.shuffleKey(col("doc_id"), idBits).as("skey"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
       lit("all").as("mix"))
     Packing.packSequences(keyed, "skey", "mix", "n_toks", seqLen, shardRows)

@@ -57,22 +57,22 @@ object MixQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   /** q100 — deterministic global shuffle + pack: the training-order step.
-    * Every doc gets a unique 60-bit shuffle key (40 md5 bits, then its
-    * own id in the low 20 bits — collision-free by construction while
-    * ids stay under 2^20; a larger id space widens the split, e.g.
-    * 28+32 bits, or keys as DECIMAL — the construction is unchanged),
-    * the corpus is packed into 2048-token sequences in KEY order, and
-    * the placement is ops.Packing's hierarchical pack over the key space
-    * (range shards of the hash domain; a constant mix column — packing
-    * is global here) — so the "globally shuffled epoch" never runs a
-    * global window: the per-shard prefix sums parallelize and the rebase
-    * window sees only shard-count rows.
+    * Every doc gets a unique shuffle key from [[Packing.shuffleKey]] —
+    * md5 prefix high, own id in the low `idBits` (width-configurable via
+    * `spark.graft.shuffleIdBits`, default 20 = a 60-bit key; out-of-range
+    * ids raise per-row rather than silently colliding), the corpus is
+    * packed into 2048-token sequences in KEY order, and the placement is
+    * ops.Packing's hierarchical pack over the key space (range shards of
+    * the hash domain; a constant mix column — packing is global here) —
+    * so the "globally shuffled epoch" never runs a global window: the
+    * per-shard prefix sums parallelize and the rebase window sees only
+    * shard-count rows.
     */
   val q100_shuffle_pack: Q = (s, d) => {
+    val idBits = s.conf.get("spark.graft.shuffleIdBits", "20").toInt
     val counts = Tables.documents(s, d)
       .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
-          .cast("long") * lit(1048576L) + col("doc_id")).as("skey"),
+        Packing.shuffleKey(col("doc_id"), idBits).as("skey"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
         lit("all").as("mix"))
     Packing.packSequences(counts, "skey", "mix", "n_toks",

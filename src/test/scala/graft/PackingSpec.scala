@@ -124,6 +124,46 @@ class PackingSpec extends AnyFunSuite {
     assert(got(6L) === ((4L, 0L)))   // 6144+1+2047 = 8192 → boundary again
   }
 
+  test("property: shuffleKey is collision-free and hash-ordered past the " +
+      "2^20 id boundary when idBits widens, and overflow raises per-row") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refKey(id: Long, idBits: Int): Long = {
+      val nibbles = (60 - idBits) / 4
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(nibbles)
+      java.lang.Long.parseLong(hex, 16) * (1L << idBits) + id
+    }
+    // ids straddling the 2^20 boundary the default split caps at
+    val genIds = Gen.listOfN(40, Gen.oneOf(
+      Gen.chooseNum(0L, (1L << 20) - 1),
+      Gen.chooseNum(1L << 20, (1L << 32) - 1)))
+    forAll(genIds, n = 4) { raw =>
+      val ids = raw.distinct
+      val got = ids.toDF("doc_id")
+        .select(col("doc_id"),
+          Packing.shuffleKey(col("doc_id"), idBits = 32).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exact construction match → collision-freedom and ordering follow
+      ids.foreach { id =>
+        assert(got(id) === refKey(id, 32), s"key($id) diverged from JVM md5")
+      }
+      assert(got.values.toSeq.distinct.size === ids.size, "key collision")
+      // key order == (hash prefix, id) order — the shuffled-epoch contract
+      val byKey = ids.sortBy(got)
+      val byHash = ids.sortBy(id => (refKey(id, 32) >> 32, id))
+      assert(byKey === byHash, "key order diverged from (hash, id) order")
+    }
+    // the default 20-bit split REFUSES ids past its boundary rather than
+    // silently colliding
+    val e = intercept[Exception] {
+      Seq(1L << 20).toDF("doc_id")
+        .select(Packing.shuffleKey(col("doc_id"), idBits = 20)).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")))
+  }
+
   test("property: the split arithmetic matches an independent JVM md5 " +
       "reference, buckets stay in [0,100), and labels follow 90/5/5") {
     import spark.implicits._
