@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -133,6 +133,188 @@ object CorpusBuild {
     * train doc with (skey, n_toks, seq_id, seq_offset); byte-identical
     * across re-runs, so epoch order is auditable.
     */
+  // ---------------------------------------------------------------------
+  // Stored-state incremental build: the production daily-ingest shape.
+  // ---------------------------------------------------------------------
+
+  /** Fold one new batch into a persisted corpus state so that N sequential
+    * [[ingestBatch]] calls produce EXACTLY the state one full [[run]] over
+    * the union would (CorpusBuildSpec pins this by property) — while each
+    * ingest pays per-batch cost: quality and exact-dedup probe the batch
+    * against a stored digest table, near-dup pairing is
+    * [[TextDedup.minhashLshPairsIncremental]] (new×standing + new×new
+    * bucket collisions only — the standing corpus is never re-paired),
+    * and the component fold is [[Components.mergeIncremental]]'s quotient
+    * CC (iterates over the day's edges + touched components, never the
+    * corpus).
+    *
+    * State layout (all parquet, DFS-friendly): `stateDir/gen=<k>/docs`
+    * (retained candidate docs — quality-passing exact-dedup survivors,
+    * full original columns), `/labels` (id, component), `/digests`
+    * (text_hash, keep_id), plus a `LATEST` pointer file
+    * (`<gen> <maxIngestedId>`). Each ingest reads gen k and writes
+    * gen k+1 — never overwriting what it reads, so a failed ingest
+    * leaves the previous generation intact (re-run the batch for exactly
+    * the same result: every step is deterministic).
+    *
+    * THE INGEST CONTRACT: batch ids must be strictly greater than every
+    * previously ingested id (checked against the stored max — violations
+    * fail loudly). Survivor identity is min-id-first (exact dedup keeps
+    * the smallest id per digest; a component's label is its minimum
+    * member), so an out-of-order smaller id could retroactively change
+    * survivors the state has already folded — append-only ids make every
+    * past decision final.
+    *
+    * @return the per-split manifest of the post-ingest corpus (same shape
+    *         as [[run]])
+    */
+  def ingestBatch(stateDir: String, newDocs: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val spark = newDocs.sparkSession
+    val state = readState(spark, stateDir, newDocs.schema)
+    // the append-only id contract, checked, not assumed
+    val minNew = newDocs.agg(min(col("doc_id"))).head()
+    if (!minNew.isNullAt(0) && state.maxId.exists(_ >= minNew.getLong(0)))
+      throw new IllegalArgumentException(
+        s"ingestBatch: batch min doc_id ${minNew.getLong(0)} <= stored max " +
+          s"${state.maxId.get}; ids must be append-only for incremental " +
+          "survivor decisions to be final")
+    val maxNew = newDocs.agg(max(col("doc_id"))).head()
+    val newMaxId = if (maxNew.isNullAt(0)) state.maxId.getOrElse(-1L)
+      else maxNew.getLong(0)
+
+    // stage 1-2 on the batch: quality floor, then exact dedup — first
+    // within the batch (min id per digest), then against the stored
+    // digest table (an existing digest's survivor is already in state)
+    val qualityPass = newDocs.join(
+      qualityFlags(newDocs, cfg)
+        .filter(col("len_ok") && col("tok_ok") && col("q_ok"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi") // semi keeps ALL original doc columns
+    val withDigest = qualityPass.withColumn("text_hash",
+      TextAnalysis.fingerprintMd5(col("text")))
+    val batchSurvivors = withDigest.join(
+        withDigest.groupBy("text_hash").agg(min(col("doc_id")).as("doc_id")),
+        Seq("text_hash", "doc_id"), "left_semi")
+    val retainedNew = TextDedup.maybeMaterialize(batchSurvivors
+      .join(state.digests.select("text_hash"), Seq("text_hash"), "left_anti"))
+
+    // stage 3 incrementally: batch-touching LSH pairs, quotient-CC merge
+    val newIds = retainedNew.select(col("doc_id").as("id"))
+    val pairs = TextDedup.minhashLshPairsIncremental(
+        retainedNew, state.docs, "doc_id", "text", n = cfg.shingleN,
+        numHashes = cfg.numHashes, bands = cfg.bands,
+        threshold = cfg.jaccardThreshold)
+      .select("id_a", "id_b")
+    val labels = Components.mergeIncremental(
+      state.labels, newIds, pairs, cfg.ccMaxIter)
+
+    // write gen k+1, then flip the pointer (pointer write is the commit)
+    val gen = state.gen.map(_ + 1).getOrElse(0)
+    val docsOut = state.docs.unionByName(retainedNew.drop("text_hash"))
+    val digestsOut = state.digests.unionByName(
+      retainedNew.select(col("text_hash"), col("doc_id").as("keep_id")))
+    docsOut.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/docs")
+    labels.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/labels")
+    digestsOut.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/digests")
+    writePointer(spark, stateDir, gen, newMaxId)
+    stateManifest(spark, stateDir)
+  }
+
+  /** The keep-list of the stored state: one survivor per component,
+    * longest text first then smallest id — [[survivors]]'s rule applied
+    * to the persisted docs+labels.
+    */
+  def stateSurvivors(spark: SparkSession, stateDir: String): DataFrame = {
+    val s = readState(spark, stateDir, null)
+    Dedupe.firstRowPerKey(
+        s.labels.join(
+          s.docs.select(col("doc_id").as("id"), col("text")), "id"),
+        keys = Seq("component"),
+        order = Seq(length(col("text")).desc, col("id")))
+      .select(col("id").as("doc_id"))
+  }
+
+  /** Split-assigned corpus snapshot of the stored state — the same shape
+    * [[run]] materializes (all original columns + split).
+    */
+  def stateCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val s = readState(spark, stateDir, null)
+    s.docs.join(stateSurvivors(spark, stateDir), Seq("doc_id"), "left_semi")
+      .withColumn("split", Splits.split(col("doc_id")))
+  }
+
+  /** Per-split manifest of the stored state (the [[run]] rollup shape). */
+  def stateManifest(spark: SparkSession, stateDir: String): DataFrame =
+    stateCorpus(spark, stateDir)
+      .select(col("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+
+  private final case class State(gen: Option[Int], maxId: Option[Long],
+      docs: DataFrame, labels: DataFrame, digests: DataFrame)
+
+  /** Read the latest state generation; `docSchema` shapes the empty
+    * bootstrap frames when no state exists yet (pass null only when state
+    * is known to exist).
+    */
+  private def readState(spark: SparkSession, stateDir: String,
+      docSchema: org.apache.spark.sql.types.StructType): State =
+    readPointer(spark, stateDir) match {
+      case Some((gen, maxId)) => State(Some(gen), Some(maxId),
+        spark.read.parquet(s"$stateDir/gen=$gen/docs"),
+        spark.read.parquet(s"$stateDir/gen=$gen/labels"),
+        spark.read.parquet(s"$stateDir/gen=$gen/digests"))
+      case None =>
+        require(docSchema != null, s"no corpus state at $stateDir")
+        import org.apache.spark.sql.types._
+        def empty(schema: StructType) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        State(None, None, empty(docSchema),
+          empty(StructType(Seq(StructField("id", LongType),
+            StructField("component", LongType)))),
+          empty(StructType(Seq(StructField("text_hash", StringType),
+            StructField("keep_id", LongType)))))
+    }
+
+  // The pointer file goes through the Hadoop FileSystem API, so the state
+  // dir can live on any DFS the cluster's checkpoint/warehouse dirs use.
+  private def pointerPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir, "LATEST")
+
+  private def fs(spark: SparkSession, stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(spark: SparkSession,
+      stateDir: String): Option[(Int, Long)] = {
+    val f = fs(spark, stateDir)
+    val p = pointerPath(stateDir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val Array(g, m) = line.split("\\s+")
+      Some((g.toInt, m.toLong))
+    }
+  }
+
+  private def writePointer(spark: SparkSession, stateDir: String,
+      gen: Int, maxId: Long): Unit = {
+    val f = fs(spark, stateDir)
+    val out = f.create(pointerPath(stateDir), true)
+    try out.write(s"$gen $maxId".getBytes("UTF-8")) finally out.close()
+  }
+
   def trainFeed(corpus: DataFrame, targetDocs: Long,
       seqLen: Long = 2048L, shardRows: Long = 1L << 52,
       idBits: Int = 20): DataFrame = {

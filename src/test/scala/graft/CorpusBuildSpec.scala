@@ -76,6 +76,48 @@ class CorpusBuildSpec extends AnyFunSuite {
       "manifest doc counts disagree with the keep-list")
   }
 
+  test("ingestBatch: N sequential ingests == one full build on the union " +
+      "(survivors, splits, manifest), and out-of-order ids are refused") {
+    val stateDir = java.nio.file.Files.createTempDirectory("corpus_state")
+      .resolve("state").toString
+    // three append-only batches partitioning the corpus by id range —
+    // near-dup clusters in the testdata span ranges, so later batches DO
+    // merge standing components through the quotient CC
+    val cuts = Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+    var lastManifest: Seq[org.apache.spark.sql.Row] = Nil
+    cuts.foreach { case (lo, hi) =>
+      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      lastManifest = CorpusBuild.ingestBatch(stateDir, batch).collect().toSeq
+    }
+    // survivors: exactly the full build's keep-list
+    val incKeep = CorpusBuild.stateSurvivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet
+    val fullKeep = CorpusBuild.survivors(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(incKeep === fullKeep,
+      s"incremental keep-list diverged: only-inc=${incKeep -- fullKeep} " +
+        s"only-full=${fullKeep -- incKeep}")
+    // split-assigned corpus snapshot: same rows as a full run would write
+    val incCorpus = CorpusBuild.stateCorpus(spark, stateDir)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val fullCorpus = docs
+      .join(CorpusBuild.survivors(docs), Seq("doc_id"), "left_semi")
+      .withColumn("split", graft.ops.Splits.split(col("doc_id")))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(incCorpus === fullCorpus)
+    // manifest: the last ingest's return equals the full build's manifest
+    val fullManifest = CorpusBuild.run(docs, None).collect().toSeq
+    assert(lastManifest === fullManifest)
+    // the append-only contract is checked, not assumed: re-ingesting an
+    // already-seen id range must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusBuild.ingestBatch(stateDir, docs.filter(col("doc_id") < 10))
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("trainFeed: train docs only, deterministic across re-runs, " +
       "canonical sequence placement, small sources upweighted") {
     val corpus = docs.withColumn("split",
