@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, MixQueries, PrepQueries}
+import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, MixQueries, PrepQueries, StorageQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
     CoreQueries.queries ++ ExtensionQueries.queries ++
       AnalyticsQueries.queries ++ CompletenessQueries.queries ++
       ExpansionQueries.queries ++ PrepQueries.queries ++
-      CurationQueries.queries ++ MixQueries.queries
+      CurationQueries.queries ++ MixQueries.queries ++
+      StorageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     CoreQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ CompletenessQueries.oracleSql ++
       ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
-      CurationQueries.oracleSql ++ MixQueries.oracleSql
+      CurationQueries.oracleSql ++ MixQueries.oracleSql ++
+      StorageQueries.oracleSql
 }
