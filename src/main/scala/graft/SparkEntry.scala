@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, MixQueries, PrepQueries, StorageQueries}
+import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, MixQueries, PrepQueries, StorageQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,7 +20,7 @@ object SparkEntry {
       AnalyticsQueries.queries ++ CompletenessQueries.queries ++
       ExpansionQueries.queries ++ PrepQueries.queries ++
       CurationQueries.queries ++ MixQueries.queries ++
-      StorageQueries.queries
+      StorageQueries.queries ++ TokenizerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +29,5 @@ object SparkEntry {
       AnalyticsQueries.oracleSql ++ CompletenessQueries.oracleSql ++
       ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
       CurationQueries.oracleSql ++ MixQueries.oracleSql ++
-      StorageQueries.oracleSql
+      StorageQueries.oracleSql ++ TokenizerQueries.oracleSql
 }
