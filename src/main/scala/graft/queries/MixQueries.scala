@@ -143,17 +143,19 @@ object MixQueries {
     occ.groupBy("shk").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("shk")
 
-  val q101_dup_spans: Q = (s, d) => {
+  /** Per-doc maximal-span aggregate over a positional occurrence relation:
+    * positions whose key is in `dup` merge into maximal islands
+    * (overlap/adjacency), yielding (doc_id, spans, dup_toks). The windows
+    * partition per doc — bounded by document length, never corpus size.
+    * Shared by q101 (full audit) and q106 (incremental audit).
+    */
+  private def spanAgg(occ: DataFrame, dup: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 5
-    val docs = Tables.documents(s, d)
-    val occ = shingleOcc(docs, k)
-    val dup = dupShingles(occ)
     val wPrev = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val spans = occ.join(dup, Seq("shk"), "left_semi")
+    occ.join(dup, Seq("shk"), "left_semi")
       .withColumn("prev_end", max(col("p") + (k - 1)).over(wPrev))
       .withColumn("is_new",
         when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
@@ -161,9 +163,16 @@ object MixQueries {
       .withColumn("island", sum(col("is_new")).over(wRun))
       .groupBy("doc_id", "island")
       .agg(min(col("p")).as("s0"), max(col("p") + (k - 1)).as("e0"))
-    val perDoc = spans.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("spans"),
         sum(col("e0") - col("s0") + lit(1)).as("dup_toks"))
+  }
+
+  val q101_dup_spans: Q = (s, d) => {
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val occ = shingleOcc(docs, k)
+    val perDoc = spanAgg(occ, dupShingles(occ), k)
     docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -350,17 +359,73 @@ object MixQueries {
       |SELECT src AS doc_id, min(dst) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** q106 — INCREMENTAL duplicated-span maintenance (q103's pattern
+    * applied to q101): a 5% "new batch" folds into the STANDING corpus's
+    * span audit through a stored shingle-count table. Counts update
+    * ADDITIVELY (standing counts + batch counts — the standing TEXTS are
+    * never re-shingled at ingest time; in-query the standing relations
+    * are derived too, a standalone query having no stored state), and
+    * only three slices recompute islands: the new docs, and the standing
+    * docs TOUCHED by a key whose count crossed the ≥2 threshold because
+    * of the batch (standing count 1 + batch occurrence). Untouched
+    * standing docs keep their stored audit rows unchanged — sound
+    * because a standing doc contains no new-only key (its own occurrence
+    * would make the standing count ≥1) and crossed keys only live in
+    * touched docs, so the old and updated duplicate sets agree on every
+    * key the doc contains. The oracle is q101's FULL recompute over all
+    * documents, so the driver hash-checks incremental ≡ batch — the
+    * invariant that lets a daily ingest maintain the span audit at
+    * per-batch cost.
+    */
+  val q106_incremental_dup_spans: Q = (s, d) => {
+    import graft.ops.TextDedup
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 20 === 0
+    val occStd = shingleOcc(docs.filter(!isNew), k) // the "stored" occ rows
+    val occNew = shingleOcc(docs.filter(isNew), k)
+    val counts = TextDedup.maybeMaterialize(
+      occStd.groupBy("shk").agg(count(lit(1)).as("n_std"))
+        .join(occNew.groupBy("shk").agg(count(lit(1)).as("n_new")),
+          Seq("shk"), "full")
+        .select(col("shk"), coalesce(col("n_std"), lit(0L)).as("n_std"),
+          coalesce(col("n_new"), lit(0L)).as("n_new")))
+    val dupAll = counts.filter(col("n_std") + col("n_new") >= 2).select("shk")
+    val dupStdOld = counts.filter(col("n_std") >= 2).select("shk")
+    val crossed = counts
+      .filter(col("n_std") === 1 && col("n_new") >= 1).select("shk")
+    val touched = occStd.join(crossed, Seq("shk"), "left_semi")
+      .select("doc_id").distinct()
+    val perDoc = spanAgg(occStd, dupStdOld, k) // the "stored" audit table
+        .join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(spanAgg(
+        occStd.join(touched, Seq("doc_id"), "left_semi"), dupAll, k))
+      .unionByName(spanAgg(occNew, dupAll, k))
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"),
+        expr("(1000000 * coalesce(dup_toks, 0L)) DIV greatest(n_toks, 1L)")
+          .as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
     "q101_dup_spans" -> q101_dup_spans,
     "q102_dup_span_removal" -> q102_dup_span_removal,
-    "q103_incremental_cc" -> q103_incremental_cc)
+    "q103_incremental_cc" -> q103_incremental_cc,
+    "q106_incremental_dup_spans" -> q106_incremental_dup_spans)
 
   val oracleSql: Map[String, String] = Map(
     "q99_temperature_mix" -> q99Sql,
     "q100_shuffle_pack" -> q100Sql,
     "q101_dup_spans" -> q101Sql,
     "q102_dup_span_removal" -> q102Sql,
-    "q103_incremental_cc" -> q103Sql)
+    "q103_incremental_cc" -> q103Sql,
+    // the oracle IS the full recompute: incremental ≡ batch, hash-checked
+    "q106_incremental_dup_spans" -> q101Sql)
 }

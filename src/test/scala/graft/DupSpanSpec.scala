@@ -123,6 +123,26 @@ class DupSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("property: q106 incremental audit == q101 full recompute on " +
+      "corpora with copies crossing the batch boundary") {
+    import spark.implicits._
+    forAll(genCorpus) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("dupspaninc").toString
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // exact copies every 4th doc + batch = ids % 20 == 0 → duplicate
+      // keys regularly straddle the standing/new boundary, exercising
+      // the crossed-threshold (standing count 1 + batch occurrence) and
+      // touched-doc recompute paths
+      val full = graft.queries.MixQueries.q101_dup_spans(spark, dir)
+        .collect().map(_.toSeq)
+      val inc = graft.queries.MixQueries
+        .q106_incremental_dup_spans(spark, dir)
+        .collect().map(_.toSeq)
+      assert(inc === full, "incremental span audit diverged from batch")
+    }
+  }
+
   test("property: q101 span counts match the single-pass reference on " +
       "corpora with copies, adjacency, and sub-window docs") {
     import spark.implicits._
