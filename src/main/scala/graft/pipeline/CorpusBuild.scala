@@ -172,16 +172,21 @@ object CorpusBuild {
       cfg: Config = Config()): DataFrame = {
     val spark = newDocs.sparkSession
     val state = readState(spark, stateDir, newDocs.schema)
-    // the append-only id contract, checked, not assumed
-    val minNew = newDocs.agg(min(col("doc_id"))).head()
-    if (!minNew.isNullAt(0) && state.maxId.exists(_ >= minNew.getLong(0)))
+    // the append-only id contract, checked, not assumed — with one
+    // carve-out: a batch ENTIRELY at-or-below the stored max is a replay
+    // of an already-folded batch (streaming at-least-once redelivery
+    // after a crash between fold and offset commit) and skips as a
+    // no-op; a PARTIAL overlap is genuinely out-of-order data and fails.
+    val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (!bounds.isNullAt(1) && state.maxId.exists(_ >= bounds.getLong(1)))
+      return stateManifest(spark, stateDir) // idempotent replay skip
+    if (!bounds.isNullAt(0) && state.maxId.exists(_ >= bounds.getLong(0)))
       throw new IllegalArgumentException(
-        s"ingestBatch: batch min doc_id ${minNew.getLong(0)} <= stored max " +
+        s"ingestBatch: batch min doc_id ${bounds.getLong(0)} <= stored max " +
           s"${state.maxId.get}; ids must be append-only for incremental " +
           "survivor decisions to be final")
-    val maxNew = newDocs.agg(max(col("doc_id"))).head()
-    val newMaxId = if (maxNew.isNullAt(0)) state.maxId.getOrElse(-1L)
-      else maxNew.getLong(0)
+    val newMaxId = if (bounds.isNullAt(1)) state.maxId.getOrElse(-1L)
+      else bounds.getLong(1)
 
     // stage 1-2 on the batch: quality floor, then exact dedup — first
     // within the batch (min id per digest), then against the stored

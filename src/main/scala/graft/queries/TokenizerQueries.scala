@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis
 import graft.ops.Bpe
 
 /** Round-6 tokenizer-training surface: the q49/q93/q94/q95 tokenizer-prep
@@ -85,9 +86,79 @@ object TokenizerQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** q107 — count-statistics LM scoring: the data-quality signal a KenLM
+    * perplexity filter approximates, restated in INTEGER statistics so it
+    * is oracle-exact (log-probabilities are not correctly-rounded
+    * cross-engine; counts are): per doc, over its adjacent token bigrams
+    * — how many, their summed corpus-wide frequency, how many are
+    * corpus-hapax (frequency 1 = seen nowhere else), and an integer-ppm
+    * mean frequency. Low mean frequency + high hapax share = the
+    * improbable-text tail a perplexity filter would drop; the counts
+    * table is the trained "LM".
+    *
+    * Scale shape: one shuffle builds the bigram count table (map-side
+    * combined, 8-byte xxhash64 keys — the q101 discipline; the oracle
+    * groups the bigram STRINGS and hash-collisions are the same
+    * negligible risk adjudicated there); the per-doc join carries
+    * (doc_id, key) pairs; per-doc aggregation is partial+final. A doc's
+    * own occurrences count toward its bigrams' frequencies (no
+    * leave-one-out — documented, matches the oracle).
+    */
+  val q107_ngram_lm_score: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ws = TextAnalysis.tokens(col("text"))
+    val bigrams = graft.ops.TextDedup.maybeMaterialize(docs
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(ws) - 1),
+          i => xxhash64(concat_ws(" ", slice(ws, i, lit(2)))))).as("bk")))
+    val counts = bigrams.groupBy("bk").agg(count(lit(1)).as("n"))
+    val perDoc = bigrams.join(counts, "bk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("n")).as("sum_freq"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        expr("(1000000 * coalesce(sum_freq, 0L)) " +
+          "DIV greatest(coalesce(n_bigrams, 0L), 1L)").as("mean_freq_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q107Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(ws[i:i+1], ' ')
+      |            for i in generate_series(1, len(ws) - 1)]) AS b
+      |  FROM t WHERE len(ws) >= 2),
+      |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY b),
+      |pd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(n) AS BIGINT) AS sum_freq,
+      |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM bg JOIN c USING (b) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(pd.sum_freq, 0) AS BIGINT) AS sum_freq,
+      |  CAST(COALESCE(pd.n_hapax, 0) AS BIGINT) AS n_hapax,
+      |  CAST((1000000 * COALESCE(pd.sum_freq, 0))
+      |    // greatest(COALESCE(pd.n_bigrams, 0), 1) AS BIGINT)
+      |    AS mean_freq_ppm
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q105_bpe_merges" -> q105_bpe_merges)
+    "q105_bpe_merges" -> q105_bpe_merges,
+    "q107_ngram_lm_score" -> q107_ngram_lm_score)
 
   val oracleSql: Map[String, String] = Map(
-    "q105_bpe_merges" -> q105Sql)
+    "q105_bpe_merges" -> q105Sql,
+    "q107_ngram_lm_score" -> q107Sql)
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.CorpusBuild
+
+/** Streaming document ingest: the stored-state incremental corpus build
+  * ([[CorpusBuild.ingestBatch]]) driven by Structured Streaming — the
+  * production shape where "a batch" is whatever the file source delivers
+  * per micro-batch rather than a hand-scheduled daily job.
+  *
+  * Semantics stack (SURVEY §2.8's incremental contract, streaming-native):
+  *  - the FILE SOURCE + checkpoint gives exactly-once *file* accounting
+  *    (each lake file enters exactly one micro-batch, replayed only after
+  *    a crash between fold and offset commit);
+  *  - [[CorpusBuild.ingestBatch]] inside `foreachBatch` is REPLAY-
+  *    IDEMPOTENT: a batch entirely at-or-below the stored max id is the
+  *    at-least-once redelivery case and skips as a no-op, so
+  *    crash-recovery re-runs converge instead of double-folding or dying;
+  *  - a PARTIAL id overlap still fails loudly — that is out-of-order
+  *    data violating the append-only contract, not redelivery.
+  *
+  * Scale notes: per-micro-batch cost is ingestBatch's — proportional to
+  * the batch (digest probe, new-touching LSH candidates, quotient CC),
+  * never the standing corpus; state lives in the versioned parquet
+  * generations, NOT in Spark streaming state, so executor loss costs
+  * nothing and the stream can restart anywhere the state dir is visible.
+  */
+object DocStream {
+
+  /** File-source stream over a documents lake directory (the
+    * [[graft.queries.Tables.documents]] schema, schema-declared — no
+    * inference on a stream).
+    */
+  def readDocumentStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+
+  /** Fold every micro-batch into the stored corpus state; processes all
+    * currently-available files, then stops (Trigger.AvailableNow — the
+    * scheduled-ingest shape; pass a ProcessingTime trigger for a
+    * continuously-running daemon).
+    */
+  def ingestToState(docs: DataFrame, stateDir: String,
+      checkpointDir: String,
+      cfg: CorpusBuild.Config = CorpusBuild.Config(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          CorpusBuild.ingestBatch(stateDir, batch.toDF(), cfg)
+          () // manifest readout is pull-based (stateManifest), not pushed
+        }
+      }
+      .start()
+}

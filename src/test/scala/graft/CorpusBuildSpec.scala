@@ -110,10 +110,19 @@ class CorpusBuildSpec extends AnyFunSuite {
     // manifest: the last ingest's return equals the full build's manifest
     val fullManifest = CorpusBuild.run(docs, None).collect().toSeq
     assert(lastManifest === fullManifest)
-    // the append-only contract is checked, not assumed: re-ingesting an
-    // already-seen id range must fail loudly
+    // the append-only contract is checked, not assumed: a batch ENTIRELY
+    // below the stored max is at-least-once redelivery and skips as a
+    // no-op (unchanged manifest) …
+    val replayed = CorpusBuild
+      .ingestBatch(stateDir, docs.filter(col("doc_id") < 10))
+      .collect().toSeq
+    assert(replayed === lastManifest, "replay skip must leave state as-is")
+    // … while a PARTIAL overlap is genuinely out-of-order data and fails
+    val straddling = docs.filter(col("doc_id") >= 490)
+      .withColumn("doc_id",
+        when(col("doc_id") === 499, lit(600L)).otherwise(col("doc_id")))
     val e = intercept[IllegalArgumentException] {
-      CorpusBuild.ingestBatch(stateDir, docs.filter(col("doc_id") < 10))
+      CorpusBuild.ingestBatch(stateDir, straddling)
     }
     assert(e.getMessage.contains("append-only"))
   }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusBuild
+import graft.queries.Tables
+import graft.streaming.DocStream
+
+/** Streaming document ingest ≡ batch build: the file-source stream folds
+  * micro-batches through CorpusBuild.ingestBatch, and the resulting
+  * stored state must equal one full build over everything streamed —
+  * across stream RESTARTS (checkpoint picks up only new files) and
+  * redeliveries (replay-idempotent skip).
+  */
+class DocStreamSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("DocStreamSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamed ingest across restarts == one full batch build; " +
+      "restart with no new files is a no-op; replayed batch skips") {
+    val root = java.nio.file.Files.createTempDirectory("docstream")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+
+    // two id-monotone lake files, written BEFORE the first start so the
+    // oldest-first file order matches the append-only id contract
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200) // distinct mtimes: the source orders files by time
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    def runOnce(): Unit = {
+      val q = DocStream.ingestToState(
+        DocStream.readDocumentStream(spark, lake), state, ckpt)
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow stream failed to drain")
+      q.exception.foreach(e => fail(s"stream failed: $e"))
+    }
+    runOnce() // folds both files (one micro-batch each)
+
+    // restart with a NEW file: the checkpoint must deliver only it
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    runOnce()
+
+    val streamedKeep = CorpusBuild.stateSurvivors(spark, state)
+      .collect().map(_.getLong(0)).toSet
+    val fullKeep = CorpusBuild.survivors(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedKeep === fullKeep,
+      s"streamed state diverged: only-stream=${streamedKeep -- fullKeep} " +
+        s"only-batch=${fullKeep -- streamedKeep}")
+    val manifestBefore = CorpusBuild.stateManifest(spark, state)
+      .collect().toSeq
+    assert(manifestBefore === CorpusBuild.run(docs, None).collect().toSeq)
+
+    // restart with nothing new: no-op, state untouched
+    runOnce()
+    assert(CorpusBuild.stateManifest(spark, state).collect().toSeq
+      === manifestBefore)
+
+    // at-least-once redelivery: re-folding an already-folded id range
+    // must SKIP (return the unchanged manifest), not throw or double-fold
+    val replayed = CorpusBuild.ingestBatch(state,
+      docs.filter(col("doc_id") < 250))
+    assert(replayed.collect().toSeq === manifestBefore)
+  }
+}
