@@ -154,11 +154,126 @@ object TokenizerQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q108 — BPE corpus tokenization: apply q105's learned merge table to
+    * every document and read out per-doc whitespace-token vs BPE-symbol
+    * counts (the compression curve that justifies a vocab size). The doc
+    * is represented as its ␟-wrapped words joined by spaces, so the
+    * SAME literal replace chain that trained the merges applies them —
+    * merges cannot cross word boundaries (a pattern needs ␟␟ between
+    * symbols; the boundary is "␟ ␟") and symbol counting is
+    * separator-count/2. After the dict-scale merge learning, this is a
+    * PER-ROW projection: the corpus is scanned once, nothing shuffles,
+    * no token-dict join at all.
+    */
+  val q108_bpe_tokenize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dict = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = Bpe.learnMerges(dict, "word", "cnt", NumMerges)
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val S = Bpe.Sep
+    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val docRepr = array_join(
+      transform(words, w => concat(lit(S),
+        array_join(filter(split(w, ""), c => c =!= ""), S + S), lit(S))),
+      " ")
+    val folded = merges.foldLeft(docRepr) { case (acc, (a, b)) =>
+      call_function("replace", acc,
+        lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    val nSyms = ((length(folded) -
+      length(call_function("replace", folded, lit(S), lit("")))) / 2)
+      .cast("long")
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        nSyms.as("n_bpe_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_symbols"),
+        expr("(1000000 * n_bpe_symbols) DIV greatest(n_tokens, 1L)")
+          .as("expansion_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** q105's learn chain (b1..bN) + an apply chain: per doc, the same
+    * ␟-wrapped representation threads through the N replaces in rank
+    * order, then symbols = separator-count/2.
+    */
+  val q108Sql: String = {
+    def lhsOf(p: String) = s"string_split($p, chr(31))[1]"
+    def rhsOf(p: String) = s"string_split($p, chr(31))[2]"
+    val learnChain = (1 to NumMerges).map { r =>
+      val dPrev = s"d${r - 1}"
+      val dNext =
+        if (r == NumMerges) ""
+        else s""",
+          |d$r AS (
+          |  SELECT cnt, replace(s,
+          |      chr(31) || ${lhsOf("p")} || chr(31) || chr(31) ||
+          |        ${rhsOf("p")} || chr(31),
+          |      chr(31) || ${lhsOf("p")} || ${rhsOf("p")} || chr(31)) AS s
+          |  FROM $dPrev, b$r)""".stripMargin
+      s"""p$r AS (
+         |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest([l[i] || chr(31) || l[i+1]
+         |                        for i in generate_series(1, len(l)-1)]) AS p
+         |    FROM (SELECT cnt,
+         |            string_split(s[2:len(s)-1], chr(31) || chr(31)) AS l
+         |          FROM $dPrev))
+         |  GROUP BY p),
+         |b$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p LIMIT 1)$dNext"""
+        .stripMargin
+    }.mkString(",\n")
+    val applyChain = (1 to NumMerges).map { r =>
+      s"""t$r AS (
+         |  SELECT doc_id, n_tokens, replace(s,
+         |      chr(31) || ${lhsOf("p")} || chr(31) || chr(31) ||
+         |        ${rhsOf("p")} || chr(31),
+         |      chr(31) || ${lhsOf("p")} || ${rhsOf("p")} || chr(31)) AS s
+         |  FROM t${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+       |  SELECT cnt,
+       |    chr(31) || array_to_string(
+       |      [word[i] for i in generate_series(1, len(word))],
+       |      chr(31) || chr(31)) || chr(31) AS s
+       |  FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |      FROM documents)
+       |    WHERE len(word) > 0 GROUP BY word)),
+       |$learnChain,
+       |t0 AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    array_to_string(
+       |      [chr(31) || array_to_string(
+       |         [w[i] for i in generate_series(1, len(w))],
+       |         chr(31) || chr(31)) || chr(31)
+       |       for w in list_filter(string_split_regex(trim(text), '\\s+'),
+       |                            w -> len(w) > 0)],
+       |      ' ') AS s
+       |  FROM documents),
+       |$applyChain
+       |SELECT doc_id, n_tokens,
+       |  CAST((len(s) - len(replace(s, chr(31), ''))) // 2 AS BIGINT)
+       |    AS n_bpe_symbols,
+       |  CAST((1000000 * ((len(s) - len(replace(s, chr(31), ''))) // 2))
+       |    // greatest(n_tokens, 1) AS BIGINT) AS expansion_ppm
+       |FROM t$NumMerges
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
-    "q107_ngram_lm_score" -> q107_ngram_lm_score)
+    "q107_ngram_lm_score" -> q107_ngram_lm_score,
+    "q108_bpe_tokenize" -> q108_bpe_tokenize)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
-    "q107_ngram_lm_score" -> q107Sql)
+    "q107_ngram_lm_score" -> q107Sql,
+    "q108_bpe_tokenize" -> q108Sql)
 }
