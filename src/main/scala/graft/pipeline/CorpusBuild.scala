@@ -264,6 +264,32 @@ object CorpusBuild {
         sum(col("n_chars")).as("n_chars"))
       .orderBy("split")
 
+  /** Drop superseded state generations, keeping the newest `keep` (the
+    * pointer's generation is never deleted). Each ingest writes a full
+    * new generation, so old ones are pure rollback insurance — at lake
+    * scale this is the scheduled GC that bounds state storage at
+    * keep × corpus size.
+    *
+    * @return the generation numbers deleted
+    */
+  def pruneGenerations(spark: SparkSession, stateDir: String,
+      keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the live generation")
+    val current = readPointer(spark, stateDir).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    val f = fs(spark, stateDir)
+    val gens = f.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.drop(4).toInt }
+      .filter(_ <= current) // a concurrent writer's in-flight gen survives
+      .sorted
+    val doomed = gens.dropRight(keep)
+    doomed.foreach { g =>
+      f.delete(new org.apache.hadoop.fs.Path(stateDir, s"gen=$g"), true)
+    }
+    doomed.toSeq
+  }
+
   private final case class State(gen: Option[Int], maxId: Option[Long],
       docs: DataFrame, labels: DataFrame, digests: DataFrame)
 

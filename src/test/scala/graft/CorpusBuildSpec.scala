@@ -125,6 +125,14 @@ class CorpusBuildSpec extends AnyFunSuite {
       CorpusBuild.ingestBatch(stateDir, straddling)
     }
     assert(e.getMessage.contains("append-only"))
+    // generation GC: 3 ingests left gens 0-2; keep the live one only —
+    // the snapshot surfaces must keep working off the survivor
+    val deleted = CorpusBuild.pruneGenerations(spark, stateDir, keep = 1)
+    assert(deleted === Seq(0, 1))
+    assert(CorpusBuild.stateSurvivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === incKeep)
+    assert(CorpusBuild.pruneGenerations(spark, stateDir, keep = 1).isEmpty,
+      "a second prune must find nothing to delete")
   }
 
   test("trainFeed: train docs only, deterministic across re-runs, " +
