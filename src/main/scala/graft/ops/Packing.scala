@@ -69,8 +69,46 @@ object Packing {
     * @return the input columns + (seq_id, seq_offset)
     */
   def packSequences(counts: DataFrame, idCol: String, srcCol: String,
-      tokCol: String, seqLen: Long, shardRows: Long): DataFrame = {
-    require(seqLen > 0 && shardRows > 0, "seqLen and shardRows must be positive")
+      tokCol: String, seqLen: Long, shardRows: Long): DataFrame =
+    place(cumBefore(counts, idCol, srcCol, tokCol, shardRows),
+      counts.columns, seqLen)
+
+  /** INCREMENTAL pack: place an id-monotone batch as the CONTINUATION of
+    * an already-packed corpus, using a stored per-source token total
+    * (`baseTotals`: one row per source, `_base_toks`) instead of
+    * re-packing the standing corpus — the streaming-append shape of the
+    * training feed (per-batch cost, like [[graft.pipeline.CorpusBuild]]'s
+    * ingest tiers). Sources absent from `baseTotals` start at 0. Returns
+    * the batch's placements plus the UPDATED totals to store back; N
+    * sequential calls produce exactly the placements of one full
+    * [[packSequences]] over the concatenation (PackingSpec property) —
+    * provided batches respect the append-only id contract the caller's
+    * ingest pipeline already enforces.
+    */
+  def packSequencesIncremental(counts: DataFrame, idCol: String,
+      srcCol: String, tokCol: String, seqLen: Long, shardRows: Long,
+      baseTotals: DataFrame): (DataFrame, DataFrame) = {
+    val based = cumBefore(counts, idCol, srcCol, tokCol, shardRows)
+      // per-source scalar totals: broadcast-sized by construction
+      .join(broadcast(baseTotals), Seq(srcCol), "left")
+      .withColumn("_cum_before",
+        coalesce(col("_base_toks"), lit(0L)) + col("_cum_before"))
+    val placements = place(based, counts.columns, seqLen)
+    val newTotals = counts.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).as("_batch_toks"))
+      .join(baseTotals, Seq(srcCol), "full")
+      .select(col(srcCol),
+        (coalesce(col("_base_toks"), lit(0L)) +
+          coalesce(col("_batch_toks"), lit(0L))).as("_base_toks"))
+    (placements, newTotals)
+  }
+
+  /** The hierarchical running-total core: every input column plus
+    * `_cum_before` (tokens strictly before this doc within its source).
+    */
+  private def cumBefore(counts: DataFrame, idCol: String, srcCol: String,
+      tokCol: String, shardRows: Long): DataFrame = {
+    require(shardRows > 0, "shardRows must be positive")
     val sharded = counts.withColumn("_shard",
       floor(col(idCol) / shardRows).cast("long"))
     val wLocal = Window.partitionBy(col(srcCol), col("_shard"))
@@ -87,13 +125,20 @@ object Packing {
       .withColumn("_shard_base",
         coalesce(sum(col("_shard_toks")).over(wShard), lit(0L)))
       .select(col(srcCol), col("_shard"), col("_shard_base"))
-    // DIV, not `/`: Column./ is double division, whose long round-trip is
-    // only exact for power-of-two divisors under 2^53 — integer division
-    // is exact for ANY seqLen and corpus size
     local.join(broadcast(bases), Seq(srcCol, "_shard"))
       .withColumn("_cum_before", col("_shard_base") + col("_local_before"))
-      .select(counts.columns.map(col) :+
-        expr(s"_cum_before DIV ${seqLen}L").as("seq_id") :+
-        pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"): _*)
+  }
+
+  /** (seq_id, seq_offset) from `_cum_before`. DIV, not `/`: Column./ is
+    * double division, whose long round-trip is only exact for power-of-two
+    * divisors under 2^53 — integer division is exact for ANY seqLen and
+    * corpus size.
+    */
+  private def place(withCum: DataFrame, outCols: Seq[String],
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withCum.select(outCols.map(col) :+
+      expr(s"_cum_before DIV ${seqLen}L").as("seq_id") :+
+      pmod(col("_cum_before"), lit(seqLen)).as("seq_offset"): _*)
   }
 }

@@ -124,6 +124,37 @@ class PackingSpec extends AnyFunSuite {
     assert(got(6L) === ((4L, 0L)))   // 6144+1+2047 = 8192 → boundary again
   }
 
+  test("property: N incremental pack batches == one full pack over the " +
+      "concatenation, with totals threading through stored state") {
+    import spark.implicits._
+    forAll(genCorpus, n = 5) { rows =>
+      val full = refPack(rows, 2048L)
+      // cut the id-sorted corpus into up to 3 append-only (id-range)
+      // batches — the ingest contract incremental packing rides on
+      val sorted = rows.sortBy(_._1)
+      val cuts = sorted.grouped(math.max(1, (sorted.size + 2) / 3)).toSeq
+      var totals = Seq.empty[(String, Long)].toDF("source", "_base_toks")
+      val placed = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      cuts.foreach { batch =>
+        val (p, t) = Packing.packSequencesIncremental(
+          batch.toDF("doc_id", "source", "n_toks"),
+          "doc_id", "source", "n_toks", 2048L, 7L, totals)
+        p.collect().foreach(r =>
+          placed(r.getLong(0)) = (r.getLong(3), r.getLong(4)))
+        totals = t
+        totals.collect() // force: totals must be consumable as plain data
+      }
+      assert(placed.toMap === full,
+        "incremental placements diverged from the full pack")
+      // stored totals after the last batch = per-source corpus totals
+      val gotTotals = totals.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantTotals = rows.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap
+      assert(gotTotals === wantTotals)
+    }
+  }
+
   test("property: shuffleKey is collision-free and hash-ordered past the " +
       "2^20 id boundary when idBits widens, and overflow raises per-row") {
     import spark.implicits._
