@@ -264,6 +264,181 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the memory-bound third scale tier: inverted lists from the
+    * coarse quantizer (as [[ivfTopK]]) plus PRODUCT-QUANTIZED residuals
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search" —
+    * public literature). Each vector stores its list id + `pqSubs` byte
+    * codes + two scalars (exact norm, centroid projection) instead of
+    * `dim` floats, so a 100 TB embedding corpus's index fits
+    * ~dim·4/pqSubs× less memory; scoring a candidate is `pqSubs` table
+    * lookups (ADC) instead of a `dim`-wide dot product.
+    *
+    * Two-stage search keeps the OUTPUT exact-scored: ADC approximate
+    * cosines shortlist `rerank·k` candidates per query via the k-bounded
+    * [[graft.functions.TopKAggregate]] (map-side heaps — the shortlist
+    * never rides a corpus-scale window), then ONLY the shortlist joins
+    * back to true vectors for exact rounded cosines and the final top-k.
+    * Emitted cosines are therefore bit-identical to the exact tier's for
+    * the same pairs — the q88 gate property; PQ approximation affects
+    * RECALL only (spec-tested against the exact tier).
+    *
+    * Codebooks train driver-side on the same deterministic sample as the
+    * coarse quantizer (standard practice; the corpus never collects):
+    * per subspace, plain k-means on residuals with deterministic init.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 2,
+      pqSubs: Int = 8, pqK: Int = 16, rerank: Int = 4,
+      sampleSize: Int = 512, iters: Int = 5): DataFrame = {
+    require(dim % pqSubs == 0, s"dim=$dim must divide into pqSubs=$pqSubs")
+    val subDim = dim / pqSubs
+    val sample = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+      .filter(v => v.exists(_ != 0d))
+    if (sample.isEmpty) {
+      return corpus.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0d).as("cos"), lit(1).as("rank"))
+        .limit(0)
+    }
+    val centroids = sphericalKMeans(sample, nClusters, iters)
+    // PROJECTION residual: r = v − (v·c)c against the assigned unit
+    // centroid, with the scalar v·c stored per vector. Embeddings are not
+    // unit-norm, so the plain difference v − c is nearly v itself and PQ
+    // error swamps score gaps; the orthogonal residual is the small part.
+    // dot(q, v) = (v·c)·dot(q, c) + dot(q, r) EXACTLY — ADC only
+    // approximates the residual term.
+    def assign(v: Array[Double]): Int = centroids.indices.maxBy { j =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * centroids(j)(i); i += 1 }
+      s
+    }
+    val residuals = sample.map { v =>
+      val c = centroids(assign(v))
+      var vc = 0.0
+      var i = 0
+      while (i < v.length) { vc += v(i) * c(i); i += 1 }
+      v.indices.map(i => v(i) - vc * c(i)).toArray
+    }
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until pqSubs).map { s =>
+      val subs = residuals.map(_.slice(s * subDim, (s + 1) * subDim))
+      euclideanKMeans(subs, pqK, iters)
+    }
+
+    def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, j) =>
+        struct(dot(v, array(c.map(lit).toIndexedSeq: _*)).as("d"),
+          lit(j).as("j"))
+    }
+    val centroidLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
+
+    // ---- index side: list id + projection scalar + stored norm +
+    // pqSubs codes (no vector) --
+    val withCluster = vecs.withColumn("cluster",
+      sort_array(array(centroidDots(col("v")): _*), asc = false)(0)
+        .getField("j"))
+      .withColumn("vc",
+        dot(col("v"), element_at(centroidLit, col("cluster") + 1)))
+    val resid = zip_with(col("v"),
+      element_at(centroidLit, col("cluster") + 1),
+      (a, b) => a - col("vc") * b)
+    // argmin ||sub − e||² ⇔ argmax dot(sub, e) − ||e||²/2 (||e||² literal)
+    def codeFor(s: Int): Column = {
+      val entries = codebooks(s).zipWithIndex.map { case (e, j) =>
+        val half = e.map(x => x * x).sum / 2
+        struct((dot(slice(resid, s * subDim + 1, subDim),
+          array(e.map(lit).toIndexedSeq: _*)) - lit(half)).as("d"),
+          lit(j).as("j"))
+      }
+      sort_array(array(entries: _*), asc = false)(0).getField("j")
+    }
+    val indexed = withCluster.select(
+      Seq(col("id").as("neighbor_id"), col("nrm").as("cn"), col("cluster"),
+        col("vc")) ++
+        (0 until pqSubs).map(s => codeFor(s).as(s"c$s")): _*)
+
+    // ---- query side: nProbe lists + per-subspace ADC lookup tables ----
+    def lutFor(s: Int): Column = array(codebooks(s).map(e =>
+      dot(slice(col("qv"), s * subDim + 1, subDim),
+        array(e.map(lit).toIndexedSeq: _*))): _*)
+    val probes = vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(sort_array(array(centroidDots(col("v")): _*),
+          asc = false), 1, nProbe)).as("p"))
+      .select(Seq(col("query_id"), col("qn"), col("p.j").as("cluster"),
+        // dot(q, coarse centroid) rides along from the probe ranking
+        col("p.d").as("dq")) ++
+        (0 until pqSubs).map(s => lutFor(s).as(s"lut$s")): _*)
+
+    // ---- ADC shortlist: approx cos via pqSubs lookups, k-bounded agg --
+    val adc = (0 until pqSubs).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s").cast("int") + 1))
+      .reduce(_ + _)
+    val approx = probes.join(indexed, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        ((col("vc") * col("dq") + adc) / (col("qn") * col("cn")))
+          .as("approx_cos"),
+        col("neighbor_id"))
+    val shortlist = approx.groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("approx_cos"), col("neighbor_id"), rerank * k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+
+    // ---- exact re-rank of the shortlist only ----
+    val exact = shortlist
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9)
+          .as("cos"))
+    if (k == 1) top1ByCos(exact)
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  /** Driver-side plain k-means (Euclidean) for the PQ codebooks:
+    * deterministic init (first k sample points), empty clusters keep
+    * their previous centroid.
+    */
+  private[ops] def euclideanKMeans(points: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Array[Double]] = {
+    if (points.isEmpty) return Seq.fill(k)(new Array[Double](0))
+    var cents = (0 until k).map(i => points(i % points.length).clone()).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](points.head.length))
+      val counts = new Array[Int](cents.length)
+      points.foreach { p =>
+        val best = cents.indices.minBy { j =>
+          var s = 0.0; var i = 0
+          while (i < p.length) {
+            val d = p(i) - cents(j)(i); s += d * d; i += 1
+          }
+          s
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cents.toIndexedSeq
+  }
+
   /** Driver-side spherical k-means on a sample: deterministic init (first K
     * sample points), assignments by max dot over normalized centroids.
     */

@@ -260,6 +260,10 @@ object CurationQueries {
           k = 1, dim = 64)
         .select(lit("ivf").as("tier"), col("query_id"), col("neighbor_id"),
           col("cos")))
+      .unionByName(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          k = 1, dim = 64)
+        .select(lit("ivfpq").as("tier"), col("query_id"),
+          col("neighbor_id"), col("cos")))
       .unionByName(Similarity.nearDupFromScored(scored, threshold = 0.3)
         .select(lit("neardup").as("tier"), col("id_a").as("query_id"),
           col("id_b").as("neighbor_id"), col("cos")))

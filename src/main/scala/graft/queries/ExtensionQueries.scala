@@ -345,8 +345,20 @@ object ExtensionQueries {
         k = 1, dim = 64)
       .orderBy("query_id")
 
+  /** q109 — IVF-PQ approximate top-1 (the memory-bound tier: byte codes +
+    * ADC shortlist, exact re-rank — see Similarity.ivfPqTopK). Rows-only
+    * driver check; planted-twin recall in ScalaTest, reported-cosine
+    * exactness audited by the q88 gate (the PQ approximation affects only
+    * WHICH candidates reach the exact re-rank, never the emitted score).
+    */
+  val q109_ivfpq_cosine: Q = (s, d) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 1, dim = 64)
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
     "q32_ivf_cosine" -> q32_ivf_cosine,
+    "q109_ivfpq_cosine" -> q109_ivfpq_cosine,
     "q27_sessionize" -> q27_sessionize,
     "q17_exact_dedup" -> q17_exact_dedup,
     "q18_ngram_jaccard" -> q18_ngram_jaccard,

@@ -107,6 +107,19 @@ class ExtensionsSpec extends AnyFunSuite {
     val ivfHits = expected.count { case (a, b) =>
       ivfTop1.get(a).contains(b) || ivfTop1.get(b).contains(a) }
     assert(ivfHits.toDouble / n >= 0.95, s"IVF top-1 found only $ivfHits/$n planted twins")
+
+    // IVF-PQ: byte codes + ADC shortlist must still surface the twin into
+    // the exact re-rank (a twin's approximate cosine dominates every
+    // non-twin's, so PQ quantization noise cannot push it out of a
+    // rerank·k=4 shortlist)
+    val pqTop1 = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      k = 1, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pqHits = expected.count { case (a, b) =>
+      pqTop1.get(a).contains(b) || pqTop1.get(b).contains(a) }
+    assert(pqHits.toDouble / n >= 0.95,
+      s"IVF-PQ top-1 found only $pqHits/$n planted twins")
   }
 
   test("nearDupFromScored over the shared scored relation equals " +
