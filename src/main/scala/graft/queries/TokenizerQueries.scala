@@ -267,13 +267,57 @@ object TokenizerQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q110 — inverted-index keyword search with INTEGER ranking: docs
+    * ranked by (distinct query terms matched DESC, summed term frequency
+    * DESC, doc_id) for a fixed query-term set, top 20. The integer rank
+    * triple is the oracle-exact core of keyword retrieval — float BM25
+    * layers an `ln` idf on top of exactly these (tf, df) statistics, and
+    * `ln` is not correctly-rounded cross-engine, so the scoring the
+    * oracle CAN check is the count layer (the BM25 float layer is a
+    * per-row projection over it at the caller's choice of engine).
+    *
+    * Scale shape: the token explode filters to the query terms FIRST
+    * (a broadcast-sized literal set — the filter reaches the generator
+    * side), so the per-doc aggregate sees only matching occurrences;
+    * top-20 is TakeOrdered, never a global sort.
+    */
+  val q110_keyword_search: Q = (s, d) => {
+    val terms = Seq("spark", "data", "query", "join")
+    val docs = Tables.documents(s, d)
+    val hits = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
+      .limit(20)
+    hits.select(col("doc_id"), col("n_terms"), col("total_tf"))
+  }
+
+  val q110Sql: String =
+    """SELECT doc_id,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS total_tf
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |WHERE tok IN ('spark', 'data', 'query', 'join')
+      |GROUP BY doc_id
+      |ORDER BY n_terms DESC, total_tf DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
-    "q108_bpe_tokenize" -> q108_bpe_tokenize)
+    "q108_bpe_tokenize" -> q108_bpe_tokenize,
+    "q110_keyword_search" -> q110_keyword_search)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
     "q107_ngram_lm_score" -> q107Sql,
-    "q108_bpe_tokenize" -> q108Sql)
+    "q108_bpe_tokenize" -> q108Sql,
+    "q110_keyword_search" -> q110Sql)
 }
