@@ -53,7 +53,12 @@ object Bench {
 
     execOnce("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    // Local perf-iteration filter (the driver never sets it — its runs
+    // are full; same contract as Verify's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
+      .map(n => n -> exec(n))
     val total = results.map(_._2).sum
 
     // Millisecond precision keeps the one-line stdout payload compact

@@ -344,16 +344,24 @@ object Similarity {
         .getField("j"))
       .withColumn("vc",
         dot(col("v"), element_at(centroidLit, col("cluster") + 1)))
-    val resid = zip_with(col("v"),
-      element_at(centroidLit, col("cluster") + 1),
-      (a, b) => a - col("vc") * b)
-    // argmin ||sub − e||² ⇔ argmax dot(sub, e) − ||e||²/2 (||e||² literal)
+    // argmin ||sub − e||² ⇔ argmax dot(sub, e) − ||e||²/2 (||e||² literal).
+    // dot(resid_s, e) decomposes as dot(v_s, e) − vc·dot(c_s, e): the
+    // second dot is a per-(cluster, entry) LITERAL, so encoding never
+    // materializes the residual vector — a naive zip_with residual would
+    // be re-evaluated inside all pqSubs·pqK entry expressions (an
+    // interpreted 64-wide lambda ×128 per row — measured 10× slower);
+    // this form is pqSubs·pqK native codegen'd subDim-wide dots.
     def codeFor(s: Int): Column = {
       val entries = codebooks(s).zipWithIndex.map { case (e, j) =>
         val half = e.map(x => x * x).sum / 2
-        struct((dot(slice(resid, s * subDim + 1, subDim),
-          array(e.map(lit).toIndexedSeq: _*)) - lit(half)).as("d"),
-          lit(j).as("j"))
+        val cDots = centroids.map(c =>
+          lit((0 until subDim).map(i => c(s * subDim + i) * e(i)).sum))
+        val score = dot(slice(col("v"), s * subDim + 1, subDim),
+          array(e.map(lit).toIndexedSeq: _*)) -
+          col("vc") * element_at(array(cDots.toIndexedSeq: _*),
+            col("cluster") + 1) -
+          lit(half)
+        struct(score.as("d"), lit(j).as("j"))
       }
       sort_array(array(entries: _*), asc = false)(0).getField("j")
     }
