@@ -412,13 +412,100 @@ object MixQueries {
       .orderBy("doc_id")
   }
 
+  /** q111 — SPAN-LEVEL eval decontamination: where q69 flags documents
+    * whose shingles overlap the held-out eval slice, this performs the
+    * surgical removal — every train-doc token position covered by a
+    * k-window that appears ANYWHERE in the eval set is excised, and the
+    * survivors reassemble position-sorted (q102's machinery pointed at an
+    * eval universe instead of corpus-wide duplicates). Whole-doc drops
+    * (q69's is_contaminated) lose good tokens with the bad; span excision
+    * keeps everything that is not literally the benchmark text — the
+    * decontamination shape Lee et al. style pipelines ship.
+    *
+    * Scale shape: the eval shingle-key universe is deduped and BROADCAST
+    * (eval sets are benchmarks, not corpora — q69's argument), keyed by
+    * xxhash64 (8 bytes/entry, the q101 discipline); train occurrences
+    * stream past it with a broadcast semi-join, so the corpus never
+    * shuffles by shingle. The only corpus-keyed shuffle is the per-doc
+    * reassembly, proportional to output.
+    */
+  val q111_decontam_removal: Q = (s, d) => {
+    val k = 5
+    val docs = Tables.documents(s, d)
+    val isEval = col("doc_id") % 20 === 0
+    val trainDocs = docs.filter(!isEval)
+    val evalKeys = shingleOcc(docs.filter(isEval), k)
+      .select("shk").distinct()
+    val covered = shingleOcc(trainDocs, k)
+      .join(broadcast(evalKeys), Seq("shk"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("tp"))
+      .distinct()
+    val ws = TextAnalysis.tokens(col("text"))
+    val toks = trainDocs
+      .select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("tp"), col("tok"))
+      .filter(length(col("tok")) > 0)
+    val cleaned = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("ct"))
+    trainDocs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS p, array_to_string(ws[i:i+4], ' ') AS sh
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 4)) AS i
+      |        FROM t WHERE len(ws) >= 5)),
+      |ev AS (SELECT DISTINCT sh FROM occ WHERE doc_id % 20 = 0),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, tp FROM (
+      |    SELECT doc_id, unnest(generate_series(p, p + 4)) AS tp
+      |    FROM occ WHERE doc_id % 20 <> 0
+      |      AND sh IN (SELECT sh FROM ev))),
+      |tok AS (
+      |  SELECT doc_id, i AS tp, ws[i] AS tok
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      |        FROM t WHERE doc_id % 20 <> 0)
+      |  WHERE len(ws[i]) > 0),
+      |kept AS (
+      |  SELECT k.doc_id, k.tp, k.tok
+      |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+      |  WHERE c.tp IS NULL),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS kept,
+      |    array_to_string(list(tok ORDER BY tp), ' ') AS ct
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+      |    AS n_toks,
+      |  CAST(COALESCE(pd.kept, 0) AS BIGINT) AS n_kept_tokens,
+      |  COALESCE(pd.ct, '') AS clean_text
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.doc_id % 20 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
     "q101_dup_spans" -> q101_dup_spans,
     "q102_dup_span_removal" -> q102_dup_span_removal,
     "q103_incremental_cc" -> q103_incremental_cc,
-    "q106_incremental_dup_spans" -> q106_incremental_dup_spans)
+    "q106_incremental_dup_spans" -> q106_incremental_dup_spans,
+    "q111_decontam_removal" -> q111_decontam_removal)
 
   val oracleSql: Map[String, String] = Map(
     "q99_temperature_mix" -> q99Sql,
@@ -427,5 +514,6 @@ object MixQueries {
     "q102_dup_span_removal" -> q102Sql,
     "q103_incremental_cc" -> q103Sql,
     // the oracle IS the full recompute: incremental ≡ batch, hash-checked
-    "q106_incremental_dup_spans" -> q101Sql)
+    "q106_incremental_dup_spans" -> q101Sql,
+    "q111_decontam_removal" -> q111Sql)
 }
