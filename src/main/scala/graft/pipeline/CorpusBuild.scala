@@ -133,6 +133,34 @@ object CorpusBuild {
     * train doc with (skey, n_toks, seq_id, seq_offset); byte-identical
     * across re-runs, so epoch order is auditable.
     */
+  /** Materialize a [[trainFeed]] as loader-ready shard directories:
+    * shard = seq_id DIV seqsPerShard, written hive-partitioned so a data
+    * loader maps epoch step ranges to directories by name, with rows
+    * clustered in (shard, skey) order inside each file for sequential
+    * scans. Returns the per-shard manifest (doc/sequence counts and the
+    * seq range) — the readout a training launcher uses to size epochs.
+    * The repartition is BY SHARD, so one task owns one shard's rows and
+    * each directory gets one ordered file (the q95/q100 placement math
+    * already bounded shard row counts).
+    */
+  def writeFeedShards(feed: DataFrame, outDir: String,
+      seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val sharded = feed.withColumn("shard",
+      expr(s"seq_id DIV ${seqsPerShard}L"))
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
+    feed.sparkSession.read.parquet(outDir)
+      // hive partition columns read back as inferred INT — re-widen
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        min(col("seq_id")).as("seq_lo"), max(col("seq_id")).as("seq_hi"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------------
   // Stored-state incremental build: the production daily-ingest shape.
   // ---------------------------------------------------------------------

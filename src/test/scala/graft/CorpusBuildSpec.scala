@@ -169,7 +169,29 @@ class CorpusBuildSpec extends AnyFunSuite {
       cum += toks
     }
 
-    // 4. sqrt-temperature: a smaller source's acceptance rate is never
+    // 4. shard materialization: hive layout by shard, content equality,
+    //    disjoint contiguous seq ranges, manifest arithmetic
+    val shardDir = java.nio.file.Files.createTempDirectory("feedshards")
+      .resolve("shards").toString
+    val manifest = CorpusBuild.writeFeedShards(feed, shardDir,
+        seqsPerShard = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (shard, _, _, lo, hi) =>
+      assert(lo >= shard * 2 && hi < (shard + 1) * 2,
+        s"shard $shard holds seqs outside its range [$lo,$hi]")
+    }
+    assert(manifest.map(_._2).sum === rows.length,
+      "shard docs must partition the feed")
+    val readBack = spark.read.parquet(shardDir)
+      .select("doc_id", "skey", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(readBack === rows.map(r => (r._1, r._3, r._5, r._6)).toSet,
+      "shard round-trip lost or altered rows")
+
+    // 5. sqrt-temperature: a smaller source's acceptance rate is never
     //    below a larger one's (monotone upweighting), checked via the
     //    realized per-source acceptance against the source sizes
     val rates = graft.ops.Mixing.sqrtTemperatureRates(
