@@ -356,9 +356,49 @@ object ExtensionQueries {
         k = 1, dim = 64)
       .orderBy("query_id")
 
+  /** q112 — per-group embedding centroids, EXACT: component-wise mean of
+    * the embedding vectors within each doc_id%4 slice (a stand-in for
+    * per-source/per-cluster centroids — the diversity/coverage readout a
+    * curation pipeline derives before balancing a mix). Sums run as
+    * DECIMAL(28,10) per component (order-invariant — cross-row double
+    * addition is not), and the mean is one correctly-rounded double
+    * division at the end, so both engines hash-match bit-for-bit.
+    *
+    * Scale shape: posexplode fans each vector into (dim, value) rows,
+    * but partial aggregation collapses them MAP-SIDE to groups×dim rows
+    * before any exchange — the shuffle carries ~|groups|·64 rows however
+    * large the corpus.
+    */
+  val q112_embedding_centroids: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select((col("vec_id") % 4).as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        // float → double is exact; double → decimal rounds the same in
+        // both engines (a direct float → decimal cast does not)
+        sum(col("x").cast("double").cast("decimal(28,10)")).as("s"))
+      .select(col("grp"), col("dim"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"))
+      .orderBy("grp", "dim")
+  }
+
+  val q112Sql: String =
+    """SELECT vec_id % 4 AS grp,
+      |  CAST(dim - 1 AS BIGINT) AS dim,
+      |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean
+      |FROM (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings)
+      |GROUP BY grp, dim
+      |ORDER BY grp, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_ivf_cosine" -> q32_ivf_cosine,
     "q109_ivfpq_cosine" -> q109_ivfpq_cosine,
+    "q112_embedding_centroids" -> q112_embedding_centroids,
     "q27_sessionize" -> q27_sessionize,
     "q17_exact_dedup" -> q17_exact_dedup,
     "q18_ngram_jaccard" -> q18_ngram_jaccard,
@@ -373,6 +413,7 @@ object ExtensionQueries {
     "q67_sketch_precision" -> q67_sketch_precision)
 
   val oracleSql: Map[String, String] = Map(
+    "q112_embedding_centroids" -> q112Sql,
     "q27_sessionize" -> q27Sql,
     "q17_exact_dedup" -> q17Sql,
     "q18_ngram_jaccard" -> q18Sql,
