@@ -359,10 +359,15 @@ object ExtensionQueries {
   /** q112 — per-group embedding centroids, EXACT: component-wise mean of
     * the embedding vectors within each doc_id%4 slice (a stand-in for
     * per-source/per-cluster centroids — the diversity/coverage readout a
-    * curation pipeline derives before balancing a mix). Sums run as
-    * DECIMAL(28,10) per component (order-invariant — cross-row double
-    * addition is not), and the mean is one correctly-rounded double
-    * division at the end, so both engines hash-match bit-for-bit.
+    * curation pipeline derives before balancing a mix) at a declared
+    * 1e-7 quantization. Per row, floor(x·1e7) → BIGINT: float→double is
+    * exact, the IEEE multiply is correctly rounded (identical in both
+    * engines), and floor has NO rounding ties — unlike a double→DECIMAL
+    * cast, whose half-way handling differs between Spark's
+    * shortest-representation HALF_UP and DuckDB's exact-value rounding
+    * (observed: 1 ulp on 1 of 6400 cells at sf0.01). Integer sums are
+    * then order-invariant, and the mean is two correctly-rounded double
+    * divisions applied in the same order — bit-identical cross-engine.
     *
     * Scale shape: posexplode fans each vector into (dim, value) rows,
     * but partial aggregation collapses them MAP-SIDE to groups×dim rows
@@ -375,19 +380,18 @@ object ExtensionQueries {
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("grp"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
-        // float → double is exact; double → decimal rounds the same in
-        // both engines (a direct float → decimal cast does not)
-        sum(col("x").cast("double").cast("decimal(28,10)")).as("s"))
+        sum(floor(col("x").cast("double") * lit(1e7)).cast("long")).as("s"))
       .select(col("grp"), col("dim"),
-        (col("s").cast("double") / col("n").cast("double")).as("mean"))
+        (col("s").cast("double") / col("n").cast("double") / lit(1e7))
+          .as("mean"))
       .orderBy("grp", "dim")
   }
 
   val q112Sql: String =
     """SELECT vec_id % 4 AS grp,
       |  CAST(dim - 1 AS BIGINT) AS dim,
-      |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean
+      |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 1e7 AS mean
       |FROM (
       |  SELECT vec_id, unnest(embedding) AS x,
       |    generate_subscripts(embedding, 1) AS dim
