@@ -206,6 +206,11 @@ object CorpusBuild {
     // after a crash between fold and offset commit) and skips as a
     // no-op; a PARTIAL overlap is genuinely out-of-order data and fails.
     val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // an empty batch against existing state is a no-op, not a new
+    // generation (a scheduler tick with nothing to ingest must not
+    // churn state files); an empty FIRST batch still bootstraps gen 0
+    if (bounds.isNullAt(0) && state.gen.isDefined)
+      return stateManifest(spark, stateDir)
     if (!bounds.isNullAt(1) && state.maxId.exists(_ >= bounds.getLong(1)))
       return stateManifest(spark, stateDir) // idempotent replay skip
     if (!bounds.isNullAt(0) && state.maxId.exists(_ >= bounds.getLong(0)))

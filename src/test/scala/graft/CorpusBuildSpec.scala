@@ -125,6 +125,13 @@ class CorpusBuildSpec extends AnyFunSuite {
       CorpusBuild.ingestBatch(stateDir, straddling)
     }
     assert(e.getMessage.contains("append-only"))
+    // an empty batch against existing state is a pure no-op: same
+    // manifest, NO new generation written
+    val emptyBatch = docs.filter(lit(false))
+    assert(CorpusBuild.ingestBatch(stateDir, emptyBatch).collect().toSeq
+      === lastManifest)
+    assert(!new java.io.File(s"$stateDir/gen=3").exists(),
+      "empty batch must not churn a new state generation")
     // generation GC: 3 ingests left gens 0-2; keep the live one only —
     // the snapshot surfaces must keep working off the survivor
     val deleted = CorpusBuild.pruneGenerations(spark, stateDir, keep = 1)

@@ -120,6 +120,14 @@ class ExtensionsSpec extends AnyFunSuite {
       pqTop1.get(a).contains(b) || pqTop1.get(b).contains(a) }
     assert(pqHits.toDouble / n >= 0.95,
       s"IVF-PQ top-1 found only $pqHits/$n planted twins")
+
+    // empty / all-zero corpora return the empty result shape instead of
+    // dying in quantizer training (same contract as ivfTopK)
+    val emptyPq = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", k = 1, dim = 64)
+    assert(emptyPq.collect().isEmpty)
+    assert(emptyPq.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "cos", "rank"))
   }
 
   test("nearDupFromScored over the shared scored relation equals " +
