@@ -498,7 +498,56 @@ object MixQueries {
       |WHERE d.doc_id % 20 <> 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q113 — cross-source duplication matrix: for every near-duplicate
+    * pair (the q19-checked MinHash tier, exact-verified, recall 1 on
+    * this corpus), count pairs per unordered source pair — the
+    * governance readout that answers "is crawl-A substantially
+    * re-serving wiki?" and prices per-source dedup value before mixing.
+    * Source names normalize (least, greatest) so the matrix is
+    * triangular; counts are integers, oracle-exact against the same
+    * all-pairs Jaccard definition.
+    *
+    * Scale shape: the pair relation is the banded-LSH tier (near-linear
+    * candidates); the source join carries ids only; the final aggregate
+    * is |sources|² rows.
+    */
+  val q113_dup_source_matrix: Q = (s, d) => {
+    import graft.ops.TextDedup
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  val q113Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5)
+      |SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_dup_source_matrix" -> q113_dup_source_matrix,
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
     "q101_dup_spans" -> q101_dup_spans,
@@ -515,5 +564,6 @@ object MixQueries {
     "q103_incremental_cc" -> q103Sql,
     // the oracle IS the full recompute: incremental ≡ batch, hash-checked
     "q106_incremental_dup_spans" -> q101Sql,
-    "q111_decontam_removal" -> q111Sql)
+    "q111_decontam_removal" -> q111Sql,
+    "q113_dup_source_matrix" -> q113Sql)
 }
