@@ -231,6 +231,14 @@ class PlanSpec extends AnyFunSuite {
         s"q102 shuffles the raw shingle string")
       assert(stringNames102.toSet.subsetOf(Set("tok", "ct", "clean_text")),
         s"q102 shuffles unexpected strings: $stringNames102")
+      // q107's bigram LM statistics follow the same discipline: the count
+      // table and per-doc join key on xxhash64, all-numeric end to end
+      val ex107 = keyExchanges(
+        graft.queries.TokenizerQueries.q107_ngram_lm_score(spark, sf))
+      assert(ex107.nonEmpty, "expected key shuffles in the LM scorer")
+      val strings107 = ex107.flatMap(_.output.filter(_.dataType == StringType))
+      assert(strings107.isEmpty,
+        s"q107 shuffles string columns: ${strings107.map(_.name)}")
     } finally {
       spark.conf.unset("spark.graft.eagerMaterialize")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
