@@ -168,6 +168,41 @@ object Components {
     */
   def mergeIncremental(standing: DataFrame, newNodes: DataFrame,
       edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (quotient, relabels) = quotientFold(standing, newNodes, edges, maxIter)
+    val standingOut = standing.join(relabels, Seq("component"), "left")
+      .select(col("id"), coalesce(col("relabel"), col("component")).as("component"))
+    standingOut.unionByName(newLabels(newNodes, quotient))
+  }
+
+  /** DELTA form of [[mergeIncremental]]: only the label rows that CHANGE —
+    * every new node's label plus the standing rows whose component was
+    * merged into a smaller one. This is the generation a stored-state
+    * ingest should WRITE: sized by the batch + touched components, never
+    * the corpus. Because a component's label is its minimum member id,
+    * labels only ever DECREASE, so the standing state folds with the
+    * deltas by `min(component)` per id — no ordering metadata needed
+    * (CorpusBuild.readState relies on exactly this).
+    *
+    * `mergeIncremental(s, n, e)` ≡ untouched rows of `s` ∪ this delta
+    * (IncrementalCCSpec pins the equivalence on random graphs).
+    */
+  def mergeIncrementalDelta(standing: DataFrame, newNodes: DataFrame,
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (quotient, relabels) = quotientFold(standing, newNodes, edges, maxIter)
+    // relabels is small (touched components only) — the join back to the
+    // standing labels is a broadcast-shaped scan, and only matching rows
+    // (members of merged components) survive into the delta
+    val standingChanged = standing.join(relabels, Seq("component"))
+      .select(col("id"), col("relabel").as("component"))
+    standingChanged.unionByName(newLabels(newNodes, quotient))
+  }
+
+  /** Shared quotient-CC core: collapse standing endpoints to component
+    * ids, run CC on the quotient graph of new nodes + touched components,
+    * return (quotient labels, the CHANGED component→relabel rows).
+    */
+  private def quotientFold(standing: DataFrame, newNodes: DataFrame,
+      edges: DataFrame, maxIter: Int): (DataFrame, DataFrame) = {
     val sLab = standing.select(col("id").as("sid"), col("component").as("scomp"))
     val mapped = edges
       .join(sLab.select(col("sid").as("id_a"), col("scomp").as("ca")),
@@ -181,13 +216,14 @@ object Components {
       .unionByName(mapped.select(col("id_b").as("id")))
       .distinct()
     val quotient = connectedComponents(qNodes, mapped, maxIter)
-    val merged = quotient.select(col("id").as("component"),
-      col("component").as("relabel"))
-    val standingOut = standing.join(merged, Seq("component"), "left")
-      .select(col("id"), coalesce(col("relabel"), col("component")).as("component"))
-    val newOut = newNodes.select(col("id"))
+    val relabels = quotient.select(col("id").as("component"),
+        col("component").as("relabel"))
+      .filter(col("relabel") =!= col("component"))
+    (quotient, relabels)
+  }
+
+  private def newLabels(newNodes: DataFrame, quotient: DataFrame): DataFrame =
+    newNodes.select(col("id"))
       .join(quotient.withColumnRenamed("component", "relabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("relabel"), col("id")).as("component"))
-    standingOut.unionByName(newOut)
-  }
 }

@@ -180,10 +180,26 @@ object CorpusBuild {
     * (retained candidate docs — quality-passing exact-dedup survivors,
     * full original columns), `/labels` (id, component), `/digests`
     * (text_hash, keep_id), plus a `LATEST` pointer file
-    * (`<gen> <maxIngestedId>`). Each ingest reads gen k and writes
+    * (`<gen> <maxIngestedId> <baseGen>`). Generations are DELTAS: each
+    * ingest writes ONLY the batch's survivors, their digests, and the
+    * label rows that changed (new ids + members of merged components —
+    * [[Components.mergeIncrementalDelta]]), so per-batch WRITE I/O scales
+    * with the batch, not the corpus — matching the per-batch compute.
+    * [[readState]] folds the chain `base..gen`: docs and digests are
+    * disjoint appends (the append-only id contract + the digest
+    * anti-join guarantee no id or hash repeats across generations), and
+    * labels fold by `min(component)` per id — sound because component
+    * labels are component-minimum ids and merging only ever DECREASES
+    * them. [[pruneGenerations]] compacts the chain back to one full base
+    * when it grows past the configured length. Each ingest writes
     * gen k+1 — never overwriting what it reads, so a failed ingest
-    * leaves the previous generation intact (re-run the batch for exactly
-    * the same result: every step is deterministic).
+    * leaves the previous chain intact (re-run the batch for exactly
+    * the same result: every step is deterministic). The commit point is
+    * the pointer flip: `LATEST` is written to a temp file and renamed
+    * into place (the closest-to-atomic DFS primitive), and each
+    * generation carries a `_COMMIT` marker written BEFORE the flip so a
+    * torn pointer recovers by scanning for the highest committed
+    * generation.
     *
     * THE INGEST CONTRACT: batch ids must be strictly greater than every
     * previously ingested id (checked against the stored max — violations
@@ -244,21 +260,22 @@ object CorpusBuild {
         numHashes = cfg.numHashes, bands = cfg.bands,
         threshold = cfg.jaccardThreshold)
       .select("id_a", "id_b")
-    val labels = Components.mergeIncremental(
+    val labelsDelta = Components.mergeIncrementalDelta(
       state.labels, newIds, pairs, cfg.ccMaxIter)
 
-    // write gen k+1, then flip the pointer (pointer write is the commit)
+    // write gen k+1 as a DELTA — the batch's survivors, their digests,
+    // and only the changed label rows; then flip the pointer (the
+    // pointer rename is the commit)
     val gen = state.gen.map(_ + 1).getOrElse(0)
-    val docsOut = state.docs.unionByName(retainedNew.drop("text_hash"))
-    val digestsOut = state.digests.unionByName(
-      retainedNew.select(col("text_hash"), col("doc_id").as("keep_id")))
-    docsOut.write.mode(SaveMode.Overwrite)
+    val base = state.base.getOrElse(gen)
+    retainedNew.drop("text_hash").write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/docs")
-    labels.write.mode(SaveMode.Overwrite)
+    labelsDelta.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/labels")
-    digestsOut.write.mode(SaveMode.Overwrite)
+    retainedNew.select(col("text_hash"), col("doc_id").as("keep_id"))
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/digests")
-    writePointer(spark, stateDir, gen, newMaxId)
+    commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
 
@@ -297,52 +314,90 @@ object CorpusBuild {
         sum(col("n_chars")).as("n_chars"))
       .orderBy("split")
 
-  /** Drop superseded state generations, keeping the newest `keep` (the
-    * pointer's generation is never deleted). Each ingest writes a full
-    * new generation, so old ones are pure rollback insurance — at lake
-    * scale this is the scheduled GC that bounds state storage at
-    * keep × corpus size.
+  /** Compact the delta chain into one full generation and drop superseded
+    * directories. Generations between the pointer's base and its current
+    * gen are LIVE state (the chain [[readState]] folds), so GC must
+    * compact before it can delete: when the chain spans more than `keep`
+    * generations, the folded state is rewritten as a single full
+    * generation (the new base — commit-pointer-flipped like any ingest)
+    * and every directory below it is deleted. A chain within budget only
+    * sheds directories a previous compaction already superseded. At lake
+    * scale this is the scheduled job that bounds both state storage and
+    * read-side chain length.
     *
     * @return the generation numbers deleted
     */
   def pruneGenerations(spark: SparkSession, stateDir: String,
       keep: Int = 2): Seq[Int] = {
     require(keep >= 1, "must keep at least the live generation")
-    val current = readPointer(spark, stateDir).map(_._1).getOrElse(
+    val (current, maxId, base) = readPointer(spark, stateDir).getOrElse(
       throw new IllegalArgumentException(s"no corpus state at $stateDir"))
     val f = fs(spark, stateDir)
-    val gens = f.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+    def listGens(): Seq[Int] = f.listStatus(
+        new org.apache.hadoop.fs.Path(stateDir))
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("gen=") => s.drop(4).toInt }
-      .filter(_ <= current) // a concurrent writer's in-flight gen survives
-      .sorted
-    val doomed = gens.dropRight(keep)
+      .toSeq.sorted
+    val live = listGens().filter(g => g >= base && g <= current)
+    val newBase = if (live.size > keep) compact(spark, stateDir)
+      else base
+    // in-flight gens above the pointer (a concurrent writer's) survive
+    val doomed = listGens().filter(_ < newBase)
     doomed.foreach { g =>
       f.delete(new org.apache.hadoop.fs.Path(stateDir, s"gen=$g"), true)
     }
-    doomed.toSeq
+    doomed
+  }
+
+  /** Rewrite the folded state as a single FULL generation and flip the
+    * pointer to it (base = gen). Read-side cost of a fold is one extra
+    * union + a min-aggregate per label read; compaction trades one
+    * O(corpus) write for resetting that chain to length 1.
+    *
+    * @return the new base generation number
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val state = readState(spark, stateDir, null)
+    if (state.base == state.gen) return state.gen.get // already one gen
+    val gen = state.gen.get + 1
+    state.docs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/docs")
+    state.labels.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/labels")
+    state.digests.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/digests")
+    commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
+    gen
   }
 
   private final case class State(gen: Option[Int], maxId: Option[Long],
-      docs: DataFrame, labels: DataFrame, digests: DataFrame)
+      base: Option[Int], docs: DataFrame, labels: DataFrame,
+      digests: DataFrame)
 
-  /** Read the latest state generation; `docSchema` shapes the empty
-    * bootstrap frames when no state exists yet (pass null only when state
-    * is known to exist).
+  /** Read the state by folding the generation chain `base..gen`: docs and
+    * digests are disjoint appends (union); labels take `min(component)`
+    * per id — exact last-writer state because merge labels only decrease
+    * (see [[Components.mergeIncrementalDelta]]). `docSchema` shapes the
+    * empty bootstrap frames when no state exists yet (pass null only when
+    * state is known to exist).
     */
   private def readState(spark: SparkSession, stateDir: String,
       docSchema: org.apache.spark.sql.types.StructType): State =
     readPointer(spark, stateDir) match {
-      case Some((gen, maxId)) => State(Some(gen), Some(maxId),
-        spark.read.parquet(s"$stateDir/gen=$gen/docs"),
-        spark.read.parquet(s"$stateDir/gen=$gen/labels"),
-        spark.read.parquet(s"$stateDir/gen=$gen/digests"))
+      case Some((gen, maxId, base)) =>
+        def chain(table: String): DataFrame = spark.read.parquet(
+          (base to gen).map(g => s"$stateDir/gen=$g/$table"): _*)
+        State(Some(gen), Some(maxId), Some(base),
+          chain("docs"),
+          chain("labels").groupBy("id")
+            .agg(min(col("component")).as("component")),
+          chain("digests"))
       case None =>
         require(docSchema != null, s"no corpus state at $stateDir")
         import org.apache.spark.sql.types._
         def empty(schema: StructType) = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        State(None, None, empty(docSchema),
+        State(None, None, None, empty(docSchema),
           empty(StructType(Seq(StructField("id", LongType),
             StructField("component", LongType)))),
           empty(StructType(Seq(StructField("text_hash", StringType),
@@ -358,25 +413,66 @@ object CorpusBuild {
     new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def parsePointer(line: String): Option[(Int, Long, Int)] =
+    line.trim.split("\\s+") match {
+      // legacy 2-field pointers predate delta chains: every generation
+      // was full, so the chain is just the current gen
+      case Array(g, m) => Some((g.toInt, m.toLong, g.toInt))
+      case Array(g, m, b) => Some((g.toInt, m.toLong, b.toInt))
+      case _ => None
+    }
+
   private def readPointer(spark: SparkSession,
-      stateDir: String): Option[(Int, Long)] = {
+      stateDir: String): Option[(Int, Long, Int)] = {
     val f = fs(spark, stateDir)
-    val p = pointerPath(stateDir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    def readLine(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
-      val Array(g, m) = line.split("\\s+")
-      Some((g.toInt, m.toLong))
+      }
+    val fromLatest = readLine(pointerPath(stateDir))
+      .flatMap(l => scala.util.Try(parsePointer(l)).toOption.flatten)
+    fromLatest.orElse {
+      // torn/absent pointer (crash between create and rename): recover
+      // from the highest generation whose _COMMIT marker — written
+      // BEFORE the pointer flip — is present and parseable
+      if (!f.exists(new org.apache.hadoop.fs.Path(stateDir))) None
+      else f.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen=") => s.drop(4).toInt }
+        .sorted(Ordering[Int].reverse)
+        .iterator
+        .flatMap { g =>
+          readLine(new org.apache.hadoop.fs.Path(stateDir, s"gen=$g/_COMMIT"))
+            .flatMap(l => scala.util.Try(parsePointer(l)).toOption.flatten)
+        }
+        .nextOption()
     }
   }
 
-  private def writePointer(spark: SparkSession, stateDir: String,
-      gen: Int, maxId: Long): Unit = {
+  /** Commit a written generation: a `_COMMIT` marker inside the gen dir
+    * first (the recovery record), then the `LATEST` pointer written to a
+    * temp file and RENAMED into place — rename is the closest-to-atomic
+    * DFS primitive, so a crash never leaves a truncated pointer (a crash
+    * between marker and rename recovers to this same generation via the
+    * marker scan; both states are valid, deterministic commit points).
+    */
+  private def commitGeneration(spark: SparkSession, stateDir: String,
+      gen: Int, maxId: Long, base: Int): Unit = {
     val f = fs(spark, stateDir)
-    val out = f.create(pointerPath(stateDir), true)
-    try out.write(s"$gen $maxId".getBytes("UTF-8")) finally out.close()
+    val line = s"$gen $maxId $base".getBytes("UTF-8")
+    val marker = new org.apache.hadoop.fs.Path(stateDir, s"gen=$gen/_COMMIT")
+    val mOut = f.create(marker, true)
+    try mOut.write(line) finally mOut.close()
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, "LATEST.tmp")
+    val out = f.create(tmp, true)
+    try out.write(line) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointerPath(stateDir),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def trainFeed(corpus: DataFrame, targetDocs: Long,

@@ -62,6 +62,27 @@ class IncrementalCCSpec extends AnyFunSuite {
       assert(incremental === full,
         s"incremental merge diverged from full recompute " +
           s"(n=$n, edges=$edges, new=${(0L until n.toLong).filter(isNew)})")
+
+      // the DELTA form carries exactly the changed rows: min-folding the
+      // standing labels with the delta (the stored-state read path —
+      // CorpusBuild.readState) reconstructs the full merge, and every
+      // delta row genuinely differs from the standing label it shadows
+      val delta = Components
+        .mergeIncrementalDelta(standing, newNodes, batchEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val standingMap = standing.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      delta.foreach { case (id, c) =>
+        assert(!standingMap.get(id).contains(c),
+          s"delta carries an unchanged row ($id,$c)")
+        standingMap.get(id).foreach(old => assert(c < old,
+          s"label must only decrease: $id went $old -> $c"))
+      }
+      val folded = (standingMap.toSeq ++ delta)
+        .groupMapReduce(_._1)((kv: (Long, Long)) => kv._2)(math.min)
+        .toSeq.sortBy(_._1)
+      assert(folded === full,
+        s"min-fold of standing + delta diverged (n=$n, edges=$edges)")
     }
   }
 }
