@@ -39,10 +39,20 @@ object Bench {
 
     def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val t = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      // Release blocks the query materialized (localCheckpoint/persist
+      // intermediates) AFTER the timed window: each attempt then starts
+      // from the same clean block manager an isolated run would see.
+      // Round 6's recorded numbers drifted 2-4x above isolated re-runs
+      // on late-suite queries because 113 queries x 3 runs accumulated
+      // orphaned blocks — the artifact must measure the plan, not the
+      // suite's debris.
+      graft.ops.Materialize.releaseAll(spark)
+      t
     }
 
     // Min over `runs` attempts; a failure (-1) on any attempt reports -1.

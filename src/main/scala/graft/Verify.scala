@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent units: release materialized blocks so a
+      // 113-query dump doesn't accumulate them (see Materialize.releaseAll)
+      graft.ops.Materialize.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Materialization tier for iterative loops (connected components) and
@@ -49,5 +49,22 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"spark.graft.checkpointMode must be local|persist|reliable, got '$other'")
     }
+  }
+
+  /** Release every block this session has pinned: SQL-cached relations
+    * plus all persisted RDDs — which is where `localCheckpoint()` blocks
+    * live, so this also reclaims [[apply]]'s local-mode materializations
+    * once their consumers are done. Call BETWEEN independent units of
+    * work (bench queries, verify dumps, scheduled jobs sharing one long
+    * session): materialized intermediates are scoped to a single query's
+    * execution, and a session that never releases them accumulates
+    * orphaned blocks whose block-manager churn taxes whatever runs later
+    * (round 6 measured 2-4× inflation on late-suite bench queries from
+    * exactly this).
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 }

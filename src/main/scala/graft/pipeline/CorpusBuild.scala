@@ -45,7 +45,14 @@ object CorpusBuild {
       numHashes: Int = 48,
       bands: Int = 8,
       jaccardThreshold: Double = 0.5,
-      ccMaxIter: Int = 35)
+      ccMaxIter: Int = 35,
+      // when true, each ingested generation also stores ADDITIVE count
+      // deltas — the k-shingle span-count table (q101's corpus-wide
+      // duplicate statistics) and the bigram count table (q107's "LM") —
+      // over the RAW batch, folding by sum on read; must be set for the
+      // whole life of a state dir
+      trackCounts: Boolean = false,
+      spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
     * near-dup dedup. Executes the CC fixpoint eagerly (driver-paced
@@ -275,8 +282,94 @@ object CorpusBuild {
     retainedNew.select(col("text_hash"), col("doc_id").as("keep_id"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/digests")
+    if (cfg.trackCounts) {
+      // additive count deltas over the RAW batch (the q101/q107 input
+      // contract is the full documents relation, pre-quality): each doc
+      // contributes its occurrence counts independently, so corpus
+      // counts = the sum of per-batch counts — fold by sum on read
+      graft.queries.MixQueries.shingleOcc(newDocs, cfg.spanK)
+        .groupBy("shk").agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/spancounts")
+      graft.queries.TokenizerQueries.bigramOcc(newDocs)
+        .groupBy("bk").agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/bigramcounts")
+    }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
+  }
+
+  // ---------------------------------------------------------------------
+  // Stored count tables (cfg.trackCounts): the corpus-wide statistics the
+  // span audit (q101) and count-LM scoring (q107) shuffle the whole
+  // corpus to build — maintained here at per-batch cost instead, folded
+  // by sum over the generation chain.
+  // ---------------------------------------------------------------------
+
+  /** Folded k-shingle count table (shk, n) over every ingested doc. */
+  def stateShingleCounts(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "spancounts", "shk")
+
+  /** Folded bigram count table (bk, n) over every ingested doc. */
+  def stateBigramCounts(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "bigramcounts", "bk")
+
+  /** The q101 duplicated-span audit over `docs`, with the corpus-wide
+    * duplicate set read from the STORED shingle counts instead of
+    * re-shuffling the corpus by shingle — the stored-state form of the
+    * audit: per batch, only the batch's occurrences were ever counted,
+    * and the audit recomputes islands from the folded table
+    * (DocStreamSpec pins streamed-counts ≡ q101's full recompute).
+    */
+  def stateSpanAudit(spark: SparkSession, stateDir: String,
+      docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    import graft.queries.MixQueries
+    import graft.functions.TextAnalysis
+    val dup = stateShingleCounts(spark, stateDir)
+      .filter(col("n") >= 2).select("shk")
+    val perDoc = MixQueries.spanAgg(
+      MixQueries.shingleOcc(docs, cfg.spanK), dup, cfg.spanK)
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"),
+        expr("(1000000 * coalesce(dup_toks, 0L)) DIV greatest(n_toks, 1L)")
+          .as("dup_ppm"))
+  }
+
+  /** The q107 count-statistics LM scoring of `docs` against the STORED
+    * bigram count table — the trained "LM" is state, not an in-query
+    * corpus shuffle.
+    */
+  def stateLmScore(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    import graft.queries.TokenizerQueries
+    val counts = stateBigramCounts(spark, stateDir)
+    val perDoc = TokenizerQueries.bigramOcc(docs).join(counts, "bk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("n")).as("sum_freq"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        expr("(1000000 * coalesce(sum_freq, 0L)) " +
+          "DIV greatest(coalesce(n_bigrams, 0L), 1L)").as("mean_freq_ppm"))
+  }
+
+  private def foldCounts(spark: SparkSession, stateDir: String,
+      table: String, key: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/$table"): _*)
+      .groupBy(key).agg(sum(col("n")).as("n"))
   }
 
   /** The keep-list of the stored state: one survivor per component,
@@ -366,6 +459,15 @@ object CorpusBuild {
       .parquet(s"$stateDir/gen=$gen/labels")
     state.digests.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/digests")
+    // count tables (cfg.trackCounts states) fold by sum into the new base
+    val f = fs(spark, stateDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/spancounts"))) {
+      stateShingleCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/spancounts")
+      stateBigramCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/bigramcounts")
+    }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen
   }

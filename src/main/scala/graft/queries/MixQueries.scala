@@ -127,7 +127,7 @@ object MixQueries {
     * sequence(1, stop) runs DESCENDING for stop < 1, which would
     * fabricate positions on short docs.
     */
-  private def shingleOcc(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def shingleOcc(docs: DataFrame, k: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col("text"))
     graft.ops.TextDedup.maybeMaterialize(docs
       .filter(size(ws) >= k)
@@ -149,7 +149,7 @@ object MixQueries {
     * partition per doc — bounded by document length, never corpus size.
     * Shared by q101 (full audit) and q106 (incremental audit).
     */
-  private def spanAgg(occ: DataFrame, dup: DataFrame, k: Int): DataFrame = {
+  private[graft] def spanAgg(occ: DataFrame, dup: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -19,12 +19,16 @@ object StorageQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** The well-known directory the oracle SQL reads. A fixed path, because
-    * the oracle is a static SQL string: the driver always runs the Spark
-    * side (which writes the files) immediately before the DuckDB side on
-    * the same sf, so both read the same bytes.
+  /** The directory the oracle SQL reads — RUN-SCOPED by the writing
+    * JVM's pid, so two concurrent harness runs on one host can never
+    * read each other's bytes or race a mid-overwrite directory. The
+    * oracle stays consistent because the SQL string is interpolated from
+    * this same value in this same JVM: the Spark side writes the files
+    * during the query, and the harness dumps the oracle SQL (with the
+    * identical pid-scoped path) before handing it to DuckDB.
     */
-  val csvRoundtripDir = "/tmp/graft_q104_csv"
+  val csvRoundtripDir =
+    s"/tmp/graft_q104_csv_${ProcessHandle.current().pid()}"
 
   /** q104 — CSV sink → source round-trip on the documents table: project
     * (doc_id, lang2, source, n_chars) where lang2 is NULL for 'de' rows

@@ -104,14 +104,21 @@ object TokenizerQueries {
     * own occurrences count toward its bigrams' frequencies (no
     * leave-one-out — documented, matches the oracle).
     */
-  val q107_ngram_lm_score: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** The per-doc bigram key relation (doc_id, bk), bk = xxhash64 of the
+    * adjacent token pair — shared by q107 and the stored-state LM count
+    * table ([[graft.pipeline.CorpusBuild]]).
+    */
+  private[graft] def bigramOcc(docs: DataFrame): DataFrame = {
     val ws = TextAnalysis.tokens(col("text"))
-    val bigrams = graft.ops.TextDedup.maybeMaterialize(docs
-      .filter(size(ws) >= 2)
+    docs.filter(size(ws) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(ws) - 1),
-          i => xxhash64(concat_ws(" ", slice(ws, i, lit(2)))))).as("bk")))
+          i => xxhash64(concat_ws(" ", slice(ws, i, lit(2)))))).as("bk"))
+  }
+
+  val q107_ngram_lm_score: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bigrams = graft.ops.TextDedup.maybeMaterialize(bigramOcc(docs))
     val counts = bigrams.groupBy("bk").agg(count(lit(1)).as("n"))
     val perDoc = bigrams.join(counts, "bk")
       .groupBy("doc_id")

@@ -80,4 +80,47 @@ class DocStreamSpec extends AnyFunSuite {
       docs.filter(col("doc_id") < 250))
     assert(replayed.collect().toSeq === manifestBefore)
   }
+
+  test("streamed count state == full q101/q107 recompute, and survives " +
+      "compaction") {
+    val root = java.nio.file.Files.createTempDirectory("docstream_counts")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackCounts = true)
+
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg)
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the stored-state span audit over everything streamed must equal
+    // q101's full in-query recompute row-for-row …
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq).toSet
+    val fullSpans = rows(
+      graft.queries.MixQueries.q101_dup_spans(spark, sf))
+    assert(rows(CorpusBuild.stateSpanAudit(spark, state, docs, cfg))
+      === fullSpans, "stored-count span audit diverged from q101")
+    // … and the stored-LM scoring must equal q107's
+    val fullLm = rows(
+      graft.queries.TokenizerQueries.q107_ngram_lm_score(spark, sf))
+    assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
+      "stored-count LM scoring diverged from q107")
+
+    // compaction folds the count deltas into the new base unchanged
+    CorpusBuild.compact(spark, state)
+    CorpusBuild.pruneGenerations(spark, state, keep = 1)
+    assert(rows(CorpusBuild.stateSpanAudit(spark, state, docs, cfg))
+      === fullSpans, "compaction altered the span-count state")
+    assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
+      "compaction altered the bigram-count state")
+  }
 }
