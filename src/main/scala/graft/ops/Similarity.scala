@@ -34,6 +34,19 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
+  /** Constant vector as ONE array Literal: codegen references a single
+    * constant object instead of inlining a CreateArray of `dim` literal
+    * children. The inline form scales code size with entries×dim — the
+    * OPQ pullback's 128 entries × 64-wide vectors blew Janino's 64 KB
+    * method limit and silently dropped the PQ encode stage to
+    * interpreted; a Literal keeps the stage codegen'd at any width.
+    */
+  private def vecLit(xs: Array[Double]): Column = typedlit(xs.toSeq)
+
+  /** Constant matrix as one array-of-array Literal (same rationale). */
+  private def matLit(xss: Seq[Array[Double]]): Column =
+    typedlit(xss.map(_.toSeq))
+
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
@@ -125,7 +138,7 @@ object Similarity {
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = asDouble(vecCol)
     planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.map(lit): _*)
+      val plane = vecLit(p.toArray)
       when(dot(vd, plane) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -235,7 +248,7 @@ object Similarity {
     val centroids = sphericalKMeans(sample, nClusters, iters)
 
     def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
-      case (c, j) => struct(dot(v, array(c.map(lit).toIndexedSeq: _*)).as("d"), lit(j).as("j"))
+      case (c, j) => struct(dot(v, vecLit(c)).as("d"), lit(j).as("j"))
     }
     // nearest list per corpus vector; nProbe nearest lists per query vector
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -289,7 +302,8 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 2,
       pqSubs: Int = 8, pqK: Int = 16, rerank: Int = 4,
-      sampleSize: Int = 512, iters: Int = 5): DataFrame = {
+      sampleSize: Int = 512, iters: Int = 5,
+      rotate: Boolean = true): DataFrame = {
     require(dim % pqSubs == 0, s"dim=$dim must divide into pqSubs=$pqSubs")
     val subDim = dim / pqSubs
     val sample = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
@@ -320,18 +334,51 @@ object Similarity {
       while (i < v.length) { vc += v(i) * c(i); i += 1 }
       v.indices.map(i => v(i) - vc * c(i)).toArray
     }
+    // OPQ-style rotation (Ge et al., "Optimized Product Quantization" —
+    // public literature, the parametric/eigenvalue-allocation variant):
+    // residual energy is anisotropic, so contiguous slices hand a few
+    // subspaces most of the variance and PQ error concentrates there.
+    // A rotation R built from the residual covariance's eigenvectors,
+    // greedily allocated so every subspace gets a balanced eigenvalue
+    // product, equalizes per-subspace variance. Trained on the SAME
+    // deterministic 512-sample as the quantizers; R is orthonormal, so
+    // dot(q, r) = dot(Rq, Rr) and the exact dot decomposition is
+    // untouched — and because codebook entries live in rotated space,
+    // the rotation FOLDS INTO the plan-time literals (entries pulled
+    // back through Rᵀ become full-width dot literals): no per-row
+    // rotation, no intermediate rotated column, same plan shape.
+    val rot: Option[Array[Array[Double]]] =
+      if (rotate) Some(opqRotation(residuals, subDim)) else None
+    def applyRot(v: Array[Double]): Array[Double] = rot match {
+      case Some(rm) => rm.map { row =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += row(i) * v(i); i += 1 }
+        s
+      }
+      case None => v
+    }
+    val rotResiduals = residuals.map(applyRot)
+    val rotCentroids = centroids.map(applyRot)
     val codebooks: Seq[Seq[Array[Double]]] = (0 until pqSubs).map { s =>
-      val subs = residuals.map(_.slice(s * subDim, (s + 1) * subDim))
+      val subs = rotResiduals.map(_.slice(s * subDim, (s + 1) * subDim))
       euclideanKMeans(subs, pqK, iters)
+    }
+    // codebook entry e of subspace s, pulled back to ORIGINAL space:
+    // dot((Rv)_s, e) = dot(v, w) with w_i = Σ_j R[s·subDim+j][i]·e[j] —
+    // a plan-time literal, so encode/LUT dots stay native and codegen'd
+    def pullback(s: Int, e: Array[Double]): Array[Double] = rot match {
+      case Some(rm) => Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < subDim) { acc += rm(s * subDim + j)(i) * e(j); j += 1 }
+        acc
+      }
+      case None => e // caller slices v instead
     }
 
     def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
-      case (c, j) =>
-        struct(dot(v, array(c.map(lit).toIndexedSeq: _*)).as("d"),
-          lit(j).as("j"))
+      case (c, j) => struct(dot(v, vecLit(c)).as("d"), lit(j).as("j"))
     }
-    val centroidLit = array(centroids.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val centroidLit = matLit(centroids)
 
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
@@ -344,26 +391,30 @@ object Similarity {
         .getField("j"))
       .withColumn("vc",
         dot(col("v"), element_at(centroidLit, col("cluster") + 1)))
-    // argmin ||sub − e||² ⇔ argmax dot(sub, e) − ||e||²/2 (||e||² literal).
+    // argmin ||sub − e||² ⇔ argmax dot(sub, e) − ||e||²/2 (||e||² constant).
     // dot(resid_s, e) decomposes as dot(v_s, e) − vc·dot(c_s, e): the
-    // second dot is a per-(cluster, entry) LITERAL, so encoding never
+    // second dot is a per-(cluster, entry) CONSTANT, so encoding never
     // materializes the residual vector — a naive zip_with residual would
     // be re-evaluated inside all pqSubs·pqK entry expressions (an
-    // interpreted 64-wide lambda ×128 per row — measured 10× slower);
-    // this form is pqSubs·pqK native codegen'd subDim-wide dots.
+    // interpreted 64-wide lambda ×128 per row — measured 10× slower).
+    // The whole per-subspace argmax is ONE fused native expression
+    // (ArgMaxAffineDots): the earlier per-entry expression form (pqK
+    // dots + structs + a sort, ×pqSubs in one Project) exceeded the
+    // 64 KB codegen method limit once the OPQ pullback widened every
+    // dot to dim — a WSCG Project never splits its consume path, so the
+    // stage silently fell back to interpreted execution.
+    // Under rotation w rows are Rᵀ-pulled-back full-width entries
+    // (dot((Rv)_s, e) = dot(v, Rᵀe)); unrotated they are the raw
+    // subDim-wide entries read at offset s·subDim.
     def codeFor(s: Int): Column = {
-      val entries = codebooks(s).zipWithIndex.map { case (e, j) =>
-        val half = e.map(x => x * x).sum / 2
-        val cDots = centroids.map(c =>
-          lit((0 until subDim).map(i => c(s * subDim + i) * e(i)).sum))
-        val score = dot(slice(col("v"), s * subDim + 1, subDim),
-          array(e.map(lit).toIndexedSeq: _*)) -
-          col("vc") * element_at(array(cDots.toIndexedSeq: _*),
-            col("cluster") + 1) -
-          lit(half)
-        struct(score.as("d"), lit(j).as("j"))
-      }
-      sort_array(array(entries: _*), asc = false)(0).getField("j")
+      val w = codebooks(s).map(e =>
+        if (rot.isDefined) pullback(s, e) else e).toArray
+      val cdm = codebooks(s).map(e => rotCentroids.map(c =>
+        (0 until subDim).map(i => c(s * subDim + i) * e(i)).sum).toArray).toArray
+      val half = codebooks(s).map(e => e.map(x => x * x).sum / 2).toArray
+      graft.functions.VectorExpressions.argMaxAffineDots(
+        col("v"), col("vc"), col("cluster"), w, cdm, half,
+        offset = if (rot.isDefined) 0 else s * subDim)
     }
     val indexed = withCluster.select(
       Seq(col("id").as("neighbor_id"), col("nrm").as("cn"), col("cluster"),
@@ -371,9 +422,12 @@ object Similarity {
         (0 until pqSubs).map(s => codeFor(s).as(s"c$s")): _*)
 
     // ---- query side: nProbe lists + per-subspace ADC lookup tables ----
-    def lutFor(s: Int): Column = array(codebooks(s).map(e =>
-      dot(slice(col("qv"), s * subDim + 1, subDim),
-        array(e.map(lit).toIndexedSeq: _*))): _*)
+    def lutFor(s: Int): Column = {
+      val w = codebooks(s).map(e =>
+        if (rot.isDefined) pullback(s, e) else e).toArray
+      graft.functions.VectorExpressions.matVecDots(col("qv"), w,
+        offset = if (rot.isDefined) 0 else s * subDim)
+    }
     val probes = vecs.select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
         explode(slice(sort_array(array(centroidDots(col("v")): _*),
@@ -414,6 +468,82 @@ object Similarity {
         .orderBy(col("cos").desc, col("neighbor_id"))
       exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
+  }
+
+  /** OPQ parametric rotation from a residual sample: eigendecompose the
+    * residual second-moment matrix (cyclic Jacobi — deterministic sweep
+    * order), then allocate eigen-directions to subspaces GREEDILY by
+    * descending eigenvalue onto the subspace with the smallest current
+    * log-eigenvalue product (Ge et al.'s eigenvalue allocation): every
+    * subspace ends with a balanced share of residual variance. Returns R
+    * as `dim` rows — rows s·subDim..(s+1)·subDim−1 are subspace s's
+    * basis; R is orthonormal by construction (eigenvectors of a
+    * symmetric matrix).
+    */
+  private[ops] def opqRotation(residuals: Array[Array[Double]],
+      subDim: Int): Array[Array[Double]] = {
+    val dim = residuals.head.length
+    val nSub = dim / subDim
+    val n = residuals.length.toDouble
+    val a = Array.ofDim[Double](dim, dim)
+    residuals.foreach { r =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { a(i)(j) += r(i) * r(j); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      a(i)(j) /= n; a(j)(i) = a(i)(j)
+    }
+    // cyclic Jacobi: rotate out each off-diagonal pair, fixed sweep order
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+          val c = math.cos(theta)
+          val s = math.sin(theta)
+          var i = 0
+          while (i < dim) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < dim) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    // eigenpairs sorted by descending eigenvalue (index tiebreak keeps
+    // the order deterministic under exact ties)
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    // greedy balanced allocation of eigen-directions to subspaces
+    val logSum = new Array[Double](nSub)
+    val fill = new Array[Int](nSub)
+    val rows = Array.fill(nSub)(List.newBuilder[Int])
+    order.foreach { ei =>
+      val s = (0 until nSub).filter(fill(_) < subDim).minBy(s => (logSum(s), s))
+      rows(s) += ei
+      fill(s) += 1
+      logSum(s) += math.log(math.max(a(ei)(ei), 1e-12))
+    }
+    rows.flatMap(_.result()).map(ei => Array.tabulate(dim)(i => v(i)(ei)))
   }
 
   /** Driver-side plain k-means (Euclidean) for the PQ codebooks:

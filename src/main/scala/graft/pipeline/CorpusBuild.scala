@@ -164,7 +164,8 @@ object CorpusBuild {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("seq_id")).as("n_seqs"),
-        min(col("seq_id")).as("seq_lo"), max(col("seq_id")).as("seq_hi"))
+        min(col("seq_id")).as("seq_lo"), max(col("seq_id")).as("seq_hi"),
+        sum(col("n_toks")).as("n_tokens"))
       .orderBy("shard")
   }
 

@@ -311,6 +311,86 @@ object CurationQueries {
       |  CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS exact
       |WHERE false""".stripMargin
 
+  /** q116 — gate POPULATION audit: the must-be-empty gates (q67, q88,
+    * q89, q115) stay green if a refactor silently empties their INPUTS —
+    * an empty audit over nothing hash-matches an empty audit over
+    * everything. This companion row set counts each gate's audited
+    * population THROUGH the same relations the gates consume (the tier
+    * entry points, not a fresh parquet read), oracle-checked: exact
+    * counts where a second engine can reproduce them (vector/doc/group
+    * cardinalities), and 0/1 emitted-anything indicators for the
+    * data-dependent tiers (bucket-collision pair sets), whose oracle
+    * value is the literal 1 — so a tier that stops emitting flips the
+    * row and the driver's hash check fails. With this row set green,
+    * "gate is empty" can only mean "audited population is clean".
+    */
+  val q116_gate_population: Q = (s, d) => {
+    import graft.ops.TextDedup
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d)
+    def exactCount(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("population"))
+        .select(lit(name).as("gate"), col("population"))
+    def nonempty(name: String, df: DataFrame): DataFrame =
+      df.agg((count(lit(1)) >= 1L).cast("long").as("population"))
+        .select(lit(name).as("gate"), col("population"))
+    // q88's audited relations (one scored relation serves both flags,
+    // exactly as the gate itself consumes it)
+    val scored = TextDedup.maybeMaterialize(
+      Similarity.lshScoredPairs(emb, "vec_id", "embedding", dim = 64))
+    // q67's audited relations
+    val sh = TextDedup.maybeMaterialize(
+      TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3))
+    exactCount("ann_vectors", emb)
+      .unionByName(nonempty("ann_lsh_topk_nonempty",
+        Similarity.lshCosineTopKFromScored(scored, k = 1)))
+      .unionByName(nonempty("ann_ivf_topk_nonempty",
+        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1, dim = 64)))
+      .unionByName(nonempty("ann_ivfpq_topk_nonempty",
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 1, dim = 64)))
+      .unionByName(nonempty("ann_neardup_scored_nonempty", scored))
+      .unionByName(exactCount("bm25_match_docs",
+        TokenizerQueries.keywordMatchCore(s, d)))
+      .unionByName(exactCount("sketch_hll_months", Tables.orders(s, d)
+        .select(date_trunc("MONTH", col("o_orderdate"))).distinct()))
+      .unionByName(exactCount("sketch_pct_returnflags",
+        Tables.lineitem(s, d).select("l_returnflag").distinct()))
+      .unionByName(exactCount("sketch_shingled_docs", sh))
+      .unionByName(nonempty("sketch_lsh_pairs_nonempty",
+        TextDedup.minhashLshPairsFromShingles(sh, numHashes = 48,
+          bands = 8, threshold = 0.5)))
+      .unionByName(nonempty("sketch_simhash_pairs_nonempty",
+        TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)))
+      .orderBy("gate")
+  }
+
+  val q116Sql: String =
+    """SELECT 'ann_vectors' AS gate,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS population
+      |UNION ALL SELECT 'ann_lsh_topk_nonempty', 1
+      |UNION ALL SELECT 'ann_ivf_topk_nonempty', 1
+      |UNION ALL SELECT 'ann_ivfpq_topk_nonempty', 1
+      |UNION ALL SELECT 'ann_neardup_scored_nonempty', 1
+      |UNION ALL SELECT 'bm25_match_docs',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM (
+      |     SELECT doc_id FROM (
+      |       SELECT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |       FROM documents)
+      |     WHERE tok IN ('spark', 'data', 'query', 'join')
+      |     GROUP BY doc_id))
+      |UNION ALL SELECT 'sketch_hll_months',
+      |  (SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate))
+      |     AS BIGINT) FROM orders)
+      |UNION ALL SELECT 'sketch_pct_returnflags',
+      |  (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) FROM lineitem)
+      |UNION ALL SELECT 'sketch_shingled_docs',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE len(string_split_regex(trim(text), '\s+')) >= 3)
+      |UNION ALL SELECT 'sketch_lsh_pairs_nonempty', 1
+      |UNION ALL SELECT 'sketch_simhash_pairs_nonempty', 1
+      |ORDER BY gate""".stripMargin
+
   /** q90 — quality filter funnel: the per-stage attrition report every
     * corpus build publishes (raw → min-length → min-tokens → exact-dedup →
     * quality threshold). One pass computes all stage flags per document and
@@ -718,6 +798,7 @@ object CurationQueries {
     "q87_bloom_semijoin" -> q87_bloom_semijoin,
     "q88_ann_gate" -> q88_ann_gate,
     "q89_sketch_error_gate" -> q89_sketch_error_gate,
+    "q116_gate_population" -> q116_gate_population,
     "q90_filter_funnel" -> q90_filter_funnel,
     "q91_profile" -> q91_profile,
     "q92_source_quota" -> q92_source_quota,
@@ -736,6 +817,7 @@ object CurationQueries {
     "q87_bloom_semijoin" -> q87Sql,
     "q88_ann_gate" -> q88Sql,
     "q89_sketch_error_gate" -> q89Sql,
+    "q116_gate_population" -> q116Sql,
     "q90_filter_funnel" -> q90Sql,
     "q91_profile" -> q91Sql,
     "q92_source_quota" -> q92Sql,

@@ -69,9 +69,63 @@ object StorageQueries {
       |           'source':'VARCHAR','n_chars':'BIGINT'})
       |ORDER BY doc_id""".stripMargin
 
+  /** Run-scoped shard directory (q104's pid discipline). */
+  val feedShardDir =
+    s"/tmp/graft_q117_shards_${ProcessHandle.current().pid()}"
+
+  /** q117 — feed-shard sink round-trip: q100's deterministic shuffle+pack
+    * feed materialized through [[graft.pipeline.CorpusBuild.writeFeedShards]]
+    * (hive `shard=` directories, one ordered file per shard) and the
+    * manifest aggregated from the files READ BACK — doc counts, sequence
+    * counts, seq-id ranges, and token sums per shard, all reproduced by
+    * the oracle from the packing arithmetic alone. The last spec-only
+    * sink now pushes real bytes: a wrong partition layout, a lost row, or
+    * a misplaced sequence shows up as a manifest-parity hash mismatch.
+    */
+  val q117_feed_shards: Q = (s, d) => {
+    import graft.functions.TextAnalysis
+    import graft.ops.Packing
+    val idBits = s.conf.get("spark.graft.shuffleIdBits", "20").toInt
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Packing.shuffleKey(col("doc_id"), idBits).as("skey"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        lit("all").as("mix"))
+    val feed = Packing.packSequences(counts, "skey", "mix", "n_toks",
+        seqLen = 2048L, shardRows = 1L << 52)
+      .select("doc_id", "skey", "n_toks", "seq_id", "seq_offset")
+    graft.pipeline.CorpusBuild.writeFeedShards(feed, feedShardDir,
+      seqsPerShard = 4L)
+  }
+
+  val q117Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+      |      AS UBIGINT) AS BIGINT) * 1048576 + doc_id AS skey,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, skey, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY skey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM c),
+      |f AS (SELECT doc_id, n_toks, cum_before // 2048 AS seq_id FROM s)
+      |SELECT CAST(seq_id // 4 AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+      |  CAST(min(seq_id) AS BIGINT) AS seq_lo,
+      |  CAST(max(seq_id) AS BIGINT) AS seq_hi,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM f GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q104_csv_roundtrip" -> q104_csv_roundtrip)
+    "q104_csv_roundtrip" -> q104_csv_roundtrip,
+    "q117_feed_shards" -> q117_feed_shards)
 
   val oracleSql: Map[String, String] = Map(
-    "q104_csv_roundtrip" -> q104Sql)
+    "q104_csv_roundtrip" -> q104Sql,
+    "q117_feed_shards" -> q117Sql)
 }

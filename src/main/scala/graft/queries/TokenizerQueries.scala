@@ -288,20 +288,117 @@ object TokenizerQueries {
     * side), so the per-doc aggregate sees only matching occurrences;
     * top-20 is TakeOrdered, never a global sort.
     */
-  val q110_keyword_search: Q = (s, d) => {
-    val terms = Seq("spark", "data", "query", "join")
-    val docs = Tables.documents(s, d)
-    val hits = docs
+  /** The keyword-search query terms shared by q110/q114/q115. */
+  private[graft] val SearchTerms = Seq("spark", "data", "query", "join")
+
+  /** The UNLIMITED per-doc match statistics of [[SearchTerms]] — q110's
+    * count core without the top-20: (doc_id, n_terms, total_tf) for every
+    * matching doc. The exact integer layer the BM25 float layer (q114)
+    * is audited against (q115).
+    */
+  private[graft] def keywordMatchCore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(SearchTerms: _*))
       .groupBy("doc_id")
       .agg(countDistinct(col("tok")).as("n_terms"),
         count(lit(1)).as("total_tf"))
+
+  val q110_keyword_search: Q = (s, d) =>
+    keywordMatchCore(s, d)
       .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
       .limit(20)
-    hits.select(col("doc_id"), col("n_terms"), col("total_tf"))
+      .select(col("doc_id"), col("n_terms"), col("total_tf"))
+
+  /** BM25 top-k over [[SearchTerms]] — the float ranking layer. Kept as a
+    * separate helper so q114 (the readout) and q115 (the gate) share one
+    * definition: per (doc, term) tf from the filtered explode, df per
+    * term (broadcast — the term list is literal-sized), doc length and
+    * corpus avgdl from one stats pass, then the Robertson/Lucene scoring
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   w(d,t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * summed per doc. Everything except the final ln/division is the
+    * integer statistics q110 oracle-checks; the float layer reorders but
+    * never invents candidates — the q115 gate pins exactly that.
+    *
+    * Scale shape: the term filter reaches the token generator (only
+    * matching occurrences survive the explode), df and the corpus stats
+    * are broadcast scalars, and top-k is TakeOrdered — no global sort,
+    * no corpus-keyed shuffle beyond the per-doc aggregate.
+    */
+  private[graft] def bm25TopK(s: SparkSession, d: String,
+      k: Int = 20): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(SearchTerms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tf")).cast("long").as("total_tf"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
+
+  /** q114 — BM25 keyword ranking (rows-only: `ln` is not correctly-
+    * rounded cross-engine, so the float layer has no hash oracle; its
+    * integer core is q110's oracle row and its candidate/statistics
+    * consistency is q115's gate).
+    */
+  val q114_bm25_rank: Q = (s, d) =>
+    bm25TopK(s, d)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"),
+        col("n_terms"), col("total_tf"))
+
+  /** The q115 violation relation, factored so CurationGateSpec can poison
+    * a top-k row and prove the gate fires: every BM25 top-k row must
+    * appear in the exact match core with IDENTICAL integer statistics —
+    * the float layer may only reorder the exact layer's candidate set.
+    */
+  private[graft] def bm25Gate(topk: DataFrame, core: DataFrame): DataFrame =
+    topk
+      .join(core.select(col("doc_id"), col("n_terms").as("core_n_terms"),
+        col("total_tf").as("core_total_tf")), Seq("doc_id"), "left")
+      .filter(col("core_n_terms").isNull ||
+        col("core_n_terms") =!= col("n_terms") ||
+        col("core_total_tf") =!= col("total_tf"))
+      .select(col("doc_id"), col("n_terms"), col("total_tf"),
+        col("core_n_terms"), col("core_total_tf"))
+
+  /** q115 — BM25/count-core consistency gate, driver-visible (the q88
+    * pattern: the float layer audited by the exact layer): result must
+    * be EMPTY. A scoring refactor that invents candidates, loses a
+    * term's occurrences, or drifts the integer statistics surfaces here.
+    */
+  val q115_bm25_gate: Q = (s, d) =>
+    bm25Gate(bm25TopK(s, d), keywordMatchCore(s, d))
+      .orderBy("doc_id")
+
+  val q115Sql: String =
+    """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_terms,
+      |  CAST(NULL AS BIGINT) AS total_tf,
+      |  CAST(NULL AS BIGINT) AS core_n_terms,
+      |  CAST(NULL AS BIGINT) AS core_total_tf
+      |WHERE false""".stripMargin
 
   val q110Sql: String =
     """SELECT doc_id,
@@ -320,11 +417,14 @@ object TokenizerQueries {
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
     "q108_bpe_tokenize" -> q108_bpe_tokenize,
-    "q110_keyword_search" -> q110_keyword_search)
+    "q110_keyword_search" -> q110_keyword_search,
+    "q114_bm25_rank" -> q114_bm25_rank,
+    "q115_bm25_gate" -> q115_bm25_gate)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
     "q107_ngram_lm_score" -> q107Sql,
     "q108_bpe_tokenize" -> q108Sql,
-    "q110_keyword_search" -> q110Sql)
+    "q110_keyword_search" -> q110Sql,
+    "q115_bm25_gate" -> q115Sql)
 }

@@ -44,4 +44,23 @@ class CurationGateSpec extends AnyFunSuite {
     assert(gate(Seq(("t", 1L, 3L, 0.0))).length == 1,
       "zero-norm (NULL recompute) must fire, not silently pass")
   }
+
+  test("bm25 gate: consistent top-k passes; invented candidates and " +
+      "drifted statistics fire") {
+    import spark.implicits._
+    import graft.queries.TokenizerQueries
+    val core = Seq((1L, 2L, 5L), (2L, 1L, 3L)).toDF(
+      "doc_id", "n_terms", "total_tf")
+    def fire(topk: Seq[(Long, Long, Long)]) = TokenizerQueries
+      .bm25Gate(topk.toDF("doc_id", "n_terms", "total_tf"), core)
+      .collect()
+    assert(fire(Seq((1L, 2L, 5L), (2L, 1L, 3L))).isEmpty,
+      "a top-k that is a subset of the core with matching stats must pass")
+    assert(fire(Seq((9L, 1L, 1L))).length == 1,
+      "a candidate absent from the exact match core must fire")
+    assert(fire(Seq((1L, 2L, 6L))).length == 1,
+      "a drifted total_tf must fire")
+    assert(fire(Seq((1L, 1L, 5L))).length == 1,
+      "a drifted n_terms must fire")
+  }
 }

@@ -130,6 +130,26 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq("query_id", "neighbor_id", "cos", "rank"))
   }
 
+  test("OPQ rotation carries IVF-PQ recall at HALF the codebook budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    val n = emb.count()
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    // pqK halved 16 → 8: the variance-balanced rotation, not the entry
+    // budget, must carry the planted-twin recall
+    val top1 = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      k = 1, dim = 64, pqK = 8, rotate = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = expected.count { case (a, b) =>
+      top1.get(a).contains(b) || top1.get(b).contains(a) }
+    assert(hits.toDouble / n >= 0.95,
+      s"rotated half-budget IVF-PQ found only $hits/$n planted twins")
+  }
+
   test("nearDupFromScored over the shared scored relation equals " +
       "embeddingNearDupPairs exactly") {
     val emb = Tables.embeddings(spark, sf)
