@@ -52,6 +52,18 @@ object CorpusBuild {
       // over the RAW batch, folding by sum on read; must be set for the
       // whole life of a state dir
       trackCounts: Boolean = false,
+      // when true, each generation also stores the batch's POSTING deltas
+      // (xxhash64 term key × doc × tf) and doc lengths — incremental
+      // inverted-index maintenance: keyword/BM25 statistics served from
+      // state ([[stateKeywordCore]]/[[stateBm25TopK]]) without rescanning
+      // the corpus; per-batch write cost ∝ the batch's tokens. Same
+      // whole-life-of-the-dir contract as trackCounts.
+      trackPostings: Boolean = false,
+      // the near-dup LSH + quotient-CC tier of ingest; disable for state
+      // dirs maintained purely for count/posting statistics (dedup handled
+      // elsewhere) — every exact-dedup survivor then forms its own
+      // component, and ingest cost is scan-shaped
+      nearDupTier: Boolean = true,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -262,12 +274,15 @@ object CorpusBuild {
       .join(state.digests.select("text_hash"), Seq("text_hash"), "left_anti"))
 
     // stage 3 incrementally: batch-touching LSH pairs, quotient-CC merge
+    // (with the tier off, no pairs → every survivor is its own component)
     val newIds = retainedNew.select(col("doc_id").as("id"))
-    val pairs = TextDedup.minhashLshPairsIncremental(
-        retainedNew, state.docs, "doc_id", "text", n = cfg.shingleN,
-        numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.jaccardThreshold)
-      .select("id_a", "id_b")
+    val pairs =
+      if (cfg.nearDupTier) TextDedup.minhashLshPairsIncremental(
+          retainedNew, state.docs, "doc_id", "text", n = cfg.shingleN,
+          numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = cfg.jaccardThreshold)
+        .select("id_a", "id_b")
+      else newIds.limit(0).select(col("id").as("id_a"), col("id").as("id_b"))
     val labelsDelta = Components.mergeIncrementalDelta(
       state.labels, newIds, pairs, cfg.ccMaxIter)
 
@@ -296,6 +311,20 @@ object CorpusBuild {
         .groupBy("bk").agg(count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/bigramcounts")
+    }
+    if (cfg.trackPostings) {
+      // posting deltas over the RAW batch (the q110/q114 input contract
+      // is the full documents relation): docs are append-only and
+      // batch-disjoint, so the folded union IS the inverted index —
+      // per-batch write I/O ∝ the batch's tokens, never the corpus
+      graft.queries.TokenizerQueries.tokenOcc(newDocs)
+        .groupBy("tk", "doc_id").agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/postings")
+      newDocs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/doclens")
     }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
@@ -365,12 +394,66 @@ object CorpusBuild {
   }
 
   private def foldCounts(spark: SparkSession, stateDir: String,
-      table: String, key: String): DataFrame = {
+      table: String, keys: String*): DataFrame = {
     val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
       throw new IllegalArgumentException(s"no corpus state at $stateDir"))
     spark.read.parquet(
         (base to gen).map(g => s"$stateDir/gen=$g/$table"): _*)
-      .groupBy(key).agg(sum(col("n")).as("n"))
+      .groupBy(keys.head, keys.tail: _*).agg(sum(col("n")).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Stored posting state (cfg.trackPostings): the inverted-index
+  // statistics keyword search (q110) and BM25 (q114) scan the corpus to
+  // build — maintained here at per-batch cost. Postings fold by sum on
+  // (tk, doc_id); doc lengths are batch-disjoint, sum-fold is identity.
+  // ---------------------------------------------------------------------
+
+  /** Folded posting table (tk = xxhash64(token), doc_id, n = tf). */
+  def statePostings(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "postings", "tk", "doc_id")
+
+  /** Folded doc-length table (doc_id, n = token count). */
+  def stateDocLens(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "doclens", "doc_id")
+
+  /** q110's exact keyword match core — (doc_id, n_terms, total_tf) for
+    * every doc matching any of `terms` — served from the STORED posting
+    * table: the term set joins as a broadcast of xxhash64 keys, so the
+    * lookup is a semi-join into the index, never a corpus scan. Exact
+    * modulo xxhash64 collisions with a query term (the bigram-table
+    * trade-off, accepted by the same argument).
+    */
+  def stateKeywordCore(spark: SparkSession, stateDir: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val termRel = broadcast(
+      terms.toDF("tok").select(xxhash64(col("tok")).as("tk")))
+    statePostings(spark, stateDir).join(termRel, "tk")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tk")).as("n_terms"),
+        sum(col("n")).as("total_tf"))
+  }
+
+  /** BM25 top-k for `terms` served ENTIRELY from stored state: tf from
+    * the posting table, df/N/avgdl from the folded postings + doc-length
+    * tables — scoring a standing 100 TB corpus costs the index lookup,
+    * not a corpus scan. Delegates to the same scoring definition as the
+    * in-query q114 ([[graft.queries.TokenizerQueries.bm25FromStats]]),
+    * so the two forms agree to float round-off and share the q115 gate
+    * algebra.
+    */
+  def stateBm25TopK(spark: SparkSession, stateDir: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val termRel = broadcast(
+      terms.toDF("tok").select(xxhash64(col("tok")).as("tk")))
+    val tf = statePostings(spark, stateDir).join(termRel, "tk")
+      .select(col("doc_id"), col("tk").as("tok"),
+        col("n").cast("double").as("tf"))
+    val dl = stateDocLens(spark, stateDir)
+      .select(col("doc_id"), col("n").cast("double").as("dl"))
+    graft.queries.TokenizerQueries.bm25FromStats(tf, dl, k)
   }
 
   /** The keep-list of the stored state: one survivor per component,
@@ -468,6 +551,15 @@ object CorpusBuild {
         .parquet(s"$stateDir/gen=$gen/spancounts")
       stateBigramCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/bigramcounts")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/postings"))) {
+      statePostings(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/postings")
+      stateDocLens(spark, stateDir)
+        .select(col("doc_id"), col("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/doclens")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

@@ -331,8 +331,13 @@ object CurationQueries {
     def exactCount(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("population"))
         .select(lit(name).as("gate"), col("population"))
+    // existence probe, not a count: limit(1) lets the scan stop at the
+    // first emitted row (CollectLimit short-circuit) instead of
+    // computing the full pair/top-k relation just to learn "nonempty" —
+    // the flag's oracle value is the literal 1 either way
     def nonempty(name: String, df: DataFrame): DataFrame =
-      df.agg((count(lit(1)) >= 1L).cast("long").as("population"))
+      df.select(lit(1L).as("one")).limit(1)
+        .agg((count(lit(1)) >= 1L).cast("long").as("population"))
         .select(lit(name).as("gate"), col("population"))
     // q88's audited relations (one scored relation serves both flags,
     // exactly as the gate itself consumes it)

@@ -329,19 +329,36 @@ object TokenizerQueries {
     */
   private[graft] def bm25TopK(s: SparkSession, d: String,
       k: Int = 20): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
     val docs = Tables.documents(s, d)
     val dl = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
     val tf = docs
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(SearchTerms: _*))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast("double").as("tf"))
+    bm25FromStats(tf, dl, k)
+  }
+
+  /** The BM25 scoring definition itself, over already-extracted
+    * statistics — shared by the in-query form (q114, stats from a corpus
+    * scan) and the stored-state form (q119, stats from the posting/
+    * doc-length state tables), so the two can only diverge in where the
+    * statistics COME FROM, never in how they are scored.
+    *
+    * @param tf (doc_id, tok, tf: double) — term frequency per matching
+    *           (doc, term); `tok` may be any equatable key (string or
+    *           xxhash64)
+    * @param dl (doc_id, dl: double) — token count per CORPUS doc (all
+    *           docs, not just matches: N and avgdl come from here)
+    */
+  private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame,
+      k: Int): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("tok")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     tf.join(broadcast(dfreq), "tok")
@@ -400,6 +417,102 @@ object TokenizerQueries {
       |  CAST(NULL AS BIGINT) AS core_total_tf
       |WHERE false""".stripMargin
 
+  /** (doc_id, tk = xxhash64(token)), one row per token occurrence — the
+    * posting-delta generator for `CorpusBuild.trackPostings`. Tokens ride
+    * as 8-byte hashes from the start, so no token string ever reaches an
+    * Exchange (the PlanSpec shingle/bigram contract, applied to the
+    * inverted index).
+    */
+  private[graft] def tokenOcc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("tk"))
+
+  /** Run-scoped posting-state directory (q104's pid discipline, keyed by
+    * sf dir so different scales in one process cannot mix states).
+    */
+  private def postingStateDir(d: String): String =
+    s"/tmp/graft_q118_state_${ProcessHandle.current().pid()}_" +
+      math.abs(d.hashCode.toLong)
+
+  /** Build the posting state once per (process, sf dir): three
+    * id-monotone `ingestBatch` generations with the posting tracker on
+    * and the near-dup tier off — the inverted-index-maintenance
+    * configuration. Idempotent: an existing pointer means a prior call
+    * in this process built it, so bench re-runs measure the SERVE path —
+    * which is the point of stored state (the build cost is per-batch and
+    * amortized; q103/q117 already price the ingest machinery).
+    */
+  private[graft] def ensurePostingState(s: SparkSession, d: String): String = {
+    val dir = postingStateDir(d)
+    if (!new java.io.File(s"$dir/LATEST").exists()) {
+      val cfg = graft.pipeline.CorpusBuild.Config(
+        trackPostings = true, nearDupTier = false)
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      graft.pipeline.CorpusBuild.ingestBatch(dir,
+        docs.filter(col("doc_id") <= cut1), cfg)
+      graft.pipeline.CorpusBuild.ingestBatch(dir,
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), cfg)
+      graft.pipeline.CorpusBuild.ingestBatch(dir,
+        docs.filter(col("doc_id") > cut2), cfg)
+    }
+    dir
+  }
+
+  /** q118 — keyword match statistics served from the STORED posting
+    * state: three real `ingestBatch` generations write posting/doc-length
+    * deltas to disk, and the readout folds them back — while the oracle
+    * recomputes the same statistics from the raw corpus in a second
+    * engine. A lost posting row, a mis-folded generation, or a
+    * double-counted replay shows up as a hash mismatch. This is the
+    * unlimited form of q110's count core (every matching doc, not
+    * top-20), so the maintenance algebra is checked over the whole match
+    * set.
+    */
+  val q118_state_keyword_index: Q = (s, d) =>
+    graft.pipeline.CorpusBuild
+      .stateKeywordCore(s, ensurePostingState(s, d), SearchTerms)
+      .orderBy("doc_id")
+
+  val q118Sql: String =
+    """SELECT doc_id,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS total_tf
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |WHERE tok IN ('spark', 'data', 'query', 'join')
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q119 — BM25 served from the posting state (rows-only, like q114):
+    * the scoring definition is shared with q114 via [[bm25FromStats]];
+    * only the statistics source differs (stored index vs corpus scan).
+    * Its integer layer is q118's oracle row; its candidate/statistics
+    * consistency is q120's gate.
+    */
+  val q119_state_bm25_rank: Q = (s, d) =>
+    graft.pipeline.CorpusBuild
+      .stateBm25TopK(s, ensurePostingState(s, d), SearchTerms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"),
+        col("n_terms"), col("total_tf"))
+
+  /** q120 — the q115 gate applied to the state-served pair: every
+    * state-BM25 top-k row must appear in the state count core with
+    * identical integer statistics. Must be EMPTY.
+    */
+  val q120_state_bm25_gate: Q = (s, d) => {
+    val dir = ensurePostingState(s, d)
+    bm25Gate(graft.pipeline.CorpusBuild.stateBm25TopK(s, dir, SearchTerms),
+        graft.pipeline.CorpusBuild.stateKeywordCore(s, dir, SearchTerms))
+      .orderBy("doc_id")
+  }
+
   val q110Sql: String =
     """SELECT doc_id,
       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
@@ -419,12 +532,17 @@ object TokenizerQueries {
     "q108_bpe_tokenize" -> q108_bpe_tokenize,
     "q110_keyword_search" -> q110_keyword_search,
     "q114_bm25_rank" -> q114_bm25_rank,
-    "q115_bm25_gate" -> q115_bm25_gate)
+    "q115_bm25_gate" -> q115_bm25_gate,
+    "q118_state_keyword_index" -> q118_state_keyword_index,
+    "q119_state_bm25_rank" -> q119_state_bm25_rank,
+    "q120_state_bm25_gate" -> q120_state_bm25_gate)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
     "q107_ngram_lm_score" -> q107Sql,
     "q108_bpe_tokenize" -> q108Sql,
     "q110_keyword_search" -> q110Sql,
-    "q115_bm25_gate" -> q115Sql)
+    "q115_bm25_gate" -> q115Sql,
+    "q118_state_keyword_index" -> q118Sql,
+    "q120_state_bm25_gate" -> q115Sql)
 }

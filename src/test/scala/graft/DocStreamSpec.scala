@@ -88,7 +88,7 @@ class DocStreamSpec extends AnyFunSuite {
     val state = root.resolve("state").toString
     val ckpt = root.resolve("ckpt").toString
     val docs = Tables.documents(spark, sf)
-    val cfg = CorpusBuild.Config(trackCounts = true)
+    val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
@@ -115,6 +115,34 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
       "stored-count LM scoring diverged from q107")
 
+    // … and the posting state must serve q110's exact match statistics
+    // and a BM25 consistent with the in-query scorer
+    import graft.queries.TokenizerQueries
+    val terms = TokenizerQueries.SearchTerms
+    val fullCore = rows(TokenizerQueries.keywordMatchCore(spark, sf))
+    def checkPostings(): Unit = {
+      assert(rows(CorpusBuild.stateKeywordCore(spark, state, terms))
+        === fullCore, "stored-posting keyword core diverged from a " +
+          "full corpus recompute")
+      val stateBm = CorpusBuild.stateBm25TopK(spark, state, terms)
+      assert(rows(TokenizerQueries.bm25Gate(stateBm,
+          CorpusBuild.stateKeywordCore(spark, state, terms))).isEmpty,
+        "state BM25 emitted candidates outside the state count core")
+      // same docs, same integer stats, scores equal to float round-off
+      // (sum order over a doc's ≤4 term weights may differ)
+      val inQuery = TokenizerQueries.bm25TopK(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val served = stateBm.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(served.keySet === inQuery.keySet,
+        "state BM25 top-k docs diverged from the in-query scorer")
+      served.foreach { case (id, sc) =>
+        assert(math.abs(sc - inQuery(id)) < 1e-9,
+          s"state BM25 score for doc $id drifted: $sc vs ${inQuery(id)}")
+      }
+    }
+    checkPostings()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -122,5 +150,6 @@ class DocStreamSpec extends AnyFunSuite {
       === fullSpans, "compaction altered the span-count state")
     assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
       "compaction altered the bigram-count state")
+    checkPostings()
   }
 }

@@ -94,7 +94,8 @@ class PlanSpec extends AnyFunSuite {
     // loop is the classic silent 100×-scale killer.
     val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill",
       "q93_vocab_coverage", "q99_temperature_mix",
-      "q114_bm25_rank", "q115_bm25_gate")
+      "q114_bm25_rank", "q115_bm25_gate",
+      "q119_state_bm25_rank", "q120_state_bm25_gate")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
