@@ -64,6 +64,17 @@ object CorpusBuild {
       // elsewhere) — every exact-dedup survivor then forms its own
       // component, and ingest cost is scan-shaped
       nearDupTier: Boolean = true,
+      // when true, each generation also packs the RAW batch incrementally
+      // (Packing.packSequencesIncremental against the stored per-source
+      // totals) and stores the batch's PLACEMENT delta + the updated
+      // totals snapshot: the training feed is maintained at per-batch
+      // cost, the standing corpus never re-packed. Batch id-monotonicity
+      // (which the incremental pack's equivalence property needs) is the
+      // append-only contract ingest already enforces.
+      trackPack: Boolean = false,
+      packSrcCol: String = "source",
+      packSeqLen: Long = 2048L,
+      packShardRows: Long = 1L << 20,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -326,6 +337,24 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/doclens")
     }
+    if (cfg.trackPack) {
+      val counts = newDocs.select(col("doc_id"), col(cfg.packSrcCol),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      val baseTotals = state.gen match {
+        case Some(g) => spark.read.parquet(s"$stateDir/gen=$g/packtotals")
+        case None => counts.limit(0).select(col(cfg.packSrcCol),
+          lit(0L).as("_base_toks"))
+      }
+      val (placements, newTotals) = graft.ops.Packing
+        .packSequencesIncremental(counts, "doc_id", cfg.packSrcCol,
+          "n_toks", cfg.packSeqLen, cfg.packShardRows, baseTotals)
+      placements.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/feed")
+      // totals are a SNAPSHOT (one row per source), not a delta: readers
+      // take the latest generation's file, no fold
+      newTotals.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/packtotals")
+    }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
@@ -433,6 +462,19 @@ object CorpusBuild {
       .groupBy("doc_id")
       .agg(countDistinct(col("tk")).as("n_terms"),
         sum(col("n")).as("total_tf"))
+  }
+
+  /** The folded training-feed placements (cfg.trackPack): per-generation
+    * placement deltas are batch-disjoint, so the union IS the feed — one
+    * full [[graft.ops.Packing.packSequences]] over everything ingested,
+    * materialized at per-batch cost (PackingSpec's equivalence property,
+    * persisted).
+    */
+  def stateFeed(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+      (base to gen).map(g => s"$stateDir/gen=$g/feed"): _*)
   }
 
   /** BM25 top-k for `terms` served ENTIRELY from stored state: tf from
@@ -560,6 +602,14 @@ object CorpusBuild {
         .select(col("doc_id"), col("n"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/doclens")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/feed"))) {
+      stateFeed(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/feed")
+      spark.read.parquet(s"$stateDir/gen=${state.gen.get}/packtotals")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/packtotals")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

@@ -121,11 +121,47 @@ object StorageQueries {
       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
       |FROM f GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** q121 — the training feed served from STORED state: three real
+    * `ingestBatch` generations pack their batch against the persisted
+    * per-source totals (`trackPack`) and store placement deltas; the
+    * readout folds the deltas — while the oracle recomputes every
+    * placement from the raw corpus with one full per-source prefix sum.
+    * A drifted stored total, a double-packed replay, or a lost delta
+    * shows up as a hash mismatch on (seq_id, seq_offset). This is the
+    * persisted form of PackingSpec's incremental ≡ full property:
+    * appending a day to a packed 100 TB feed costs the day's prefix
+    * sums, never a corpus re-pack.
+    */
+  val q121_state_feed: Q = (s, d) => {
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateFeed(s, dir)
+      .select("doc_id", "source", "n_toks", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+  }
+
+  val q121Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      |      PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT doc_id, source, n_toks,
+      |  cum // 2048 AS seq_id, cum % 2048 AS seq_offset
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_csv_roundtrip" -> q104_csv_roundtrip,
-    "q117_feed_shards" -> q117_feed_shards)
+    "q117_feed_shards" -> q117_feed_shards,
+    "q121_state_feed" -> q121_state_feed)
 
   val oracleSql: Map[String, String] = Map(
     "q104_csv_roundtrip" -> q104Sql,
-    "q117_feed_shards" -> q117Sql)
+    "q117_feed_shards" -> q117Sql,
+    "q121_state_feed" -> q121Sql)
 }

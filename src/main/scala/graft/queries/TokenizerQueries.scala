@@ -435,19 +435,21 @@ object TokenizerQueries {
     s"/tmp/graft_q118_state_${ProcessHandle.current().pid()}_" +
       math.abs(d.hashCode.toLong)
 
-  /** Build the posting state once per (process, sf dir): three
-    * id-monotone `ingestBatch` generations with the posting tracker on
-    * and the near-dup tier off — the inverted-index-maintenance
-    * configuration. Idempotent: an existing pointer means a prior call
-    * in this process built it, so bench re-runs measure the SERVE path —
-    * which is the point of stored state (the build cost is per-batch and
-    * amortized; q103/q117 already price the ingest machinery).
+  /** Build the posting+pack state once per (process, sf dir): three
+    * id-monotone `ingestBatch` generations with the posting and pack
+    * trackers on and the near-dup tier off — the index-maintenance
+    * configuration (q118/q119/q120 serve from the postings, q121 from
+    * the feed placements). Idempotent: an existing pointer means a prior
+    * call in this process built it, so bench re-runs measure the SERVE
+    * path — which is the point of stored state (the build cost is
+    * per-batch and amortized; q103/q117 already price the ingest
+    * machinery).
     */
   private[graft] def ensurePostingState(s: SparkSession, d: String): String = {
     val dir = postingStateDir(d)
     if (!new java.io.File(s"$dir/LATEST").exists()) {
       val cfg = graft.pipeline.CorpusBuild.Config(
-        trackPostings = true, nearDupTier = false)
+        trackPostings = true, trackPack = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -88,7 +88,8 @@ class DocStreamSpec extends AnyFunSuite {
     val state = root.resolve("state").toString
     val ckpt = root.resolve("ckpt").toString
     val docs = Tables.documents(spark, sf)
-    val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true)
+    val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true,
+      trackPack = true)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
@@ -143,6 +144,19 @@ class DocStreamSpec extends AnyFunSuite {
     }
     checkPostings()
 
+    // … and the folded feed placements must equal one full pack over
+    // everything streamed (the persisted PackingSpec property)
+    val fullFeed = rows(graft.ops.Packing.packSequences(
+      docs.select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_toks")),
+      "doc_id", "source", "n_toks", seqLen = 2048L, shardRows = 1L << 20))
+    def checkFeed(): Unit =
+      assert(rows(CorpusBuild.stateFeed(spark, state)
+        .select("doc_id", "source", "n_toks", "seq_id", "seq_offset"))
+        === fullFeed, "stored feed placements diverged from a full pack")
+    checkFeed()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -151,5 +165,6 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
       "compaction altered the bigram-count state")
     checkPostings()
+    checkFeed()
   }
 }

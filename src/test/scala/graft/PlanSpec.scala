@@ -242,6 +242,16 @@ class PlanSpec extends AnyFunSuite {
       val strings107 = ex107.flatMap(_.output.filter(_.dataType == StringType))
       assert(strings107.isEmpty,
         s"q107 shuffles string columns: ${strings107.map(_.name)}")
+      // the stored-posting SERVE path (q118): the generation fold and the
+      // term lookup key on xxhash64 — no token string in any Exchange
+      // (the ingest side necessarily shuffles text once, to store docs)
+      val ex118 = keyExchanges(graft.pipeline.CorpusBuild.stateKeywordCore(
+        spark, graft.queries.TokenizerQueries.ensurePostingState(spark, sf),
+        graft.queries.TokenizerQueries.SearchTerms))
+      assert(ex118.nonEmpty, "expected key shuffles in the posting fold")
+      val strings118 = ex118.flatMap(_.output.filter(_.dataType == StringType))
+      assert(strings118.isEmpty,
+        s"q118 serve path shuffles string columns: ${strings118.map(_.name)}")
     } finally {
       spark.conf.unset("spark.graft.eagerMaterialize")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
