@@ -399,7 +399,45 @@ object ExtensionQueries {
       |GROUP BY grp, dim
       |ORDER BY grp, dim""".stripMargin
 
+  /** q123 — embedding k-means (Lloyd's, k=8, 5 rounds, deterministic
+    * first-k-by-id init): per-vector cluster assignment plus per-cluster
+    * sizes via a window count — the clustering tier behind
+    * cluster-balanced sampling. Rows-only: cross-partition float mean
+    * sums are not oracle-exact; the q124 gate audits the assignment.
+    */
+  val q123_kmeans_clusters: Q = (s, d) => {
+    val (assigned, _) = graft.ops.Clustering.kMeans(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 5)
+    assigned
+      .select(col("id").as("vec_id"), col("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .orderBy("vec_id")
+  }
+
+  /** q124 — k-means assignment-consistency gate (the q88 rescoring
+    * discipline): every emitted (vec, cluster) must minimize the
+    * distance to the final centroids, recomputed through the independent
+    * HOF fold. Must be EMPTY.
+    */
+  val q124_kmeans_gate: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (assigned, cents) = graft.ops.Clustering.kMeans(
+      emb, "vec_id", "embedding", k = 8, iters = 5)
+    graft.ops.Clustering.assignmentGate(assigned, emb, "vec_id",
+        "embedding", cents)
+      .orderBy("id")
+  }
+
+  val q124Sql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INTEGER) AS cluster,
+      |  CAST(NULL AS DOUBLE) AS d_assigned, CAST(NULL AS DOUBLE) AS d_min
+      |WHERE false""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_kmeans_clusters" -> q123_kmeans_clusters,
+    "q124_kmeans_gate" -> q124_kmeans_gate,
     "q32_ivf_cosine" -> q32_ivf_cosine,
     "q109_ivfpq_cosine" -> q109_ivfpq_cosine,
     "q112_embedding_centroids" -> q112_embedding_centroids,
@@ -417,6 +455,7 @@ object ExtensionQueries {
     "q67_sketch_precision" -> q67_sketch_precision)
 
   val oracleSql: Map[String, String] = Map(
+    "q124_kmeans_gate" -> q124Sql,
     "q112_embedding_centroids" -> q112Sql,
     "q27_sessionize" -> q27Sql,
     "q17_exact_dedup" -> q17Sql,

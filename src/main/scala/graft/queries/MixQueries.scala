@@ -546,8 +546,55 @@ object MixQueries {
       |  CAST(count(*) AS BIGINT) AS n_pairs
       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q122 — n-gram novelty: per doc, how many of its DISTINCT k-shingles
+    * first appeared in an EARLIER doc (id order = ingest order under the
+    * append-only contract), plus the novelty ratio in integer ppm. The
+    * curation signal behind dedup-aware sampling: a doc whose shingle
+    * vocabulary is mostly re-used text scores low even when no single
+    * span crosses the q101 duplication threshold.
+    *
+    * Scale shape: one distinct + one min-aggregate + one join, all keyed
+    * on the 8-byte xxhash64 shingle (the PlanSpec contract family),
+    * map-side combined; per-doc work bounded by document length.
+    */
+  val q122_ngram_novelty: Q = (s, d) => {
+    val k = 5
+    val occ = shingleOcc(Tables.documents(s, d), k)
+      .select("doc_id", "shk").distinct()
+    val first = occ.groupBy("shk").agg(min(col("doc_id")).as("first_doc"))
+    occ.join(first, "shk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * (n_shingles - n_seen_before)) DIV n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val q122Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 4)) AS i
+      |        FROM t WHERE len(ws) >= 5)),
+      |first AS (SELECT sh, min(doc_id) AS first_doc FROM occ GROUP BY sh)
+      |SELECT occ.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN first_doc < occ.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_seen_before,
+      |  CAST((1000000 * (count(*) - SUM(CASE WHEN first_doc < occ.doc_id
+      |    THEN 1 ELSE 0 END))) // count(*) AS BIGINT) AS novelty_ppm
+      |FROM occ JOIN first USING (sh)
+      |GROUP BY occ.doc_id
+      |ORDER BY occ.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q113_dup_source_matrix" -> q113_dup_source_matrix,
+    "q122_ngram_novelty" -> q122_ngram_novelty,
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
     "q101_dup_spans" -> q101_dup_spans,
@@ -565,5 +612,6 @@ object MixQueries {
     // the oracle IS the full recompute: incremental ≡ batch, hash-checked
     "q106_incremental_dup_spans" -> q101Sql,
     "q111_decontam_removal" -> q111Sql,
-    "q113_dup_source_matrix" -> q113Sql)
+    "q113_dup_source_matrix" -> q113Sql,
+    "q122_ngram_novelty" -> q122Sql)
 }
