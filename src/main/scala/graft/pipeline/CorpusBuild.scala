@@ -313,11 +313,19 @@ object CorpusBuild {
       // additive count deltas over the RAW batch (the q101/q107 input
       // contract is the full documents relation, pre-quality): each doc
       // contributes its occurrence counts independently, so corpus
-      // counts = the sum of per-batch counts — fold by sum on read
-      graft.queries.MixQueries.shingleOcc(newDocs, cfg.spanK)
-        .groupBy("shk").agg(count(lit(1)).as("n"))
+      // counts = the sum of per-batch counts — fold by sum on read.
+      // One shingle relation serves both the count and the first-seen
+      // tables (it is maybeMaterialize'd inside shingleOcc).
+      val occ = graft.queries.MixQueries.shingleOcc(newDocs, cfg.spanK)
+      occ.groupBy("shk").agg(count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/spancounts")
+      // first-seen attribution folds by MIN: ids are append-only, so a
+      // batch's min per shingle is final unless an earlier generation
+      // already claimed it
+      occ.groupBy("shk").agg(min(col("doc_id")).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/spanfirst")
       graft.queries.TokenizerQueries.bigramOcc(newDocs)
         .groupBy("bk").agg(count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite)
@@ -373,6 +381,37 @@ object CorpusBuild {
   /** Folded bigram count table (bk, n) over every ingested doc. */
   def stateBigramCounts(spark: SparkSession, stateDir: String): DataFrame =
     foldCounts(spark, stateDir, "bigramcounts", "bk")
+
+  /** Folded first-seen table (shk, first_doc) — MIN over the generation
+    * chain (the only count state whose fold is min, not sum; correct for
+    * the same reason the label fold is: ids only enter once and never
+    * re-claim a shingle).
+    */
+  def stateShingleFirst(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/spanfirst"): _*)
+      .groupBy("shk").agg(min(col("n")).as("first_doc"))
+  }
+
+  /** The q122 n-gram novelty of `docs` with first-seen attribution read
+    * from the STORED table — novelty of an incoming batch against the
+    * standing corpus without rescanning it: the batch shingles once,
+    * joins the folded (shk, first_doc) relation, and aggregates per doc.
+    */
+  def stateNovelty(spark: SparkSession, stateDir: String,
+      docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val occ = graft.queries.MixQueries.shingleOcc(docs, cfg.spanK)
+      .select("doc_id", "shk").distinct()
+    occ.join(stateShingleFirst(spark, stateDir), "shk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * (n_shingles - n_seen_before)) DIV n_shingles"))
+  }
 
   /** The q101 duplicated-span audit over `docs`, with the corpus-wide
     * duplicate set read from the STORED shingle counts instead of
@@ -593,6 +632,10 @@ object CorpusBuild {
         .parquet(s"$stateDir/gen=$gen/spancounts")
       stateBigramCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/bigramcounts")
+      stateShingleFirst(spark, stateDir)
+        .select(col("shk"), col("first_doc").as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/spanfirst")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/postings"))) {

@@ -115,6 +115,13 @@ class DocStreamSpec extends AnyFunSuite {
       graft.queries.TokenizerQueries.q107_ngram_lm_score(spark, sf))
     assert(rows(CorpusBuild.stateLmScore(spark, state, docs)) === fullLm,
       "stored-count LM scoring diverged from q107")
+    // … and stored first-seen attribution must reproduce q122's novelty
+    val fullNov = rows(
+      graft.queries.MixQueries.q122_ngram_novelty(spark, sf))
+    def checkNovelty(): Unit =
+      assert(rows(CorpusBuild.stateNovelty(spark, state, docs, cfg))
+        === fullNov, "stored first-seen novelty diverged from q122")
+    checkNovelty()
 
     // … and the posting state must serve q110's exact match statistics
     // and a BM25 consistent with the in-query scorer
@@ -166,5 +173,6 @@ class DocStreamSpec extends AnyFunSuite {
       "compaction altered the bigram-count state")
     checkPostings()
     checkFeed()
+    checkNovelty()
   }
 }
