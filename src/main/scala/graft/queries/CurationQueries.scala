@@ -323,6 +323,17 @@ object CurationQueries {
     * value is the literal 1 — so a tier that stops emitting flips the
     * row and the driver's hash check fails. With this row set green,
     * "gate is empty" can only mean "audited population is clean".
+    *
+    * The POPULATION rows count the full tables; the EMISSION flags run
+    * each tier over a small deterministic CANARY slice — the lowest-id
+    * rows plus a planted duplicate (id −1) of the first. An identical
+    * vector/text collides in every hyperplane table, inverted list, and
+    * minhash/simhash band, so an intact tier MUST emit on the slice and
+    * the flag stays the literal 1; a broken join key, banding, or
+    * threshold wiring still flips it. What the slice buys: the probes no
+    * longer recompute five corpus-scale pair/top-k pipelines (limit(1)
+    * cannot short-circuit through their shuffles) just to learn
+    * "nonempty" — at 100 TB that difference is the whole query.
     */
   val q116_gate_population: Q = (s, d) => {
     import graft.ops.TextDedup
@@ -332,27 +343,51 @@ object CurationQueries {
       df.agg(count(lit(1)).as("population"))
         .select(lit(name).as("gate"), col("population"))
     // existence probe, not a count: limit(1) lets the scan stop at the
-    // first emitted row (CollectLimit short-circuit) instead of
-    // computing the full pair/top-k relation just to learn "nonempty" —
-    // the flag's oracle value is the literal 1 either way
+    // first emitted row (CollectLimit short-circuit) — the flag's
+    // oracle value is the literal 1 either way
     def nonempty(name: String, df: DataFrame): DataFrame =
       df.select(lit(1L).as("one")).limit(1)
         .agg((count(lit(1)) >= 1L).cast("long").as("population"))
         .select(lit(name).as("gate"), col("population"))
-    // q88's audited relations (one scored relation serves both flags,
+    // canary slices (TakeOrdered — deterministic across partition
+    // layouts); all-zero vectors / short texts can't collide, so the
+    // planted duplicate is the first row that CAN
+    val embHead = emb
+      .filter(expr("exists(embedding, x -> x <> 0.0F)"))
+      .orderBy("vec_id").limit(256)
+    val probeEmb = TextDedup.maybeMaterialize(embHead.unionByName(
+      embHead.orderBy("vec_id").limit(1).withColumn("vec_id", lit(-1L))))
+    val docsHead = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+      .orderBy("doc_id").limit(64)
+    // probeEmb is checkpointed (five consumers, two of them driver-side
+    // sample collects); the other probe relations are ≤257 rows with two
+    // consumers each — recomputing them is cheaper than a checkpoint job
+    val probeDocs = docsHead.unionByName(
+      docsHead.orderBy("doc_id").limit(1).withColumn("doc_id", lit(-1L)))
+    // q88's audited tiers (one scored relation serves both flags,
     // exactly as the gate itself consumes it)
-    val scored = TextDedup.maybeMaterialize(
-      Similarity.lshScoredPairs(emb, "vec_id", "embedding", dim = 64))
-    // q67's audited relations
-    val sh = TextDedup.maybeMaterialize(
-      TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3))
+    // probe-sized hash family: an identical pair collides under ANY
+    // table/plane/codebook parameters, and the literal hyperplane/
+    // codebook tables these tiers compile into the plan are the scale-
+    // independent part of their cost — size them to the probe
+    val scored =
+      Similarity.lshScoredPairs(probeEmb, "vec_id", "embedding", dim = 64,
+        numTables = 2, planesPerTable = 4)
+    // q67's audited relations (population row counts the FULL corpus)
+    val sh = TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3)
+    val probeSh = TextDedup.shingleRelation(probeDocs, "doc_id", "text",
+      lit(""), 3)
     exactCount("ann_vectors", emb)
       .unionByName(nonempty("ann_lsh_topk_nonempty",
         Similarity.lshCosineTopKFromScored(scored, k = 1)))
       .unionByName(nonempty("ann_ivf_topk_nonempty",
-        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1, dim = 64)))
+        Similarity.ivfTopK(probeEmb, "vec_id", "embedding", k = 1, dim = 64,
+          nClusters = 4, sampleSize = 64, iters = 2)))
       .unionByName(nonempty("ann_ivfpq_topk_nonempty",
-        Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 1, dim = 64)))
+        Similarity.ivfPqTopK(probeEmb, "vec_id", "embedding", k = 1, dim = 64,
+          nClusters = 4, pqSubs = 4, pqK = 4, rerank = 2, sampleSize = 64,
+          iters = 2)))
       .unionByName(nonempty("ann_neardup_scored_nonempty", scored))
       .unionByName(exactCount("bm25_match_docs",
         TokenizerQueries.keywordMatchCore(s, d)))
@@ -362,10 +397,10 @@ object CurationQueries {
         Tables.lineitem(s, d).select("l_returnflag").distinct()))
       .unionByName(exactCount("sketch_shingled_docs", sh))
       .unionByName(nonempty("sketch_lsh_pairs_nonempty",
-        TextDedup.minhashLshPairsFromShingles(sh, numHashes = 48,
-          bands = 8, threshold = 0.5)))
+        TextDedup.minhashLshPairsFromShingles(probeSh, numHashes = 16,
+          bands = 4, threshold = 0.5)))
       .unionByName(nonempty("sketch_simhash_pairs_nonempty",
-        TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)))
+        TextDedup.simhashPairs(probeDocs, "doc_id", "text", maxDist = 6)))
       .orderBy("gate")
   }
 
