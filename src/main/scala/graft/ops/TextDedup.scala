@@ -185,6 +185,80 @@ object TextDedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT asymmetric containment pairs — C(A→B) = |A∩B| / |A| ≥ tNum/tDen
+    * within a blocking column: the quote/boilerplate detector Jaccard
+    * can't be (a 50-shingle notice pasted into a 5000-shingle doc sits at
+    * J ≈ 0.01 but containment 1.0). The threshold is a RATIONAL tNum/tDen
+    * and every filter is integer arithmetic, so the emitted pair set and
+    * ppm scores are bit-identical across engines — no float boundary
+    * cases by construction.
+    *
+    * Prefix filtering, containment variant (AllPairs/PPJoin family, as
+    * [[ngramJaccardPairsFromShingles]]): a match needs
+    * o = ⌈t·|A|⌉ common shingles, so if none of A's |A|−o+1 rarest
+    * shingles hits B, at most the o−1 remaining can — pigeonhole gives
+    * recall exactly 1 with only the CONTAINED side exploded to a prefix.
+    * The container side indexes ALL its shingles (B may be arbitrarily
+    * larger than A — that asymmetry is the point), with a one-sided size
+    * prune (|B|·tDen ≥ |A|·tNum, since |A∩B| ≤ |B|) and the same
+    * positional bound as the Jaccard tier. Survivors verify with one
+    * sorted-merge intersection count.
+    *
+    * Returns (id_a = contained, id_b = container, containment_ppm) —
+    * ppm as exact integer division, BIGINT on both engines.
+    */
+  def containmentPairsFromShingles(sh: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"containment threshold must be a rational in (0,1]: $tNum/$tDen")
+    val exploded = sh.select(col("id"), col("block"),
+      size(col("sh")).as("nsz"), explode(col("sh")).as("s"))
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "s")
+    // needed overlap o = ⌈tNum·|A| / tDen⌉, exactly, in integers
+    val needed = expr(s"CAST((nsz * $tNum + $tDen - 1) DIV $tDen AS INT)")
+    val ranked = exploded.join(freq, "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .select(col("id"), col("block"), col("nsz"), col("rn"),
+        needed.as("need"), xxhash64(col("s")).as("p"))
+    // probe side = potential CONTAINED docs, rarity prefix only; index
+    // side = every doc on every shingle (the container is never pruned
+    // by its own size, only by the pair-level size bound below)
+    val probe = ranked.filter(col("rn") <= col("nsz") - col("need") + 1)
+    val candidates = probe.as("a").join(ranked.as("b"),
+        col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
+          col("a.id") =!= col("b.id") &&
+          // |A∩B| ≤ |B|, so a match forces |B|·tDen ≥ |A|·tNum
+          col("b.nsz") * tDen >= col("a.nsz") * tNum &&
+          // positional bound (identical argument to the Jaccard tier):
+          // |A∩B| ≤ min(i,j) + min(|A|−i, |B|−j) for every matching row
+          (least(col("a.rn"), col("b.rn")) +
+            least(col("a.nsz") - col("a.rn"), col("b.nsz") - col("b.rn")))
+            >= col("a.need"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("ov", graft.functions.SketchExpressions
+        .sortedOverlapCount(col("sh_a"), col("sh_b")))
+      .filter(col("ov").cast("long") * tDen >= col("na").cast("long") * tNum)
+      .select(col("id_a"), col("id_b"),
+        expr("(1000000L * CAST(ov AS BIGINT)) DIV CAST(na AS BIGINT)")
+          .as("containment_ppm"))
+  }
+
+  /** [[containmentPairsFromShingles]] over fresh shingles. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, tNum: Int, tDen: Int,
+      materialize: Boolean = true): DataFrame = {
+    val shRaw = shingleRelation(df, idCol, textCol, col(blockCol), n)
+    val sh = if (materialize) maybeMaterialize(shRaw) else shRaw
+    containmentPairsFromShingles(sh, tNum, tDen)
+  }
+
   /** MinHash signature: H independent permutations approximated by a
     * SplitMix64 family over one xxhash64 per shingle — a native expression
     * (graft.functions.MinHashSignature); the interpreted nested-lambda

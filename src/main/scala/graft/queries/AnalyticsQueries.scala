@@ -278,7 +278,170 @@ object AnalyticsQueries {
       |GROUP BY c.cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q126 — snapshot distribution drift: total-variation distance between
+    * a reference window and the current window, per monitored dimension —
+    * the training-data monitor that catches a silently shifted source
+    * before it reaches a training run. One numeric dimension (o_totalprice
+    * over 10 equi-width buckets laid out on the REFERENCE window's range —
+    * current rows clamp into the edge buckets, so out-of-range mass is
+    * itself drift) and one categorical (o_orderpriority); per-bucket
+    * contributions plus a TOTAL row per dimension, TVD = ½·Σ|p_i − q_i|.
+    *
+    * Drift is reported in exact integer ppm: |n_ref·M − n_cur·N| keeps
+    * the bucket terms in cross-multiplied integers (no per-engine float
+    * division), and the only float arithmetic anywhere is the bucket
+    * edge computation, written identically on both engines. At true
+    * 100 TB cardinalities the n·M cross products approach BIGINT range —
+    * there the counts should drop to per-partition partials cast into
+    * DECIMAL(38,0) before the cross-multiply; the plan shape (two
+    * grouped counts + a 20-row join) is unchanged.
+    *
+    * Scale shape: one scan, one 20-group partial+final aggregate, one
+    * broadcast of a 1-row min/max and a ~20-row totals join — nothing
+    * corpus-sized shuffles.
+    */
+  val q126_snapshot_drift: Q = (s, d) => {
+    val split = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val o = Tables.orders(s, d).select(
+      (col("o_orderdate") < split).as("is_ref"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val mm = o.filter(col("is_ref"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val priceBucket = {
+      val q = (col("o_totalprice") - col("lo")) * 10.0 / (col("hi") - col("lo"))
+      when(col("hi") > col("lo"),
+        least(greatest(floor(q), lit(0L)), lit(9L))).otherwise(0L)
+    }
+    val rows = o.crossJoin(broadcast(mm))
+      .select(col("is_ref"), lit("totalprice").as("dim"),
+        priceBucket.cast("string").as("bucket"))
+      .unionByName(o.select(col("is_ref"), lit("orderpriority").as("dim"),
+        col("o_orderpriority").as("bucket")))
+    val counts = rows.groupBy("dim", "bucket").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.groupBy("dim")
+      .agg(sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    val terms = counts.join(broadcast(totals), "dim")
+      .withColumn("term",
+        abs(col("n_ref") * col("tot_cur") - col("n_cur") * col("tot_ref")))
+    terms.select(col("dim"), col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(1000000 * term) DIV (2 * tot_ref * tot_cur)").as("drift_ppm"))
+      .unionByName(terms.groupBy("dim", "tot_ref", "tot_cur")
+        .agg(sum("term").as("t"))
+        .select(col("dim"), lit("TOTAL").as("bucket"),
+          col("tot_ref").as("n_ref"), col("tot_cur").as("n_cur"),
+          expr("(1000000 * t) DIV (2 * tot_ref * tot_cur)").as("drift_ppm")))
+      .orderBy("dim", "bucket")
+  }
+
+  val q126Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderdate < TIMESTAMP '1998-06-01' AS is_ref,
+      |    o_totalprice, o_orderpriority FROM orders),
+      |mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |       FROM o WHERE is_ref),
+      |rows_ AS (
+      |  SELECT is_ref, 'totalprice' AS dim,
+      |    CAST(CASE WHEN hi > lo THEN CAST(least(greatest(
+      |        floor((o_totalprice - lo) * 10.0 / (hi - lo)), 0), 9) AS BIGINT)
+      |      ELSE 0 END AS VARCHAR) AS bucket
+      |  FROM o, mm
+      |  UNION ALL
+      |  SELECT is_ref, 'orderpriority', o_orderpriority FROM o),
+      |counts AS (
+      |  SELECT dim, bucket,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      |  FROM rows_ GROUP BY dim, bucket),
+      |tot AS (SELECT dim, CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+      |               CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      |        FROM counts GROUP BY dim),
+      |terms AS (
+      |  SELECT c.dim, c.bucket, c.n_ref, c.n_cur, t.tot_ref, t.tot_cur,
+      |    abs(c.n_ref * t.tot_cur - c.n_cur * t.tot_ref) AS term
+      |  FROM counts c JOIN tot t ON c.dim = t.dim)
+      |SELECT dim, bucket, n_ref, n_cur,
+      |  CAST((1000000 * term) // (2 * tot_ref * tot_cur) AS BIGINT)
+      |    AS drift_ppm
+      |FROM terms
+      |UNION ALL
+      |SELECT dim, 'TOTAL', tot_ref, tot_cur,
+      |  CAST((1000000 * CAST(SUM(term) AS BIGINT))
+      |    // (2 * tot_ref * tot_cur) AS BIGINT)
+      |FROM terms GROUP BY dim, tot_ref, tot_cur
+      |ORDER BY dim, bucket""".stripMargin
+
+  /** q127 — Z-order layout audit: quantize orders onto a 1024×1024
+    * (price × order-day) grid, Morton-interleave the two 10-bit ranks
+    * ([[graft.ops.Layout.zValue]]), and report each 1024-wide z-range —
+    * one would-be output file under [[graft.ops.Layout.clusterByZ]] —
+    * with its row count and min/max span on BOTH raw dimensions. The
+    * point of the readout: every z-range's price span AND day span are
+    * narrow simultaneously, which is exactly the property that lets
+    * parquet footer min/max prune scans on either predicate from one
+    * physical copy; a 1-D sort gets one narrow span, never both.
+    *
+    * Day ranks are pure integer arithmetic ((days·1024) DIV (range+1));
+    * the only float math is the price edge computation, written
+    * identically on both engines; the interleave is shift/mask only.
+    */
+  val q127_zorder_layout: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val mm = o.agg(
+      min("o_totalprice").as("lo_p"), max("o_totalprice").as("hi_p"),
+      min(col("o_orderdate").cast("date")).as("lo_d"),
+      max(col("o_orderdate").cast("date")).as("hi_d"))
+    val priceRank = {
+      val q = (col("o_totalprice") - col("lo_p")) * 1024.0 /
+        (col("hi_p") - col("lo_p"))
+      when(col("hi_p") > col("lo_p"),
+        least(greatest(floor(q), lit(0L)), lit(1023L))).otherwise(0L)
+    }
+    val ranked = o.crossJoin(broadcast(mm))
+      .withColumn("days",
+        datediff(col("o_orderdate").cast("date"), col("lo_d")).cast("long"))
+      .withColumn("range_days",
+        datediff(col("hi_d"), col("lo_d")).cast("long"))
+      .select(col("o_totalprice"), col("days"), priceRank.as("bx"),
+        expr("(days * 1024) DIV (range_days + 1)").as("by"))
+    ranked
+      .withColumn("z", graft.ops.Layout.zValue(10, col("bx"), col("by")))
+      .groupBy(expr("z DIV 1024").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+        min("days").as("min_day"), max("days").as("max_day"))
+      .orderBy("zbucket")
+  }
+
+  val q127Sql: String = {
+    val zTerms = (0 until 10).flatMap(i => Seq(
+      s"(((bx >> $i) & 1) << ${2 * i})",
+      s"(((by >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH mm AS (
+       |  SELECT min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p,
+       |    min(CAST(o_orderdate AS DATE)) AS lo_d,
+       |    max(CAST(o_orderdate AS DATE)) AS hi_d
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT o_totalprice,
+       |    CAST(CAST(o_orderdate AS DATE) - lo_d AS BIGINT) AS days,
+       |    CASE WHEN hi_p > lo_p THEN CAST(least(greatest(
+       |        floor((o_totalprice - lo_p) * 1024.0 / (hi_p - lo_p)), 0),
+       |        1023) AS BIGINT) ELSE 0 END AS bx,
+       |    (CAST(CAST(o_orderdate AS DATE) - lo_d AS BIGINT) * 1024)
+       |      // (CAST(hi_d - lo_d AS BIGINT) + 1) AS by
+       |  FROM orders, mm),
+       |z AS (SELECT o_totalprice, days, $zTerms AS z FROM ranked)
+       |SELECT z // 1024 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       |  min(days) AS min_day, max(days) AS max_day
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_snapshot_drift" -> q126_snapshot_drift,
+    "q127_zorder_layout" -> q127_zorder_layout,
     "q28_pricing_summary" -> q28_pricing_summary,
     "q29_top_orders" -> q29_top_orders,
     "q30_region_revenue" -> q30_region_revenue,
@@ -288,6 +451,8 @@ object AnalyticsQueries {
     "q80_cohort_retention" -> q80_cohort_retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q126_snapshot_drift" -> q126Sql,
+    "q127_zorder_layout" -> q127Sql,
     "q28_pricing_summary" -> q28Sql,
     "q29_top_orders" -> q29Sql,
     "q30_region_revenue" -> q30Sql,

@@ -592,8 +592,39 @@ object MixQueries {
       |GROUP BY occ.doc_id
       |ORDER BY occ.doc_id""".stripMargin
 
+  /** q125 — asymmetric containment pairs: |A∩B| / |A| ≥ 9/10 within the
+    * language block — the quote/boilerplate detector the symmetric
+    * Jaccard tiers (q18/q19) structurally miss: a license notice pasted
+    * into a much longer doc has Jaccard ≈ |A|/|B| → 0 but containment 1.
+    * Exact tier via containment-variant prefix filtering (recall 1 by
+    * pigeonhole; only the contained side explodes to a rarity prefix,
+    * the container side stays fully indexed); every threshold and the
+    * ppm score are integer arithmetic, so the pair set is bit-identical
+    * across engines.
+    */
+  val q125_containment: Q = (s, d) =>
+    graft.ops.TextDedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3, tNum = 9, tDen = 10)
+      .orderBy("id_a", "id_b")
+
+  val q125Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST((1000000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+      |    AS BIGINT) AS containment_ppm
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      |WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q113_dup_source_matrix" -> q113_dup_source_matrix,
+    "q125_containment" -> q125_containment,
     "q122_ngram_novelty" -> q122_ngram_novelty,
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_shuffle_pack" -> q100_shuffle_pack,
@@ -613,5 +644,6 @@ object MixQueries {
     "q106_incremental_dup_spans" -> q101Sql,
     "q111_decontam_removal" -> q111Sql,
     "q113_dup_source_matrix" -> q113Sql,
-    "q122_ngram_novelty" -> q122Sql)
+    "q122_ngram_novelty" -> q122Sql,
+    "q125_containment" -> q125Sql)
 }

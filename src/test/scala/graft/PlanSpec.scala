@@ -89,13 +89,15 @@ class PlanSpec extends AnyFunSuite {
     // q21's broadcast all-pairs scorer, q31's 1-row corpus-size scalar,
     // q59's statuses×date-spine, q93's 1-row total-count scalar against
     // ≤30 vocab rows, q99's 1-row Σ√n scalar against per-source counts,
-    // q114/q115's 1-row (N, avgdl) BM25 corpus-stats scalar.
+    // q114/q115's 1-row (N, avgdl) BM25 corpus-stats scalar,
+    // q126/q127's 1-row min/max bucket-edge scalar broadcasts.
     // Everything else must hash/broadcast-join — an accidental nested
     // loop is the classic silent 100×-scale killer.
     val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill",
       "q93_vocab_coverage", "q99_temperature_mix",
       "q114_bm25_rank", "q115_bm25_gate",
-      "q119_state_bm25_rank", "q120_state_bm25_gate")
+      "q119_state_bm25_rank", "q120_state_bm25_gate",
+      "q126_snapshot_drift", "q127_zorder_layout")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
