@@ -608,6 +608,52 @@ object Similarity {
     centroids.toIndexedSeq
   }
 
+  /** Cluster-blocked semantic near-duplicate pairs (the SemDeDup shape —
+    * Abbas et al. 2023): k-means the embedding space, then compute exact
+    * pairwise cosine only WITHIN each cluster. The cluster is the
+    * blocking key that bounds the quadratic: per cluster ~n/k vectors →
+    * (n/k)² candidate pairs instead of n², and the only corpus-scale
+    * shuffle is one hash exchange on the cluster id (k-means assignment
+    * itself is shuffle-free — centroids ride as plan-time constants in
+    * the fused [[graft.functions.VectorExpressions.ArgMaxAffineDots]]
+    * expression). Complementary to [[embeddingNearDupPairs]]'s LSH
+    * blocking: hyperplane tables catch pairs that straddle a centroid
+    * boundary; cluster blocking gives each candidate pair a semantic
+    * prior and an (id, cluster) audit trail ([[Clustering.assignmentGate]]).
+    *
+    * Rows-only by nature (float cosines, float centroid means) — the
+    * emitted pairs are re-verified by the q130 gate through the
+    * independent HOF arithmetic path.
+    */
+  def clusterNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 16, iters: Int = 5): DataFrame = {
+    val (assigned, _) = Clustering.kMeans(corpus, idCol, vecCol, k, iters)
+    clusterNearDupPairsFromAssignments(corpus, idCol, vecCol, threshold,
+      assigned)
+  }
+
+  /** [[clusterNearDupPairs]] against an already-trained blocking: callers
+    * serving several queries from one k-means model (q123/q124/q129 share
+    * the train-once/serve-many discipline) pass its assignments here
+    * instead of re-running Lloyd's per query.
+    */
+  def clusterNearDupPairsFromAssignments(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, assigned: DataFrame): DataFrame = {
+    // vectors join their cluster label once; the self-join carries the
+    // array payload only into the per-cluster block it can match in
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
+      .join(assigned, "id")
+    vecs.as("a").join(vecs.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").as("cluster"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-based near-duplicate pairs: cosine ≥ threshold via
     * multi-table LSH candidates (the embedding leg of the dedup suite).
     */

@@ -75,6 +75,14 @@ object CorpusBuild {
       packSrcCol: String = "source",
       packSeqLen: Long = 2048L,
       packShardRows: Long = 1L << 20,
+      // when true, each generation also stores the batch's distribution
+      // bucket counts on the STATIONARY monitor dimensions (lang, source,
+      // floor-log2 length) — [[stateDrift]] then scores an incoming
+      // batch's total-variation drift against the standing corpus from
+      // the folded counts (q126's monitor, served incrementally). The
+      // bucket functions must be stationary (no reference-window-derived
+      // edges) precisely so that per-batch counts fold by sum.
+      trackDrift: Boolean = false,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -363,6 +371,15 @@ object CorpusBuild {
       newTotals.write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/packtotals")
     }
+    if (cfg.trackDrift) {
+      // additive bucket-count deltas over the RAW batch: the monitor's
+      // input contract is everything that arrived, pre-quality (a
+      // quality-collapsed source IS drift worth seeing)
+      driftBuckets(newDocs).groupBy("dim", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/driftcounts")
+    }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
@@ -459,6 +476,64 @@ object CorpusBuild {
         coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
         expr("(1000000 * coalesce(sum_freq, 0L)) " +
           "DIV greatest(coalesce(n_bigrams, 0L), 1L)").as("mean_freq_ppm"))
+  }
+
+  /** The monitor dimensions as (dim, bucket) rows, one per doc per dim.
+    * Every bucket function is STATIONARY — computable from the row alone,
+    * no corpus-derived edges — so per-batch counts fold by sum across
+    * generations: lang and source pass through; length buckets are
+    * floor(log2(n_chars)) via the exact bit-length identity
+    * `length(bin(x)) − 1` (integer on both engines; equi-width buckets on
+    * a reference range, q126's layout, would NOT fold — the edges move).
+    */
+  private[graft] def driftBuckets(docs: DataFrame): DataFrame = {
+    val lenBucket = when(col("n_chars") > 0L,
+      (length(bin(col("n_chars"))) - 1).cast("long")).otherwise(0L)
+    docs.select(lit("lang").as("dim"), col("lang").as("bucket"))
+      .unionByName(docs.select(lit("source").as("dim"),
+        col("source").as("bucket")))
+      .unionByName(docs.select(lit("len_log2").as("dim"),
+        lenBucket.cast("string").as("bucket")))
+  }
+
+  /** Folded (dim, bucket, n) distribution table over every ingested doc
+    * (cfg.trackDrift).
+    */
+  def stateDriftCounts(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "driftcounts", "dim", "bucket")
+
+  /** The q126 drift monitor served from STORED state: total-variation
+    * distance between the standing corpus (the folded generation chain —
+    * reference) and an incoming batch (current), per monitor dimension,
+    * in exact integer ppm via the same |n_ref·M − n_cur·N| cross products
+    * — the standing corpus is never rescanned; the batch is bucketed once.
+    * Per-bucket rows plus a TOTAL row per dim, q126's output shape.
+    */
+  def stateDrift(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    val ref = stateDriftCounts(spark, stateDir)
+      .select(col("dim"), col("bucket"), col("n").as("n_ref"))
+    val cur = driftBuckets(docs).groupBy("dim", "bucket")
+      .agg(count(lit(1)).as("n_cur"))
+    // full outer: mass present on one side only is exactly the drift a
+    // vanished (or brand-new) bucket contributes
+    val counts = ref.join(cur, Seq("dim", "bucket"), "full_outer")
+      .select(col("dim"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = counts.groupBy("dim")
+      .agg(sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    val terms = counts.join(broadcast(totals), "dim")
+      .withColumn("term",
+        abs(col("n_ref") * col("tot_cur") - col("n_cur") * col("tot_ref")))
+    terms.select(col("dim"), col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(1000000 * term) DIV (2 * tot_ref * tot_cur)").as("drift_ppm"))
+      .unionByName(terms.groupBy("dim", "tot_ref", "tot_cur")
+        .agg(sum("term").as("t"))
+        .select(col("dim"), lit("TOTAL").as("bucket"),
+          col("tot_ref").as("n_ref"), col("tot_cur").as("n_cur"),
+          expr("(1000000 * t) DIV (2 * tot_ref * tot_cur)").as("drift_ppm")))
+      .orderBy("dim", "bucket")
   }
 
   private def foldCounts(spark: SparkSession, stateDir: String,
@@ -645,6 +720,11 @@ object CorpusBuild {
         .select(col("doc_id"), col("n"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/doclens")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/driftcounts"))) {
+      stateDriftCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/driftcounts")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/feed"))) {

@@ -405,9 +405,22 @@ object ExtensionQueries {
     * cluster-balanced sampling. Rows-only: cross-partition float mean
     * sums are not oracle-exact; the q124 gate audits the assignment.
     */
+  // The k=8 embedding k-means is trained ONCE per (session, sf dir) and
+  // served to q123/q124/q129/q130 — the train-once/serve-many discipline
+  // the stored-state queries establish: the centroids are the artifact;
+  // re-running 5 Lloyd scans per consuming query prices training four
+  // times for one model. (The memoized assignment plan re-executes per
+  // query — one scan through the fused constant-centroid expression —
+  // only the iterative training collapses.)
+  private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[Array[Double]])]
+  private def sharedKMeans(s: SparkSession,
+      d: String): (DataFrame, Seq[Array[Double]]) =
+    kmMemo.computeIfAbsent((s, d), _ => graft.ops.Clustering.kMeans(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 5))
+
   val q123_kmeans_clusters: Q = (s, d) => {
-    val (assigned, _) = graft.ops.Clustering.kMeans(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 5)
+    val (assigned, _) = sharedKMeans(s, d)
     assigned
       .select(col("id").as("vec_id"), col("cluster"))
       .withColumn("cluster_size",
@@ -423,8 +436,7 @@ object ExtensionQueries {
     */
   val q124_kmeans_gate: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val (assigned, cents) = graft.ops.Clustering.kMeans(
-      emb, "vec_id", "embedding", k = 8, iters = 5)
+    val (assigned, cents) = sharedKMeans(s, d)
     graft.ops.Clustering.assignmentGate(assigned, emb, "vec_id",
         "embedding", cents)
       .orderBy("id")
@@ -435,9 +447,52 @@ object ExtensionQueries {
       |  CAST(NULL AS DOUBLE) AS d_assigned, CAST(NULL AS DOUBLE) AS d_min
       |WHERE false""".stripMargin
 
+  /** q129 — SemDeDup-style cluster-blocked semantic near-dup pairs:
+    * k-means blocks the embedding space, exact pairwise cosine runs only
+    * within each cluster ([[graft.ops.Similarity.clusterNearDupPairs]]).
+    * Rows-only (float cosines under float centroids); q130 re-verifies
+    * every emitted pair, SimilaritySpec pins planted-twin recall.
+    */
+  val q129_semdedup_pairs: Q = (s, d) =>
+    graft.ops.Similarity.clusterNearDupPairsFromAssignments(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, assigned = sharedKMeans(s, d)._1)
+      .orderBy("id_a", "id_b")
+
+  /** q130 — the q88-discipline gate over q129: every emitted pair's
+    * cosine recomputed through the independent HOF zip_with/aggregate
+    * fold must re-clear the threshold and agree with the emitted score
+    * to round-off. Must be EMPTY.
+    */
+  val q130_semdedup_gate: Q = (s, d) => {
+    val pairs = q129_semdedup_pairs(s, d)
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos_ref",
+        hofDot(col("va"), col("vb")) /
+          (sqrt(hofDot(col("va"), col("va"))) *
+            sqrt(hofDot(col("vb"), col("vb")))))
+      .filter(col("cos_ref") < 0.3 - 1e-6 ||
+        abs(col("cos_ref") - col("cos")) > 1e-6)
+      .select("id_a", "id_b", "cos", "cos_ref")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q130Sql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS DOUBLE) AS cos_ref
+      |WHERE false""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
+    "q129_semdedup_pairs" -> q129_semdedup_pairs,
+    "q130_semdedup_gate" -> q130_semdedup_gate,
     "q32_ivf_cosine" -> q32_ivf_cosine,
     "q109_ivfpq_cosine" -> q109_ivfpq_cosine,
     "q112_embedding_centroids" -> q112_embedding_centroids,
@@ -456,6 +511,7 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
+    "q130_semdedup_gate" -> q130Sql,
     "q112_embedding_centroids" -> q112Sql,
     "q27_sessionize" -> q27Sql,
     "q17_exact_dedup" -> q17Sql,

@@ -155,13 +155,70 @@ object StorageQueries {
       |  cum // 2048 AS seq_id, cum % 2048 AS seq_offset
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q128 — the q126 drift monitor served from STORED state: the standing
+    * corpus's distribution on the stationary monitor dimensions (lang,
+    * source, floor-log2 length) is the fold of per-generation bucket-count
+    * deltas (`trackDrift`), and the incoming batch — here the last ingest
+    * third replayed as the probe — is bucketed once and TVD-scored against
+    * it in exact integer ppm, without rescanning the corpus. The oracle
+    * recomputes both windows from the raw table; a lost delta, a
+    * double-folded replay, or a non-stationary bucket function shows up
+    * as a count or ppm mismatch.
+    */
+  val q128_state_drift: Q = (s, d) => {
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    val docs = Tables.documents(s, d)
+    val b = docs.agg(min("doc_id"), max("doc_id")).first()
+    val cut2 = b.getLong(0) + 2 * ((b.getLong(1) - b.getLong(0)) / 3)
+    graft.pipeline.CorpusBuild.stateDrift(s, dir,
+      docs.filter(col("doc_id") > cut2))
+  }
+
+  val q128Sql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+      |           FROM documents),
+      |c2 AS (SELECT lo + 2 * ((hi - lo) // 3) AS cut2 FROM b),
+      |buck AS (
+      |  SELECT doc_id, 'lang' AS dim, lang AS bucket FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'source', source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'len_log2',
+      |    CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
+      |      ELSE 0 END AS VARCHAR)
+      |  FROM documents),
+      |counts AS (
+      |  SELECT dim, bucket, CAST(count(*) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN doc_id > cut2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM buck, c2 GROUP BY dim, bucket),
+      |tot AS (SELECT dim, CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+      |               CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      |        FROM counts GROUP BY dim),
+      |terms AS (
+      |  SELECT c.dim, c.bucket, c.n_ref, c.n_cur, t.tot_ref, t.tot_cur,
+      |    abs(c.n_ref * t.tot_cur - c.n_cur * t.tot_ref) AS term
+      |  FROM counts c JOIN tot t ON c.dim = t.dim)
+      |SELECT dim, bucket, n_ref, n_cur,
+      |  CAST((1000000 * term) // (2 * tot_ref * tot_cur) AS BIGINT)
+      |    AS drift_ppm
+      |FROM terms
+      |UNION ALL
+      |SELECT dim, 'TOTAL', tot_ref, tot_cur,
+      |  CAST((1000000 * CAST(SUM(term) AS BIGINT))
+      |    // (2 * tot_ref * tot_cur) AS BIGINT)
+      |FROM terms GROUP BY dim, tot_ref, tot_cur
+      |ORDER BY dim, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_csv_roundtrip" -> q104_csv_roundtrip,
     "q117_feed_shards" -> q117_feed_shards,
-    "q121_state_feed" -> q121_state_feed)
+    "q121_state_feed" -> q121_state_feed,
+    "q128_state_drift" -> q128_state_drift)
 
   val oracleSql: Map[String, String] = Map(
     "q104_csv_roundtrip" -> q104Sql,
     "q117_feed_shards" -> q117Sql,
-    "q121_state_feed" -> q121Sql)
+    "q121_state_feed" -> q121Sql,
+    "q128_state_drift" -> q128Sql)
 }

@@ -449,7 +449,8 @@ object TokenizerQueries {
     val dir = postingStateDir(d)
     if (!new java.io.File(s"$dir/LATEST").exists()) {
       val cfg = graft.pipeline.CorpusBuild.Config(
-        trackPostings = true, trackPack = true, nearDupTier = false)
+        trackPostings = true, trackPack = true, trackDrift = true,
+        nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -89,7 +89,7 @@ class DocStreamSpec extends AnyFunSuite {
     val ckpt = root.resolve("ckpt").toString
     val docs = Tables.documents(spark, sf)
     val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true,
-      trackPack = true)
+      trackPack = true, trackDrift = true)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
@@ -164,6 +164,21 @@ class DocStreamSpec extends AnyFunSuite {
         === fullFeed, "stored feed placements diverged from a full pack")
     checkFeed()
 
+    // … and the folded drift counts must equal one direct bucketing of
+    // everything streamed (the sum-fold property the stationary bucket
+    // functions exist to make true), with the calibration point that
+    // probing the state with exactly what it ingested reads ZERO drift
+    val fullDrift = rows(CorpusBuild.driftBuckets(docs)
+      .groupBy("dim", "bucket").agg(count(lit(1)).as("n")))
+    def checkDrift(): Unit = {
+      assert(rows(CorpusBuild.stateDriftCounts(spark, state)) === fullDrift,
+        "folded drift counts diverged from a direct full bucketing")
+      val self = CorpusBuild.stateDrift(spark, state, docs).collect()
+      assert(self.nonEmpty && self.forall(_.getLong(4) == 0L),
+        "self-drift must be 0 ppm on every bucket and TOTAL")
+    }
+    checkDrift()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -174,5 +189,6 @@ class DocStreamSpec extends AnyFunSuite {
     checkPostings()
     checkFeed()
     checkNovelty()
+    checkDrift()
   }
 }

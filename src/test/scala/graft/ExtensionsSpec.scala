@@ -150,6 +150,43 @@ class ExtensionsSpec extends AnyFunSuite {
       s"rotated half-budget IVF-PQ found only $hits/$n planted twins")
   }
 
+  test("cluster-blocked (SemDeDup) near-dup reunites planted twins, and " +
+      "every emitted pair re-verifies against brute-force cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+
+    val pairs = Similarity.clusterNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.99, k = 8, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // recall: a twin pair's two nearly-identical vectors land in the same
+    // cluster (same argmin up to knife-edge ties), so the block never
+    // separates them
+    val n = emb.count()
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val recall = (expected intersect got).size.toDouble / n
+    assert(recall >= 0.95, s"cluster-blocked recall $recall on planted twins")
+    // precision: brute-force recompute of every emitted cosine
+    // twin components were scaled in FLOAT (the column type) before the
+    // operator's cast to double — replicate that rounding exactly
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def vecOf(id: Long): Array[Double] =
+      if (id >= 100000L) vecs(id - 100000L).map(f => (f * 1.001f).toDouble)
+      else vecs(id).map(_.toDouble)
+    pairs.foreach { case (a, b, cos) =>
+      val (va, vb) = (vecOf(a), vecOf(b))
+      val dotAb = va.zip(vb).map { case (x, y) => x * y }.sum
+      val ref = dotAb / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(ref >= 0.99 - 1e-6 && math.abs(ref - cos) < 1e-6,
+        s"pair ($a,$b) emitted cos $cos but brute-force $ref")
+    }
+  }
+
   test("nearDupFromScored over the shared scored relation equals " +
       "embeddingNearDupPairs exactly") {
     val emb = Tables.embeddings(spark, sf)
