@@ -59,6 +59,16 @@ object CorpusBuild {
       // the corpus; per-batch write cost ∝ the batch's tokens. Same
       // whole-life-of-the-dir contract as trackCounts.
       trackPostings: Boolean = false,
+      // when true, each generation also stores the batch's POSITIONAL
+      // posting rows (xxhash64 term key × doc × token position) — the
+      // index tier phrase queries need: adjacency ("p1 immediately before
+      // p2") is a position-arithmetic join over two term filters of the
+      // stored table ([[statePhraseCount]]), never a corpus scan. Docs are
+      // batch-disjoint and append-only, so the fold is a plain union; the
+      // per-batch write cost ∝ the batch's tokens (same bound as
+      // trackPostings, one row per occurrence instead of one per
+      // (term, doc)). Whole-life-of-the-dir contract as above.
+      trackPositions: Boolean = false,
       // the near-dup LSH + quotient-CC tier of ingest; disable for state
       // dirs maintained purely for count/posting statistics (dedup handled
       // elsewhere) — every exact-dedup survivor then forms its own
@@ -353,6 +363,13 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/doclens")
     }
+    if (cfg.trackPositions) {
+      // positional posting delta over the RAW batch: one (tk, doc, pos)
+      // row per token occurrence; batch-disjoint docs → union-fold
+      graft.queries.TokenizerQueries.tokenOccPos(newDocs)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/positions")
+    }
     if (cfg.trackPack) {
       val counts = newDocs.select(col("doc_id"), col(cfg.packSrcCol),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
@@ -560,6 +577,39 @@ object CorpusBuild {
   def stateDocLens(spark: SparkSession, stateDir: String): DataFrame =
     foldCounts(spark, stateDir, "doclens", "doc_id")
 
+  /** The folded positional posting table (cfg.trackPositions) — docs are
+    * batch-disjoint so the union over generations IS the index; no
+    * re-aggregation (unlike the count folds, a position row is never
+    * split across batches).
+    */
+  def statePositions(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+      (base to gen).map(g => s"$stateDir/gen=$g/positions"): _*)
+  }
+
+  /** Phrase counts ("p1 immediately followed by p2") served ENTIRELY from
+    * the stored positional index: each term filters the posting table by
+    * its xxhash64 key — a FOLDABLE literal, so the predicate reaches the
+    * parquet scan and only the two terms' posting lists are ever read —
+    * and adjacency is the equi-join on (doc, position+1). At corpus scale
+    * the cost is proportional to the two posting lists, not the corpus;
+    * the exchange carries (doc_id, position) pairs only. Exact modulo
+    * xxhash64 collisions with a query term (the [[stateKeywordCore]]
+    * trade-off, accepted by the same argument).
+    */
+  def statePhraseCount(spark: SparkSession, stateDir: String,
+      p1: String, p2: String): DataFrame = {
+    val pos = statePositions(spark, stateDir)
+    val a = pos.filter(col("tk") === xxhash64(lit(p1)))
+      .select(col("doc_id"), (col("pos") + 1L).as("nxt"))
+    val b = pos.filter(col("tk") === xxhash64(lit(p2)))
+      .select(col("doc_id"), col("pos").cast("long").as("nxt"))
+    a.join(b, Seq("doc_id", "nxt"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_phrase"))
+  }
+
   /** q110's exact keyword match core — (doc_id, n_terms, total_tf) for
     * every doc matching any of `terms` — served from the STORED posting
     * table: the term set joins as a broadcast of xxhash64 keys, so the
@@ -725,6 +775,11 @@ object CorpusBuild {
         s"$stateDir/gen=${state.base.get}/driftcounts"))) {
       stateDriftCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/driftcounts")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/positions"))) {
+      statePositions(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/positions")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/feed"))) {

@@ -428,6 +428,17 @@ object TokenizerQueries {
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("tk"))
 
+  /** POSITIONAL token occurrences — (doc_id, pos, tk), one row per token,
+    * 1-based positions (the oracle's generate_series convention) — the
+    * positions-delta generator for `CorpusBuild.trackPositions`. Same
+    * hash-from-the-start discipline as [[tokenOcc]].
+    */
+  private[graft] def tokenOccPos(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        xxhash64(col("tok")).as("tk"))
+
   /** Run-scoped posting-state directory (q104's pid discipline, keyed by
     * sf dir so different scales in one process cannot mix states).
     */
@@ -450,7 +461,7 @@ object TokenizerQueries {
     if (!new java.io.File(s"$dir/LATEST").exists()) {
       val cfg = graft.pipeline.CorpusBuild.Config(
         trackPostings = true, trackPack = true, trackDrift = true,
-        nearDupTier = false)
+        trackPositions = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -529,6 +540,111 @@ object TokenizerQueries {
       |ORDER BY n_terms DESC, total_tf DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** The phrase queried by q131/q133 — two DISTINCT adjacent tokens (so
+    * occurrences can never overlap) both present in the corpus.
+    */
+  private[graft] val PhraseTerms = ("window", "join")
+
+  /** q131 — exact phrase search ("window" immediately followed by "join"),
+    * corpus-scan form: per-doc adjacent-pair counting over the token
+    * array with one zip_with + filter HOF — a SINGLE scan with ZERO
+    * data-sized shuffle (the only exchange is the matching docs' final
+    * sort), because adjacency is a per-row property of the array. The
+    * index-served form of the same query is q133; chained occurrences
+    * ("a b a b") count once per adjacent pair, which is why the oracle
+    * counts positions rather than substring-replacing.
+    */
+  val q131_phrase_search: Q = (s, d) => {
+    val t = TextAnalysis.tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val hits = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (x, y) => x === lit(PhraseTerms._1) && y === lit(PhraseTerms._2))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(hits, b => b)).cast("long").as("n_phrase"))
+      .filter(col("n_phrase") > 0L)
+      .orderBy("doc_id")
+  }
+
+  val q131Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+      |  FROM t)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+      |FROM e WHERE ws[i] = 'window' AND ws[i+1] = 'join'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q132 — collocation mining: bigrams scored by LIFT = P(w1w2) /
+    * (P(w1)·P(w2)) in EXACT integer ppm via the cross-multiplied form
+    * 10⁶·c_xy·N DIV (c_x·c_y) (DECIMAL(38,0) numerator — no float ln, no
+    * rounding divergence; PMI = ln(lift) is monotone in it, so the
+    * ranking IS the PMI ranking). The tokenizer-adjacent use: high-lift
+    * adjacent pairs are merge/phrase-vocab candidates. Shape: bigrams
+    * come from the same per-row zip_with (no window shuffle over the
+    * token stream), both aggregates are partial+final with vocab-bounded
+    * exchanges, the unigram sides broadcast, the corpus total rides a
+    * declared 1-row broadcast cross join, and top-100 is TakeOrdered on
+    * a total (lift, w1, w2) order.
+    */
+  val q132_collocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val t = TextAnalysis.tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val pairs = docs.select(explode(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").cast("decimal(38,0)").as("n_total"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))),
+        "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("c_xy") >= 3L && col("c_x") >= 5L && col("c_y") >= 5L)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_total" +
+          " DIV (c_x * c_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val q132Sql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+      |tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n_total FROM uni),
+      |e AS (
+      |  SELECT unnest(generate_series(1, len(ws) - 1)) AS i, ws FROM t),
+      |big AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM e GROUP BY 1, 2)
+      |SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
+      |  CAST(1000000 * CAST(c_xy AS HUGEINT) * n_total
+      |    // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS lift_ppm
+      |FROM big JOIN uni x ON big.w1 = x.w JOIN uni y ON big.w2 = y.w
+      |CROSS JOIN tot
+      |WHERE c_xy >= 3 AND x.c >= 5 AND y.c >= 5
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin
+
+  /** q133 — q131's phrase search served from the STORED positional index
+    * (`CorpusBuild.trackPositions`): two pushed-down term-key filters over
+    * the posting table joined on (doc, position+1) — posting-list cost,
+    * never a corpus scan. Shares q131's oracle: the standing state covers
+    * exactly the documents relation, so the index-served counts must equal
+    * the corpus-scan counts row for row.
+    */
+  val q133_state_phrase: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.statePhraseCount(s, ensurePostingState(s, d),
+        PhraseTerms._1, PhraseTerms._2)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -538,7 +654,10 @@ object TokenizerQueries {
     "q115_bm25_gate" -> q115_bm25_gate,
     "q118_state_keyword_index" -> q118_state_keyword_index,
     "q119_state_bm25_rank" -> q119_state_bm25_rank,
-    "q120_state_bm25_gate" -> q120_state_bm25_gate)
+    "q120_state_bm25_gate" -> q120_state_bm25_gate,
+    "q131_phrase_search" -> q131_phrase_search,
+    "q132_collocations" -> q132_collocations,
+    "q133_state_phrase" -> q133_state_phrase)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -547,5 +666,8 @@ object TokenizerQueries {
     "q110_keyword_search" -> q110Sql,
     "q115_bm25_gate" -> q115Sql,
     "q118_state_keyword_index" -> q118Sql,
-    "q120_state_bm25_gate" -> q115Sql)
+    "q120_state_bm25_gate" -> q115Sql,
+    "q131_phrase_search" -> q131Sql,
+    "q132_collocations" -> q132Sql,
+    "q133_state_phrase" -> q131Sql)
 }

@@ -207,6 +207,53 @@ class CorpusBuildSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === keepNow)
   }
 
+  test("trackPositions: phrase counts from the stored positional index " +
+      "equal the corpus-scan HOF counts, count chained occurrences per " +
+      "adjacent pair, and survive compaction") {
+    val stateDir = java.nio.file.Files.createTempDirectory("corpus_pos")
+      .resolve("state").toString
+    val cfg = CorpusBuild.Config(trackPositions = true, nearDupTier = false)
+    // plant a chained-occurrence doc: "window join window join" holds TWO
+    // adjacent (window, join) pairs — the case substring-replace counting
+    // gets wrong — plus padding so it clears the quality floor
+    val pad = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val planted = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(maxId + 1L,
+          s"window join window join $pad window join", "en", "planted",
+          (24 + pad.length + 12).toLong))),
+      docs.select("doc_id", "text", "lang", "source", "n_chars").schema)
+    val all = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+    CorpusBuild.ingestBatch(stateDir,
+      all.filter(col("doc_id") <= maxId / 2), cfg)
+    CorpusBuild.ingestBatch(stateDir,
+      all.filter(col("doc_id") > maxId / 2), cfg)
+
+    def expected: Map[Long, Long] = {
+      import graft.functions.TextAnalysis
+      val t = TextAnalysis.tokens(col("text"))
+      val n = greatest(size(t) - 1, lit(0))
+      val hits = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (x, y) => x === lit("window") && y === lit("join"))
+      all.select(col("doc_id"),
+          size(filter(hits, b => b)).cast("long").as("n_phrase"))
+        .filter(col("n_phrase") > 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def served: Map[Long, Long] =
+      CorpusBuild.statePhraseCount(spark, stateDir, "window", "join")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val exp = expected
+    assert(exp(maxId + 1L) == 3L,
+      "planted doc must hold three (window, join) adjacencies")
+    assert(served === exp,
+      "index-served phrase counts must equal the corpus-scan counts")
+    CorpusBuild.compact(spark, stateDir)
+    assert(served === exp, "phrase counts must survive compaction")
+  }
+
   test("trainFeed: train docs only, deterministic across re-runs, " +
       "canonical sequence placement, small sources upweighted") {
     val corpus = docs.withColumn("split",

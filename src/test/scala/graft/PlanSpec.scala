@@ -47,6 +47,16 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem scan must carry the pushed returnflag filter:\n$plan")
   }
 
+  test("q133: both phrase-term key filters are PUSHED to the positions " +
+      "scan — the index lookup reads posting lists, never the table") {
+    val plan = graft.queries.TokenizerQueries.q133_state_phrase(spark, sf)
+      .queryExecution.executedPlan.toString
+    // xxhash64(lit(term)) folds to a literal, so each branch's scan must
+    // carry an EqualTo on tk (two branches, two pushed term keys)
+    assert("EqualTo\\(tk,-?\\d+\\)".r.findAllIn(plan).size >= 2,
+      s"positions scans must carry the folded term-key filters:\n$plan")
+  }
+
   test("q13: star-join dimensions broadcast; fact side is never broadcast") {
     val plan = withBroadcastEnabled(executedPlan(CoreQueries.q13_star_join(spark, sf)))
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
@@ -97,7 +107,7 @@ class PlanSpec extends AnyFunSuite {
       "q93_vocab_coverage", "q99_temperature_mix",
       "q114_bm25_rank", "q115_bm25_gate",
       "q119_state_bm25_rank", "q120_state_bm25_gate",
-      "q126_snapshot_drift", "q127_zorder_layout")
+      "q126_snapshot_drift", "q127_zorder_layout", "q132_collocations")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
