@@ -51,20 +51,46 @@ object Materialize {
     }
   }
 
+  // Cross-query shared artifacts (the dedup-cluster memo) outlive the
+  // per-query release cycle: pin() records the RDD ids backing a
+  // materialized relation and releaseAll skips them. Pinned relations
+  // must be SMALL — doc-count-sized label tables, never pair- or
+  // shingle-sized intermediates — because the blocks are then held for
+  // the life of the session. Only local mode needs the pin for
+  // CORRECTNESS (localCheckpoint blocks are non-recomputable; a released
+  // one fails every later read); persist-mode blocks recompute from
+  // lineage and reliable-mode generations live in DFS files, so for them
+  // the pin is just a re-execution saver.
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark `df`'s materialized backing RDDs as exempt from [[releaseAll]].
+    * `df` must already be materialized (its analyzed plan scans
+    * checkpoint-backed RDD leaves — the shape [[apply]] returns).
+    */
+  def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        pinnedIds.add(l.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
   /** Release every block this session has pinned: SQL-cached relations
     * plus all persisted RDDs — which is where `localCheckpoint()` blocks
     * live, so this also reclaims [[apply]]'s local-mode materializations
-    * once their consumers are done. Call BETWEEN independent units of
-    * work (bench queries, verify dumps, scheduled jobs sharing one long
-    * session): materialized intermediates are scoped to a single query's
-    * execution, and a session that never releases them accumulates
-    * orphaned blocks whose block-manager churn taxes whatever runs later
-    * (round 6 measured 2-4× inflation on late-suite bench queries from
-    * exactly this).
+    * once their consumers are done (except [[pin]]ned shared artifacts).
+    * Call BETWEEN independent units of work (bench queries, verify
+    * dumps, scheduled jobs sharing one long session): materialized
+    * intermediates are scoped to a single query's execution, and a
+    * session that never releases them accumulates orphaned blocks whose
+    * block-manager churn taxes whatever runs later (round 6 measured
+    * 2-4× inflation on late-suite bench queries from exactly this).
     */
   def releaseAll(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!pinnedIds.contains(id)) rdd.unpersist(blocking = false) }
   }
 }

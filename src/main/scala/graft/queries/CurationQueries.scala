@@ -794,8 +794,8 @@ object CurationQueries {
     * reuses.
     */
   val q97_cluster_sizes: Q = (s, d) => {
-    graft.ops.TextDedup.dedupClusterRelation(Tables.documents(s, d),
-        "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    graft.ops.TextDedup.dedupClusterRelationShared(Tables.documents(s, d),
+        d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")

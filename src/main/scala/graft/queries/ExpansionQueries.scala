@@ -325,8 +325,8 @@ object ExpansionQueries {
     * end-to-end.
     */
   val q56_dedup_groups: Q = (s, d) => {
-    graft.ops.TextDedup.dedupClusterRelation(Tables.documents(s, d),
-        "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    graft.ops.TextDedup.dedupClusterRelationShared(Tables.documents(s, d),
+        d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
   }

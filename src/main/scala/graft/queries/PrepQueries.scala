@@ -182,8 +182,8 @@ object PrepQueries {
   val q74_dedup_survivors: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val comp = graft.ops.TextDedup.dedupClusterRelation(
-      docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    val comp = graft.ops.TextDedup.dedupClusterRelationShared(
+      docs, d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
     val w = Window.partitionBy("component")
     val byLen = w.orderBy(col("n_chars").desc, col("id"))
     comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
