@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, MixQueries, PrepQueries, StorageQueries, TokenizerQueries}
+import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PrepQueries, StorageQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,7 +20,8 @@ object SparkEntry {
       AnalyticsQueries.queries ++ CompletenessQueries.queries ++
       ExpansionQueries.queries ++ PrepQueries.queries ++
       CurationQueries.queries ++ MixQueries.queries ++
-      StorageQueries.queries ++ TokenizerQueries.queries
+      StorageQueries.queries ++ TokenizerQueries.queries ++
+      FilterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       AnalyticsQueries.oracleSql ++ CompletenessQueries.oracleSql ++
       ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
       CurationQueries.oracleSql ++ MixQueries.oracleSql ++
-      StorageQueries.oracleSql ++ TokenizerQueries.oracleSql
+      StorageQueries.oracleSql ++ TokenizerQueries.oracleSql ++
+      FilterQueries.oracleSql
 }
