@@ -76,6 +76,21 @@ object Materialize {
     df
   }
 
+  /** Drop a previously [[pin]]ned relation's exemption AND its blocks —
+    * for when a shared artifact is REPLACED (a republish): the old
+    * generation's consumers are done, so holding its blocks for the
+    * session would leak one label table per republish.
+    */
+  def unpinAndRelease(df: DataFrame): Unit = {
+    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        pinnedIds.remove(l.rdd.id)
+        persisted.get(l.rdd.id).foreach(_.unpersist(blocking = false))
+      case _ => ()
+    }
+  }
+
   /** Release every block this session has pinned: SQL-cached relations
     * plus all persisted RDDs — which is where `localCheckpoint()` blocks
     * live, so this also reclaims [[apply]]'s local-mode materializations

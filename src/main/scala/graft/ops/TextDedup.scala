@@ -130,6 +130,24 @@ object TextDedup {
       _ => Materialize.pin(
         dedupClusterRelation(docs, idCol, textCol, blockCol, n, threshold)))
 
+  /** Always BUILD the labeling, then publish it into the memo (replacing
+    * and releasing any prior generation). The labeling query itself (q56)
+    * takes this path so a per-query benchmark bills the pair+CC build to
+    * exactly one visible number — a computeIfAbsent there would let a
+    * min-of-N timer record serve-cost for every member of the trio and
+    * price the build into nothing.
+    */
+  def dedupClusterRelationPublish(docs: DataFrame, corpusKey: String,
+      idCol: String, textCol: String, blockCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val fresh = Materialize.pin(
+      dedupClusterRelation(docs, idCol, textCol, blockCol, n, threshold))
+    val old = clusterMemo.put(
+      (docs.sparkSession, corpusKey, blockCol, n, threshold), fresh)
+    if (old != null && (old ne fresh)) Materialize.unpinAndRelease(old)
+    fresh
+  }
+
   /** The prefix-filtered exact tier over a prebuilt [[shingleRelation]]. */
   def ngramJaccardPairsFromShingles(sh: DataFrame,
       threshold: Double): DataFrame = {

@@ -63,4 +63,33 @@ class MaterializeSpec extends AnyFunSuite {
       assert(e.getMessage.contains("checkpointMode"))
     } finally spark.conf.unset("spark.graft.checkpointMode")
   }
+
+  test("pinned shared labeling survives releaseAll; readouts agree across " +
+      "the serve -> releaseAll -> republish cycle") {
+    import graft.ops.{Materialize, TextDedup}
+    val docs = graft.queries.Tables.documents(spark, sf)
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+        .toMap
+
+    // q56 shape: build + publish
+    val first = labels(TextDedup.dedupClusterRelationPublish(
+      docs, sf, "doc_id", "text", "lang", n = 3, threshold = 0.5))
+    assert(first.nonEmpty)
+
+    // the bench/verify cycle between queries must NOT drop the memo
+    Materialize.releaseAll(spark)
+    val served = labels(TextDedup.dedupClusterRelationShared(
+      docs, sf, "doc_id", "text", "lang", n = 3, threshold = 0.5))
+    assert(served === first)
+
+    // a republish replaces the generation (old blocks released, no leak)
+    // and later serves read the NEW one
+    val second = labels(TextDedup.dedupClusterRelationPublish(
+      docs, sf, "doc_id", "text", "lang", n = 3, threshold = 0.5))
+    Materialize.releaseAll(spark)
+    val servedAgain = labels(TextDedup.dedupClusterRelationShared(
+      docs, sf, "doc_id", "text", "lang", n = 3, threshold = 0.5))
+    assert(second === first && servedAgain === first)
+  }
 }
