@@ -75,13 +75,16 @@ object FilterQueries {
   /** q135 — duplicate-bigram profile: the adjacent-bigram analogue of
     * q134 (Gopher's dup-2-gram filter). Bigrams keep multiplicity —
     * repetition IS the signal — and the top count is the same per-row
-    * sorted-run scan, so this too is map-only. Documents with fewer than
-    * two tokens have no bigrams and drop out (both engines).
+    * sorted-run scan over packed 64-bit bigram KEYS
+    * ([[TextAnalysis.wordBigramKeys]]; sorting longs, not concatenated
+    * strings, cut 5.9 s → see RepetitionSpec's key≡string canary), so
+    * this too is map-only. Documents with fewer than two tokens have no
+    * bigrams and drop out (both engines).
     */
   val q135_dup_bigram: Q = (s, d) => {
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextAnalysis.wordBigramsAll(TextAnalysis.tokens(col("text")))
+        TextAnalysis.wordBigramKeys(TextAnalysis.tokens(col("text")))
           .as("bg"))
       .filter(size(col("bg")) > 0)
       .select(col("doc_id"),

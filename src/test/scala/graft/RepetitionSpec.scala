@@ -56,6 +56,21 @@ class RepetitionSpec extends AnyFunSuite {
     }
   }
 
+  test("packed bigram keys count the same tops as real string bigrams") {
+    // collision canary: if a 32-bit token-hash collision ever merged two
+    // bigrams inside one document, the key-based top count would diverge
+    // from the string-based one
+    val toks = TextAnalysis.tokens(col("text"))
+    val diverged = graft.queries.Tables.documents(spark, sf)
+      .select(
+        TextAnalysis.topElementCount(TextAnalysis.wordBigramKeys(toks))
+          .as("byKey"),
+        TextAnalysis.topElementCount(TextAnalysis.wordBigramsAll(toks))
+          .as("byStr"))
+      .filter(col("byKey") =!= col("byStr"))
+    assert(diverged.count() === 0L)
+  }
+
   test("floorLog2 agrees with the bit-length definition on longs") {
     val xs = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, 1025L, 999999937L)
     val got = xs.toDF("x")
