@@ -138,6 +138,31 @@ object TextAnalysis {
       },
       st => st.getField("best"))
 
+  /** Element count, distinct count, and top-element count of `arr` in ONE
+    * sorted-run pass — struct(n_tokens, n_distinct, top_cnt). q134/q135
+    * consume this instead of separate size / array_distinct /
+    * [[topElementCount]] calls: each of those re-evaluates the (non-cheap)
+    * token/bigram array expression, and the recomputed splits dominated
+    * the measured per-query cost.
+    */
+  def runStats(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(get(arr, lit(0)).as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("n"), lit(0L).as("nd")),
+      (st, t) => {
+        val isRun = st.getField("run") > 0L && t === st.getField("prev")
+        val run = when(isRun, st.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"),
+          (st.getField("n") + 1L).as("n"),
+          when(isRun, st.getField("nd")).otherwise(st.getField("nd") + 1L)
+            .as("nd"))
+      },
+      st => struct(st.getField("n").as("n_tokens"),
+        st.getField("nd").as("n_distinct"),
+        st.getField("best").as("top_cnt")))
+
   /** All adjacent word bigrams (with multiplicity, order preserved),
     * joined on  — the per-document unit for Rae et al.'s
     * duplicate-n-gram repetition filters. Fewer than 2 tokens → empty.

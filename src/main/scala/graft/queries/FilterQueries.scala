@@ -31,19 +31,18 @@ object FilterQueries {
 
   /** q134 — word-level repetition profile: per document, token count,
     * distinct-token count, the count of the most frequent token, and the
-    * duplicate-word / top-word fractions in ppm. The top-count is a
-    * sorted-run scan of the document's own token array
-    * ([[TextAnalysis.topElementCount]]) — no explode, no shuffle.
+    * duplicate-word / top-word fractions in ppm. All three counts come
+    * from ONE sorted-run scan of the document's own token array
+    * ([[TextAnalysis.runStats]]) — no explode, no shuffle, and the token
+    * array is evaluated once per row.
     */
   val q134_word_repetition: Q = (s, d) => {
     val toks = filter(TextAnalysis.tokens(col("text")), t => length(t) > 0)
     Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-        TextAnalysis.topElementCount(col("w")).as("top_cnt"))
+      .select(col("doc_id"), TextAnalysis.runStats(toks).as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"), col("st.top_cnt").as("top_cnt"))
+      .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("top_cnt"),
         TextAnalysis.intDiv(
@@ -84,12 +83,12 @@ object FilterQueries {
   val q135_dup_bigram: Q = (s, d) => {
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextAnalysis.wordBigramKeys(TextAnalysis.tokens(col("text")))
-          .as("bg"))
-      .filter(size(col("bg")) > 0)
-      .select(col("doc_id"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        TextAnalysis.topElementCount(col("bg")).as("top_cnt"))
+        TextAnalysis.runStats(
+          TextAnalysis.wordBigramKeys(TextAnalysis.tokens(col("text"))))
+          .as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_bigrams"),
+        col("st.top_cnt").as("top_cnt"))
+      .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
         TextAnalysis.intDiv(col("top_cnt") * 1000000L, col("n_bigrams"))
           .as("top_ppm"))

@@ -56,6 +56,20 @@ class RepetitionSpec extends AnyFunSuite {
     }
   }
 
+  test("runStats equals the separate size/array_distinct/topElementCount") {
+    val toks = filter(TextAnalysis.tokens(col("text")), t => length(t) > 0)
+    val diverged = graft.queries.Tables.documents(spark, sf)
+      .select(
+        TextAnalysis.runStats(toks).as("st"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        TextAnalysis.topElementCount(toks).as("top"))
+      .filter(col("st.n_tokens") =!= col("n") ||
+        col("st.n_distinct") =!= col("nd") ||
+        col("st.top_cnt") =!= col("top"))
+    assert(diverged.count() === 0L)
+  }
+
   test("packed bigram keys count the same tops as real string bigrams") {
     // collision canary: if a 32-bit token-hash collision ever merged two
     // bigrams inside one document, the key-based top count would diverge
