@@ -662,6 +662,35 @@ object CorpusBuild {
     graft.queries.TokenizerQueries.bm25FromStats(tf, dl, k)
   }
 
+  /** Corpus-LM surprisal (q136's integer-log2 unigram score) for every
+    * ingested doc, served ENTIRELY from the stored posting state: the
+    * per-term corpus counts and the corpus total fold out of the posting
+    * table (vocab-sized aggregate), and each doc's score folds its own
+    * posting rows — sum(tf · (floorLog2(T) − floorLog2(c_term))). Scoring
+    * a standing 100 TB corpus costs index-sized work, never a corpus
+    * rescan, and the maintenance algebra (sum-fold over generations) must
+    * reproduce the from-raw recompute bit for bit — that is q138's
+    * oracle. Exact modulo xxhash64 term-key collisions (the
+    * [[stateKeywordCore]] trade-off: a collision would merge two terms'
+    * counts and surface as an oracle hash mismatch — checked, not
+    * assumed).
+    */
+  def stateSurprisal(spark: SparkSession, stateDir: String): DataFrame = {
+    import graft.functions.TextAnalysis.{floorLog2, intDiv}
+    val post = statePostings(spark, stateDir)
+    val termTotals = post.groupBy("tk").agg(sum(col("n")).as("c"))
+    val total = termTotals.agg(sum(col("c")).as("t"))
+    val lq = termTotals.crossJoin(broadcast(total))
+      .select(col("tk"), (floorLog2(col("t")) - floorLog2(col("c"))).as("q"))
+    post.join(broadcast(lq), "tk")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("q")).as("surprisal_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),
+        intDiv(col("surprisal_sum") * 1000000L, col("n_tokens"))
+          .as("avg_q6"))
+  }
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.

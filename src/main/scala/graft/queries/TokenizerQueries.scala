@@ -527,6 +527,17 @@ object TokenizerQueries {
       .orderBy("doc_id")
   }
 
+  /** q138 — corpus-LM surprisal served from the STORED posting state:
+    * q136's integer-log2 unigram score recomputed purely from the folded
+    * inverted index (term counts, corpus total, and per-doc tf all fold
+    * out of posting rows — no corpus rescan). The oracle is q136's
+    * from-raw SQL verbatim, so a lost posting row, a mis-folded
+    * generation, or a term-key collision shows up as a hash mismatch.
+    */
+  val q138_state_surprisal: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateSurprisal(s, ensurePostingState(s, d))
+      .orderBy("doc_id")
+
   val q110Sql: String =
     """SELECT doc_id,
       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
@@ -657,7 +668,8 @@ object TokenizerQueries {
     "q120_state_bm25_gate" -> q120_state_bm25_gate,
     "q131_phrase_search" -> q131_phrase_search,
     "q132_collocations" -> q132_collocations,
-    "q133_state_phrase" -> q133_state_phrase)
+    "q133_state_phrase" -> q133_state_phrase,
+    "q138_state_surprisal" -> q138_state_surprisal)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -669,5 +681,7 @@ object TokenizerQueries {
     "q120_state_bm25_gate" -> q115Sql,
     "q131_phrase_search" -> q131Sql,
     "q132_collocations" -> q132Sql,
-    "q133_state_phrase" -> q131Sql)
+    "q133_state_phrase" -> q131Sql,
+    // the state-served LM must reproduce q136's from-raw scores exactly
+    "q138_state_surprisal" -> FilterQueries.q136Sql)
 }

@@ -254,6 +254,33 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(served === exp, "phrase counts must survive compaction")
   }
 
+  test("stateSurprisal: the index-served LM scores equal the in-query " +
+      "q136 recompute across batches and compaction") {
+    val stateDir = java.nio.file.Files.createTempDirectory("corpus_lm")
+      .resolve("state").toString
+    val cfg = CorpusBuild.Config(trackPostings = true, nearDupTier = false)
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    CorpusBuild.ingestBatch(stateDir,
+      base.filter(col("doc_id") <= maxId / 2), cfg)
+    CorpusBuild.ingestBatch(stateDir,
+      base.filter(col("doc_id") > maxId / 2), cfg)
+
+    def served: Map[Long, (Long, Long, Long)] =
+      CorpusBuild.stateSurprisal(spark, stateDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("surprisal_sum"), r.getAs[Long]("avg_q6")))).toMap
+    val expected =
+      graft.queries.FilterQueries.q136_surprisal(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("surprisal_sum"), r.getAs[Long]("avg_q6")))).toMap
+
+    assert(served === expected,
+      "state-served surprisal must equal the from-raw q136 scores")
+    CorpusBuild.compact(spark, stateDir)
+    assert(served === expected, "surprisal must survive compaction")
+  }
+
   test("trainFeed: train docs only, deterministic across re-runs, " +
       "canonical sequence placement, small sources upweighted") {
     val corpus = docs.withColumn("split",

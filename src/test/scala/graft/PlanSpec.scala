@@ -108,7 +108,7 @@ class PlanSpec extends AnyFunSuite {
       "q114_bm25_rank", "q115_bm25_gate",
       "q119_state_bm25_rank", "q120_state_bm25_gate",
       "q126_snapshot_drift", "q127_zorder_layout", "q132_collocations",
-      "q136_surprisal")
+      "q136_surprisal", "q138_state_surprisal")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
