@@ -69,15 +69,21 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
       .map(n => n -> exec(n))
-    val total = results.map(_._2).sum
+    // A crashed query (-1 sentinel) must not poison the suite total —
+    // round 7's committed total silently summed ten -1.0s and became
+    // incomparable round-over-round. `value` is the sum of successful
+    // queries only; crashes are named in "errors".
+    val errors = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Millisecond precision keeps the one-line stdout payload compact
     // enough to fit entirely within the driver's captured output tail.
     def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
 
     val outPath = java.nio.file.Paths.get(
@@ -91,6 +97,7 @@ object Bench {
          |  "value": $total,
          |  "unit": "sec",
          |  "runs": $runs,
+         |  "errors": $errs,
          |  "sf": "$sfDir",
          |  "queries": {
          |$entries

@@ -19,6 +19,11 @@ object Verify {
     // Local-iteration filter: SPARK_GRAFT_ONLY="q101|q102" dumps only the
     // matching queries (the driver never sets it, so its runs are full).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // A crashed query must be LOUD: recorded in failures.json (so a
+    // missing result parquet is distinguishable from a removed query)
+    // and reflected in the exit code — round 7 lost 10 queries to a
+    // silently-swallowed reader exception.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.findFirstIn(name).isDefined) }
@@ -26,7 +31,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // queries are independent units: release materialized blocks so a
       // 113-query dump doesn't accumulate them (see Materialize.releaseAll)
@@ -48,6 +55,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -35,14 +35,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark does not
-    * read natively; sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    * and this reader restores a proper TimestampType (µs) column. Integer
-    * `DIV` keeps full precision (a double division would lose it at 1e18 ns).
+  /** The events table carries parquet TIMESTAMP(NANOS). How Spark scans it
+    * depends on version: with spark.sql.legacy.parquet.nanosAsLong=true the
+    * column arrives as LongType (nanos since epoch; Spark ≤4.0), while Spark
+    * 4.1+ reads NANOS natively as TIMESTAMP_NTZ and ignores the legacy flag.
+    * This reader normalizes both to a session-zoned TimestampType (µs):
+    * LongType → integer `DIV 1000` (a double division would lose precision
+    * at 1e18 ns) → timestamp_micros; TimestampNTZType → cast (the UTC
+    * session preserves the instant). Downstream queries and the DuckDB
+    * oracle see the identical µs timeline either way.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
+
+  /** Normalize the scanned `ts` to TimestampType whatever shape the scan
+    * produced (shared by the batch reader above and the streaming reader in
+    * graft.streaming.EventStream, which sees the same parquet files).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected parquet-scanned type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = spread(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = spread(s, d, "embeddings")

@@ -22,14 +22,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** The event schema as read from the lake (ts restored to TimestampType —
-    * see Tables.events for the nanos contract).
+    * see Tables.normalizeEventTs for the nanos contract). The stream schema
+    * is pinned to what THIS Spark's parquet scan produces for the dir's
+    * footers (one driver-side batch-schema probe at stream setup), so the
+    * long-vs-TIMESTAMP_NTZ difference across Spark versions is absorbed in
+    * one place instead of a hardcoded BIGINT that silently mis-scales.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // `dir` may be a whole-corpus dir (other tables' files scan as null rows
+    // under the events schema) — probe the events file itself when present
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val eventsFile = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val probe = if (fs.exists(eventsFile)) eventsFile.toString else dir
+    val scanned = spark.read.parquet(probe).schema
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(scanned).parquet(dir))
+  }
 
   /** Tumbling 1-hour windows per event type with a 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
