@@ -31,6 +31,19 @@ object Bpe {
 
   val Sep = "\u001f"
 
+  /** The word-frequency dict BPE trains on — (word, n) over whitespace
+    * tokens of `textCol`, empty tokens excluded. ONE definition shared by
+    * the in-query learns (q105/q108) and the stored-state delta generator
+    * ([[graft.pipeline.CorpusBuild]] `trackMerges`): per-batch dicts are
+    * ADDITIVE (corpus dict = sum of batch dicts), which is exactly what
+    * makes the trained artifact maintainable incrementally even though
+    * the merge learning itself is global.
+    */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
   /** Learn `numMerges` merges over a (wordCol, countCol) frequency dict.
     *
     * @return (merge_rank, lhs, rhs, n) — rank-ordered merge table; n is
@@ -110,5 +123,41 @@ object Bpe {
       length(call_function("replace", folded, lit(Sep), lit("")))) / 2)
       .cast("long")
     dict.select(col(wordCol).as("word"), nSyms.as("n_symbols"))
+  }
+
+  /** q108's compression readout for a COLLECTED merge list — per doc of
+    * a (doc_id, text) relation: whitespace-token vs BPE-symbol counts
+    * and their integer-ppm expansion. The doc is represented as its
+    * ␟-wrapped words joined by spaces, so the SAME literal replace chain
+    * that trained the merges applies them — merges cannot cross word
+    * boundaries (a pattern needs ␟␟ between symbols; the boundary is
+    * "␟ ␟") and symbol counting is separator-count/2. A PER-ROW
+    * projection: one corpus scan, nothing shuffles, no token-dict join.
+    * ONE definition shared by the in-query learn+apply (q108) and the
+    * stored-tokenizer serve path
+    * ([[graft.pipeline.CorpusBuild.stateBpeTokenize]]).
+    */
+  def tokenizeDocs(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val S = Sep
+    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val docRepr = array_join(
+      transform(words, w => concat(lit(S),
+        array_join(filter(split(w, ""), c => c =!= ""), S + S), lit(S))),
+      " ")
+    val folded = merges.foldLeft(docRepr) { case (acc, (a, b)) =>
+      call_function("replace", acc,
+        lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    val nSyms = ((length(folded) -
+      length(call_function("replace", folded, lit(S), lit("")))) / 2)
+      .cast("long")
+    docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        nSyms.as("n_bpe_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_symbols"),
+        expr("(1000000 * n_bpe_symbols) DIV greatest(n_tokens, 1L)")
+          .as("expansion_ppm"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,20 +9,71 @@ import org.apache.spark.sql.functions._
   * same drift-elimination rationale as [[Splits]]): frequency-ranked
   * whitespace tokens with the deterministic (n DESC, token ASC) total
   * order. Top-k runs FIRST (TakeOrderedAndProject — parallel per-partition
-  * top-k, never a global sort of the token table); the rank window only
-  * ever sees the ≤k survivors.
+  * top-k, never a global sort of the token table); the rank only ever sees
+  * the ≤k survivors, and is the two-level [[globalRank]] — a million-entry
+  * vocab never funnels through one task.
   */
 object Vocab {
 
-  /** (token, n, vocab_id 1..k) from a single-column `token` relation of
-    * exploded tokens (empty tokens excluded).
+  private val vocabOrder = Seq(col("n").desc, col("token"))
+
+  /** The lazy ≤k survivor relation (token, n) — exposed so PlanSpec can
+    * assert the TakeOrderedAndProject shape, which [[topK]]'s
+    * materialization otherwise hides behind a checkpoint scan.
     */
-  def topK(tokens: DataFrame, k: Int): DataFrame =
+  private[graft] def survivors(tokens: DataFrame, k: Int): DataFrame =
     tokens
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
+      .orderBy(vocabOrder: _*)
       .limit(k)
-      .withColumn("vocab_id", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))).cast("int"))
+
+  /** (token, n, vocab_id 1..k) from a single-column `token` relation of
+    * exploded tokens (empty tokens excluded). The survivor set is
+    * materialized ONCE (k rows — cheap to pin at any scale) so the full
+    * corpus aggregation never re-executes for the rank's offset pass.
+    */
+  def topK(tokens: DataFrame, k: Int): DataFrame =
+    globalRank(Materialize(survivors(tokens, k)), vocabOrder, "vocab_id")
+
+  /** Global dense row-number over `order` WITHOUT an unpartitioned window
+    * (`row_number().over(Window.orderBy(...))` funnels the whole relation
+    * through ONE task — the scale killer for a real vocab). Two-level
+    * instead, the [[Packing]] hierarchical pattern applied to ranking:
+    *
+    *   1. range-shard on the sort key (`repartitionByRange`: sampled
+    *      boundaries, so shard i's keys all precede shard i+1's);
+    *   2. rank within each shard via a PARTITIONED window — parallel
+    *      across shards, each task sorts ~rows/shards rows;
+    *   3. per-shard row counts (`shards` scalars) → driver prefix-sum →
+    *      broadcast back as a map literal: global rank =
+    *      shard base + local rank.
+    *
+    * Deterministic for any boundary draw because shards partition the
+    * SORTED order: moving a boundary moves rows between shards but never
+    * changes base+local. The range exchange is evaluated once for the
+    * offsets and once for the result; callers pass a materialized `df`
+    * (as [[topK]] does) so that double evaluation costs k pinned rows,
+    * not two corpus scans — and Spark's range sampler is deterministic
+    * per partition index, so both draws see identical boundaries.
+    * Scales as O(rows/shards) per task plus an O(shards) driver step.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], outCol: String,
+      shards: Int = 32): DataFrame = {
+    val sharded = df.repartitionByRange(shards, order: _*)
+      .withColumn("_shard", spark_partition_id())
+    val counts = sharded.groupBy("_shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases: Map[Int, Long] = counts.map { case (sh, c) =>
+      val b = sh -> acc; acc += c; b
+    }.toMap
+    val wLocal = Window.partitionBy(col("_shard")).orderBy(order: _*)
+    sharded
+      .withColumn("_local", row_number().over(wLocal))
+      .withColumn(outCol,
+        (coalesce(element_at(typedLit(bases), col("_shard")), lit(0L)) +
+          col("_local")).cast("int"))
+      .drop("_shard", "_local")
+  }
 }

@@ -93,6 +93,16 @@ object CorpusBuild {
       // bucket functions must be stationary (no reference-window-derived
       // edges) precisely so that per-batch counts fold by sum.
       trackDrift: Boolean = false,
+      // when true, each generation also stores the batch's word-frequency
+      // DELTA (additive — the corpus dict is the sum of batch dicts) plus
+      // a BPE merge-table SNAPSHOT learned from the FOLDED dict: merge
+      // learning is global (not additive), so the trained artifact is
+      // recomputed per ingest at dict-scale cost — packtotals' snapshot
+      // discipline — and tokenization serves from the stored table
+      // ([[stateBpeTokenize]]) without ever re-learning. Whole-life-of-
+      // the-dir contract as above.
+      trackMerges: Boolean = false,
+      bpeMerges: Int = 8,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -397,6 +407,25 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/driftcounts")
     }
+    if (cfg.trackMerges) {
+      // word-dict delta over the RAW batch (q105's input contract):
+      // additive, folds by sum — the dict is incremental even though
+      // the merge LEARNING is not …
+      graft.ops.Bpe.wordDict(newDocs, "text")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/worddict")
+      // … so the merge table is a SNAPSHOT re-learned from the folded
+      // dict each ingest (dict-scale driver-paced rounds, never a corpus
+      // rescan; readers take the latest generation's file, no fold —
+      // the packtotals discipline): the trained tokenizer stays in
+      // lockstep with the corpus statistics that justify it
+      val dict = spark.read.parquet(
+          (base to gen).map(g => s"$stateDir/gen=$g/worddict"): _*)
+        .groupBy("word").agg(sum(col("n")).as("n"))
+      graft.ops.Bpe.learnMerges(dict, "word", "n", cfg.bpeMerges)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/merges")
+    }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
@@ -691,6 +720,39 @@ object CorpusBuild {
           .as("avg_q6"))
   }
 
+  /** The folded word-frequency dict (cfg.trackMerges) — sum over the
+    * generation chain's additive deltas; equals one q105-contract dict
+    * over everything ingested.
+    */
+  def stateWordDict(spark: SparkSession, stateDir: String): DataFrame =
+    foldCounts(spark, stateDir, "worddict", "word")
+
+  /** The stored BPE merge table (cfg.trackMerges): per-generation
+    * SNAPSHOTS — the latest generation's table IS the artifact (no fold,
+    * like packtotals), already trained on the full folded dict.
+    */
+  def stateBpeMerges(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, _) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(s"$stateDir/gen=$gen/merges")
+  }
+
+  /** q108's BPE compression readout with the tokenizer LOADED from state
+    * instead of re-learned: collect the stored merge table (an N-row
+    * tokenizer artifact) and apply it to `docs` via the shared per-row
+    * replace chain ([[graft.ops.Bpe.tokenizeDocs]]) — the corpus-scale
+    * work drops from learn+apply (a dict aggregate plus N driver-paced
+    * pair-count rounds) to ONE scan of `docs`. Serving must reproduce
+    * the in-query learn+apply bit for bit — that is q139's oracle.
+    */
+  def stateBpeTokenize(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    val ms = stateBpeMerges(spark, stateDir).orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    graft.ops.Bpe.tokenizeDocs(docs, ms)
+  }
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.
@@ -817,6 +879,17 @@ object CorpusBuild {
       spark.read.parquet(s"$stateDir/gen=${state.gen.get}/packtotals")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/packtotals")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/worddict"))) {
+      // dict deltas fold by sum into the new base; the merge table is a
+      // snapshot — carry the latest one forward unchanged (it was
+      // already trained on the full folded dict)
+      stateWordDict(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/worddict")
+      spark.read.parquet(s"$stateDir/gen=${state.gen.get}/merges")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/merges")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

@@ -27,13 +27,9 @@ object TokenizerQueries {
     * is dict-scale — a pair-count partial/final aggregate and a 1-row
     * argmax collect, driver-paced like the CC fixpoint.
     */
-  val q105_bpe_merges: Q = (s, d) => {
-    val dict = Tables.documents(s, d)
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    Bpe.learnMerges(dict, "word", "cnt", NumMerges).orderBy("merge_rank")
-  }
+  val q105_bpe_merges: Q = (s, d) =>
+    Bpe.learnMerges(Bpe.wordDict(Tables.documents(s, d), "text"),
+      "word", "n", NumMerges).orderBy("merge_rank")
 
   /** The same NumMerges rounds unrolled: dN = the dict after N merges,
     * bN = round N's winning pair. DuckDB's replace is left-to-right
@@ -174,34 +170,12 @@ object TokenizerQueries {
     */
   val q108_bpe_tokenize: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val dict = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val merges = Bpe.learnMerges(dict, "word", "cnt", NumMerges)
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "text"),
+        "word", "n", NumMerges)
       .orderBy("merge_rank")
       .select("lhs", "rhs").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val S = Bpe.Sep
-    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
-    val docRepr = array_join(
-      transform(words, w => concat(lit(S),
-        array_join(filter(split(w, ""), c => c =!= ""), S + S), lit(S))),
-      " ")
-    val folded = merges.foldLeft(docRepr) { case (acc, (a, b)) =>
-      call_function("replace", acc,
-        lit(S + a + S + S + b + S), lit(S + a + b + S))
-    }
-    val nSyms = ((length(folded) -
-      length(call_function("replace", folded, lit(S), lit("")))) / 2)
-      .cast("long")
-    docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        nSyms.as("n_bpe_symbols"))
-      .select(col("doc_id"), col("n_tokens"), col("n_bpe_symbols"),
-        expr("(1000000 * n_bpe_symbols) DIV greatest(n_tokens, 1L)")
-          .as("expansion_ppm"))
-      .orderBy("doc_id")
+    Bpe.tokenizeDocs(docs, merges.toIndexedSeq).orderBy("doc_id")
   }
 
   /** q105's learn chain (b1..bN) + an apply chain: per doc, the same
@@ -461,7 +435,7 @@ object TokenizerQueries {
     if (!new java.io.File(s"$dir/LATEST").exists()) {
       val cfg = graft.pipeline.CorpusBuild.Config(
         trackPostings = true, trackPack = true, trackDrift = true,
-        trackPositions = true, nearDupTier = false)
+        trackPositions = true, trackMerges = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -656,6 +630,20 @@ object TokenizerQueries {
         PhraseTerms._1, PhraseTerms._2)
       .orderBy("doc_id")
 
+  /** q139 — q108's BPE compression readout served from the STORED merge
+    * table (`CorpusBuild.trackMerges`): the ingest generations store
+    * additive word-dict deltas plus a merge-table snapshot learned from
+    * the folded dict, and the readout LOADS that stored tokenizer and
+    * applies it in one corpus scan — no re-learning, no dict aggregate.
+    * The oracle is q108's learn+apply SQL verbatim: a stale snapshot, a
+    * mis-folded dict delta, or a drifted apply chain all show up as a
+    * hash mismatch.
+    */
+  val q139_state_bpe_tokenize: Q = (s, d) =>
+    graft.pipeline.CorpusBuild
+      .stateBpeTokenize(s, ensurePostingState(s, d), Tables.documents(s, d))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -669,7 +657,8 @@ object TokenizerQueries {
     "q131_phrase_search" -> q131_phrase_search,
     "q132_collocations" -> q132_collocations,
     "q133_state_phrase" -> q133_state_phrase,
-    "q138_state_surprisal" -> q138_state_surprisal)
+    "q138_state_surprisal" -> q138_state_surprisal,
+    "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -683,5 +672,7 @@ object TokenizerQueries {
     "q132_collocations" -> q132Sql,
     "q133_state_phrase" -> q131Sql,
     // the state-served LM must reproduce q136's from-raw scores exactly
-    "q138_state_surprisal" -> FilterQueries.q136Sql)
+    "q138_state_surprisal" -> FilterQueries.q136Sql,
+    // the state-served tokenizer must reproduce q108's learn+apply exactly
+    "q139_state_bpe_tokenize" -> q108Sql)
 }

@@ -89,7 +89,7 @@ class DocStreamSpec extends AnyFunSuite {
     val ckpt = root.resolve("ckpt").toString
     val docs = Tables.documents(spark, sf)
     val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true,
-      trackPack = true, trackDrift = true)
+      trackPack = true, trackDrift = true, trackMerges = true)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
@@ -179,6 +179,24 @@ class DocStreamSpec extends AnyFunSuite {
     }
     checkDrift()
 
+    // … and the stored merge table must equal a one-shot learn over
+    // everything streamed (dict deltas fold by sum; the snapshot was
+    // trained on the fold), with tokenization served from it equal to
+    // q108's in-query learn+apply
+    val fullMerges = rows(graft.ops.Bpe.learnMerges(
+      graft.ops.Bpe.wordDict(docs, "text"), "word", "n", cfg.bpeMerges))
+    val fullTok = rows(
+      graft.queries.TokenizerQueries.q108_bpe_tokenize(spark, sf))
+    def checkMerges(): Unit = {
+      assert(rows(CorpusBuild.stateBpeMerges(spark, state)) === fullMerges,
+        "stored merge-table snapshot diverged from a one-shot learn " +
+          "over everything streamed")
+      assert(rows(CorpusBuild.stateBpeTokenize(spark, state, docs))
+        === fullTok,
+        "state-served BPE tokenization diverged from q108's learn+apply")
+    }
+    checkMerges()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -190,5 +208,6 @@ class DocStreamSpec extends AnyFunSuite {
     checkFeed()
     checkNovelty()
     checkDrift()
+    checkMerges()
   }
 }

@@ -73,16 +73,30 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q49: vocab top-k runs as TakeOrdered; the rank window sees <=500 rows") {
+    // the survivor stage (hidden behind topK's checkpoint in the full
+    // query) must plan as parallel TakeOrdered, not a global sort
+    val survivorPlan = executedPlan(graft.ops.Vocab.survivors(
+      graft.queries.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), "\\s+"))
+          .as("token")), 500))
+    assert(survivorPlan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as parallel TakeOrdered, not a global sort:\n$survivorPlan")
+  }
+
+  test("q49: the vocab rank is two-level — no unpartitioned WindowExec") {
     val plan = executedPlan(ExpansionQueries.q49_vocab(spark, sf))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"top-k must plan as parallel TakeOrdered, not a global sort:\n$plan")
-    // the only Window in the plan must sit ABOVE the TakeOrdered (i.e. rank
-    // the 500 survivors), never directly over the full token aggregate
-    val windowIdx = plan.indexOf("Window")
-    val takeIdx = plan.indexOf("TakeOrderedAndProject")
-    assert(windowIdx >= 0 && takeIdx > windowIdx,
-      s"rank window must consume the TakeOrdered output (window above " +
-        s"take in the tree):\n$plan")
+    // every Window in the plan must be partitioned (the two-level rank
+    // partitions by the range shard); a global row_number would print a
+    // Window with an EMPTY partition spec and funnel the vocab into one task
+    val unpartitioned = plan.linesIterator
+      .filter(l => l.contains("Window ") && !l.contains("_shard"))
+      .toList
+    assert(unpartitioned.isEmpty,
+      s"found Window not partitioned by the range shard:\n" +
+        s"${unpartitioned.mkString("\n")}\nfull plan:\n$plan")
   }
 
   test("q72: the vocab joins map-side (broadcast); corpus never shuffles by token") {
