@@ -52,6 +52,19 @@ object Bench {
       // orphaned blocks — the artifact must measure the plan, not the
       // suite's debris.
       graft.ops.Materialize.releaseAll(spark)
+      // Then force a GC outside the timed window: unreferenced broadcast
+      // variables and shuffle state are only reclaimed when the
+      // ContextCleaner's reference queue sees them collected, so without
+      // this the 138-query suite accumulates heap until some LATER
+      // query's timed window pays the major GC + cleanup — round 7's
+      // residual late-suite drift (q65/q66/q75 at ~2.4x their isolated
+      // numbers). The brief sleep lets the async cleaner drain before
+      // the next attempt starts. (A fresh newSession per query was
+      // considered and rejected: the train-once/serve-many memos are
+      // session-keyed, and re-training per query would mis-bill the
+      // model serves the memos exist to price correctly.)
+      System.gc()
+      Thread.sleep(50)
       t
     }
 

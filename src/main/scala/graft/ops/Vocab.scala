@@ -22,11 +22,14 @@ object Vocab {
     * materialization otherwise hides behind a checkpoint scan.
     */
   private[graft] def survivors(tokens: DataFrame, k: Int): DataFrame =
-    tokens
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(vocabOrder: _*)
-      .limit(k)
+    survivorsFromCounts(
+      tokens
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n")),
+      k)
+
+  private def survivorsFromCounts(counts: DataFrame, k: Int): DataFrame =
+    counts.orderBy(vocabOrder: _*).limit(k)
 
   /** (token, n, vocab_id 1..k) from a single-column `token` relation of
     * exploded tokens (empty tokens excluded). The survivor set is
@@ -35,6 +38,15 @@ object Vocab {
     */
   def topK(tokens: DataFrame, k: Int): DataFrame =
     globalRank(Materialize(survivors(tokens, k)), vocabOrder, "vocab_id")
+
+  /** [[topK]] against an ALREADY-COUNTED (token, n) relation — the
+    * serve-from-state entry point (q142 ranks the stored word dict a
+    * `trackMerges` state maintains incrementally; the corpus-scale
+    * aggregate never re-runs).
+    */
+  def topKFromCounts(counts: DataFrame, k: Int): DataFrame =
+    globalRank(Materialize(survivorsFromCounts(counts, k)), vocabOrder,
+      "vocab_id")
 
   /** Global dense row-number over `order` WITHOUT an unpartitioned window
     * (`row_number().over(Window.orderBy(...))` funnels the whole relation

@@ -401,6 +401,17 @@ object CurationQueries {
           bands = 4, threshold = 0.5)))
       .unionByName(nonempty("sketch_simhash_pairs_nonempty",
         TextDedup.simhashPairs(probeDocs, "doc_id", "text", maxDist = 6)))
+      // the round-7 gates: q124 audits the k-means assignment relation —
+      // its population is counted THROUGH the shared memo the gate
+      // consumes (one row per non-empty vector, oracle-exact) — and
+      // q129/q130's within-cluster pair tier must EMIT on the canary
+      // slice (the planted duplicate lands in its twin's cluster with
+      // cosine 1, so an intact blocking+threshold pipeline always fires)
+      .unionByName(exactCount("kmeans_assigned_vectors",
+        ExtensionQueries.sharedKMeans(s, d)._1))
+      .unionByName(nonempty("semdedup_pairs_nonempty",
+        Similarity.clusterNearDupPairs(probeEmb, "vec_id", "embedding",
+          threshold = 0.3, k = 4, iters = 2)))
       .orderBy("gate")
   }
 
@@ -429,6 +440,10 @@ object CurationQueries {
       |   WHERE len(string_split_regex(trim(text), '\s+')) >= 3)
       |UNION ALL SELECT 'sketch_lsh_pairs_nonempty', 1
       |UNION ALL SELECT 'sketch_simhash_pairs_nonempty', 1
+      |UNION ALL SELECT 'kmeans_assigned_vectors',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |   WHERE len(embedding) > 0)
+      |UNION ALL SELECT 'semdedup_pairs_nonempty', 1
       |ORDER BY gate""".stripMargin
 
   /** q90 — quality filter funnel: the per-stage attrition report every

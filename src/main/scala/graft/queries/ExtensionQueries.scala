@@ -285,6 +285,72 @@ object ExtensionQueries {
       |       '\s+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q140 — winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2004 — public literature): over the normalized text (q24's
+    * contract), hash every k-gram (k=8) and keep the MINIMUM hash of each
+    * window of w=4 consecutive k-grams — the guarantee the paper proves
+    * is that any shared substring of length ≥ k+w−1 yields at least one
+    * shared fingerprint, which is what makes the selected set a partial-
+    * overlap detector rather than q24's whole-document identity. Readout:
+    * per doc, k-gram / window / DISTINCT-fingerprint counts plus the
+    * minimum fingerprint (a deterministic sample of the selection).
+    *
+    * Engine notes: the hash is md5 (portable — Spark and DuckDB emit the
+    * same lowercase hex, so min-by-string agrees bit for bit; xxhash64
+    * would be faster but is not reproducible in the oracle engine), and
+    * both HOF chains guard the empty case explicitly because Spark's
+    * sequence(1, n) DESCENDS for n ≤ 0. Scale shape: a pure per-row
+    * projection — one corpus scan, no shuffle but the final sort; the
+    * md5-per-position cost distributes with the rows.
+    */
+  val q140_winnow_fingerprint: Q = (s, d) => {
+    val k = 8
+    val w = 4
+    Tables.documents(s, d)
+      .withColumn("s", TextAnalysis.normalizeText(col("text")))
+      .withColumn("grams", expr(
+        s"CASE WHEN length(s) >= $k THEN transform(" +
+          s"sequence(1, length(s) - ${k - 1}), i -> md5(substr(s, i, $k)))" +
+          " ELSE array() END"))
+      .withColumn("sel", expr(
+        s"CASE WHEN size(grams) >= $w THEN transform(" +
+          s"sequence(1, size(grams) - ${w - 1})," +
+          s" j -> array_min(slice(grams, j, $w))) ELSE array() END"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_windows"),
+        size(array_distinct(col("sel"))).cast("long").as("n_fingerprints"),
+        array_min(col("sel")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q140Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]',
+      |         '', 'g'), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) >= 8 THEN
+      |      [md5(substr(s, i, 8)) for i in generate_series(1, len(s) - 7)]
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, grams,
+      |    CASE WHEN len(grams) >= 4 THEN
+      |      [list_min(grams[j:j+3])
+      |       for j in generate_series(1, len(grams) - 3)]
+      |    ELSE [] END AS sel
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(sel) AS BIGINT) AS n_windows,
+      |  CAST(len(list_distinct(sel)) AS BIGINT) AS n_fingerprints,
+      |  list_min(sel) AS min_fp
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** q25 — multimodal plumbing: text rendered as binary payloads, typed
     * per-partition (stub) decode, byte-level metadata out. The oracle
     * predicts every stubbed field from the source text.
@@ -414,7 +480,9 @@ object ExtensionQueries {
   // only the iterative training collapses.)
   private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Seq[Array[Double]])]
-  private def sharedKMeans(s: SparkSession,
+  // private[queries]: q116's population audit counts the assignment
+  // relation THROUGH the same memo the q124 gate consumes
+  private[queries] def sharedKMeans(s: SparkSession,
       d: String): (DataFrame, Seq[Array[Double]]) =
     kmMemo.computeIfAbsent((s, d), _ => graft.ops.Clustering.kMeans(
       Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 5))
@@ -507,7 +575,8 @@ object ExtensionQueries {
     "q24_fingerprint" -> q24_fingerprint,
     "q25_multimodal_meta" -> q25_multimodal_meta,
     "q26_lsh_cosine" -> q26_lsh_cosine,
-    "q67_sketch_precision" -> q67_sketch_precision)
+    "q67_sketch_precision" -> q67_sketch_precision,
+    "q140_winnow_fingerprint" -> q140_winnow_fingerprint)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -522,5 +591,6 @@ object ExtensionQueries {
     "q22_token_stats" -> q22Sql,
     "q23_lang_quality" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
-    "q25_multimodal_meta" -> q25Sql)
+    "q25_multimodal_meta" -> q25Sql,
+    "q140_winnow_fingerprint" -> q140Sql)
 }

@@ -210,15 +210,75 @@ object StorageQueries {
       |FROM terms GROUP BY dim, tot_ref, tot_cur
       |ORDER BY dim, bucket""".stripMargin
 
+  /** q141 — training-feed fragmentation audit: per source, how many docs
+    * the 2048-token greedy pack SPLITS across sequence boundaries, the
+    * total fragment count, and the worst doc's span — the feed-QA metric
+    * behind choosing a sequence length (every split doc costs the model a
+    * truncated context at training time). Derived entirely from the
+    * library's pack placements by integer arithmetic: a doc placed at
+    * seq_offset with n tokens occupies (seq_offset + n − 1) DIV L + 1
+    * consecutive sequences — no second window pass over the corpus, and
+    * the aggregate is partial+final on the source key. greatest(n,1)
+    * keeps zero-token docs at one fragment in BOTH engines (a −1 DIV
+    * would floor vs truncate differently).
+    */
+  val q141_pack_fragmentation: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_toks"))
+    val shardRows = s.conf.get("spark.graft.packShardRows", "1048576").toLong
+    graft.ops.Packing
+      .packSequences(counts, "doc_id", "source", "n_toks", 2048L, shardRows)
+      .withColumn("n_frags",
+        expr("(seq_offset + greatest(n_toks, 1L) - 1) DIV 2048 + 1"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_frags") > 1, 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("n_frags")).as("n_fragments"),
+        max(col("n_frags")).as("max_frags"))
+      .select(col("source"), col("n_docs"), col("n_split_docs"),
+        col("n_fragments"), col("max_frags"),
+        expr("(1000000 * n_split_docs) DIV n_docs").as("split_ppm"))
+      .orderBy("source")
+  }
+
+  val q141Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) % 2048 AS seq_offset
+      |  FROM c),
+      |f AS (
+      |  SELECT source,
+      |    (seq_offset + greatest(n_toks, 1) - 1) // 2048 + 1 AS n_frags
+      |  FROM s)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_frags > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_split_docs,
+      |  CAST(SUM(n_frags) AS BIGINT) AS n_fragments,
+      |  CAST(MAX(n_frags) AS BIGINT) AS max_frags,
+      |  CAST((1000000 * SUM(CASE WHEN n_frags > 1 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS split_ppm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_csv_roundtrip" -> q104_csv_roundtrip,
     "q117_feed_shards" -> q117_feed_shards,
     "q121_state_feed" -> q121_state_feed,
-    "q128_state_drift" -> q128_state_drift)
+    "q128_state_drift" -> q128_state_drift,
+    "q141_pack_fragmentation" -> q141_pack_fragmentation)
 
   val oracleSql: Map[String, String] = Map(
     "q104_csv_roundtrip" -> q104Sql,
     "q117_feed_shards" -> q117Sql,
     "q121_state_feed" -> q121Sql,
-    "q128_state_drift" -> q128Sql)
+    "q128_state_drift" -> q128Sql,
+    "q141_pack_fragmentation" -> q141Sql)
 }

@@ -644,6 +644,23 @@ object TokenizerQueries {
       .stateBpeTokenize(s, ensurePostingState(s, d), Tables.documents(s, d))
       .orderBy("doc_id")
 
+  /** q142 — q49's top-500 vocabulary served from the STORED word dict
+    * (`CorpusBuild.trackMerges`' additive deltas, folded by sum): the
+    * rank runs over dict-scale state — the corpus token explode +
+    * aggregate never re-executes — through the same two-level
+    * [[graft.ops.Vocab]] arithmetic as the in-query build. The oracle is
+    * q49's SQL verbatim: a lost dict delta or a double-folded replay
+    * shows up as a frequency (and usually rank) mismatch.
+    */
+  val q142_state_vocab: Q = (s, d) =>
+    graft.ops.Vocab.topKFromCounts(
+        graft.pipeline.CorpusBuild
+          .stateWordDict(s, ensurePostingState(s, d))
+          .select(col("word").as("token"), col("n")),
+        500)
+      .select("vocab_id", "token", "n")
+      .orderBy("vocab_id")
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -658,7 +675,8 @@ object TokenizerQueries {
     "q132_collocations" -> q132_collocations,
     "q133_state_phrase" -> q133_state_phrase,
     "q138_state_surprisal" -> q138_state_surprisal,
-    "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize)
+    "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize,
+    "q142_state_vocab" -> q142_state_vocab)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -674,5 +692,7 @@ object TokenizerQueries {
     // the state-served LM must reproduce q136's from-raw scores exactly
     "q138_state_surprisal" -> FilterQueries.q136Sql,
     // the state-served tokenizer must reproduce q108's learn+apply exactly
-    "q139_state_bpe_tokenize" -> q108Sql)
+    "q139_state_bpe_tokenize" -> q108Sql,
+    // the state-served vocab must reproduce q49's corpus-scan build exactly
+    "q142_state_vocab" -> ExpansionQueries.q49Sql)
 }

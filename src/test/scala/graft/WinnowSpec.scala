@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** The winnowing guarantee (Schleimer et al. 2004, thm. on the (k+w−1)
+  * match threshold): two documents sharing a substring of length ≥ k+w−1
+  * (after normalization) share at least one selected fingerprint — the
+  * property that makes the selection usable for partial-overlap detection,
+  * checked on constructed docs rather than the corpus so the overlap is
+  * known by design.
+  */
+class WinnowSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("WinnowSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // mirrors q140's selection (k=8, w=4) but keeps the full fingerprint
+  // SET per doc so overlap is observable; q140's query itself only
+  // exposes counts + min (the oracle-checkable readout)
+  private def fingerprints(texts: Seq[(Long, String)]): Map[Long, Set[String]] = {
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("s", graft.functions.TextAnalysis.normalizeText(col("text")))
+      .withColumn("grams", expr(
+        "CASE WHEN length(s) >= 8 THEN transform(" +
+          "sequence(1, length(s) - 7), i -> md5(substr(s, i, 8)))" +
+          " ELSE array() END"))
+      .withColumn("sel", expr(
+        "CASE WHEN size(grams) >= 4 THEN transform(" +
+          "sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4)))" +
+          " ELSE array() END"))
+      .select(col("doc_id"), array_distinct(col("sel")).as("fps"))
+    df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+  }
+
+  test("docs sharing a >= k+w-1 substring share a fingerprint; " +
+      "disjoint docs do not") {
+    // the shared run is 16 normalized chars > k+w-1 = 11
+    val shared = "quick brown fox jumps"
+    val fps = fingerprints(Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"zeta eta theta $shared iota",
+      3L -> "completely different words with no run in common at all"))
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "a shared >= k+w-1 substring must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no shared 8-gram (the test doc shares no 8-char normalized run) " +
+        "must mean no shared fingerprint")
+  }
+
+  test("identical docs select identical fingerprint sets; selection is " +
+      "position-robust (a long prefix shifts positions, not the shared set)") {
+    val body = "the training corpus deduplication pipeline selects minima"
+    val fps = fingerprints(Seq(
+      1L -> body,
+      2L -> body,
+      3L -> s"unrelated leading sentence padding here $body"))
+    assert(fps(1L) === fps(2L))
+    // winnowing selects by LOCAL minima, so a prefix shift must still
+    // reproduce the body's fingerprints (up to boundary windows)
+    assert((fps(1L) & fps(3L)).size >= (fps(1L).size * 3) / 4,
+      s"prefix shift destroyed locality: ${fps(1L).size} vs shared " +
+        s"${(fps(1L) & fps(3L)).size}")
+  }
+
+  test("q140 runs and its counts are internally consistent") {
+    val out = ExtensionQueries.q140_winnow_fingerprint(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nGrams, nWin, nFp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWin === math.max(nGrams - 3, 0L),
+        s"doc ${r.getLong(0)}: windows must be grams - w + 1")
+      assert(nFp <= nWin && (nWin == 0L || nFp > 0L),
+        s"doc ${r.getLong(0)}: distinct fingerprints within (0, windows]")
+    }
+  }
+}
