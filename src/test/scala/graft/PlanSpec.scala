@@ -108,6 +108,22 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus token stream must not shuffle for the vocab join:\n$plan")
   }
 
+  test("state-served readouts never rescan the corpus table") {
+    // THE point of stored state: serving a standing 100 TB corpus costs
+    // index/state-sized reads. These queries' executed plans must read
+    // only state-dir parquet (postings, positions, worddict, feed) — a
+    // documents.parquet scan sneaking in means the serve path silently
+    // degraded to the corpus-scan form. (q139 is exempt by design: it
+    // loads the MODEL from state but tokenizes the corpus, which is one
+    // scan of its input relation.)
+    for (name <- Seq("q118_state_keyword_index", "q133_state_phrase",
+        "q138_state_surprisal", "q142_state_vocab", "q121_state_feed")) {
+      val plan = executedPlan(graft.SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("documents.parquet"),
+        s"$name's serve plan scans the corpus:\n$plan")
+    }
+  }
+
   test("whole suite: every query plans, and no UNDECLARED nested-loop join") {
     // Seven queries cross tiny-by-construction sides on purpose (SCALE.md):
     // q21's broadcast all-pairs scorer, q31's 1-row corpus-size scalar,
