@@ -235,9 +235,7 @@ object ExpansionQueries {
     * the embedding leg of the dedup suite over the corpus table.
     */
   val q53_embedding_neardup: Q = (s, d) =>
-    graft.ops.Similarity.embeddingNearDupPairs(
-        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.3, dim = 64)
-      .orderBy("id_a", "id_b")
+    SharedAnn.publish(s, d, "neardup").orderBy("id_a", "id_b")
 
   /** q54 — SCD2 history build (graft.ops.Scd2): per-customer order-status
     * change log collapsed to versioned validity intervals — change rows

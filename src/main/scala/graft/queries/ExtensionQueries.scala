@@ -371,9 +371,7 @@ object ExtensionQueries {
     * Rows-only driver check; recall vs q21 asserted in ScalaTest.
     */
   val q26_lsh_cosine: Q = (s, d) =>
-    Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 1, dim = 64)
-      .orderBy("query_id")
+    SharedAnn.publish(s, d, "lsh").orderBy("query_id")
 
   /** q27 — sessionization (30-minute inactivity gap) as declarative window
     * functions over events: the batch cross-check of the stateful streaming
@@ -407,9 +405,7 @@ object ExtensionQueries {
     * driver check, planted-twin recall asserted in ScalaTest).
     */
   val q32_ivf_cosine: Q = (s, d) =>
-    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 1, dim = 64)
-      .orderBy("query_id")
+    SharedAnn.publish(s, d, "ivf").orderBy("query_id")
 
   /** q109 — IVF-PQ approximate top-1 (the memory-bound tier: byte codes +
     * ADC shortlist, exact re-rank — see Similarity.ivfPqTopK). Rows-only
@@ -418,9 +414,7 @@ object ExtensionQueries {
     * WHICH candidates reach the exact re-rank, never the emitted score).
     */
   val q109_ivfpq_cosine: Q = (s, d) =>
-    Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 1, dim = 64)
-      .orderBy("query_id")
+    SharedAnn.publish(s, d, "ivfpq").orderBy("query_id")
 
   /** q112 — per-group embedding centroids, EXACT: component-wise mean of
     * the embedding vectors within each doc_id%4 slice (a stand-in for
