@@ -211,4 +211,35 @@ class PropertiesSpec extends AnyFunSuite {
         s"kernel/builtin intersection mismatch for a=$a b=$b")
     }
   }
+
+  test("two-level globalRank equals the unpartitioned row_number on " +
+      "random dicts at any shard count") {
+    import spark.implicits._
+    // duplicates on the rank key (same n, distinct token) + skew are the
+    // interesting cases: boundary draws must never change base+local
+    val genDict: Gen[List[(String, Long)]] = Gen.listOfN(60,
+      for {
+        t <- Gen.oneOf((('a' to 'z') ++ ('0' to '9')).map(_.toString))
+        s <- Gen.oneOf("", "x", "yy")
+        n <- Gen.chooseNum(1L, 8L) // tight range forces rank ties
+      } yield (t + s, n)).map(_.distinctBy(_._1))
+    forAll(genDict, n = 8) { dict =>
+      whenNonEmpty(dict) {
+        val counts = dict.toDF("token", "n")
+        for (shards <- Seq(1, 3, 32)) {
+          val ranked = graft.ops.Vocab.globalRank(counts,
+              Seq(col("n").desc, col("token")), "rank_id", shards)
+            .collect().map(r => r.getAs[String]("token") ->
+              r.getAs[Int]("rank_id")).toMap
+          val expected = dict.sortBy { case (t, n) => (-n, t) }
+            .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+          assert(ranked === expected,
+            s"shards=$shards diverged from the global sort order")
+        }
+      }
+    }
+  }
+
+  private def whenNonEmpty[A](xs: List[A])(body: => Unit): Unit =
+    if (xs.nonEmpty) body
 }
