@@ -304,10 +304,14 @@ object ExtensionQueries {
     * projection — one corpus scan, no shuffle but the final sort; the
     * md5-per-position cost distributes with the rows.
     */
-  val q140_winnow_fingerprint: Q = (s, d) => {
-    val k = 8
-    val w = 4
-    Tables.documents(s, d)
+  /** The per-doc winnowing selection (doc_id, grams, sel) shared by q140's
+    * readout, q143's overlap detector, and WinnowSpec — k-gram md5 hashes
+    * plus the window-min selection, both HOF chains guarding the empty
+    * case explicitly (Spark's sequence(1, n) DESCENDS for n ≤ 0).
+    */
+  private[graft] def winnowSel(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame =
+    docs
       .withColumn("s", TextAnalysis.normalizeText(col("text")))
       .withColumn("grams", expr(
         s"CASE WHEN length(s) >= $k THEN transform(" +
@@ -317,6 +321,9 @@ object ExtensionQueries {
         s"CASE WHEN size(grams) >= $w THEN transform(" +
           s"sequence(1, size(grams) - ${w - 1})," +
           s" j -> array_min(slice(grams, j, $w))) ELSE array() END"))
+
+  val q140_winnow_fingerprint: Q = (s, d) => {
+    winnowSel(Tables.documents(s, d))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
         size(col("sel")).cast("long").as("n_windows"),
@@ -350,6 +357,70 @@ object ExtensionQueries {
       |  CAST(len(list_distinct(sel)) AS BIGINT) AS n_fingerprints,
       |  list_min(sel) AS min_fp
       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** q143 — winnowing-overlap pair detection (the MOSS use: q140's
+    * selection turned into a partial-overlap detector): doc pairs sharing
+    * ≥ 2 distinct selected fingerprints, with the shared count — by the
+    * winnowing guarantee, any shared normalized substring of length ≥
+    * k+w−1 across BOTH spans contributes fingerprints, so quote-level
+    * overlap surfaces without any fixed-shingle span table. Fingerprints
+    * appearing in > 64 docs are dropped in BOTH engines (the MOSS
+    * boilerplate cut — an over-common fingerprint is template text, and
+    * the cap also bounds the per-key join fan-out: max 64² pair rows per
+    * fingerprint, the same frequency-cap discipline as LSH bucket
+    * pruning). Shape: explode distinct fingerprints (density ~2/(w+1) of
+    * positions), one count aggregate, one self-equi-join on the
+    * fingerprint key, one pair-count aggregate — every exchange keyed,
+    * no candidate ever re-scored against raw text. The md5-hex join key
+    * is the portable-oracle trade-off (a production deployment would
+    * re-key to xxhash64 after the oracle gate, the q101 discipline).
+    */
+  val q143_winnow_overlap: Q = (s, d) => {
+    val fps = winnowSel(Tables.documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 64)
+      .select("fp")
+    val p = fps.join(rare, "fp")
+    p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q143Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]',
+      |         '', 'g'), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) >= 8 THEN
+      |      [md5(substr(s, i, 8)) for i in generate_series(1, len(s) - 7)]
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, grams,
+      |    CASE WHEN len(grams) >= 4 THEN
+      |      [list_min(grams[j:j+3])
+      |       for j in generate_series(1, len(grams) - 3)]
+      |    ELSE [] END AS sel
+      |  FROM g),
+      |fps AS (
+      |  SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM w),
+      |rare AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      |  WHERE df BETWEEN 2 AND 64),
+      |p AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q25 — multimodal plumbing: text rendered as binary payloads, typed
     * per-partition (stub) decode, byte-level metadata out. The oracle
@@ -570,7 +641,8 @@ object ExtensionQueries {
     "q25_multimodal_meta" -> q25_multimodal_meta,
     "q26_lsh_cosine" -> q26_lsh_cosine,
     "q67_sketch_precision" -> q67_sketch_precision,
-    "q140_winnow_fingerprint" -> q140_winnow_fingerprint)
+    "q140_winnow_fingerprint" -> q140_winnow_fingerprint,
+    "q143_winnow_overlap" -> q143_winnow_overlap)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -586,5 +658,6 @@ object ExtensionQueries {
     "q23_lang_quality" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_multimodal_meta" -> q25Sql,
-    "q140_winnow_fingerprint" -> q140Sql)
+    "q140_winnow_fingerprint" -> q140Sql,
+    "q143_winnow_overlap" -> q143Sql)
 }

@@ -72,6 +72,32 @@ class WinnowSpec extends AnyFunSuite {
         s"${(fps(1L) & fps(3L)).size}")
   }
 
+  test("q143 detector: a planted shared quote surfaces as a pair; " +
+      "unrelated docs do not pair") {
+    import spark.implicits._
+    val quote = "for a limited time only terms and conditions apply " +
+      "see store for details"
+    val docs = Seq(
+      1L -> s"entirely original opening content here $quote and an ending",
+      2L -> s"$quote surrounded by totally different prose on either side",
+      3L -> "no common material with anything else whatsoever in this row",
+      4L -> "another fully distinct document about unrelated subject matter")
+      .toDF("doc_id", "text")
+    val fps = graft.queries.ExtensionQueries.winnowSel(docs)
+      .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 64).select("fp")
+    val p = fps.join(rare, "fp")
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the planted quote pair, got $pairs")
+  }
+
   test("q140 runs and its counts are internally consistent") {
     val out = ExtensionQueries.q140_winnow_fingerprint(
       spark, "/root/testdata/sf0.001").collect()
