@@ -103,6 +103,15 @@ object CorpusBuild {
       // the-dir contract as above.
       trackMerges: Boolean = false,
       bpeMerges: Int = 8,
+      // when true, each generation also stores the batch's DISTINCT
+      // winnowing fingerprints (doc_id, fp — q140's selection): docs are
+      // batch-disjoint and the selection is per-row, so the fold is a
+      // plain union (the positions contract), and batch-vs-corpus
+      // partial-overlap detection ([[stateWinnowOverlap]]) joins the
+      // incoming batch's fingerprints against the folded table — the
+      // standing corpus is never re-fingerprinted. Whole-life-of-the-dir
+      // contract as above.
+      trackFingerprints: Boolean = false,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -406,6 +415,15 @@ object CorpusBuild {
         .agg(count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/driftcounts")
+    }
+    if (cfg.trackFingerprints) {
+      // distinct winnowing fingerprints over the RAW batch (q140's
+      // selection; q143's input contract): per-row selection +
+      // batch-disjoint docs → union fold, write cost ∝ the batch
+      graft.queries.ExtensionQueries.winnowSel(newDocs)
+        .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/fingerprints")
     }
     if (cfg.trackMerges) {
       // word-dict delta over the RAW batch (q105's input contract):
@@ -753,6 +771,46 @@ object CorpusBuild {
     graft.ops.Bpe.tokenizeDocs(docs, ms)
   }
 
+  /** The folded winnowing-fingerprint table (cfg.trackFingerprints) —
+    * batch-disjoint docs, per-row selection → union over generations IS
+    * the table (the positions contract).
+    */
+  def stateFingerprints(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+      (base to gen).map(g => s"$stateDir/gen=$g/fingerprints"): _*)
+  }
+
+  /** q143's partial-overlap detection, batch vs STANDING CORPUS, served
+    * from the stored fingerprint table: the incoming batch is
+    * fingerprinted (per-row, batch-sized), the corpus side is READ from
+    * state — the standing corpus is never re-fingerprinted. Same
+    * algebra as q143: corpus fingerprints with df > maxDf are cut (the
+    * MOSS boilerplate/fan-out bound, computed over the FOLDED table so
+    * the cut is corpus-wide), pairs share ≥ minShared distinct
+    * fingerprints, self-pairs excluded (an ingested probe doc always
+    * matches itself). Returns (id_a = corpus doc, id_b = batch doc,
+    * n_shared).
+    */
+  def stateWinnowOverlap(spark: SparkSession, stateDir: String,
+      batch: DataFrame, minShared: Long = 2L,
+      maxDf: Long = 64L): DataFrame = {
+    val corpusFps = stateFingerprints(spark, stateDir)
+    val rare = corpusFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val probeFps = graft.queries.ExtensionQueries.winnowSel(batch)
+      .select(col("doc_id").as("id_b"),
+        explode(array_distinct(col("sel"))).as("fp"))
+    corpusFps.select(col("doc_id").as("id_a"), col("fp"))
+      .join(rare, "fp")
+      .join(probeFps, "fp")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.
@@ -879,6 +937,11 @@ object CorpusBuild {
       spark.read.parquet(s"$stateDir/gen=${state.gen.get}/packtotals")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/packtotals")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/fingerprints"))) {
+      stateFingerprints(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/fingerprints")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/worddict"))) {

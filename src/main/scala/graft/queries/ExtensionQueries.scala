@@ -422,6 +422,64 @@ object ExtensionQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q144 — q143's partial-overlap detection, incoming batch vs the
+    * STANDING CORPUS, served from the stored fingerprint state
+    * (`CorpusBuild.trackFingerprints`): the probe (the last ingest third
+    * replayed, q128's pattern) is fingerprinted at batch-scale, the
+    * corpus side is READ from the folded state — the standing corpus is
+    * never re-fingerprinted. The decontamination/quote-tracing shape at
+    * 100 TB: per-batch cost plus a fingerprint-keyed join into state.
+    * Oracle: both sides recomputed from raw in DuckDB — a lost
+    * fingerprint row, a double-folded generation, or a drifted selection
+    * shows up as a pair or count mismatch.
+    */
+  val q144_state_winnow_overlap: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    val docs = Tables.documents(s, d)
+    val b = docs.agg(min("doc_id"), max("doc_id")).first()
+    val cut2 = b.getLong(0) + 2 * ((b.getLong(1) - b.getLong(0)) / 3)
+    graft.pipeline.CorpusBuild.stateWinnowOverlap(s, dir,
+        docs.filter(col("doc_id") > cut2))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q144Sql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+      |           FROM documents),
+      |c2 AS (SELECT lo + 2 * ((hi - lo) // 3) AS cut2 FROM b),
+      |t AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]',
+      |         '', 'g'), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) >= 8 THEN
+      |      [md5(substr(s, i, 8)) for i in generate_series(1, len(s) - 7)]
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) >= 4 THEN
+      |      [list_min(grams[j:j+3])
+      |       for j in generate_series(1, len(grams) - 3)]
+      |    ELSE [] END AS sel
+      |  FROM g),
+      |fps AS (
+      |  SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM w),
+      |rare AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      |  WHERE df <= 64),
+      |probe AS (
+      |  SELECT doc_id AS id_b, fp FROM fps, c2 WHERE doc_id > cut2)
+      |SELECT a.doc_id AS id_a, p.id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fps a JOIN rare r ON a.fp = r.fp
+      |JOIN probe p ON a.fp = p.fp AND a.doc_id <> p.id_b
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q25 — multimodal plumbing: text rendered as binary payloads, typed
     * per-partition (stub) decode, byte-level metadata out. The oracle
     * predicts every stubbed field from the source text.
@@ -642,7 +700,8 @@ object ExtensionQueries {
     "q26_lsh_cosine" -> q26_lsh_cosine,
     "q67_sketch_precision" -> q67_sketch_precision,
     "q140_winnow_fingerprint" -> q140_winnow_fingerprint,
-    "q143_winnow_overlap" -> q143_winnow_overlap)
+    "q143_winnow_overlap" -> q143_winnow_overlap,
+    "q144_state_winnow_overlap" -> q144_state_winnow_overlap)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -659,5 +718,6 @@ object ExtensionQueries {
     "q24_fingerprint" -> q24Sql,
     "q25_multimodal_meta" -> q25Sql,
     "q140_winnow_fingerprint" -> q140Sql,
-    "q143_winnow_overlap" -> q143Sql)
+    "q143_winnow_overlap" -> q143Sql,
+    "q144_state_winnow_overlap" -> q144Sql)
 }

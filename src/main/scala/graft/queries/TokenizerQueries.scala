@@ -435,7 +435,8 @@ object TokenizerQueries {
     if (!new java.io.File(s"$dir/LATEST").exists()) {
       val cfg = graft.pipeline.CorpusBuild.Config(
         trackPostings = true, trackPack = true, trackDrift = true,
-        trackPositions = true, trackMerges = true, nearDupTier = false)
+        trackPositions = true, trackMerges = true,
+        trackFingerprints = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -89,7 +89,8 @@ class DocStreamSpec extends AnyFunSuite {
     val ckpt = root.resolve("ckpt").toString
     val docs = Tables.documents(spark, sf)
     val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true,
-      trackPack = true, trackDrift = true, trackMerges = true)
+      trackPack = true, trackDrift = true, trackMerges = true,
+      trackFingerprints = true)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
@@ -197,6 +198,36 @@ class DocStreamSpec extends AnyFunSuite {
     }
     checkMerges()
 
+    // … and the folded fingerprint table must equal a direct selection
+    // over everything streamed, with batch-vs-corpus overlap equal to
+    // the same join recomputed from raw
+    val fullFps = rows(graft.queries.ExtensionQueries.winnowSel(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(col("sel"))).as("fp")))
+    val probe = docs.filter(col("doc_id") >= 250)
+    val fullOverlap = {
+      val fps = graft.queries.ExtensionQueries.winnowSel(docs)
+        .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+      val rare = fps.groupBy("fp")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 64).select("fp")
+      val probeFps = graft.queries.ExtensionQueries.winnowSel(probe)
+        .select(col("doc_id").as("id_b"),
+          explode(array_distinct(col("sel"))).as("fp"))
+      rows(fps.select(col("doc_id").as("id_a"), col("fp"))
+        .join(rare, "fp").join(probeFps, "fp")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2))
+    }
+    def checkFps(): Unit = {
+      assert(rows(CorpusBuild.stateFingerprints(spark, state)) === fullFps,
+        "folded fingerprint state diverged from a direct selection")
+      assert(rows(CorpusBuild.stateWinnowOverlap(spark, state, probe))
+        === fullOverlap,
+        "state-served winnow overlap diverged from the raw recompute")
+    }
+    checkFps()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -209,5 +240,6 @@ class DocStreamSpec extends AnyFunSuite {
     checkNovelty()
     checkDrift()
     checkMerges()
+    checkFps()
   }
 }
