@@ -202,6 +202,35 @@ object TextAnalysis {
     */
   def floorLog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
 
+  /** Per-row "self-entropy" of `arr` in the q136 integer-log2
+    * quantization: Σ over distinct elements of f·(⌊log2 n⌋ − ⌊log2 f⌋)
+    * (n = array size, f = the element's multiplicity) — the within-doc
+    * counterpart of corpus-LM surprisal, bit-stable where float
+    * Σ p·ln p is not. Computed in ONE sorted-run pass (equal elements
+    * adjacent after `array_sort`; each run closes by adding
+    * run·(L(n)−L(run)), the final run closes in the finish lambda) —
+    * map-only: no explode, no per-document shuffle. Empty arrays yield 0.
+    */
+  def runEntropySum(arr: Column): Column = {
+    val n = size(arr).cast("long")
+    def l2(x: Column) = (length(bin(x)) - 1).cast("long")
+    def closed(run: Column) =
+      when(run > 0L, run * (l2(n) - l2(run))).otherwise(lit(0L))
+    aggregate(
+      array_sort(arr),
+      struct(get(arr, lit(0)).as("prev"), lit(0L).as("run"),
+        lit(0L).as("acc")),
+      (st, t) => {
+        val isRun = st.getField("run") > 0L && t === st.getField("prev")
+        struct(t.as("prev"),
+          when(isRun, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(isRun, st.getField("acc"))
+            .otherwise(st.getField("acc") + closed(st.getField("run")))
+            .as("acc"))
+      },
+      st => st.getField("acc") + closed(st.getField("run")))
+  }
+
   /** Collapse runs of consecutive duplicate tokens to one occurrence
     * ("batch batch batch" → "batch") — the Gopher-family self-repetition
     * cleanup, as a pure per-row transform (two-arg filter HOF: keep index

@@ -188,15 +188,57 @@ object FilterQueries {
       |  array_to_string(cw, ' ') AS cleaned
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q146 — per-doc token self-entropy in the q136 integer-log2
+    * quantization: Σ_distinct f·(⌊log2 n⌋ − ⌊log2 f⌋), 1e6-scaled mean —
+    * the within-doc diversity signal (low = repetitive/templated text,
+    * the complement of q134's top-word fraction; q136 scores against the
+    * CORPUS distribution, this against the doc's own). Map-only like the
+    * Gopher family: one sorted-run HOF pass per row
+    * ([[TextAnalysis.runEntropySum]]), no explode, no per-doc shuffle —
+    * the only exchange is the final sort.
+    */
+  val q146_doc_entropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws",
+        filter(TextAnalysis.tokens(col("text")), t => length(t) > 0))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        TextAnalysis.runEntropySum(col("ws")).as("entropy_sum"))
+      .filter(col("n_tokens") >= 1L)
+      .select(col("doc_id"), col("n_tokens"), col("entropy_sum"),
+        expr("(1000000 * entropy_sum) DIV n_tokens").as("avg_q6"))
+      .orderBy("doc_id")
+
+  val q146Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |e2 AS (SELECT doc_id, w FROM e WHERE len(w) > 0),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      |      FROM e2 GROUP BY doc_id),
+      |f AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+      |      FROM e2 GROUP BY doc_id, w),
+      |s AS (
+      |  SELECT f.doc_id, any_value(n.n_tokens) AS n_tokens,
+      |    CAST(SUM(f.f * ((length(bin(n.n_tokens)) - 1)
+      |      - (length(bin(f.f)) - 1))) AS BIGINT) AS entropy_sum
+      |  FROM f JOIN n ON f.doc_id = n.doc_id
+      |  GROUP BY f.doc_id)
+      |SELECT doc_id, n_tokens, entropy_sum,
+      |  CAST((1000000 * entropy_sum) // n_tokens AS BIGINT) AS avg_q6
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_word_repetition" -> q134_word_repetition,
     "q135_dup_bigram" -> q135_dup_bigram,
     "q136_surprisal" -> q136_surprisal,
-    "q137_collapse_runs" -> q137_collapse_runs)
+    "q137_collapse_runs" -> q137_collapse_runs,
+    "q146_doc_entropy" -> q146_doc_entropy)
 
   val oracleSql: Map[String, String] = Map(
     "q134_word_repetition" -> q134Sql,
     "q135_dup_bigram" -> q135Sql,
     "q136_surprisal" -> q136Sql,
-    "q137_collapse_runs" -> q137Sql)
+    "q137_collapse_runs" -> q137Sql,
+    "q146_doc_entropy" -> q146Sql)
 }

@@ -653,6 +653,79 @@ object TokenizerQueries {
     * q49's SQL verbatim: a lost dict delta or a double-folded replay
     * shows up as a frequency (and usually rank) mismatch.
     */
+  /** q145 — vocabulary-growth curve (the Heap's-law audit every corpus
+    * scaling analysis starts from): cumulative docs / tokens / distinct
+    * types at doubling corpus prefixes (prefix = docs with id ≤ 2^k −
+    * 1, the append-only ingest order). The distributed trick: cumulative
+    * DISTINCT is not directly foldable, but "types in prefix k" = count
+    * of words whose FIRST-SEEN doc lands at or before the prefix — one
+    * min-aggregate over the token stream (map-side combined, vocab-sized
+    * exchange), bucketed by floorLog2(first_doc + 1), then a prefix sum
+    * over ≤ 64 bucket rows (declared tiny unpartitioned window — the
+    * q100 per-shard-aggregate rule). No quadratic re-scans per prefix,
+    * no distinct-per-prefix jobs: at 100 TB the curve costs one corpus
+    * scan + one vocab aggregate.
+    */
+  val q145_vocab_growth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextAnalysis.floorLog2
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocabByBucket = tok.groupBy("w").agg(min("doc_id").as("first_doc"))
+      .groupBy(floorLog2(col("first_doc") + 1L).as("k"))
+      .agg(count(lit(1)).as("new_types"))
+    val docsByBucket = docs
+      .select(floorLog2(col("doc_id") + 1L).as("k"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"))
+    val cum = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsByBucket.join(vocabByBucket, Seq("k"), "full")
+      .select(col("k"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("k"),
+        sum("n_docs").over(cum).as("docs_cum"),
+        sum("n_toks").over(cum).as("tokens_cum"),
+        sum("new_types").over(cum).as("vocab_cum"))
+      .orderBy("k")
+  }
+
+  val q145Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |e2 AS (SELECT doc_id, w FROM e WHERE len(w) > 0),
+      |vb AS (
+      |  SELECT length(bin(first_doc + 1)) - 1 AS k,
+      |    CAST(count(*) AS BIGINT) AS new_types
+      |  FROM (SELECT w, min(doc_id) AS first_doc FROM e2 GROUP BY w)
+      |  GROUP BY k),
+      |db AS (
+      |  SELECT length(bin(doc_id + 1)) - 1 AS k,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY k),
+      |j AS (
+      |  SELECT COALESCE(db.k, vb.k) AS k,
+      |    COALESCE(n_docs, 0) AS n_docs, COALESCE(n_toks, 0) AS n_toks,
+      |    COALESCE(new_types, 0) AS new_types
+      |  FROM db FULL JOIN vb ON db.k = vb.k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(SUM(n_docs) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS docs_cum,
+      |  CAST(SUM(n_toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS tokens_cum,
+      |  CAST(SUM(new_types) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS vocab_cum
+      |FROM j ORDER BY k""".stripMargin
+
   val q142_state_vocab: Q = (s, d) =>
     graft.ops.Vocab.topKFromCounts(
         graft.pipeline.CorpusBuild
@@ -677,7 +750,8 @@ object TokenizerQueries {
     "q133_state_phrase" -> q133_state_phrase,
     "q138_state_surprisal" -> q138_state_surprisal,
     "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize,
-    "q142_state_vocab" -> q142_state_vocab)
+    "q142_state_vocab" -> q142_state_vocab,
+    "q145_vocab_growth" -> q145_vocab_growth)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -695,5 +769,6 @@ object TokenizerQueries {
     // the state-served tokenizer must reproduce q108's learn+apply exactly
     "q139_state_bpe_tokenize" -> q108Sql,
     // the state-served vocab must reproduce q49's corpus-scan build exactly
-    "q142_state_vocab" -> ExpansionQueries.q49Sql)
+    "q142_state_vocab" -> ExpansionQueries.q49Sql,
+    "q145_vocab_growth" -> q145Sql)
 }

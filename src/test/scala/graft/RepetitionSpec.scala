@@ -132,4 +132,30 @@ class RepetitionSpec extends AnyFunSuite {
       assert(avg >= 0 && avg <= maxLog * 1000000L, r.toString)
     }
   }
+
+  test("runEntropySum: 0 on constant arrays, n*floorLog2(n) on all-distinct, " +
+      "bounded in between") {
+    import spark.implicits._
+    def ent(toks: Seq[String]): Long =
+      Seq(Tuple1(toks)).toDF("ws")
+        .select(graft.functions.TextAnalysis.runEntropySum(col("ws")).as("e"))
+        .head().getLong(0)
+    // all-identical: the single run has f = n, so L(n) − L(f) = 0
+    assert(ent(Seq.fill(8)("x")) === 0L)
+    // all-distinct: n runs of f = 1, each contributes L(n) − 0
+    assert(ent(Seq("a", "b", "c", "d", "e", "f", "g", "h")) === 8L * 3L)
+    assert(ent(Seq()) === 0L)
+    assert(ent(Seq("solo")) === 0L)
+    // mixed: 4×a + 4 distinct → 4·(L(8)−L(4)) + 4·(L(8)−0) = 4·1 + 4·3
+    assert(ent(Seq("a", "a", "a", "a", "w", "x", "y", "z")) === 16L)
+    // q146 corpus invariant: 0 <= avg_q6 <= 1e6 * floorLog2(n_tokens)
+    val rows = FilterQueries.q146_doc_entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val avg = r.getAs[Long]("avg_q6")
+      val lg = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      assert(avg >= 0 && avg <= lg * 1000000L, r.toString)
+    }
+  }
 }
