@@ -63,17 +63,20 @@ object Vocab {
     *
     * Deterministic for any boundary draw because shards partition the
     * SORTED order: moving a boundary moves rows between shards but never
-    * changes base+local. The range exchange is evaluated once for the
-    * offsets and once for the result; callers pass a materialized `df`
-    * (as [[topK]] does) so that double evaluation costs k pinned rows,
-    * not two corpus scans — and Spark's range sampler is deterministic
-    * per partition index, so both draws see identical boundaries.
+    * changes base+local. The range exchange is MATERIALIZED once
+    * (eager `localCheckpoint`) and feeds both the offset collect and
+    * the result, so the two reads cannot see different sampled
+    * boundaries — the single-evaluation contract is structural, not a
+    * caller obligation (inputs here are vocab-scale, so the pinned
+    * copy is small). A shard somehow absent from the collected bases
+    * fails loudly rather than silently colliding ranks at base 0.
     * Scales as O(rows/shards) per task plus an O(shards) driver step.
     */
   def globalRank(df: DataFrame, order: Seq[Column], outCol: String,
       shards: Int = 32): DataFrame = {
     val sharded = df.repartitionByRange(shards, order: _*)
       .withColumn("_shard", spark_partition_id())
+      .localCheckpoint()
     val counts = sharded.groupBy("_shard").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
@@ -81,10 +84,13 @@ object Vocab {
       val b = sh -> acc; acc += c; b
     }.toMap
     val wLocal = Window.partitionBy(col("_shard")).orderBy(order: _*)
+    val base = element_at(typedLit(bases), col("_shard"))
     sharded
       .withColumn("_local", row_number().over(wLocal))
       .withColumn(outCol,
-        (coalesce(element_at(typedLit(bases), col("_shard")), lit(0L)) +
+        (when(base.isNull, raise_error(concat(
+            lit("globalRank: shard "), col("_shard").cast("string"),
+            lit(" missing from collected bases")))).otherwise(base) +
           col("_local")).cast("int"))
       .drop("_shard", "_local")
   }

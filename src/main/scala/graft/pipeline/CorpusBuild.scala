@@ -102,9 +102,13 @@ object CorpusBuild {
       // ([[stateBpeTokenize]]) without ever re-learning. Whole-life-of-
       // the-dir contract as above.
       trackMerges: Boolean = false,
-      bpeMerges: Int = 8,
+      // q139's oracle is q108's SQL verbatim, so the stored tokenizer
+      // MUST train the same number of rounds as the in-query learn —
+      // share the constant so the coupling is structural
+      bpeMerges: Int = graft.queries.TokenizerQueries.NumMerges,
       // when true, each generation also stores the batch's DISTINCT
-      // winnowing fingerprints (doc_id, fp — q140's selection): docs are
+      // winnowing fingerprints (doc_id, fpk — q140's selection re-keyed
+      // to 8-byte xxhash64, winnowFpKeys): docs are
       // batch-disjoint and the selection is per-row, so the fold is a
       // plain union (the positions contract), and batch-vs-corpus
       // partial-overlap detection ([[stateWinnowOverlap]]) joins the
@@ -418,10 +422,11 @@ object CorpusBuild {
     }
     if (cfg.trackFingerprints) {
       // distinct winnowing fingerprints over the RAW batch (q140's
-      // selection; q143's input contract): per-row selection +
-      // batch-disjoint docs → union fold, write cost ∝ the batch
-      graft.queries.ExtensionQueries.winnowSel(newDocs)
-        .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+      // selection; q143's input contract), stored as the 8-byte
+      // xxhash64 re-key (winnowFpKeys — the md5 hex never reaches disk
+      // or an Exchange): per-row selection + batch-disjoint docs →
+      // union fold, write cost ∝ the batch
+      graft.queries.ExtensionQueries.winnowFpKeys(newDocs)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/fingerprints")
     }
@@ -773,7 +778,9 @@ object CorpusBuild {
 
   /** The folded winnowing-fingerprint table (cfg.trackFingerprints) —
     * batch-disjoint docs, per-row selection → union over generations IS
-    * the table (the positions contract).
+    * the table (the positions contract). Rows are (doc_id, fpk) with
+    * fpk the 8-byte xxhash64 re-key of the md5 selection
+    * (ExtensionQueries.winnowFpKeys).
     */
   def stateFingerprints(spark: SparkSession, stateDir: String): DataFrame = {
     val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
@@ -788,23 +795,26 @@ object CorpusBuild {
     * state — the standing corpus is never re-fingerprinted. Same
     * algebra as q143: corpus fingerprints with df > maxDf are cut (the
     * MOSS boilerplate/fan-out bound, computed over the FOLDED table so
-    * the cut is corpus-wide), pairs share ≥ minShared distinct
-    * fingerprints, self-pairs excluded (an ingested probe doc always
-    * matches itself). Returns (id_a = corpus doc, id_b = batch doc,
-    * n_shared).
+    * the cut is corpus-wide — and over the CORPUS SIDE ONLY: template-
+    * hood is defined by the standing corpus, so a genuinely new batch's
+    * own contribution to df is intentionally excluded; for an already-
+    * ingested probe this matches q143's in-corpus algebra exactly),
+    * pairs share ≥ minShared distinct fingerprints, self-pairs excluded
+    * (an ingested probe doc always matches itself). Every join/group
+    * key is the stored 8-byte re-key. Returns (id_a = corpus doc,
+    * id_b = batch doc, n_shared).
     */
   def stateWinnowOverlap(spark: SparkSession, stateDir: String,
       batch: DataFrame, minShared: Long = 2L,
       maxDf: Long = 64L): DataFrame = {
     val corpusFps = stateFingerprints(spark, stateDir)
-    val rare = corpusFps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("fp")
-    val probeFps = graft.queries.ExtensionQueries.winnowSel(batch)
-      .select(col("doc_id").as("id_b"),
-        explode(array_distinct(col("sel"))).as("fp"))
-    corpusFps.select(col("doc_id").as("id_a"), col("fp"))
-      .join(rare, "fp")
-      .join(probeFps, "fp")
+    val rare = corpusFps.groupBy("fpk").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fpk")
+    val probeFps = graft.queries.ExtensionQueries.winnowFpKeys(batch)
+      .select(col("doc_id").as("id_b"), col("fpk"))
+    corpusFps.select(col("doc_id").as("id_a"), col("fpk"))
+      .join(rare, "fpk")
+      .join(probeFps, "fpk")
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -322,6 +322,45 @@ object ExtensionQueries {
           s"sequence(1, size(grams) - ${w - 1})," +
           s" j -> array_min(slice(grams, j, $w))) ELSE array() END"))
 
+  /** Per-doc DISTINCT fingerprints, re-keyed to 8 bytes INSIDE the
+    * per-row HOF: `array_distinct(transform(sel, xxhash64))` — the
+    * distinct runs over the HASHED values, so a doc never emits a key
+    * twice even across an (astronomically unlikely) md5→xxhash64
+    * collision, and the 32-char md5 hex never reaches an Exchange (the
+    * q101 string-free-key discipline: ~4x fewer shuffle bytes than the
+    * hex on the biggest payload the winnow path moves). The hex form
+    * exists only WITHIN the row, where it is needed for the window-min
+    * portability (Spark and DuckDB agree on md5 lowercase-hex string
+    * order bit for bit; the oracle keeps grouping on the string — the
+    * key choice is invisible in the output pairs, and a cross-fp
+    * xxhash64 collision altering a count has probability ~n²/2⁶⁴).
+    */
+  private[graft] def winnowFpKeys(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame =
+    winnowSel(docs, k, w)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sel, x -> xxhash64(x)))"))
+          .as("fpk"))
+
+  /** q143's pair algebra over re-keyed fingerprints: drop keys with
+    * df outside [2, maxDf] (the MOSS boilerplate cut — also the per-key
+    * join fan-out bound: max maxDf² pair rows per fingerprint), one
+    * self-equi-join on the 8-byte key, one pair-count aggregate. Every
+    * Exchange is bigint-keyed (PlanSpec-asserted).
+    */
+  private[graft] def winnowOverlapPairs(fps: DataFrame,
+      minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    val rare = fps.groupBy("fpk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fpk")
+    val p = fps.join(rare, "fpk")
+    p.as("a").join(p.as("b"),
+        col("a.fpk") === col("b.fpk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val q140_winnow_fingerprint: Q = (s, d) => {
     winnowSel(Tables.documents(s, d))
       .select(col("doc_id"),
@@ -371,24 +410,14 @@ object ExtensionQueries {
     * pruning). Shape: explode distinct fingerprints (density ~2/(w+1) of
     * positions), one count aggregate, one self-equi-join on the
     * fingerprint key, one pair-count aggregate — every exchange keyed,
-    * no candidate ever re-scored against raw text. The md5-hex join key
-    * is the portable-oracle trade-off (a production deployment would
-    * re-key to xxhash64 after the oracle gate, the q101 discipline).
+    * no candidate ever re-scored against raw text, and every key is the
+    * 8-byte [[winnowFpKeys]] re-key (never the md5 hex; the oracle
+    * groups on the string — same output, 4x the shuffle bytes we don't
+    * pay).
     */
-  val q143_winnow_overlap: Q = (s, d) => {
-    val fps = winnowSel(Tables.documents(s, d))
-      .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 64)
-      .select("fp")
-    val p = fps.join(rare, "fp")
-    p.as("a").join(p.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+  val q143_winnow_overlap: Q = (s, d) =>
+    winnowOverlapPairs(winnowFpKeys(Tables.documents(s, d)))
       .orderBy("id_a", "id_b")
-  }
 
   val q143Sql: String =
     """WITH t AS (

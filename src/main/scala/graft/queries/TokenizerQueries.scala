@@ -19,7 +19,7 @@ object TokenizerQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumMerges = 8
+  private[graft] val NumMerges = 8
 
   /** q105 — BPE merge learning over the documents word dict: top-8 merges
     * with (count DESC, pair lexicographic) tie-breaks. The corpus is

@@ -31,8 +31,11 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // `dir` may be a whole-corpus dir (other tables' files scan as null rows
     // under the events schema) — probe the events file itself when present
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path (not the default-conf FS) so
+    // a dir on hdfs:// or s3:// probes the right store instead of
+    // throwing 'Wrong FS'
     val eventsFile = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = eventsFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val probe = if (fs.exists(eventsFile)) eventsFile.toString else dir
     val scanned = spark.read.parquet(probe).schema
     graft.queries.Tables.normalizeEventTs(

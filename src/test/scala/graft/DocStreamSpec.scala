@@ -200,10 +200,11 @@ class DocStreamSpec extends AnyFunSuite {
 
     // … and the folded fingerprint table must equal a direct selection
     // over everything streamed, with batch-vs-corpus overlap equal to
-    // the same join recomputed from raw
-    val fullFps = rows(graft.queries.ExtensionQueries.winnowSel(docs)
-      .select(col("doc_id"),
-        explode(array_distinct(col("sel"))).as("fp")))
+    // the same join recomputed from raw — deliberately via the md5
+    // STRING algebra here, so the stored 8-byte re-key is cross-checked
+    // against an independent keying of the same selection
+    val fullFps = rows(
+      graft.queries.ExtensionQueries.winnowFpKeys(docs))
     val probe = docs.filter(col("doc_id") >= 250)
     val fullOverlap = {
       val fps = graft.queries.ExtensionQueries.winnowSel(docs)

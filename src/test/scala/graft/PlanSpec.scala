@@ -295,6 +295,25 @@ class PlanSpec extends AnyFunSuite {
       val strings118 = ex118.flatMap(_.output.filter(_.dataType == StringType))
       assert(strings118.isEmpty,
         s"q118 serve path shuffles string columns: ${strings118.map(_.name)}")
+      // the winnow path (q143 + the q144 state serve): fingerprints are
+      // md5 hex WITHIN the row (oracle-portable window-min) but every
+      // Exchange keys on the 8-byte xxhash64 re-key — no hex string in
+      // any key shuffle. q143's plan before the final sort:
+      val ex143 = keyExchanges(graft.queries.ExtensionQueries
+        .winnowOverlapPairs(graft.queries.ExtensionQueries
+          .winnowFpKeys(graft.queries.Tables.documents(spark, sf))))
+      assert(ex143.nonEmpty, "expected key shuffles in the winnow overlap")
+      val strings143 = ex143.flatMap(_.output.filter(_.dataType == StringType))
+      assert(strings143.isEmpty,
+        s"q143 shuffles string columns: ${strings143.map(_.name)}")
+      // the state serve path — stored fpk + batch re-key, joined on fpk
+      val stateDir = graft.queries.TokenizerQueries.ensurePostingState(spark, sf)
+      val ex144 = keyExchanges(graft.pipeline.CorpusBuild.stateWinnowOverlap(
+        spark, stateDir, graft.queries.Tables.documents(spark, sf).limit(50)))
+      assert(ex144.nonEmpty, "expected key shuffles in the state winnow serve")
+      val strings144 = ex144.flatMap(_.output.filter(_.dataType == StringType))
+      assert(strings144.isEmpty,
+        s"q144 serve path shuffles string columns: ${strings144.map(_.name)}")
     } finally {
       spark.conf.unset("spark.graft.eagerMaterialize")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

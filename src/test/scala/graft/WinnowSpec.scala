@@ -83,19 +83,35 @@ class WinnowSpec extends AnyFunSuite {
       3L -> "no common material with anything else whatsoever in this row",
       4L -> "another fully distinct document about unrelated subject matter")
       .toDF("doc_id", "text")
-    val fps = graft.queries.ExtensionQueries.winnowSel(docs)
-      .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 64).select("fp")
-    val p = fps.join(rare, "fp")
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+    // q143's own helpers: the re-keyed per-doc fingerprints + the pair
+    // algebra (the detector under test IS the production code path)
+    val pairs = ExtensionQueries.winnowOverlapPairs(
+        ExtensionQueries.winnowFpKeys(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)),
       s"expected exactly the planted quote pair, got $pairs")
+  }
+
+  test("re-keyed (xxhash64) pair detection ≡ the md5-string algebra") {
+    // the oracle groups on the md5 hex string; the engine groups on the
+    // 8-byte re-key — this pins that the key choice is invisible in the
+    // output (per-doc distinctness taken over the HASHED values)
+    import spark.implicits._
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val strFps = ExtensionQueries.winnowSel(docs)
+      .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+    val strRare = strFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 64).select("fp")
+    val p = strFps.join(strRare, "fp")
+    val strPairs = p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared")).filter(col("n_shared") >= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val keyPairs = ExtensionQueries.winnowOverlapPairs(
+        ExtensionQueries.winnowFpKeys(docs))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(keyPairs === strPairs)
   }
 
   test("q140 runs and its counts are internally consistent") {
