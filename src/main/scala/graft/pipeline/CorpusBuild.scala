@@ -116,6 +116,25 @@ object CorpusBuild {
       // standing corpus is never re-fingerprinted. Whole-life-of-the-dir
       // contract as above.
       trackFingerprints: Boolean = false,
+      // when true, each generation also maintains the EMBEDDING-SPACE
+      // model (the vectors arrive as ingestBatch's `newVecs` side
+      // input): the batch's raw vectors (delta tier, union fold), a
+      // k-means centroid SNAPSHOT (k·dim rows + one meta row — readers
+      // take the latest generation's file, the packtotals discipline)
+      // and per-vector assignments under the LATEST stored centroids —
+      // a batch-sized DELTA on frozen-model ingests, a full
+      // reassignment snapshot when a retrain fires (fold =
+      // latest-generation-wins per id). Retrain policy: geometric
+      // growth — retrain when vectors added since the last train reach
+      // retrainGrowth × the trained count, so the iters-scan training
+      // cost amortizes over proportional corpus growth and the stored
+      // assignments are ALWAYS the argmin under the stored centroids
+      // (the q124 gate contract, state-served). Whole-life-of-the-dir
+      // contract as above.
+      trackCentroids: Boolean = false,
+      kmeansK: Int = 8,
+      kmeansIters: Int = 5,
+      retrainGrowth: Double = 0.5,
       spanK: Int = 5)
 
   /** Stage 1-2-3: the keep-list — doc ids surviving quality + exact +
@@ -281,11 +300,17 @@ object CorpusBuild {
     * survivors the state has already folded — append-only ids make every
     * past decision final.
     *
+    * @param newVecs with cfg.trackCentroids, the batch's embedding rows
+    *        (vec_id, embedding) — the vec ids follow the same
+    *        append-only contract as doc ids (checked against the stored
+    *        vec max), and a doc-side replay skip drops the vec batch
+    *        with it (docs and vecs commit as ONE generation, so
+    *        at-least-once redelivery replays them together)
     * @return the per-split manifest of the post-ingest corpus (same shape
     *         as [[run]])
     */
   def ingestBatch(stateDir: String, newDocs: DataFrame,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), newVecs: DataFrame = null): DataFrame = {
     val spark = newDocs.sparkSession
     val state = readState(spark, stateDir, newDocs.schema)
     // the append-only id contract, checked, not assumed — with one
@@ -449,6 +474,8 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/merges")
     }
+    if (cfg.trackCentroids)
+      ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
@@ -821,6 +848,166 @@ object CorpusBuild {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The embedding-space tier of one generation (cfg.trackCentroids):
+    * write the batch's vectors, decide retrain-vs-freeze by the
+    * geometric-growth policy, and write the generation's assignment
+    * rows plus the centroid/meta snapshots. The invariant this
+    * maintains — and [[stateKmeansGate]] checks — is that the folded
+    * assignments are ALWAYS the argmin under the latest stored
+    * centroids: a frozen-model ingest assigns only the batch (its
+    * delta is batch-sized and the standing rows stay valid because the
+    * model did not move); a retrain ingest re-assigns EVERYTHING under
+    * the new model as a full snapshot (corpus-sized, but so was the
+    * training it rides with — latest-generation-wins at fold time
+    * supersedes every older row).
+    */
+  private def ingestVecs(spark: SparkSession, stateDir: String, gen: Int,
+      base: Int, newVecs: DataFrame, cfg: Config): Unit = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val vecSchema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val batch =
+      if (newVecs == null) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+      else newVecs.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(size(col("v")) > 0)
+    val prev: Option[org.apache.spark.sql.Row] =
+      if (gen > base)
+        Some(spark.read.parquet(s"$stateDir/gen=${gen - 1}/vecmeta").head())
+      else None
+    val (prevTrainedGen, prevNTrained, prevNTotal, prevMaxId) = prev
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .getOrElse((-1, 0L, 0L, -1L))
+    val vb = batch.agg(min(col("id")), max(col("id")),
+      count(lit(1))).head()
+    val nBatch = vb.getLong(2)
+    // the same append-only id contract as docs, checked against the
+    // stored vec max (doc-side replay skips return before reaching here)
+    if (nBatch > 0 && prevMaxId >= vb.getLong(0))
+      throw new IllegalArgumentException(
+        s"ingestBatch: vec batch min id ${vb.getLong(0)} <= stored vec " +
+          s"max $prevMaxId; vec ids must be append-only")
+    val newMaxId = if (nBatch > 0) vb.getLong(1) else prevMaxId
+    val nTotal = prevNTotal + nBatch
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/gen=$gen/vecs")
+
+    // geometric growth: retrain when the un-trained tail reaches
+    // retrainGrowth x the trained count — iters-scan training amortizes
+    // over proportional growth, never per batch
+    val needTrain = nTotal > 0 && (prevNTrained == 0L ||
+      nTotal - prevNTrained >=
+        math.ceil(cfg.retrainGrowth * prevNTrained).toLong)
+    val (trainedGen, nTrained, cents) =
+      if (needTrain) {
+        val folded = spark.read.parquet(
+          (base to gen).map(g => s"$stateDir/gen=$g/vecs"): _*)
+        val (assignedAll, cs) = graft.ops.Clustering.kMeans(
+          folded, "id", "v", cfg.kmeansK, cfg.kmeansIters)
+        assignedAll.withColumn("g", lit(gen))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/gen=$gen/assignments")
+        (gen, nTotal, cs)
+      } else {
+        val cs = if (gen > base)
+          readCentroidRows(spark, s"$stateDir/gen=${gen - 1}/centroids")
+        else Nil
+        val delta =
+          if (cs.isEmpty) batch.select(col("id"), lit(0).as("cluster")).limit(0)
+          else batch.select(col("id"),
+            graft.ops.Clustering.assignTo(col("v"), cs).as("cluster"))
+        delta.withColumn("g", lit(gen))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/gen=$gen/assignments")
+        (prevTrainedGen, prevNTrained, cs)
+      }
+    // centroid + meta SNAPSHOTS (k*dim + 1 rows) — written every gen,
+    // readers take the latest file (the packtotals discipline)
+    cents.zipWithIndex.flatMap { case (c, j) =>
+        c.zipWithIndex.map { case (x, p) => (j, p, x) } }
+      .toDF("cluster", "pos", "x").coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/centroids")
+    Seq((trainedGen, nTrained, nTotal, newMaxId))
+      .toDF("trained_gen", "n_trained", "n_total", "max_vec_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/gen=$gen/vecmeta")
+  }
+
+  /** Read a centroid snapshot file back to the driver-state shape
+    * (k*dim rows — the adjudicated bounded collect, same budget as the
+    * in-query Lloyd rounds).
+    */
+  private def readCentroidRows(spark: SparkSession,
+      path: String): Seq[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    if (rows.isEmpty) return Nil
+    val cents = Array.fill(rows.map(_._1).max + 1)(
+      Array.fill(rows.map(_._2).max + 1)(0.0))
+    rows.foreach { case (c, p, x) => cents(c)(p) = x }
+    cents.toIndexedSeq
+  }
+
+  /** The folded embedding table (cfg.trackCentroids) — (id, v),
+    * disjoint per-generation appends (the vecs contract).
+    */
+  def stateVecs(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet((base to gen).map(g => s"$stateDir/gen=$g/vecs"): _*)
+  }
+
+  /** The stored centroid model — the latest generation's snapshot. */
+  def stateCentroids(spark: SparkSession,
+      stateDir: String): Seq[Array[Double]] = {
+    val (gen, _, _) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    readCentroidRows(spark, s"$stateDir/gen=$gen/centroids")
+  }
+
+  /** State-served k-means assignments (id, cluster): fold the
+    * assignment chain by LATEST-GENERATION-WINS per id — a retrain
+    * generation's full snapshot supersedes every older row, a
+    * frozen-model delta covers exactly its batch's new ids. One
+    * id-keyed aggregate over the chain; the vectors themselves are
+    * never touched (model serving without a corpus scan — the q142
+    * vocabulary discipline for the embedding space).
+    */
+  def stateKmeans(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/assignments"): _*)
+      .groupBy("id")
+      .agg(max(struct(col("g"), col("cluster"))).as("m"))
+      .select(col("id"), col("m.cluster").as("cluster"))
+  }
+
+  /** The q124 argmin gate over the STORED model: every state-served
+    * assignment must minimize the distance to the stored centroids,
+    * recomputed through the independent HOF fold. Must be EMPTY — the
+    * "assignments are argmin under the stored centroids" invariant is
+    * oracle-checked, not asserted in prose.
+    */
+  def stateKmeansGate(spark: SparkSession, stateDir: String,
+      eps: Double = 1e-9): DataFrame =
+    graft.ops.Clustering.assignmentGate(
+      stateKmeans(spark, stateDir), stateVecs(spark, stateDir),
+      "id", "v", stateCentroids(spark, stateDir), eps)
+
+  /** SemDeDup served from the stored model: cluster-blocked exact
+    * cosine pairs with the STORED assignments as the blocking — no
+    * retrain, no reassignment, quadratic work bounded at (n/k)² per
+    * cluster exactly as q129, but the blocking model comes from state.
+    */
+  def stateSemDeDup(spark: SparkSession, stateDir: String,
+      threshold: Double): DataFrame =
+    graft.ops.Similarity.clusterNearDupPairsFromAssignments(
+      stateVecs(spark, stateDir), "id", "v", threshold,
+      stateKmeans(spark, stateDir))
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.
@@ -954,6 +1141,24 @@ object CorpusBuild {
         .parquet(s"$stateDir/gen=$gen/fingerprints")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/vecs"))) {
+      // vecs fold by union; assignments collapse to the folded
+      // latest-wins view re-stamped at the new base; centroids + meta
+      // are snapshots — carry the latest forward (trained_gen then
+      // names a pruned generation, which is informational only)
+      stateVecs(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/vecs")
+      stateKmeans(spark, stateDir).withColumn("g", lit(gen))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/assignments")
+      spark.read.parquet(s"$stateDir/gen=${state.gen.get}/centroids")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/centroids")
+      spark.read.parquet(s"$stateDir/gen=${state.gen.get}/vecmeta")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/vecmeta")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/worddict"))) {
       // dict deltas fold by sum into the new base; the merge table is a
       // snapshot — carry the latest one forward unchanged (it was
@@ -1001,6 +1206,12 @@ object CorpusBuild {
           empty(StructType(Seq(StructField("text_hash", StringType),
             StructField("keep_id", LongType)))))
     }
+
+  /** Whether a committed corpus state exists at `stateDir` (a readable
+    * pointer or a recoverable `_COMMIT` chain).
+    */
+  def hasState(spark: SparkSession, stateDir: String): Boolean =
+    readPointer(spark, stateDir).isDefined
 
   // The pointer file goes through the Hadoop FileSystem API, so the state
   // dir can live on any DFS the cluster's checkpoint/warehouse dirs use.

@@ -407,6 +407,18 @@ object CurationQueries {
       .unionByName(nonempty("semdedup_pairs_nonempty",
         Similarity.clusterNearDupPairs(probeEmb, "vec_id", "embedding",
           threshold = 0.3, k = 4, iters = 2)))
+      // the round-9 gates: q148/q150 consume the STORED embedding-space
+      // model — count their input relations through the same state
+      // entry points the gates fold (every ingested non-empty vector
+      // must carry an assignment, and the centroid snapshot must hold
+      // the full k×dim model), so a gate running over a silently
+      // emptied state flips these oracle-exact rows
+      .unionByName(exactCount("state_kmeans_assigned_vectors",
+        graft.pipeline.CorpusBuild.stateKmeans(s,
+          TokenizerQueries.ensurePostingState(s, d))))
+      .unionByName(exactCount("state_vecs",
+        graft.pipeline.CorpusBuild.stateVecs(s,
+          TokenizerQueries.ensurePostingState(s, d))))
       .orderBy("gate")
   }
 
@@ -439,6 +451,12 @@ object CurationQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
       |   WHERE len(embedding) > 0)
       |UNION ALL SELECT 'semdedup_pairs_nonempty', 1
+      |UNION ALL SELECT 'state_kmeans_assigned_vectors',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |   WHERE len(embedding) > 0)
+      |UNION ALL SELECT 'state_vecs',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |   WHERE len(embedding) > 0)
       |ORDER BY gate""".stripMargin
 
   /** q90 — quality filter funnel: the per-stage attrition report every

@@ -708,6 +708,77 @@ object ExtensionQueries {
       |  CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS DOUBLE) AS cos_ref
       |WHERE false""".stripMargin
 
+  /** q147 — k-means assignments served from the STORED centroid state
+    * (`CorpusBuild.trackCentroids`): the posting-state build streams the
+    * embeddings in three generations, training by the geometric-growth
+    * policy and assigning frozen-model batches incrementally; the
+    * readout folds the assignment chain (latest-generation-wins) and
+    * never touches a vector — model serving without a corpus scan, the
+    * q142 discipline for the embedding space. Same shape as q123.
+    * Rows-only (float model); the q148 gate is the correctness check.
+    */
+  val q147_state_kmeans: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateKmeans(s, dir)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .orderBy("vec_id")
+  }
+
+  /** q148 — the q124 argmin gate over the STORED model: every
+    * state-served (vec, cluster) must minimize the distance to the
+    * stored centroid snapshot, recomputed through the independent HOF
+    * fold — a mis-folded assignment chain, a stale frozen-model delta
+    * surviving a retrain, or a drifted centroid snapshot all surface
+    * as rows. Must be EMPTY.
+    */
+  val q148_state_kmeans_gate: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateKmeansGate(s, dir).orderBy("id")
+  }
+
+  val q148Sql: String = q124Sql
+
+  /** q149 — SemDeDup served from the STORED model: cluster-blocked
+    * exact cosine pairs with the stored assignments as blocking — the
+    * standing corpus is neither re-trained nor re-assigned; quadratic
+    * work stays (n/k)²-bounded per cluster exactly as q129. Rows-only;
+    * q150 re-verifies every emitted pair.
+    */
+  val q149_state_semdedup: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateSemDeDup(s, dir, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q150 — the q130 rescoring gate over q149: every state-served
+    * pair's cosine recomputed through the independent zip_with/
+    * aggregate fold over the STORED vectors must re-clear the threshold
+    * and agree with the emitted score to round-off. Must be EMPTY.
+    */
+  val q150_state_semdedup_gate: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    val pairs = q149_state_semdedup(s, d)
+    val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos_ref",
+        hofDot(col("va"), col("vb")) /
+          (sqrt(hofDot(col("va"), col("va"))) *
+            sqrt(hofDot(col("vb"), col("vb")))))
+      .filter(col("cos_ref") < 0.3 - 1e-6 ||
+        abs(col("cos_ref") - col("cos")) > 1e-6)
+      .select("id_a", "id_b", "cos", "cos_ref")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q150Sql: String = q130Sql
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -730,7 +801,11 @@ object ExtensionQueries {
     "q67_sketch_precision" -> q67_sketch_precision,
     "q140_winnow_fingerprint" -> q140_winnow_fingerprint,
     "q143_winnow_overlap" -> q143_winnow_overlap,
-    "q144_state_winnow_overlap" -> q144_state_winnow_overlap)
+    "q144_state_winnow_overlap" -> q144_state_winnow_overlap,
+    "q147_state_kmeans" -> q147_state_kmeans,
+    "q148_state_kmeans_gate" -> q148_state_kmeans_gate,
+    "q149_state_semdedup" -> q149_state_semdedup,
+    "q150_state_semdedup_gate" -> q150_state_semdedup_gate)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -748,5 +823,7 @@ object ExtensionQueries {
     "q25_multimodal_meta" -> q25Sql,
     "q140_winnow_fingerprint" -> q140Sql,
     "q143_winnow_overlap" -> q143Sql,
-    "q144_state_winnow_overlap" -> q144Sql)
+    "q144_state_winnow_overlap" -> q144Sql,
+    "q148_state_kmeans_gate" -> q148Sql,
+    "q150_state_semdedup_gate" -> q150Sql)
 }

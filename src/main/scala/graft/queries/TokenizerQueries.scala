@@ -436,18 +436,29 @@ object TokenizerQueries {
       val cfg = graft.pipeline.CorpusBuild.Config(
         trackPostings = true, trackPack = true, trackDrift = true,
         trackPositions = true, trackMerges = true,
-        trackFingerprints = true, nearDupTier = false)
+        trackFingerprints = true, trackCentroids = true,
+        nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * ((hi - lo) / 3)
+      // the embedding side-input follows the same id-monotone thirds on
+      // its own id space (vec batches commit with their doc generation)
+      val emb = Tables.embeddings(s, d)
+      val vb = emb.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val (vlo, vhi) = (vb.getLong(0), vb.getLong(1))
+      val vcut1 = vlo + (vhi - vlo) / 3
+      val vcut2 = vlo + 2 * ((vhi - vlo) / 3)
       graft.pipeline.CorpusBuild.ingestBatch(dir,
-        docs.filter(col("doc_id") <= cut1), cfg)
+        docs.filter(col("doc_id") <= cut1), cfg,
+        emb.filter(col("vec_id") <= vcut1))
       graft.pipeline.CorpusBuild.ingestBatch(dir,
-        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), cfg)
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), cfg,
+        emb.filter(col("vec_id") > vcut1 && col("vec_id") <= vcut2))
       graft.pipeline.CorpusBuild.ingestBatch(dir,
-        docs.filter(col("doc_id") > cut2), cfg)
+        docs.filter(col("doc_id") > cut2), cfg,
+        emb.filter(col("vec_id") > vcut2))
     }
     dir
   }

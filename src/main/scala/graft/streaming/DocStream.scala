@@ -45,18 +45,43 @@ object DocStream {
     * currently-available files, then stops (Trigger.AvailableNow — the
     * scheduled-ingest shape; pass a ProcessingTime trigger for a
     * continuously-running daemon).
+    *
+    * @param vecsFor with cfg.trackCentroids, maps a doc micro-batch to
+    *        its embedding rows (vec_id, embedding) — in production a
+    *        co-partitioned embeddings lake keyed by the same id range;
+    *        the vec batch commits in the SAME generation as its docs
+    * @param onBatchOverlap when set (and the dir tracks fingerprints),
+    *        the incoming batch is screened against the STANDING corpus
+    *        BEFORE it folds in — [[CorpusBuild.stateWinnowOverlap]]'s
+    *        contamination/quote detection at per-batch cost — and the
+    *        (id_a corpus doc, id_b batch doc, n_shared) rows are pushed
+    *        to this callback (quarantine queue, alert, audit log); the
+    *        ingest itself proceeds regardless, keeping screening a
+    *        read-side policy rather than a fold-side mutation
     */
   def ingestToState(docs: DataFrame, stateDir: String,
       checkpointDir: String,
       cfg: CorpusBuild.Config = CorpusBuild.Config(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      vecsFor: DataFrame => DataFrame = null,
+      onBatchOverlap: DataFrame => Unit = null): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          CorpusBuild.ingestBatch(stateDir, batch.toDF(), cfg)
+          val b = batch.toDF()
+          // screen FIRST: batch-vs-standing-corpus by definition means
+          // before this batch's own fingerprints join the corpus side
+          // (the very first batch has no standing corpus to screen
+          // against — nothing to quote from an empty corpus)
+          if (onBatchOverlap != null && cfg.trackFingerprints &&
+              CorpusBuild.hasState(b.sparkSession, stateDir))
+            onBatchOverlap(
+              CorpusBuild.stateWinnowOverlap(b.sparkSession, stateDir, b))
+          CorpusBuild.ingestBatch(stateDir, b, cfg,
+            if (vecsFor == null) null else vecsFor(b))
           () // manifest readout is pull-based (stateManifest), not pushed
         }
       }

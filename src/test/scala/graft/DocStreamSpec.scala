@@ -90,15 +90,25 @@ class DocStreamSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val cfg = CorpusBuild.Config(trackCounts = true, trackPostings = true,
       trackPack = true, trackDrift = true, trackMerges = true,
-      trackFingerprints = true)
+      trackFingerprints = true, trackCentroids = true)
+    val emb = Tables.embeddings(spark, sf)
 
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
     Thread.sleep(1200)
     docs.filter(col("doc_id") >= 250).coalesce(1)
       .write.mode("append").parquet(lake)
+    // the ingest-time contamination screen: per-batch overlap rows are
+    // pushed here BEFORE the batch folds in (batch 1 sees no standing
+    // corpus, so only batch 2 emits)
+    val screened = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val q = DocStream.ingestToState(
-      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg)
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      vecsFor = b => emb.join(b.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      onBatchOverlap = df => screened.synchronized {
+        screened ++= df.collect().map(r => (0 until r.length).map(r.get).toSeq)
+      })
     q.awaitTermination(120000)
     assert(!q.isActive, "AvailableNow stream failed to drain")
     q.exception.foreach(e => fail(s"stream failed: $e"))
@@ -229,6 +239,49 @@ class DocStreamSpec extends AnyFunSuite {
     }
     checkFps()
 
+    // … the streamed ingest-time screen (batch 2 vs the standing first
+    // batch) must equal the same overlap recomputed from raw — via the
+    // md5 STRING algebra, independent of the stored 8-byte re-key
+    val expectedScreen = {
+      val cf = graft.queries.ExtensionQueries.winnowSel(
+          docs.filter(col("doc_id") < 250))
+        .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+      val rare = cf.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("fp")
+      val pf = graft.queries.ExtensionQueries.winnowSel(
+          docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id").as("id_b"),
+          explode(array_distinct(col("sel"))).as("fp"))
+      rows(cf.select(col("doc_id").as("id_a"), col("fp"))
+        .join(rare, "fp").join(pf, "fp")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2))
+    }
+    assert(screened.synchronized(screened.toSet) === expectedScreen,
+      "streamed per-batch winnow screen diverged from the raw recompute")
+
+    // … and the embedding-space state: vectors fold to everything
+    // streamed, the stored assignments are argmin under the stored
+    // centroids (the q148 gate), and — because the second batch's 250
+    // new vectors tripped the geometric retrain over the full fold —
+    // the served model equals a one-shot train over all of it
+    val fullVecRows = rows(emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0))
+    val fullAssign = rows(graft.ops.Clustering.kMeans(
+      emb, "vec_id", "embedding", k = cfg.kmeansK, iters = cfg.kmeansIters)._1)
+    def checkVecs(): Unit = {
+      assert(rows(CorpusBuild.stateVecs(spark, state)) === fullVecRows,
+        "folded vec state diverged from everything streamed")
+      assert(CorpusBuild.stateKmeansGate(spark, state).collect().isEmpty,
+        "state-served assignment violated the argmin gate")
+      assert(rows(CorpusBuild.stateKmeans(spark, state)) === fullAssign,
+        "state-served assignments diverged from a one-shot train over " +
+          "everything streamed")
+    }
+    checkVecs()
+
     // compaction folds the count deltas into the new base unchanged
     CorpusBuild.compact(spark, state)
     CorpusBuild.pruneGenerations(spark, state, keep = 1)
@@ -242,5 +295,6 @@ class DocStreamSpec extends AnyFunSuite {
     checkDrift()
     checkMerges()
     checkFps()
+    checkVecs()
   }
 }
