@@ -348,6 +348,73 @@ object PrepQueries {
       |  CAST(SUM(code) AS DOUBLE) / count(*) AS mean_code
       |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** q151 — REAL image decode: synthesize a genuine Netpbm P6 binary
+    * per document (the ASCII sub-stream as a 16-wide RGB plane —
+    * [[graft.multimodal.Multimodal.imagesFromText]]), then PARSE it
+    * back with the from-scratch [[graft.multimodal.Codecs.decodePpm]]
+    * (header grammar, dimensions, raw plane) and emit per-image pixel
+    * statistics. The oracle predicts every field from the source text,
+    * so a mis-parsed width, a dropped pad byte, or an off-by-one in
+    * the plane copy all hash-mismatch. Per-partition encode+decode
+    * pipeline in ONE stage — no shuffle before the final sort; at
+    * 100 TB the decode rides the scan exactly like this.
+    */
+  val q151_image_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.imagesFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q151Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS h
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(16 AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(16 * h AS BIGINT) AS n_pixels,
+      |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS sum_channel,
+      |  CAST(coalesce(list_sum([c * c for c in codes]), 0) AS BIGINT)
+      |    AS sum_channel_sq,
+      |  CAST(coalesce(list_max(codes), 0) AS INTEGER) AS max_channel,
+      |  CAST(coalesce(list_sum(codes), 0) AS DOUBLE) / (3.0 * 16 * h)
+      |    AS mean_channel
+      |FROM s ORDER BY media_id""".stripMargin
+
+  /** q152 — REAL audio decode: synthesize a genuine RIFF/WAVE PCM16
+    * file per document (samples = an affine map of the ASCII codes,
+    * mono 8 kHz), then PARSE it back with the from-scratch chunk walk
+    * ([[graft.multimodal.Codecs.decodeWav]]) and emit per-clip sample
+    * statistics — duration is computed from the sample count and the
+    * rate/channels READ FROM the parsed fmt chunk, so a header
+    * mis-decode surfaces as a wrong duration, not a silent pass.
+    */
+  val q152_audio_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.wavFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q152Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [(ord(c) - 64) * 256 for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS smp
+      |  FROM documents)
+      |SELECT media_id,
+      |  CAST(len(smp) AS BIGINT) AS n_samples,
+      |  CAST((len(smp) * 1000) // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(coalesce(list_sum(smp), 0) AS BIGINT) AS sum_sample,
+      |  CAST(coalesce(list_min(smp), 0) AS BIGINT) AS min_sample,
+      |  CAST(coalesce(list_max(smp), 0) AS BIGINT) AS max_sample
+      |FROM a ORDER BY media_id""".stripMargin
+
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
     * replace or insert, deletes drop — the MERGE INTO semantics every
@@ -462,7 +529,9 @@ object PrepQueries {
     "q74_dedup_survivors" -> q74_dedup_survivors,
     "q75_stratified_sample" -> q75_stratified_sample,
     "q76_media_resize" -> q76_media_resize,
-    "q77_media_features" -> q77_media_features)
+    "q77_media_features" -> q77_media_features,
+    "q151_image_decode" -> q151_image_decode,
+    "q152_audio_decode" -> q152_audio_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -474,5 +543,7 @@ object PrepQueries {
     "q76_media_resize" -> q76Sql,
     "q77_media_features" -> q77Sql,
     "q81_cdc_apply" -> q81Sql,
-    "q82_corpus_health" -> q82Sql)
+    "q82_corpus_health" -> q82Sql,
+    "q151_image_decode" -> q151Sql,
+    "q152_audio_decode" -> q152Sql)
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Codecs
+
+/** Golden fixtures for the from-scratch media codecs: HAND-WRITTEN byte
+  * sequences with known pixels/samples (not round-trips of our own
+  * encoder — a matched encode/decode bug cancels in a round-trip), plus
+  * round-trip identities and loud-failure cases for malformed input.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- PPM
+
+  test("golden P6: hand-written 2x2 image decodes to the exact pixels") {
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val plane = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val img = Codecs.decodePpm(header ++ plane)
+    assert(img.width === 2 && img.height === 2 && img.maxVal === 255)
+    assert(img.pixels.toSeq === plane.toSeq)
+  }
+
+  test("golden P6: comments and ragged whitespace in the header parse " +
+      "(the Netpbm grammar), and the plane may start with a '#' byte") {
+    // '#' (0x23) as the FIRST PLANE BYTE must not be eaten as a comment:
+    // the header ends after exactly one whitespace byte past maxval
+    val bytes = "P6 # a comment\n #another\n 3\t1 #w h\n17\n".getBytes("US-ASCII") ++
+      Array('#'.toByte, 1.toByte, 2.toByte, 3.toByte, 4.toByte,
+        5.toByte, 6.toByte, 7.toByte, 8.toByte)
+    val img = Codecs.decodePpm(bytes)
+    assert(img.width === 3 && img.height === 1 && img.maxVal === 17)
+    assert((img.pixels(0) & 0xFF) === '#'.toInt)
+    assert(img.pixels.length === 9)
+  }
+
+  test("P6 malformed inputs fail loudly") {
+    intercept[IllegalArgumentException](Codecs.decodePpm(
+      "P5\n1 1\n255\n".getBytes("US-ASCII") :+ 0.toByte)) // wrong magic
+    intercept[IllegalArgumentException](Codecs.decodePpm(
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(5)(0.toByte)))
+    intercept[IllegalArgumentException](Codecs.decodePpm(
+      "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+        Array.fill(6)(0.toByte))) // 2-byte maxval unsupported
+  }
+
+  test("PPM round-trip: encode then decode is the identity") {
+    val px = Array.tabulate(5 * 4 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Codecs.decodePpm(Codecs.encodePpm(5, 4, 255, px))
+    assert(img.width === 5 && img.height === 4)
+    assert(img.pixels.toSeq === px.toSeq)
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  /** Build a RIFF/WAVE file BY HAND (independent of encodeWav). */
+  private def handWav(extraChunk: Boolean, samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val extra = if (extraChunk) 8 + 4 else 0 // "LIST" + size + 4 junk
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100)
+      .putInt(44100 * 2 * 2).putShort(4).putShort(16)
+    if (extraChunk) // an unknown chunk BETWEEN fmt and data: must be
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4) // skipped by size
+        .put(Array[Byte](9, 9, 9, 9))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("golden WAV: hand-written stereo PCM16 with an unknown chunk " +
+      "between fmt and data decodes to the exact samples and format") {
+    val samples = Seq[Short](0, 1, -1, 32767, -32768, 256)
+    val wav = Codecs.decodeWav(handWav(extraChunk = true, samples))
+    assert(wav.channels === 2 && wav.sampleRate === 44100 &&
+      wav.bitsPerSample === 16)
+    assert(wav.samples.toSeq === samples)
+  }
+
+  test("WAV malformed inputs fail loudly") {
+    intercept[IllegalArgumentException](
+      Codecs.decodeWav("RIFX1234WAVE".getBytes("US-ASCII")))
+    // a data-less file: fmt only
+    val fmtOnly = handWav(extraChunk = false, Nil).dropRight(8)
+    intercept[IllegalArgumentException](Codecs.decodeWav(fmtOnly))
+    // declared chunk size beyond the payload
+    val lying = handWav(extraChunk = false, Seq[Short](1, 2))
+    lying(42) = 99 // data size low byte: 4 -> 99
+    intercept[IllegalArgumentException](Codecs.decodeWav(lying))
+  }
+
+  test("WAV round-trip: encode then decode is the identity") {
+    val samples = Array.tabulate(100)(i => ((i - 50) * 601).toShort)
+    val wav = Codecs.decodeWav(Codecs.encodeWav(1, 8000, samples))
+    assert(wav.channels === 1 && wav.sampleRate === 8000)
+    assert(wav.samples.toSeq === samples.toSeq)
+  }
+
+  // ------------------------------------------------- Spark pipelines
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("CodecSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q151/q152 pipelines: synthesized binaries decode to statistics " +
+      "predictable from the source text (incl. empty and non-ASCII)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc"),                 // 3 ascii codes: 97 98 99
+      (2L, ""),                    // empty -> 1x16 black image, 0 samples
+      (3L, "ééA"),            // non-ASCII chars contribute nothing
+      (4L, "x" * 100))             // forces height 3 (ceil(100/48))
+      .toDF("doc_id", "text")
+    val img = graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.imagesFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(img(1L).width === 16 && img(1L).height === 1)
+    assert(img(1L).sum_channel === 97L + 98 + 99)
+    assert(img(1L).max_channel === 99)
+    assert(img(2L).sum_channel === 0L && img(2L).n_pixels === 16L)
+    assert(img(3L).sum_channel === 65L, "only the ASCII 'A' contributes")
+    assert(img(4L).height === 3 && img(4L).sum_channel === 120L * 100)
+    val wav = graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.wavFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(wav(1L).n_samples === 3L)
+    assert(wav(1L).sum_sample === ((97 - 64) + (98 - 64) + (99 - 64)) * 256L)
+    assert(wav(2L).n_samples === 0L && wav(2L).min_sample === 0L)
+    assert(wav(4L).n_samples === 100L &&
+      wav(4L).duration_ms === 100L * 1000 / 8000)
+  }
+}
