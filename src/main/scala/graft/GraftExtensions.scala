@@ -57,5 +57,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_frequent_items", 2)(e =>
         graft.functions.MisraGriesTopK(e(0),
           e(1).eval().asInstanceOf[Number].intValue()))))
+    // column-composition builders (GraftFunctions.registerAll's twins):
+    // the builder emits the same unresolved tree the Column API would
+    // (TextAnalysis.*Expr), the analyzer finishes it — UDF-free
+    ext.injectFunction((FunctionIdentifier("graft_winnow_select"),
+      info("graft_winnow_select",
+        "graft_winnow_select(text, k, w) - winnowing fingerprint " +
+          "selection (Schleimer et al. 2004): md5 of every k-gram of " +
+          "the normalized text, minimum per w-window"),
+      arity("graft_winnow_select", 3)(e =>
+        graft.functions.TextAnalysis.winnowSelectExpr(e(0),
+          e(1).eval().asInstanceOf[Number].intValue(),
+          e(2).eval().asInstanceOf[Number].intValue()))))
+    ext.injectFunction((FunctionIdentifier("graft_run_entropy"),
+      info("graft_run_entropy",
+        "graft_run_entropy(arr) - integer-log2 self-entropy sum of a " +
+          "string array: sum over distinct elements of " +
+          "f*(floor(log2 n) - floor(log2 f)), one sorted-run pass"),
+      arity("graft_run_entropy", 1)(e =>
+        graft.functions.TextAnalysis.runEntropySumExpr(e(0)))))
   }
 }

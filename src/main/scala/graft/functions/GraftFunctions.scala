@@ -2,8 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import org.apache.spark.sql.graftshim.ColumnShim
-
 /** SQL-surface registration for the engine's function family (SURVEY §4.2):
   * after `GraftFunctions.registerAll(spark)`, every capability is callable
   * from `spark.sql(...)` as well as the Column API.
@@ -49,6 +47,18 @@ object GraftFunctions {
         MisraGriesTopK(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())),
       "built-in")
+    // column-composition builders (not custom Expressions): the builder
+    // emits the SAME unresolved tree the Column API would produce
+    // (TextAnalysis.*Expr — parsed template + argument splice), the
+    // analyzer finishes resolution — still UDF-free, fully codegen'd
+    reg.createOrReplaceTempFunction("graft_winnow_select",
+      arity("graft_winnow_select", 3)(exprs =>
+        TextAnalysis.winnowSelectExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())), "built-in")
+    reg.createOrReplaceTempFunction("graft_run_entropy",
+      arity("graft_run_entropy", 1)(exprs =>
+        TextAnalysis.runEntropySumExpr(exprs(0))), "built-in")
 
     // column-composition functions surfaced as SQL via UDF-free views is
     // not possible; register them as thin UDF-less wrappers instead:

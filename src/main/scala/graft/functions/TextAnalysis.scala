@@ -202,6 +202,94 @@ object TextAnalysis {
     */
   def floorLog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
 
+  /** The winnowing fingerprint selection as ONE composable Column
+    * (q140's algebra — Schleimer et al. 2004, public literature):
+    * normalize the text, md5-hash every k-gram, keep each w-window's
+    * minimum hash. No intermediate columns, so it can be built by a SQL
+    * function builder (`graft_winnow_select`); the repeated `grams`
+    * subtree is deterministic, so codegen subexpression elimination
+    * evaluates the hash chain once per row. Both guards are explicit
+    * because Spark's sequence(1, n) DESCENDS for n ≤ 0 (the
+    * ExtensionQueries.winnowSel contract, kept in lockstep by
+    * WinnowSpec).
+    */
+  def winnowSelect(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, "winnow k and w must be positive")
+    val s = normalizeText(text)
+    val grams = when(length(s) >= k,
+        transform(sequence(lit(1), length(s) - (k - 1)),
+          i => md5(substr(s, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) >= w,
+        transform(sequence(lit(1), size(grams) - (w - 1)),
+          j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---- Expression-level twins for the SQL function registry ----------
+  // A registry builder receives and returns CATALYST expressions during
+  // analysis; a Column-node bridge stays Unevaluable there (the node
+  // conversion only happens at the Dataset boundary), so these builders
+  // PARSE the same SQL the Column helpers would emit and splice the
+  // argument expression over a placeholder attribute — the analyzer's
+  // fixed-point resolution then resolves the unresolved tree in place,
+  // and the result is ordinary codegen'd built-in functions (no UDF).
+
+  private lazy val sqlParser =
+    new org.apache.spark.sql.catalyst.parser.CatalystSqlParser()
+
+  private def splice(template: String, placeholder: String,
+      arg: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    sqlParser.parseExpression(template).transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.name == placeholder => arg
+      // inside a lambda body the parser defers identifier binding, so
+      // the placeholder parses as an unresolved LAMBDA variable there
+      case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+          if v.nameParts == Seq(placeholder) => arg
+    }
+
+  /** [[winnowSelect]] as a registry builder (graft_winnow_select). */
+  private[graft] def winnowSelectExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression,
+      k: Int, w: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(k > 0 && w > 0, "winnow k and w must be positive")
+    // the SQL text mirrors ExtensionQueries.winnowSel verbatim (doubled
+    // backslashes: the SQL literal itself escapes them once)
+    val s = "trim(regexp_replace(regexp_replace(lower(__graft_arg__), " +
+      "'[^a-z0-9\\\\s]', ''), '\\\\s+', ' '))"
+    val grams = s"CASE WHEN length($s) >= $k THEN transform(" +
+      s"sequence(1, length($s) - ${k - 1}), i -> md5(substr($s, i, $k)))" +
+      " ELSE array() END"
+    val sel = s"CASE WHEN size($grams) >= $w THEN transform(" +
+      s"sequence(1, size($grams) - ${w - 1})," +
+      s" j -> array_min(slice($grams, j, $w))) ELSE array() END"
+    splice(sel, "__graft_arg__", text)
+  }
+
+  /** [[runEntropySum]] as a registry builder (graft_run_entropy). */
+  private[graft] def runEntropySumExpr(
+      arr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val n = "CAST(size(__graft_arg__) AS BIGINT)"
+    def l2(x: String) = s"CAST(length(bin($x)) - 1 AS BIGINT)"
+    def closed(run: String) =
+      s"CASE WHEN $run > 0L THEN $run * (${l2(n)} - ${l2(run)}) ELSE 0L END"
+    val isRun = "st.run > 0L AND t = st.prev"
+    val template =
+      s"""aggregate(
+         |  array_sort(__graft_arg__),
+         |  named_struct('prev', get(__graft_arg__, 0), 'run', 0L, 'acc', 0L),
+         |  (st, t) -> named_struct(
+         |    'prev', t,
+         |    'run', CASE WHEN $isRun THEN st.run + 1L ELSE 1L END,
+         |    'acc', CASE WHEN $isRun THEN st.acc
+         |           ELSE st.acc + (${closed("st.run")}) END),
+         |  st -> st.acc + (${closed("st.run")}))""".stripMargin
+    splice(template, "__graft_arg__", arr)
+  }
+
   /** Per-row "self-entropy" of `arr` in the q136 integer-log2
     * quantization: Σ over distinct elements of f·(⌊log2 n⌋ − ⌊log2 f⌋)
     * (n = array size, f = the element's multiplicity) — the within-doc

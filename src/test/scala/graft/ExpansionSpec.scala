@@ -128,6 +128,17 @@ class ExpansionSpec extends AnyFunSuite {
           .select(graft.functions.SketchExpressions.simhash64(
             array(lit("a"), lit("b")))).head().getLong(0),
         "extension-injected function matches the Column API expression")
+      // the column-composition builders install through the same path
+      val sel = s2.sql(
+        "SELECT graft_winnow_select('the quick brown fox jumps', 8, 4) AS s")
+        .head().getSeq[String](0)
+      assert(sel.nonEmpty && sel.forall(_.length == 32),
+        "winnow selection must be md5 hex fingerprints")
+      // n=4 (L=2): run a (f=2, L=1) adds 2*(2-1)=2; b and c (f=1, L=0)
+      // each add 1*(2-0)=2 -> total 6
+      assert(s2.sql(
+        "SELECT graft_run_entropy(array('a','a','b','c')) AS e")
+        .head().getLong(0) === 6L)
     } finally {
       // restore the suite's session; never stop() — the context is shared
       SparkSession.setActiveSession(orig)

@@ -65,6 +65,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(1) == "T1")
   }
 
+  test("graft_winnow_select / graft_run_entropy callable from SQL and " +
+      "equal to their Column-API twins on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    docs.createOrReplaceTempView("sql_surface_docs")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    val viaSql = keyed(spark.sql(
+      """SELECT doc_id,
+        |  graft_winnow_select(text, 8, 4) AS sel,
+        |  graft_run_entropy(
+        |    filter(split(trim(text), '\\s+'), t -> length(t) > 0)) AS ent
+        |FROM sql_surface_docs""".stripMargin))
+    val viaCols = keyed(docs.select(col("doc_id"),
+      TextAnalysis.winnowSelect(col("text"), 8, 4).as("sel"),
+      TextAnalysis.runEntropySum(
+        filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0)).as("ent")))
+    assert(viaSql === viaCols)
+  }
+
   test("Column-API text formulas agree with independent Scala evaluation") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -92,6 +92,19 @@ class WinnowSpec extends AnyFunSuite {
       s"expected exactly the planted quote pair, got $pairs")
   }
 
+  test("TextAnalysis.winnowSelect (the SQL-surface builder) == " +
+      "winnowSel's selection column") {
+    val docs = graft.queries.Tables
+      .documents(spark, "/root/testdata/sf0.001").limit(100)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaSel = keyed(ExtensionQueries.winnowSel(docs)
+      .select(col("doc_id"), col("sel")))
+    val viaColumn = keyed(docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.winnowSelect(col("text"), 8, 4).as("sel")))
+    assert(viaColumn === viaSel)
+  }
+
   test("re-keyed (xxhash64) pair detection ≡ the md5-string algebra") {
     // the oracle groups on the md5 hex string; the engine groups on the
     // 8-byte re-key — this pins that the key choice is invisible in the
