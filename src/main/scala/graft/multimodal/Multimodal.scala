@@ -172,6 +172,92 @@ object Multimodal {
     })
   }
 
+  /** A 64-bit difference-hash (dHash) of a decoded image, carried as two
+    * 32-bit halves so a second engine can rebuild it without 1<<63
+    * signed-overflow hazards: `hash_hi` holds grid rows 0–3, `hash_lo`
+    * rows 4–7, bit index (row%4)*8 + col within each half.
+    */
+  case class ImageDHash(media_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual image fingerprint over REALLY DECODED pixels: parse the
+    * PPM ([[Codecs.decodePpm]]), nearest-neighbor-resample the gray
+    * plane (per-pixel channel sum — integer-exact, no division) to the
+    * classic 9×8 dHash grid (sampled pixel for grid (r,c) is
+    * (r·h/8, c·w/9), floor division — well-defined for any h,w ≥ 1),
+    * and set bit (r,c) iff gray(r,c) < gray(r,c+1). The image-corpus
+    * analog of [[graft.ops.TextDedup.simhashPairs]]'s text sketch:
+    * near-identical images (recompressed, lightly edited) land within a
+    * few bits. Per-partition, shuffle-free — the hash rides the decode
+    * scan at 100 TB.
+    */
+  def decodeImageDHash(media: Dataset[MediaRow]): Dataset[ImageDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val img = Codecs.decodePpm(row.content)
+      val w = img.width; val h = img.height
+      def gray(y: Int, x: Int): Int = {
+        val base = (y * w + x) * 3
+        (img.pixels(base) & 0xFF) + (img.pixels(base + 1) & 0xFF) +
+          (img.pixels(base + 2) & 0xFF)
+      }
+      var hi = 0L; var lo = 0L
+      var r = 0
+      while (r < 8) {
+        val y = r * h / 8
+        var c = 0
+        while (c < 8) {
+          if (gray(y, c * w / 9) < gray(y, (c + 1) * w / 9)) {
+            val bit = (r % 4) * 8 + c
+            if (r < 4) hi |= 1L << bit else lo |= 1L << bit
+          }
+          c += 1
+        }
+        r += 1
+      }
+      ImageDHash(row.media_id, w, h, hi, lo)
+    })
+  }
+
+  /** Image near-dup pairs from dHash halves: 4 bands of 16 bits (the
+    * [[graft.ops.TextDedup.simhashPairs]] algebra on the image sketch).
+    * By pigeonhole two hashes within hamming distance ≤ 3 agree on at
+    * least one of the 4 bands, so for `maxDist` ≤ 3 the banded join is
+    * LOSSLESS — the emitted set IS the full hamming-≤maxDist pair set,
+    * which is what lets a DuckDB oracle check it by brute force while
+    * the engine never materializes n² candidates. All shuffle keys are
+    * (int, int) band buckets; hamming verification (two xor+popcount,
+    * codegen'd) runs BEFORE the dedup exchange so the candidate stream
+    * never hits a shuffle. At corpus scale a degenerate band value
+    * (near-constant images) bounds a bucket's fan-out at its population
+    * squared — the standing mitigation is the same as SimHash's: more,
+    * wider bands re-keyed per corpus, or a df-style cut on template
+    * buckets (the q143 maxDf discipline).
+    */
+  def dhashNearDupPairs(hashes: Dataset[ImageDHash],
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4 bands guarantee recall only for distance <= 3")
+    val df = hashes.toDF()
+    val bandStructs = array(
+      struct(lit(0).as("band"), col("hash_hi").bitwiseAND(65535L).as("bucket")),
+      struct(lit(1).as("band"), shiftright(col("hash_hi"), 16).as("bucket")),
+      struct(lit(2).as("band"), col("hash_lo").bitwiseAND(65535L).as("bucket")),
+      struct(lit(3).as("band"), shiftright(col("hash_lo"), 16).as("bucket")))
+    val banded = df.select(col("media_id").as("id"), col("hash_hi"),
+        col("hash_lo"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("hash_hi"), col("hash_lo"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+         bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Decode RIFF/WAVE PCM payloads (REAL chunk walk —
     * [[Codecs.decodeWav]]) and emit per-clip sample statistics.
     */

@@ -277,6 +277,50 @@ object Similarity {
     }
   }
 
+  /** IVF search SERVED FROM A STORED MODEL: the coarse quantizer
+    * (`centroids`) and the inverted lists (`assignments`, (id, cluster)
+    * rows) come from persisted state — no sample collect, no training
+    * iterations, no corpus reassignment at query time. Each query
+    * vector probes its `nProbe` nearest stored centroids and scores
+    * only those lists' members with exact rounded cosines — the search
+    * stage of [[ivfTopK]] verbatim, which is what makes the emitted
+    * cosines bit-identical to the exact tier's for the same pairs (the
+    * q88 gate property). At 100 TB this is the serving path: the index
+    * is a table, queries pay `nProbe/nClusters` of a full scan, and the
+    * one corpus-sized shuffle keys on an int cluster id.
+    */
+  def ivfTopKFromModel(corpus: DataFrame, idCol: String, vecCol: String,
+      assignments: DataFrame, centroids: Seq[Array[Double]],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "stored model has no centroids")
+    def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, j) => struct(dot(v, vecLit(c)).as("d"), lit(j).as("j"))
+    }
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
+    val assigned = vecs.join(
+      assignments.select(col("id"), col("cluster")), Seq("id"))
+    val probes = vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(sort_array(array(centroidDots(col("v")): _*), asc = false),
+          1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"), col("p.j").as("cluster"))
+    val scored = probes.join(
+        assigned.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
+    if (k == 1) top1ByCos(scored)
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
   /** IVF-PQ — the memory-bound third scale tier: inverted lists from the
     * coarse quantizer (as [[ivfTopK]]) plus PRODUCT-QUANTIZED residuals
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search" —

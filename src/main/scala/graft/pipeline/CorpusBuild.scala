@@ -1008,6 +1008,22 @@ object CorpusBuild {
       stateVecs(spark, stateDir), "id", "v", threshold,
       stateKmeans(spark, stateDir))
 
+  /** ANN top-k served from the STORED centroid state: the stored
+    * centroids are the coarse quantizer, the folded assignments are the
+    * inverted lists, the folded vectors are the data —
+    * [[graft.ops.Similarity.ivfTopKFromModel]]'s search stage with ZERO
+    * training or assignment work at query time. The q148 argmin gate is
+    * what makes this sound: the folded assignments are always argmin
+    * under the latest stored centroids, so the stored lists are exactly
+    * the lists a fresh assignment pass would build.
+    */
+  def stateIvfTopK(spark: SparkSession, stateDir: String,
+      k: Int = 1, nProbe: Int = 2): DataFrame =
+    graft.ops.Similarity.ivfTopKFromModel(
+      stateVecs(spark, stateDir), "id", "v",
+      stateKmeans(spark, stateDir),
+      stateCentroids(spark, stateDir), k, nProbe)
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.

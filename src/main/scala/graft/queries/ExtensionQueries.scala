@@ -779,6 +779,40 @@ object ExtensionQueries {
 
   val q150Sql: String = q130Sql
 
+  /** q155 — ANN top-1 SERVED FROM THE STORED CENTROID STATE: the stored
+    * centroids are the coarse quantizer, the folded assignments are the
+    * inverted lists, the folded vectors the data
+    * ([[graft.pipeline.CorpusBuild.stateIvfTopK]]) — q32's search with
+    * zero training or assignment work at query time, completing the
+    * embedding-space serving story (q147 assignments, q149 pairs, now
+    * nearest-neighbor queries). Rows-only (float model, stored-state
+    * training history); q156 re-scores every claimed row.
+    */
+  val q155_state_ann: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateIvfTopK(s, dir, k = 1, nProbe = 2)
+      .orderBy("query_id")
+  }
+
+  /** q156 — the q88 rescoring gate over q155: every state-served
+    * (query, neighbor, cos) re-scored with the independent HOF cosine
+    * over the STORED vectors; deviations, self-pairs, missing vectors,
+    * or NULL recomputes surface as rows. Must be EMPTY.
+    */
+  val q156_state_ann_gate: Q = (s, d) => {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
+    val claimed = graft.pipeline.CorpusBuild.stateIvfTopK(s, dir, k = 1,
+        nProbe = 2)
+      .select(lit("state_ivf").as("tier"), col("query_id"),
+        col("neighbor_id"), col("cos"))
+    val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)
+      .select(col("id").as("vec_id"), col("v"))
+    CurationQueries.annGate(claimed, vecs)
+      .orderBy("tier", "query_id", "neighbor_id")
+  }
+
+  val q156Sql: String = CurationQueries.q88Sql
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -805,7 +839,9 @@ object ExtensionQueries {
     "q147_state_kmeans" -> q147_state_kmeans,
     "q148_state_kmeans_gate" -> q148_state_kmeans_gate,
     "q149_state_semdedup" -> q149_state_semdedup,
-    "q150_state_semdedup_gate" -> q150_state_semdedup_gate)
+    "q150_state_semdedup_gate" -> q150_state_semdedup_gate,
+    "q155_state_ann" -> q155_state_ann,
+    "q156_state_ann_gate" -> q156_state_ann_gate)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -825,5 +861,6 @@ object ExtensionQueries {
     "q143_winnow_overlap" -> q143Sql,
     "q144_state_winnow_overlap" -> q144Sql,
     "q148_state_kmeans_gate" -> q148Sql,
-    "q150_state_semdedup_gate" -> q150Sql)
+    "q150_state_semdedup_gate" -> q150Sql,
+    "q156_state_ann_gate" -> q156Sql)
 }

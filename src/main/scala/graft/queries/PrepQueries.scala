@@ -415,6 +415,83 @@ object PrepQueries {
       |  CAST(coalesce(list_max(smp), 0) AS BIGINT) AS max_sample
       |FROM a ORDER BY media_id""".stripMargin
 
+  /** q153 — perceptual image fingerprint (dHash) over REALLY DECODED
+    * pixels: the q151 payloads (genuine P6 PPM binaries) are parsed
+    * back and resampled to the classic 9×8 dHash grid
+    * ([[graft.multimodal.Multimodal.decodeImageDHash]]). The oracle
+    * rebuilds the identical hash from the SOURCE TEXT with the same
+    * integer algebra (nearest-neighbor index math, strict-less bits,
+    * two 32-bit halves), so a mis-decoded plane, a wrong sample index,
+    * or a bit-order slip all hash-mismatch. LAION-style image-dedup
+    * fingerprinting with the decode riding the scan — map-only at
+    * 100 TB.
+    */
+  val q153_image_dhash: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeImageDHash(
+        graft.multimodal.Multimodal.imagesFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q153Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS h
+      |  FROM a),
+      |g AS (SELECT media_id, h, r, c,
+      |    coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 1 AS BIGINT)], 0)
+      |  + coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 2 AS BIGINT)], 0)
+      |  + coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 3 AS BIGINT)], 0) AS gray
+      |  FROM s, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
+      |bits AS (
+      |  SELECT l.media_id, l.r, l.c FROM g l JOIN g rr
+      |    ON l.media_id = rr.media_id AND l.r = rr.r AND rr.c = l.c + 1
+      |  WHERE l.c < 8 AND l.gray < rr.gray),
+      |hsh AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN r < 4 THEN (CAST(1 AS BIGINT) << (r*8 + c))
+      |        ELSE 0 END) AS hash_hi,
+      |    SUM(CASE WHEN r >= 4 THEN (CAST(1 AS BIGINT) << ((r-4)*8 + c))
+      |        ELSE 0 END) AS hash_lo
+      |  FROM bits GROUP BY media_id)
+      |SELECT s.media_id, CAST(16 AS INTEGER) AS width,
+      |  CAST(s.h AS INTEGER) AS height,
+      |  CAST(coalesce(hash_hi, 0) AS BIGINT) AS hash_hi,
+      |  CAST(coalesce(hash_lo, 0) AS BIGINT) AS hash_lo
+      |FROM s LEFT JOIN hsh ON s.media_id = hsh.media_id
+      |ORDER BY s.media_id""".stripMargin
+
+  /** q154 — image near-dup pairs on the q153 fingerprints: 4 bands of
+    * 16 bits, hamming ≤ 3 — by pigeonhole the banded join is LOSSLESS
+    * at this threshold, so the oracle is the BRUTE-FORCE hamming pair
+    * set (the q19 discipline: the scale-path algorithm's output equals
+    * an exact definition a second engine can compute). The engine side
+    * shuffles only (int, int) band buckets and verifies with two
+    * codegen'd xor+popcounts before any dedup exchange.
+    */
+  val q154_image_neardup: Q = (s, d) =>
+    graft.multimodal.Multimodal.dhashNearDupPairs(
+        graft.multimodal.Multimodal.decodeImageDHash(
+          graft.multimodal.Multimodal.imagesFromText(
+            s, Tables.documents(s, d), "doc_id", "text")),
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  val q154Sql: String = {
+    val hashes = q153Sql.replace("ORDER BY s.media_id", "")
+    s"""WITH hashes AS ($hashes)
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+       |     + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+       |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
     * replace or insert, deletes drop — the MERGE INTO semantics every
@@ -531,7 +608,9 @@ object PrepQueries {
     "q76_media_resize" -> q76_media_resize,
     "q77_media_features" -> q77_media_features,
     "q151_image_decode" -> q151_image_decode,
-    "q152_audio_decode" -> q152_audio_decode)
+    "q152_audio_decode" -> q152_audio_decode,
+    "q153_image_dhash" -> q153_image_dhash,
+    "q154_image_neardup" -> q154_image_neardup)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -545,5 +624,7 @@ object PrepQueries {
     "q81_cdc_apply" -> q81Sql,
     "q82_corpus_health" -> q82Sql,
     "q151_image_decode" -> q151Sql,
-    "q152_audio_decode" -> q152Sql)
+    "q152_audio_decode" -> q152Sql,
+    "q153_image_dhash" -> q153Sql,
+    "q154_image_neardup" -> q154Sql)
 }

@@ -68,6 +68,35 @@ class ClusteringSpec extends AnyFunSuite {
       "gate must fire when assignments no longer minimize distance")
   }
 
+  test("ivfTopKFromModel: search under a hand-built stored model finds " +
+      "every planted twin, and scores are exact cosines") {
+    import spark.implicits._
+    // planted twins: ids 2i and 2i+1 share a base direction in R^8 far
+    // from every other pair's, so each point's true top-1 is its twin
+    val pts = (0L until 60L).map { id =>
+      val pair = (id / 2).toInt
+      val base = Array.tabulate(8)(j => if (j == pair % 8) 10.0 else
+        0.3 * ((pair / 8 + j) % 5))
+      val jitter = if (id % 2 == 0) 0.0 else 0.01
+      (id, base.map(_ + jitter).toSeq)
+    }
+    val corpus = pts.toDF("id", "v")
+    val (assignedDf, cents) = Clustering.kMeans(
+      corpus, "id", "v", k = 4, iters = 5)
+    val assignments = assignedDf.select(col("id"), col("cluster"))
+    val top1 = graft.ops.Similarity.ivfTopKFromModel(
+        corpus, "id", "v", assignments, cents, k = 1, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    pts.foreach { case (id, _) =>
+      val twin = if (id % 2 == 0) id + 1 else id - 1
+      assert(top1(id)._1 === twin,
+        s"query $id found ${top1(id)} instead of twin $twin")
+      assert(top1(id)._2 > 0.999,
+        s"twin cosine ${top1(id)._2} not ~1 for $id")
+    }
+  }
+
   test("k exceeding distinct points: empty clusters keep their previous " +
       "centroid and every point still assigns") {
     import spark.implicits._

@@ -137,4 +137,48 @@ class CodecSpec extends AnyFunSuite {
     assert(wav(4L).n_samples === 100L &&
       wav(4L).duration_ms === 100L * 1000 / 8000)
   }
+
+  test("q153 dHash: identical payloads hash identically, a hand-built " +
+      "gradient image sets the predicted bits, banding is lossless at " +
+      "hamming <= 3 (banded pair set == brute force)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // hand-built: one doc whose 16-wide gray row strictly increases ->
+    // every (r,c) comparison is gray(c*16/9) < gray((c+1)*16/9), all
+    // true since the sample columns 0,1,3,5,7,8,10,12,14 increase
+    val ramp = (0 until 48).map(i => ('0' + (i / 3)).toChar).mkString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, ramp),
+      (4L, ""),
+      (5L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val hashes = Multimodal.decodeImageDHash(
+      Multimodal.imagesFromText(spark, docs, "doc_id", "text"))
+    val byId = hashes.collect().map(h => h.media_id -> h).toMap
+    assert(byId(1L).hash_hi === byId(2L).hash_hi &&
+      byId(1L).hash_lo === byId(2L).hash_lo, "same pixels, same hash")
+    assert(byId(3L).hash_hi === 0xFFFFFFFFL && byId(3L).hash_lo === 0xFFFFFFFFL,
+      "strictly increasing gray row sets every bit in every grid row")
+    assert(byId(4L).hash_hi === 0L && byId(4L).hash_lo === 0L,
+      "all-black image has no strict increase anywhere")
+    // lossless banding: brute-force hamming <= 3 over a bigger corpus
+    val corpus = (0L until 200L).map(i =>
+        (i, s"word${i % 7} text${i % 13} tail${i % 3} pad${i % 29} end"))
+      .toDF("doc_id", "text")
+    val hs = Multimodal.decodeImageDHash(
+      Multimodal.imagesFromText(spark, corpus, "doc_id", "text"))
+    val all = hs.collect()
+    val brute = (for {
+      a <- all; b <- all if a.media_id < b.media_id
+      d = java.lang.Long.bitCount(a.hash_hi ^ b.hash_hi) +
+        java.lang.Long.bitCount(a.hash_lo ^ b.hash_lo)
+      if d <= 3
+    } yield (a.media_id, b.media_id, d.toLong)).toSet
+    val banded = Multimodal.dhashNearDupPairs(hs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "4x16-bit banding must be lossless at <= 3")
+    assert(brute.nonEmpty, "the modular corpus must contain near-dup pairs")
+  }
 }

@@ -279,6 +279,18 @@ class DocStreamSpec extends AnyFunSuite {
       assert(rows(CorpusBuild.stateKmeans(spark, state)) === fullAssign,
         "state-served assignments diverged from a one-shot train over " +
           "everything streamed")
+      // state-served ANN == IVF search under a FRESH one-shot model over
+      // everything streamed (sound here because the retrain-tripped
+      // stored model equals that one-shot model, asserted above)
+      val (oneShotAssign, oneShotCents) = graft.ops.Clustering.kMeans(
+        emb, "vec_id", "embedding", k = cfg.kmeansK, iters = cfg.kmeansIters)
+      assert(rows(CorpusBuild.stateIvfTopK(spark, state, k = 1, nProbe = 2))
+        === rows(graft.ops.Similarity.ivfTopKFromModel(
+          emb.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v")),
+          "id", "v", oneShotAssign.select(col("id"), col("cluster")),
+          oneShotCents, k = 1, nProbe = 2)),
+        "state-served ANN diverged from search under the one-shot model")
     }
     checkVecs()
 
