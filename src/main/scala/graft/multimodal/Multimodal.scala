@@ -258,6 +258,71 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** A 64-bit waveform-envelope fingerprint of a decoded clip, split in
+    * two 32-bit halves like [[ImageDHash]] (bit b < 32 in `hash_hi` at
+    * position b, b ≥ 32 in `hash_lo` at b−32).
+    */
+  case class AudioFingerprint(media_id: Long, n_samples: Long,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Audio fingerprint over REALLY DECODED samples: parse the WAV
+    * ([[Codecs.decodeWav]]), probe the magnitude envelope at 65
+    * nearest-neighbor positions (sample (b·n/65), floor division —
+    * well-defined for any n ≥ 1), and set bit b iff |s(b)| < |s(b+1)| —
+    * the waveform analog of the image dHash: a re-encoded or slightly
+    * edited clip lands within a few bits, and an exact duplicate
+    * collides. Empty clips hash to zero. Map-only; rides the decode
+    * scan at 100 TB.
+    */
+  def decodeAudioFingerprint(
+      media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val wav = Codecs.decodeWav(r.content)
+      val n = wav.samples.length
+      var hi = 0L; var lo = 0L
+      if (n >= 1) {
+        def mag(b: Int): Int = math.abs(wav.samples(b * n / 65).toInt)
+        var b = 0
+        while (b < 64) {
+          if (mag(b) < mag(b + 1)) {
+            if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+          }
+          b += 1
+        }
+      }
+      AudioFingerprint(r.media_id, n.toLong, hi, lo)
+    })
+  }
+
+  /** Per-clip screening features over REALLY DECODED samples: zero
+    * crossings (sign flips between adjacent samples — the classic
+    * voice-activity / noise screen), peak magnitude, and summed
+    * magnitude (integer energy proxy) — all exact integers, so a
+    * second engine reproduces them bit-for-bit from the synthesis
+    * contract. The audio analog of the q23 text-quality screen.
+    */
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+      zero_crossings: Long, peak: Long, sum_abs: Long)
+
+  def decodeAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val wav = Codecs.decodeWav(r.content)
+      var zc = 0L; var peak = 0L; var sumAbs = 0L
+      var i = 0
+      while (i < wav.samples.length) {
+        val v = wav.samples(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumAbs += a
+        if (i > 0 && (wav.samples(i - 1) >= 0) != (v >= 0)) zc += 1
+        i += 1
+      }
+      AudioFeatures(r.media_id, wav.samples.length.toLong, zc, peak, sumAbs)
+    })
+  }
+
   /** Decode RIFF/WAVE PCM payloads (REAL chunk walk —
     * [[Codecs.decodeWav]]) and emit per-clip sample statistics.
     */

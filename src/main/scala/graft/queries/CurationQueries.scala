@@ -91,6 +91,121 @@ object CurationQueries {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q159 — SPLIT-LEAKAGE audit: near-dup pairs that CROSS a train/val/
+    * test boundary — the contamination that silently inflates eval
+    * numbers when dedup runs before (or without) split awareness. Pairs
+    * come from the q19-checked MinHash tier (recall 1 on this corpus);
+    * the split labels are the q84 arithmetic — both already
+    * oracle-checked, so this is their composition: pair detection cost
+    * plus two id-keyed label joins, nothing corpus-quadratic. At 100 TB
+    * the pair side is the standing LSH relation; the labels derive from
+    * ids (no table to join at all — the expression computes in the
+    * pair projection, as here).
+    */
+  val q159_split_leakage: Q = (s, d) =>
+    graft.ops.TextDedup.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5)
+      .withColumn("split_a", graft.ops.Splits.split(col("id_a")))
+      .withColumn("split_b", graft.ops.Splits.split(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  val q159Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in generate_series(1, len(ws)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |lab AS (
+      |  SELECT id_a, id_b, jaccard,
+      |    CAST(CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS ba,
+      |    CAST(CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS bb
+      |  FROM p)
+      |SELECT id_a, id_b,
+      |  CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val'
+      |       ELSE 'test' END AS split_a,
+      |  CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val'
+      |       ELSE 'test' END AS split_b,
+      |  jaccard
+      |FROM lab
+      |WHERE (CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val'
+      |            ELSE 'test' END)
+      |   <> (CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val'
+      |            ELSE 'test' END)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q160 — token-budget selection curve: docs bucketed by the exact
+    * integer quality score (q23's ppm arithmetic, 21 buckets of 50k
+    * ppm), with cumulative docs/tokens from the BEST bucket down — the
+    * "what quality cutoff buys a B-token budget" readout every
+    * data-selection run starts from. One corpus scan + a ≤21-row bucket
+    * aggregate; the cumulative window is unpartitioned BY DESIGN over
+    * the bounded bucket relation (the q145 discipline — never the doc
+    * relation).
+    */
+  val q160_budget_curve: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d).select(
+      TextAnalysis.qualityScorePpm(col("text")).as("q_ppm"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val buckets = scored
+      .groupBy(expr("q_ppm DIV 50000").cast("long").as("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val cum = Window.orderBy(col("q_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .select(col("q_bucket"), col("n_docs"), col("n_tokens"),
+        sum(col("n_docs")).over(cum).as("cum_docs"),
+        sum(col("n_tokens")).over(cum).as("cum_tokens"))
+      .orderBy(col("q_bucket").desc)
+  }
+
+  val q160Sql: String = {
+    val enList = TextAnalysis.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""WITH r AS (
+       |  SELECT
+       |    CAST(length(text) AS BIGINT) AS len_c,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+       |      AS punct_c,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains($enList, x))) AS BIGINT) AS stop_c,
+       |    greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |      AS BIGINT), 1) AS toks_c,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT ((least((len_c * 1000000) // 500, 1000000)
+       |       + (1000000 - (punct_c * 1000000) // greatest(len_c, 1))
+       |       + least((stop_c * 4 * 1000000) // toks_c, 1000000)
+       |       + least((len_c * 1000000) // (toks_c * 8), 1000000)) // 4)
+       |       // 50000 AS q_bucket, n_toks
+       |  FROM r),
+       |b AS (
+       |  SELECT CAST(q_bucket AS BIGINT) AS q_bucket,
+       |    count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM q GROUP BY 1)
+       |SELECT q_bucket, n_docs, n_tokens,
+       |  CAST(SUM(n_docs) OVER (ORDER BY q_bucket DESC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY q_bucket DESC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |FROM b ORDER BY q_bucket DESC""".stripMargin
+  }
+
   /** q85 — corpus snapshot diff: content-hash comparison of two crawl
     * snapshots via one full-outer join on the document key →
     * added/removed/changed/unchanged. The audit table behind every
@@ -867,6 +982,8 @@ object CurationQueries {
     "q88_ann_gate" -> q88_ann_gate,
     "q89_sketch_error_gate" -> q89_sketch_error_gate,
     "q116_gate_population" -> q116_gate_population,
+    "q159_split_leakage" -> q159_split_leakage,
+    "q160_budget_curve" -> q160_budget_curve,
     "q90_filter_funnel" -> q90_filter_funnel,
     "q91_profile" -> q91_profile,
     "q92_source_quota" -> q92_source_quota,
@@ -886,6 +1003,8 @@ object CurationQueries {
     "q88_ann_gate" -> q88Sql,
     "q89_sketch_error_gate" -> q89Sql,
     "q116_gate_population" -> q116Sql,
+    "q159_split_leakage" -> q159Sql,
+    "q160_budget_curve" -> q160Sql,
     "q90_filter_funnel" -> q90Sql,
     "q91_profile" -> q91Sql,
     "q92_source_quota" -> q92Sql,

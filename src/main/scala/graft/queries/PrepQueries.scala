@@ -492,6 +492,74 @@ object PrepQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q157 — audio waveform fingerprint over REALLY DECODED samples: the
+    * q152 payloads (genuine RIFF/WAVE PCM16) parsed back and probed at
+    * 65 envelope positions
+    * ([[graft.multimodal.Multimodal.decodeAudioFingerprint]]) — the
+    * waveform analog of q153's image dHash, completing modality-parity
+    * fingerprinting (text: MinHash/SimHash/winnow; image: dHash; audio:
+    * envelope hash). The oracle rebuilds the hash from the source text
+    * through the same integer algebra, so a chunk-walk slip, a wrong
+    * sample index, or a sign error in the 16-bit decode all
+    * hash-mismatch.
+    */
+  val q157_audio_fingerprint: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeAudioFingerprint(
+        graft.multimodal.Multimodal.wavFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q157Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [(ord(c) - 64) * 256 for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS smp
+      |  FROM documents),
+      |s AS (SELECT media_id, smp, len(smp) AS n FROM a),
+      |bits AS (
+      |  SELECT media_id, b FROM s, generate_series(0, 63) t(b)
+      |  WHERE n >= 1
+      |    AND abs(smp[(b*n)//65 + 1]) < abs(smp[((b+1)*n)//65 + 1])),
+      |hsh AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << b)
+      |        ELSE 0 END) AS hash_hi,
+      |    SUM(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (b-32))
+      |        ELSE 0 END) AS hash_lo
+      |  FROM bits GROUP BY media_id)
+      |SELECT s.media_id, CAST(s.n AS BIGINT) AS n_samples,
+      |  CAST(coalesce(hash_hi, 0) AS BIGINT) AS hash_hi,
+      |  CAST(coalesce(hash_lo, 0) AS BIGINT) AS hash_lo
+      |FROM s LEFT JOIN hsh ON s.media_id = hsh.media_id
+      |ORDER BY s.media_id""".stripMargin
+
+  /** q158 — audio screening features over REALLY DECODED samples: zero
+    * crossings (the classic voice-activity / noise screen), peak
+    * magnitude, integer energy — the audio analog of the q23 text
+    * quality screen, exact integers end to end. Map-only; the decode
+    * rides the scan.
+    */
+  val q158_audio_features: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeAudioFeatures(
+        graft.multimodal.Multimodal.wavFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q158Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [(ord(c) - 64) * 256 for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS smp
+      |  FROM documents)
+      |SELECT media_id, CAST(len(smp) AS BIGINT) AS n_samples,
+      |  CAST(coalesce(len([i for i in generate_series(2, len(smp))
+      |    if (smp[i-1] >= 0) <> (smp[i] >= 0)]), 0) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(coalesce(list_max([abs(x) for x in smp]), 0) AS BIGINT) AS peak,
+      |  CAST(coalesce(list_sum([abs(x) for x in smp]), 0) AS BIGINT)
+      |    AS sum_abs
+      |FROM a ORDER BY media_id""".stripMargin
+
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
     * replace or insert, deletes drop — the MERGE INTO semantics every
@@ -610,7 +678,9 @@ object PrepQueries {
     "q151_image_decode" -> q151_image_decode,
     "q152_audio_decode" -> q152_audio_decode,
     "q153_image_dhash" -> q153_image_dhash,
-    "q154_image_neardup" -> q154_image_neardup)
+    "q154_image_neardup" -> q154_image_neardup,
+    "q157_audio_fingerprint" -> q157_audio_fingerprint,
+    "q158_audio_features" -> q158_audio_features)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -626,5 +696,7 @@ object PrepQueries {
     "q151_image_decode" -> q151Sql,
     "q152_audio_decode" -> q152Sql,
     "q153_image_dhash" -> q153Sql,
-    "q154_image_neardup" -> q154Sql)
+    "q154_image_neardup" -> q154Sql,
+    "q157_audio_fingerprint" -> q157Sql,
+    "q158_audio_features" -> q158Sql)
 }

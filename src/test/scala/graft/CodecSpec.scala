@@ -181,4 +181,42 @@ class CodecSpec extends AnyFunSuite {
     assert(banded === brute, "4x16-bit banding must be lossless at <= 3")
     assert(brute.nonEmpty, "the modular corpus must contain near-dup pairs")
   }
+
+  test("q157/q158 audio pipelines: envelope fingerprint and screening " +
+      "features are predictable from the source text; a lightly edited " +
+      "clip stays within a few bits of the original") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base.replace("zeta", "zety") // one char differs
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited), (4L, ""), (5L, "ab"))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.decodeAudioFingerprint(
+        Multimodal.wavFromText(spark, docs, "doc_id", "text"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(fps(1L).hash_hi === fps(2L).hash_hi &&
+      fps(1L).hash_lo === fps(2L).hash_lo, "same samples, same fingerprint")
+    val editDist = java.lang.Long.bitCount(fps(1L).hash_hi ^ fps(3L).hash_hi) +
+      java.lang.Long.bitCount(fps(1L).hash_lo ^ fps(3L).hash_lo)
+    assert(editDist <= 4,
+      s"a one-char edit moved the envelope hash by $editDist bits")
+    assert(fps(4L).n_samples === 0L &&
+      fps(4L).hash_hi === 0L && fps(4L).hash_lo === 0L,
+      "empty clip hashes to zero")
+    // n=2: probes alternate between the two samples; well-defined
+    assert(fps(5L).n_samples === 2L)
+    val ft = Multimodal.decodeAudioFeatures(
+        Multimodal.wavFromText(spark, docs, "doc_id", "text"))
+      .collect().map(f => f.media_id -> f).toMap
+    // hand-check "ab": samples (97-64)*256, (98-64)*256 — both positive
+    assert(ft(5L).zero_crossings === 0L)
+    assert(ft(5L).peak === 34L * 256)
+    assert(ft(5L).sum_abs === (33L + 34L) * 256)
+    // base: spaces (32-64 < 0) between positive letter runs — every word
+    // boundary contributes exactly 2 sign flips; 9 spaces => 18
+    assert(ft(1L).zero_crossings === 18L,
+      s"expected 18 crossings, got ${ft(1L).zero_crossings}")
+    assert(ft(4L).n_samples === 0L && ft(4L).peak === 0L)
+  }
 }
