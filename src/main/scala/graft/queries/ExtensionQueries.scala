@@ -788,11 +788,11 @@ object ExtensionQueries {
     * nearest-neighbor queries). Rows-only (float model, stored-state
     * training history); q156 re-scores every claimed row.
     */
-  val q155_state_ann: Q = (s, d) => {
-    val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
-    graft.pipeline.CorpusBuild.stateIvfTopK(s, dir, k = 1, nProbe = 2)
-      .orderBy("query_id")
-  }
+  val q155_state_ann: Q = (s, d) =>
+    // publish into the SharedAnn memo (the q26/q32/q109 billing
+    // discipline): the tier's own query always rebuilds and pays its
+    // pipeline; the q156 gate reads the published readout
+    SharedAnn.publish(s, d, "state_ivf").orderBy("query_id")
 
   /** q156 — the q88 rescoring gate over q155: every state-served
     * (query, neighbor, cos) re-scored with the independent HOF cosine
@@ -801,8 +801,10 @@ object ExtensionQueries {
     */
   val q156_state_ann_gate: Q = (s, d) => {
     val dir = graft.queries.TokenizerQueries.ensurePostingState(s, d)
-    val claimed = graft.pipeline.CorpusBuild.stateIvfTopK(s, dir, k = 1,
-        nProbe = 2)
+    // READ the published readout (serve builds only if q155 has not run
+    // this session) — the gate pays its rescoring join, not a second
+    // state-ANN search
+    val claimed = SharedAnn.serve(s, d, "state_ivf")
       .select(lit("state_ivf").as("tier"), col("query_id"),
         col("neighbor_id"), col("cos"))
     val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)

@@ -44,6 +44,11 @@ private[queries] object SharedAnn {
       case "neardup" =>
         Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.3, dim = 64)
+      case "state_ivf" =>
+        // the state-served tier (q155): search from the stored centroid
+        // model — the memo holds only the top-1 readout, as above
+        graft.pipeline.CorpusBuild.stateIvfTopK(s,
+          TokenizerQueries.ensurePostingState(s, d), k = 1, nProbe = 2)
       case other => throw new IllegalArgumentException(s"unknown tier $other")
     }
   }
