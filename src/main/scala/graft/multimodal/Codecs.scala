@@ -66,10 +66,17 @@ object Codecs {
     * then the raw plane. maxval ≥ 256 (2-byte samples) is rejected as
     * unsupported rather than mis-read.
     */
-  def decodePpm(bytes: Array[Byte]): PpmImage = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
-      "not a P6 PPM payload")
-    var pos = 2
+  def decodePpm(bytes: Array[Byte]): PpmImage = decodePpmAt(bytes, 0)._1
+
+  /** Parse ONE P6 image starting at `start`, returning the image and the
+    * position one past its plane — the primitive a multi-frame image
+    * stream ([[decodePpmStream]]) walks with.
+    */
+  def decodePpmAt(bytes: Array[Byte], start: Int): (PpmImage, Int) = {
+    require(bytes.length >= start + 2 &&
+      bytes(start) == 'P' && bytes(start + 1) == '6',
+      s"not a P6 PPM payload at byte $start")
+    var pos = start + 2
     def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
     def skipSeparators(): Unit = {
       var moved = true
@@ -104,7 +111,24 @@ object Codecs {
     val need = w * h * 3
     require(bytes.length - pos >= need,
       s"truncated plane: ${bytes.length - pos} of $need bytes")
-    PpmImage(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+    (PpmImage(w, h, maxVal,
+      java.util.Arrays.copyOfRange(bytes, pos, pos + need)), pos + need)
+  }
+
+  /** Decode a concatenated-P6 image stream (the MJPEG shape for the
+    * uncompressed Netpbm family: frame after frame, each a complete P6
+    * file): walk [[decodePpmAt]] until the bytes are exhausted. Trailing
+    * garbage fails loudly (a partial frame is a truncation, not EOF).
+    */
+  def decodePpmStream(bytes: Array[Byte]): IndexedSeq[PpmImage] = {
+    val frames = IndexedSeq.newBuilder[PpmImage]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (img, next) = decodePpmAt(bytes, pos)
+      frames += img
+      pos = next
+    }
+    frames.result()
   }
 
   // ---------------------------------------------------------------- WAV

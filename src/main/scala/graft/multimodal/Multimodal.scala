@@ -258,6 +258,93 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** REAL multi-frame video payloads from text: a concatenated-P6 image
+    * stream (each frame a complete 16×1 P6 file over one 48-code slice
+    * of the ASCII sub-stream, zero-padded) — the MJPEG shape for the
+    * uncompressed Netpbm family, so frame boundaries are discovered by
+    * PARSING successive headers, not assumed.
+    */
+  def videoFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ascii = asciiBytes(t)
+        val nf = math.max(1, (ascii.length + 47) / 48)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nf) {
+          val plane = new Array[Byte](48)
+          val from = f * 48
+          val n = math.max(0, math.min(48, ascii.length - from))
+          if (n > 0) System.arraycopy(ascii, from, plane, 0, n)
+          out.write(Codecs.encodePpm(16, 1, 255, plane))
+          f += 1
+        }
+        MediaRow(id, "video/x-ppm-stream", out.toByteArray)
+      })
+  }
+
+  /** Per-video decoded statistics with a REAL frame-sampling plan: every
+    * `stride`-th frame's channel sum, alongside whole-stream totals —
+    * the sample-frames-for-a-VLM shape with the decode riding the scan.
+    */
+  case class VideoStats(media_id: Long, n_frames: Long, n_pixels: Long,
+      sum_channel: Long, sampled_frames: Long, sampled_sum: Long)
+
+  def decodeVideoStats(media: Dataset[MediaRow],
+      stride: Int = 4): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = Codecs.decodePpmStream(r.content)
+      var px = 0L; var sum = 0L; var sSum = 0L; var sN = 0L
+      var f = 0
+      while (f < frames.length) {
+        val img = frames(f)
+        var s = 0L; var i = 0
+        while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+        px += img.width.toLong * img.height
+        sum += s
+        if (f % stride == 0) { sSum += s; sN += 1 }
+        f += 1
+      }
+      VideoStats(r.media_id, frames.length.toLong, px, sum, sN, sSum)
+    })
+  }
+
+  /** Scene-cut detection over REALLY DECODED frames: adjacent-frame
+    * absolute channel-sum delta above `threshold` marks a cut — the
+    * shot-segmentation primitive a video training pipeline samples
+    * around. Per-partition, map-only; emits per-video cut statistics.
+    */
+  case class SceneCuts(media_id: Long, n_frames: Long, n_cuts: Long,
+      max_delta: Long)
+
+  def detectSceneCuts(media: Dataset[MediaRow],
+      threshold: Long = 1000L): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = Codecs.decodePpmStream(r.content)
+      var prev = 0L; var cuts = 0L; var maxD = 0L
+      var f = 0
+      while (f < frames.length) {
+        val img = frames(f)
+        var s = 0L; var i = 0
+        while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+        if (f > 0) {
+          val d = math.abs(s - prev)
+          if (d > maxD) maxD = d
+          if (d > threshold) cuts += 1
+        }
+        prev = s
+        f += 1
+      }
+      SceneCuts(r.media_id, frames.length.toLong, cuts, maxD)
+    })
+  }
+
   /** A 64-bit waveform-envelope fingerprint of a decoded clip, split in
     * two 32-bit halves like [[ImageDHash]] (bit b < 32 in `hash_hi` at
     * position b, b ≥ 32 in `hash_lo` at b−32).

@@ -534,6 +534,11 @@ object CurationQueries {
       .unionByName(exactCount("state_vecs",
         graft.pipeline.CorpusBuild.stateVecs(s,
           TokenizerQueries.ensurePostingState(s, d))))
+      // q156's tier must EMIT: the state-served ANN readout is consumed
+      // through the same SharedAnn memo the gate reads (serve builds
+      // only if q155 has not run this session)
+      .unionByName(nonempty("state_ann_claims_nonempty",
+        SharedAnn.serve(s, d, "state_ivf")))
       .orderBy("gate")
   }
 
@@ -572,6 +577,7 @@ object CurationQueries {
       |UNION ALL SELECT 'state_vecs',
       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
       |   WHERE len(embedding) > 0)
+      |UNION ALL SELECT 'state_ann_claims_nonempty', 1
       |ORDER BY gate""".stripMargin
 
   /** q90 — quality filter funnel: the per-stage attrition report every

@@ -560,6 +560,87 @@ object PrepQueries {
       |    AS sum_abs
       |FROM a ORDER BY media_id""".stripMargin
 
+  /** q161 — REAL video decode with frame sampling: synthesize a genuine
+    * concatenated-P6 stream per document (one 16×1 frame per 48-code
+    * slice — [[graft.multimodal.Multimodal.videoFromText]]), discover
+    * frame boundaries by PARSING successive headers
+    * ([[graft.multimodal.Codecs.decodePpmStream]]), and emit per-video
+    * totals plus every-4th-frame sampled sums — the
+    * sample-frames-for-a-VLM plan with real container walking instead
+    * of the stub offset arithmetic. The oracle predicts every field
+    * from the source text, so a mis-walked frame boundary, an eaten
+    * header byte, or an off-by-one in the sampling all hash-mismatch.
+    * Completes the modality set: all three media types now REALLY
+    * decode (image q151, audio q152, video q161).
+    */
+  val q161_video_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeVideoStats(
+        graft.multimodal.Multimodal.videoFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        stride = 4)
+      .toDF().orderBy("media_id")
+
+  val q161Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(coalesce(list_sum(codes[48*f + 1 : 48*f + 48]), 0)
+      |      AS BIGINT) AS fsum
+      |  FROM s, generate_series(0, 100000) t(f) WHERE f < nf)
+      |SELECT media_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 16 AS BIGINT) AS n_pixels,
+      |  CAST(SUM(fsum) AS BIGINT) AS sum_channel,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS sampled_frames,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN fsum ELSE 0 END) AS BIGINT)
+      |    AS sampled_sum
+      |FROM fr GROUP BY media_id, nf ORDER BY media_id""".stripMargin
+
+  /** q162 — scene-cut detection over the REALLY DECODED frame stream:
+    * adjacent-frame absolute channel-sum delta above 1000 marks a cut
+    * (the shot-segmentation primitive VLM pipelines sample around);
+    * per-video cut count and max delta, exact integers end to end.
+    */
+  val q162_scene_cuts: Q = (s, d) =>
+    graft.multimodal.Multimodal.detectSceneCuts(
+        graft.multimodal.Multimodal.videoFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        threshold = 1000L)
+      .toDF().orderBy("media_id")
+
+  val q162Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(coalesce(list_sum(codes[48*f + 1 : 48*f + 48]), 0)
+      |      AS BIGINT) AS fsum
+      |  FROM s, generate_series(0, 100000) t(f) WHERE f < nf),
+      |d AS (
+      |  SELECT x.media_id, x.nf, abs(y.fsum - x.fsum) AS delta
+      |  FROM fr x JOIN fr y
+      |    ON x.media_id = y.media_id AND y.f = x.f + 1)
+      |SELECT s.media_id, CAST(s.nf AS BIGINT) AS n_frames,
+      |  CAST(coalesce(SUM(CASE WHEN delta > 1000 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(MAX(delta), 0) AS BIGINT) AS max_delta
+      |FROM s LEFT JOIN d ON s.media_id = d.media_id
+      |GROUP BY s.media_id, s.nf ORDER BY s.media_id""".stripMargin
+
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
     * replace or insert, deletes drop — the MERGE INTO semantics every
@@ -680,7 +761,9 @@ object PrepQueries {
     "q153_image_dhash" -> q153_image_dhash,
     "q154_image_neardup" -> q154_image_neardup,
     "q157_audio_fingerprint" -> q157_audio_fingerprint,
-    "q158_audio_features" -> q158_audio_features)
+    "q158_audio_features" -> q158_audio_features,
+    "q161_video_decode" -> q161_video_decode,
+    "q162_scene_cuts" -> q162_scene_cuts)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -698,5 +781,7 @@ object PrepQueries {
     "q153_image_dhash" -> q153Sql,
     "q154_image_neardup" -> q154Sql,
     "q157_audio_fingerprint" -> q157Sql,
-    "q158_audio_features" -> q158Sql)
+    "q158_audio_features" -> q158Sql,
+    "q161_video_decode" -> q161Sql,
+    "q162_scene_cuts" -> q162Sql)
 }

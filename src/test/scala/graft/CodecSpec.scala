@@ -182,6 +182,55 @@ class CodecSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "the modular corpus must contain near-dup pairs")
   }
 
+  test("decodePpmStream: hand-built two-frame stream parses to the exact " +
+      "frames; trailing garbage and truncated frames fail loudly") {
+    val f1 = Codecs.encodePpm(2, 1, 255,
+      Array(10, 20, 30, 40, 50, 60).map(_.toByte))
+    val f2 = Codecs.encodePpm(1, 2, 255,
+      Array(1, 2, 3, 4, 5, 6).map(_.toByte))
+    val frames = Codecs.decodePpmStream(f1 ++ f2)
+    assert(frames.length === 2)
+    assert(frames(0).width === 2 && frames(0).height === 1)
+    assert(frames(0).pixels.map(_ & 0xFF).toSeq === Seq(10, 20, 30, 40, 50, 60))
+    assert(frames(1).width === 1 && frames(1).height === 2)
+    assert(frames(1).pixels.map(_ & 0xFF).toSeq === Seq(1, 2, 3, 4, 5, 6))
+    intercept[IllegalArgumentException](
+      Codecs.decodePpmStream(f1 ++ Array('X'.toByte)))
+    intercept[IllegalArgumentException](
+      Codecs.decodePpmStream(f1 ++ f2.dropRight(1)))
+    assert(Codecs.decodePpmStream(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q161/q162 video pipelines: frame walk, sampling, and scene cuts " +
+      "are predictable from the source text") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // 100 'x' -> 3 frames (48, 48, 4 codes); a constant stream has no cuts
+    val flat = "x" * 100
+    // 48 '0' then 48 'z' -> one violent cut: |122*48 - 48*48| = 3552
+    val cutty = ("0" * 48) + ("z" * 48)
+    val docs = Seq((1L, flat), (2L, cutty), (3L, "")).toDF("doc_id", "text")
+    val vs = Multimodal.decodeVideoStats(
+        Multimodal.videoFromText(spark, docs, "doc_id", "text"), stride = 4)
+      .collect().map(v => v.media_id -> v).toMap
+    assert(vs(1L).n_frames === 3L && vs(1L).n_pixels === 48L)
+    assert(vs(1L).sum_channel === 120L * 100)
+    assert(vs(1L).sampled_frames === 1L, "frames 0..2, stride 4 -> frame 0")
+    assert(vs(1L).sampled_sum === 120L * 48)
+    assert(vs(3L).n_frames === 1L && vs(3L).sum_channel === 0L)
+    val sc = Multimodal.detectSceneCuts(
+        Multimodal.videoFromText(spark, docs, "doc_id", "text"),
+        threshold = 1000L)
+      .collect().map(v => v.media_id -> v).toMap
+    // frames 0,1 are identical (no cut); the zero-padded partial frame 2
+    // drops the sum 5760 -> 480, a real 5280 cut the detector must find
+    assert(sc(1L).n_cuts === 1L && sc(1L).max_delta === 5760L - 480L,
+      s"expected exactly the partial-frame cut, got ${sc(1L)}")
+    assert(sc(2L).n_cuts === 1L && sc(2L).max_delta ===
+      (122L - 48L) * 48, "the planted cut must be found exactly")
+    assert(sc(3L).n_cuts === 0L && sc(3L).max_delta === 0L)
+  }
+
   test("q157/q158 audio pipelines: envelope fingerprint and screening " +
       "features are predictable from the source text; a lightly edited " +
       "clip stays within a few bits of the original") {
