@@ -76,5 +76,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "f*(floor(log2 n) - floor(log2 f)), one sorted-run pass"),
       arity("graft_run_entropy", 1)(e =>
         graft.functions.TextAnalysis.runEntropySumExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_quality_ppm"),
+      info("graft_quality_ppm",
+        "graft_quality_ppm(text) - exact-integer composite quality " +
+          "score in parts-per-million (length saturation, punctuation " +
+          "cleanliness, stopword presence, token-length sanity)"),
+      arity("graft_quality_ppm", 1)(e =>
+        graft.functions.TextAnalysis.qualityScorePpmExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_split"),
+      info("graft_split",
+        "graft_split(id) - canonical deterministic 90/5/5 " +
+          "train/val/test label from an id (md5-bucket arithmetic)"),
+      arity("graft_split", 1)(e =>
+        graft.functions.TextAnalysis.splitExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_token_count"),
+      info("graft_token_count",
+        "graft_token_count(text) - whitespace token count"),
+      arity("graft_token_count", 1)(e =>
+        graft.functions.TextAnalysis.tokenCountExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id",
+        "graft_lang_id(text) - stopword-ratio argmax language id " +
+          "(en/de/fr/es/und)"),
+      arity("graft_lang_id", 1)(e =>
+        graft.functions.TextAnalysis.langIdExpr(e(0)))))
   }
 }

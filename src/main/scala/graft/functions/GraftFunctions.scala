@@ -60,14 +60,21 @@ object GraftFunctions {
       arity("graft_run_entropy", 1)(exprs =>
         TextAnalysis.runEntropySumExpr(exprs(0))), "built-in")
 
-    // column-composition functions surfaced as SQL via UDF-free views is
-    // not possible; register them as thin UDF-less wrappers instead:
-    spark.udf.register("graft_token_count",
-      (s: String) => if (s == null) 0 else TextAnalysisEval.tokenCount(s))
-    spark.udf.register("graft_lang_id",
-      (s: String) => TextAnalysisEval.langId(s))
-    spark.udf.register("graft_quality_ppm",
-      (s: String) => TextAnalysisEval.qualityPpm(s))
+    // the remaining text formulas, also as splice builders (these were
+    // UDF wrappers before the parsed-template technique existed — now
+    // every registered function is UDF-free except the HTML parsers):
+    reg.createOrReplaceTempFunction("graft_token_count",
+      arity("graft_token_count", 1)(exprs =>
+        TextAnalysis.tokenCountExpr(exprs(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      arity("graft_lang_id", 1)(exprs =>
+        TextAnalysis.langIdExpr(exprs(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_quality_ppm",
+      arity("graft_quality_ppm", 1)(exprs =>
+        TextAnalysis.qualityScorePpmExpr(exprs(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_split",
+      arity("graft_split", 1)(exprs =>
+        TextAnalysis.splitExpr(exprs(0))), "built-in")
 
     JobParse.register(spark)
   }

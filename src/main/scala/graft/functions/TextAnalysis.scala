@@ -290,6 +290,74 @@ object TextAnalysis {
     splice(template, "__graft_arg__", arr)
   }
 
+  /** [[qualityScorePpm]] as a registry builder (graft_quality_ppm).
+    * The SQL text mirrors the Column composition term for term (same
+    * exact-integer intDiv tree, same saturations, same stopword
+    * literals); SqlSurfaceSpec asserts SQL ≡ Column on real rows, so
+    * the two formulations cannot drift apart silently.
+    */
+  private[graft] def qualityScorePpmExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val enList = stopwords("en").map(w => s"'$w'").mkString("array(", ", ", ")")
+    def iDiv(a: String, b: String) =
+      s"CAST((($a) - pmod($a, $b)) / ($b) AS BIGINT)"
+    val len = "CAST(length(__graft_arg__) AS BIGINT)"
+    val toks = "CAST(greatest(size(split(trim(__graft_arg__), '\\\\s+')), 1) AS BIGINT)"
+    val punct = "CAST(regexp_count(__graft_arg__, '[^A-Za-z0-9\\\\s]') AS BIGINT)"
+    val stop = "CAST(size(filter(split(trim(__graft_arg__), '\\\\s+'), " +
+      s"x -> array_contains($enList, x))) AS BIGINT)"
+    val lenScore = s"least(${iDiv(s"$len * 1000000", "500")}, 1000000)"
+    val punctScore = s"1000000 - ${iDiv(s"$punct * 1000000", s"greatest($len, 1)")}"
+    val stopScore = s"least(${iDiv(s"$stop * 4 * 1000000", toks)}, 1000000)"
+    val tokScore = s"least(${iDiv(s"$len * 1000000", s"$toks * 8")}, 1000000)"
+    splice(iDiv(s"($lenScore) + ($punctScore) + ($stopScore) + ($tokScore)",
+      "4"), "__graft_arg__", text)
+  }
+
+  /** [[tokenCount]] as a registry builder (graft_token_count). */
+  private[graft] def tokenCountExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    splice("size(split(trim(__graft_arg__), '\\\\s+'))", "__graft_arg__", text)
+
+  /** [[langId]] as a registry builder (graft_lang_id): the same
+    * stopword-ratio argmax with the same tie-break order (en > de > fr >
+    * es > und), mirrored term for term.
+    */
+  private[graft] def langIdExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val toks = "split(trim(__graft_arg__), '\\\\s+')"
+    def ratio(lang: String) = {
+      val list = stopwords(lang).map(w => s"'$w'")
+        .mkString("array(", ", ", ")")
+      s"CAST(size(filter($toks, x -> array_contains($list, x))) AS DOUBLE)" +
+        s" / CAST(greatest(size($toks), 1) AS DOUBLE)"
+    }
+    val langs = Seq("en", "de", "fr", "es")
+    val rs = langs.map(l => l -> ratio(l))
+    val best = rs.map(_._2).mkString("greatest(", ", ", ")")
+    val chain = rs.map { case (l, r) => s"WHEN ($r) = ($best) THEN '$l'" }
+      .mkString(" ")
+    splice(s"CASE WHEN ($best) <= 0D THEN 'und' $chain ELSE 'und' END",
+      "__graft_arg__", text)
+  }
+
+  /** [[graft.ops.Splits.split]] as a registry builder (graft_split) —
+    * the canonical 90/5/5 md5-bucket label from an id; SqlSurfaceSpec
+    * asserts SQL ≡ Column so the arithmetic stays locked to Splits.
+    */
+  private[graft] def splitExpr(
+      id: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val bucket = "CAST(conv(substring(md5(CAST(__graft_arg__ AS STRING)), " +
+      "1, 8), 16, 10) AS BIGINT) % 100"
+    splice(s"CASE WHEN ($bucket) < 90 THEN 'train' " +
+      s"WHEN ($bucket) < 95 THEN 'val' ELSE 'test' END",
+      "__graft_arg__", id)
+  }
+
   /** Per-row "self-entropy" of `arr` in the q136 integer-log2
     * quantization: Σ over distinct elements of f·(⌊log2 n⌋ − ⌊log2 f⌋)
     * (n = array size, f = the element's multiplicity) — the within-doc

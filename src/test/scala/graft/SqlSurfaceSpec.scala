@@ -86,6 +86,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaCols)
   }
 
+  test("graft_quality_ppm / graft_split callable from SQL and equal to " +
+      "their Column-API twins on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    docs.createOrReplaceTempView("sql_surface_docs2")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getInt(3), r.getString(4))).toMap
+    val viaSql = keyed(spark.sql(
+      """SELECT doc_id, graft_quality_ppm(text) AS q,
+        |  graft_split(doc_id) AS s,
+        |  graft_token_count(text) AS tc,
+        |  graft_lang_id(text) AS lang
+        |FROM sql_surface_docs2""".stripMargin))
+    val viaCols = keyed(docs.select(col("doc_id"),
+      TextAnalysis.qualityScorePpm(col("text")).as("q"),
+      graft.ops.Splits.split(col("doc_id")).as("s"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.langId(col("text")).as("lang")))
+    assert(viaSql === viaCols)
+  }
+
   test("Column-API text formulas agree with independent Scala evaluation") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
