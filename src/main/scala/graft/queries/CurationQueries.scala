@@ -206,6 +206,101 @@ object CurationQueries {
        |FROM b ORDER BY q_bucket DESC""".stripMargin
   }
 
+  /** q163 — per-source DATASET CARD: the governance rollup a corpus
+    * release ships — per source: docs, tokens, distinct languages,
+    * exact-duplicate ppm (docs whose md5 digest appears more than once
+    * WITHIN the source), and mean quality ppm — every figure an exact
+    * integer so the card is bit-identical across engines and re-runs.
+    * One corpus scan + a digest aggregate + a |sources|-row rollup; at
+    * 100 TB this is two shuffles (digest, source), both map-side
+    * combined, output |sources| rows.
+    */
+  val q163_dataset_card: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("source"), col("doc_id"),
+      md5(col("text")).as("h"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+      TextAnalysis.qualityScorePpm(col("text")).as("q_ppm"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    val dupDocs = base.groupBy("source", "h")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_docs"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("q_ppm")).as("q_sum"))
+      .join(dupDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        expr("(1000000 * dup_docs) DIV n_docs").as("dup_ppm"),
+        expr("q_sum DIV n_docs").as("mean_quality_ppm"))
+      .orderBy("source")
+  }
+
+  val q163Sql: String = {
+    def lst(l: String) = TextAnalysis.stopwords(l).map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    val enList = lst("en")
+    s"""WITH r AS (
+       |  SELECT source, doc_id, md5(text) AS h,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks,
+       |    CAST(length(text) AS BIGINT) AS len_c,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+       |      AS punct_c,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains($enList, x))) AS BIGINT) AS stop_c,
+       |    greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |      AS BIGINT), 1) AS toks_c,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains(${lst("en")}, x)))
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS r_en,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains(${lst("de")}, x)))
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS r_de,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains(${lst("fr")}, x)))
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS r_fr,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains(${lst("es")}, x)))
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+       |      AS r_es
+       |  FROM documents),
+       |q AS (
+       |  SELECT source, doc_id, h, n_toks,
+       |    ((least((len_c * 1000000) // 500, 1000000)
+       |     + (1000000 - (punct_c * 1000000) // greatest(len_c, 1))
+       |     + least((stop_c * 4 * 1000000) // toks_c, 1000000)
+       |     + least((len_c * 1000000) // (toks_c * 8), 1000000)) // 4)
+       |      AS q_ppm,
+       |    CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+       |         WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+       |         WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+       |         WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+       |         WHEN r_es = greatest(r_en, r_de, r_fr, r_es) THEN 'es'
+       |         ELSE 'und' END AS lang
+       |  FROM r),
+       |dup AS (
+       |  SELECT source,
+       |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+       |      AS dup_docs
+       |  FROM (SELECT source, h, count(*) AS n FROM q GROUP BY source, h)
+       |  GROUP BY source)
+       |SELECT q.source,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST((1000000 * any_value(dup_docs)) // count(*) AS BIGINT)
+       |    AS dup_ppm,
+       |  CAST(SUM(q_ppm) // count(*) AS BIGINT) AS mean_quality_ppm
+       |FROM q JOIN dup ON q.source = dup.source
+       |GROUP BY q.source ORDER BY q.source""".stripMargin
+  }
+
   /** q85 — corpus snapshot diff: content-hash comparison of two crawl
     * snapshots via one full-outer join on the document key →
     * added/removed/changed/unchanged. The audit table behind every
@@ -990,6 +1085,7 @@ object CurationQueries {
     "q116_gate_population" -> q116_gate_population,
     "q159_split_leakage" -> q159_split_leakage,
     "q160_budget_curve" -> q160_budget_curve,
+    "q163_dataset_card" -> q163_dataset_card,
     "q90_filter_funnel" -> q90_filter_funnel,
     "q91_profile" -> q91_profile,
     "q92_source_quota" -> q92_source_quota,
@@ -1011,6 +1107,7 @@ object CurationQueries {
     "q116_gate_population" -> q116Sql,
     "q159_split_leakage" -> q159Sql,
     "q160_budget_curve" -> q160Sql,
+    "q163_dataset_card" -> q163Sql,
     "q90_filter_funnel" -> q90Sql,
     "q91_profile" -> q91Sql,
     "q92_source_quota" -> q92Sql,
