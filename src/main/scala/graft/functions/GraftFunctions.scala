@@ -62,7 +62,15 @@ object GraftFunctions {
 
     // the remaining text formulas, also as splice builders (these were
     // UDF wrappers before the parsed-template technique existed — now
-    // every registered function is UDF-free except the HTML parsers):
+    // every registered function is UDF-free except the HTML parsers).
+    // NULL contract (differs from the retired UDF wrappers, which
+    // returned 0/"und"/0 on NULL): these follow SQL null propagation —
+    // graft_token_count(NULL) and graft_quality_ppm(NULL) are NULL,
+    // graft_lang_id(NULL) is 'und' (its CASE falls through to the ELSE
+    // branch). The Column twins share the same trees, so SQL ≡ Column
+    // holds on NULL too — asserted by SqlSurfaceSpec's NULL-input case.
+    // The corpus itself has no NULL text (documents.text is generated
+    // non-null), so no query result depends on the choice.
     reg.createOrReplaceTempFunction("graft_token_count",
       arity("graft_token_count", 1)(exprs =>
         TextAnalysis.tokenCountExpr(exprs(0))), "built-in")

@@ -131,6 +131,218 @@ object Codecs {
     frames.result()
   }
 
+  // ---------------------------------------------------------------- PNG
+
+  /** Write one PNG chunk: 4-byte big-endian length, 4-byte ASCII type,
+    * body, then CRC-32 computed over type+body (the spec's coverage).
+    */
+  private def writePngChunk(out: java.io.ByteArrayOutputStream,
+      chunkType: String, body: Array[Byte]): Unit = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val typeBytes = chunkType.getBytes(ascii)
+    require(typeBytes.length == 4, s"bad chunk type '$chunkType'")
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(body.length)
+    out.write(bb.array())
+    out.write(typeBytes)
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeBytes); crc.update(body)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array())
+  }
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Encode an 8-bit truecolor (color type 2) PNG from an interleaved
+    * RGB plane — a REAL compressed image: scanlines are filtered and
+    * DEFLATE-compressed (`java.util.zip.Deflater`, the JVM's built-in
+    * zlib). Row `r` uses filter type `r % 5`, so any image with ≥ 5
+    * rows exercises the decoder's ENTIRE un-filter surface (None, Sub,
+    * Up, Average, Paeth); the compressed stream is split across
+    * multiple IDAT chunks (the spec explicitly allows it) so decoders
+    * that forget to concatenate IDAT bodies fail loudly. Layout per
+    * the public PNG specification (RFC 2083 / ISO 15948): signature,
+    * IHDR, IDAT+, IEND, each chunk CRC-32-protected.
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(pixels.length == width * height * 3,
+      s"pixel plane ${pixels.length} != ${width * height * 3}")
+    val bpp = 3
+    val stride = width * bpp
+    // filter the scanlines (raw -> filtered, one filter byte per row)
+    val raw = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      raw(r * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(r * stride + x) & 0xFF
+        val left = if (x >= bpp) pixels(r * stride + x - bpp) & 0xFF else 0
+        val up = if (r > 0) pixels((r - 1) * stride + x) & 0xFF else 0
+        val upLeft =
+          if (r > 0 && x >= bpp) pixels((r - 1) * stride + x - bpp) & 0xFF
+          else 0
+        val predicted = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paethPredictor(left, up, upLeft)
+        }
+        raw(r * (1 + stride) + 1 + x) = ((cur - predicted) & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    // zlib-deflate the filtered stream
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val compressed = comp.toByteArray
+    // assemble: signature, IHDR, IDAT (split), IEND
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte)  // compression: deflate
+      .put(0.toByte)  // filter method: adaptive (the 5 filter types)
+      .put(0.toByte)  // interlace: none
+    writePngChunk(out, "IHDR", ihdr.array())
+    var off = 0
+    while (off < compressed.length) {
+      val n = math.min(4096, compressed.length - off)
+      writePngChunk(out, "IDAT",
+        java.util.Arrays.copyOfRange(compressed, off, off + n))
+      off += n
+    }
+    writePngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The Paeth predictor exactly as specified: the neighbor (left,
+    * above, upper-left) closest to `left + above − upperLeft`, ties
+    * broken left, above, upper-left.
+    */
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Parse a PNG (8-bit truecolor, non-interlaced): verify the 8-byte
+    * signature, walk the chunk list verifying EVERY chunk's CRC-32
+    * (corruption fails loudly, never decodes silently wrong), require
+    * IHDR first, concatenate all IDAT bodies in order, stop at IEND,
+    * skip unknown ancillary chunks by their declared length. The
+    * concatenated stream is zlib-inflated (`java.util.zip.Inflater`)
+    * and must yield exactly height·(1+width·3) bytes; scanlines are
+    * then un-filtered per the five spec filter types. Returns the
+    * image as a [[PpmImage]] (maxVal 255) so every downstream pixel
+    * consumer — stats, dHash, resample — is container-agnostic.
+    */
+  def decodePng(bytes: Array[Byte]): PpmImage = {
+    require(bytes.length >= 8 &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, 8), PngSignature),
+      "not a PNG payload (bad signature)")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var width = 0; var height = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(bb.remaining() >= 12, "truncated PNG chunk stream")
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining() - 8,
+        s"chunk declares $len bytes, ${bb.remaining() - 8} remain")
+      val typeBytes = new Array[Byte](4); bb.get(typeBytes)
+      val chunkType = new String(typeBytes, ascii)
+      val body = new Array[Byte](len); bb.get(body)
+      val crcStored = bb.getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeBytes); crc.update(body)
+      require(crc.getValue.toInt == crcStored,
+        s"CRC mismatch on chunk '$chunkType'")
+      chunkType match {
+        case "IHDR" =>
+          require(!sawIhdr, "duplicate IHDR")
+          require(len == 13, s"IHDR length $len != 13")
+          val hb = java.nio.ByteBuffer.wrap(body)
+          width = hb.getInt; height = hb.getInt
+          val bitDepth = hb.get() & 0xFF; val colorType = hb.get() & 0xFF
+          val compression = hb.get() & 0xFF; val filterMethod = hb.get() & 0xFF
+          val interlace = hb.get() & 0xFF
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require(bitDepth == 8, s"bit depth $bitDepth unsupported")
+          require(colorType == 2,
+            s"color type $colorType unsupported (truecolor RGB only)")
+          require(compression == 0 && filterMethod == 0,
+            "non-standard compression/filter method")
+          require(interlace == 0, "Adam7 interlacing unsupported")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(body)
+        case "IEND" =>
+          require(sawIhdr, "IEND before IHDR")
+          sawIend = true
+        case _ => // ancillary chunk (tEXt, gAMA, …): CRC-checked, skipped
+      }
+    }
+    val bpp = 3
+    val stride = width * bpp
+    val rawLen = height * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < rawLen && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, rawLen - got)
+      require(n > 0 || inflater.finished(),
+        "truncated or non-zlib IDAT stream")
+      got += n
+    }
+    val leftover = inflater.inflate(new Array[Byte](1))
+    inflater.end()
+    require(got == rawLen && leftover == 0,
+      s"IDAT inflates to wrong size (got $got, want $rawLen)")
+    // un-filter scanlines in place into the output plane
+    val pixels = new Array[Byte](height * stride)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (1 + stride)) & 0xFF
+      require(ft <= 4, s"unknown filter type $ft on row $r")
+      var x = 0
+      while (x < stride) {
+        val filt = raw(r * (1 + stride) + 1 + x) & 0xFF
+        val left = if (x >= bpp) pixels(r * stride + x - bpp) & 0xFF else 0
+        val up = if (r > 0) pixels((r - 1) * stride + x) & 0xFF else 0
+        val upLeft =
+          if (r > 0 && x >= bpp) pixels((r - 1) * stride + x - bpp) & 0xFF
+          else 0
+        val predicted = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paethPredictor(left, up, upLeft)
+        }
+        pixels(r * stride + x) = ((filt + predicted) & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    PpmImage(width, height, 255, pixels)
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** Encode a PCM 16-bit RIFF/WAVE file (standard 44-byte header when no

@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
   * deterministic metadata extraction — is real and tested. Decoding is
   * two-tier:
   *
-  *  - REAL decoders for the uncompressed containers ([[Codecs]]): P6
-  *    PPM images and RIFF/WAVE PCM audio are parsed from scratch (pure
-  *    JVM — header grammar, chunk walking, sample decode), and
-  *    [[decodeImageStats]]/[[decodeAudioStats]] emit genuine
-  *    pixel/sample statistics (q151/q152, oracle-checked end to end).
-  *  - `decodeStub` for COMPRESSED formats (JPEG, MP3, H.264): no codec
-  *    libraries exist in this container, so those payloads get
-  *    byte-level metadata only (length, first byte, digest). Swapping
-  *    in a real compressed codec replaces only the function body; the
-  *    plan shape (scan → per-partition batch transform → typed output)
-  *    is identical to the PPM/WAV tier, which proves it.
+  *  - REAL decoders ([[Codecs]]): P6 PPM images, RIFF/WAVE PCM audio,
+  *    AND compressed PNG (DEFLATE via the JVM's built-in zlib, chunk
+  *    walk, CRC verification, five-filter scanline reconstruction) are
+  *    parsed from scratch (pure JVM), and [[decodeImageStats]] /
+  *    [[decodeAudioStats]] / [[decodePngStats]] emit genuine
+  *    pixel/sample statistics (q151/q152/q164, oracle-checked end to
+  *    end).
+  *  - `decodeStub` for the ENTROPY-/TRANSFORM-CODED formats (JPEG,
+  *    MP3, H.264): no codec libraries exist in this container and
+  *    those codecs (DCT + Huffman, psychoacoustic subband, motion
+  *    compensation) are out of from-scratch scope, so their payloads
+  *    get byte-level metadata only (length, first byte, digest).
+  *    Swapping in a real codec replaces only the function body — the
+  *    PNG tier proves it: same plan shape (scan → per-partition batch
+  *    transform → typed output), real compressed container.
   */
 object Multimodal {
 
@@ -156,20 +160,56 @@ object Multimodal {
     * header, channel sum / sum-of-squares / max / mean over the raw
     * plane. Per-partition, shuffle-free — the binary → features plan.
     */
+  private def imageStatsOf(id: Long, img: Codecs.PpmImage): ImageStats = {
+    var sum = 0L; var sumSq = 0L; var mx = 0; var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i) & 0xFF
+      sum += v; sumSq += v.toLong * v; if (v > mx) mx = v
+      i += 1
+    }
+    val n = img.width.toLong * img.height
+    ImageStats(id, img.width, img.height, n, sum, sumSq, mx,
+      sum.toDouble / (3.0 * n))
+  }
+
   def decodeImageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { r =>
-      val img = Codecs.decodePpm(r.content)
-      var sum = 0L; var sumSq = 0L; var mx = 0; var i = 0
-      while (i < img.pixels.length) {
-        val v = img.pixels(i) & 0xFF
-        sum += v; sumSq += v.toLong * v; if (v > mx) mx = v
-        i += 1
-      }
-      val n = img.width.toLong * img.height
-      ImageStats(r.media_id, img.width, img.height, n, sum, sumSq, mx,
-        sum.toDouble / (3.0 * n))
-    })
+    media.mapPartitions(_.map(r =>
+      imageStatsOf(r.media_id, Codecs.decodePpm(r.content))))
+  }
+
+  /** REAL PNG payloads synthesized deterministically from text: the
+    * SAME pixel contract as [[imagesFromText]] (ASCII sub-stream as a
+    * 16-wide RGB plane), but shipped as a genuine COMPRESSED container
+    * — DEFLATE-compressed, five-filter-cycled, CRC-protected,
+    * multi-IDAT PNG ([[Codecs.encodePng]]). Because the pixels are
+    * identical, the q151 oracle predicts every decoded field without
+    * change: the container changed, the decoded truth didn't — which
+    * is exactly what makes a codec swap safe to verify.
+    */
+  def pngFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ascii = asciiBytes(t)
+        val h = math.max(1, (ascii.length + 47) / 48)
+        val plane = java.util.Arrays.copyOf(ascii, 16 * h * 3)
+        MediaRow(id, "image/png", Codecs.encodePng(16, h, plane))
+      })
+  }
+
+  /** Decode PNG payloads (REAL compressed parse — [[Codecs.decodePng]]:
+    * chunk walk, CRC checks, Inflater, un-filtering) and emit the same
+    * per-image pixel statistics as [[decodeImageStats]] — the shared
+    * stats kernel is container-agnostic by construction.
+    */
+  def decodePngStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      imageStatsOf(r.media_id, Codecs.decodePng(r.content))))
   }
 
   /** A 64-bit difference-hash (dHash) of a decoded image, carried as two
@@ -369,7 +409,9 @@ object Multimodal {
       val n = wav.samples.length
       var hi = 0L; var lo = 0L
       if (n >= 1) {
-        def mag(b: Int): Int = math.abs(wav.samples(b * n / 65).toInt)
+        // Long arithmetic: b*n overflows Int past ~33.5M samples
+        // (~12 min at 44.1 kHz), which a media lake will contain.
+        def mag(b: Int): Int = math.abs(wav.samples((b.toLong * n / 65).toInt).toInt)
         var b = 0
         while (b < 64) {
           if (mag(b) < mag(b + 1)) {

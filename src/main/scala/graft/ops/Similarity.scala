@@ -293,8 +293,16 @@ object Similarity {
       assignments: DataFrame, centroids: Seq[Array[Double]],
       k: Int, nProbe: Int = 2): DataFrame = {
     require(centroids.nonEmpty, "stored model has no centroids")
+    // The stored inverted lists are EUCLIDEAN-argmin assignments over
+    // unnormalized mean centroids (Clustering.kMeans), so probe ranking
+    // must use the same metric: argmin ‖v−c‖² ⇔ argmax v·c − ‖c‖²/2.
+    // Raw max-dot (the spherical-centroid rule of [[ivfTopK]]) would be
+    // biased toward large-norm centroids and could rank a query's OWN
+    // list below a big stranger's, silently losing recall.
     def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
-      case (c, j) => struct(dot(v, vecLit(c)).as("d"), lit(j).as("j"))
+      case (c, j) =>
+        val halfSqNorm = 0.5 * c.map(x => x * x).sum
+        struct((dot(v, vecLit(c)) - lit(halfSqNorm)).as("d"), lit(j).as("j"))
     }
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))

@@ -593,7 +593,9 @@ object PrepQueries {
       |  SELECT media_id, nf, f,
       |    CAST(coalesce(list_sum(codes[48*f + 1 : 48*f + 48]), 0)
       |      AS BIGINT) AS fsum
-      |  FROM s, generate_series(0, 100000) t(f) WHERE f < nf)
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s))
       |SELECT media_id,
       |  CAST(nf AS BIGINT) AS n_frames,
       |  CAST(nf * 16 AS BIGINT) AS n_pixels,
@@ -629,7 +631,9 @@ object PrepQueries {
       |  SELECT media_id, nf, f,
       |    CAST(coalesce(list_sum(codes[48*f + 1 : 48*f + 48]), 0)
       |      AS BIGINT) AS fsum
-      |  FROM s, generate_series(0, 100000) t(f) WHERE f < nf),
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
       |d AS (
       |  SELECT x.media_id, x.nf, abs(y.fsum - x.fsum) AS delta
       |  FROM fr x JOIN fr y
@@ -640,6 +644,27 @@ object PrepQueries {
       |  CAST(coalesce(MAX(delta), 0) AS BIGINT) AS max_delta
       |FROM s LEFT JOIN d ON s.media_id = d.media_id
       |GROUP BY s.media_id, s.nf ORDER BY s.media_id""".stripMargin
+
+  /** q164 — REAL COMPRESSED image decode: synthesize a genuine PNG per
+    * document — same pixel contract as q151 but DEFLATE-compressed,
+    * five-filter-cycled, CRC-protected, multi-IDAT
+    * ([[graft.multimodal.Multimodal.pngFromText]]) — then PARSE it back
+    * with the from-scratch [[graft.multimodal.Codecs.decodePng]]
+    * (signature, chunk walk + CRC verification, `Inflater` zlib, the
+    * five spec un-filters) and emit per-image pixel statistics. The
+    * oracle is q151's SQL VERBATIM: the container changed, the decoded
+    * truth didn't — so a wrong un-filter, a dropped IDAT byte, or a
+    * mis-read IHDR all hash-mismatch against the same prediction.
+    * Encode+decode ride one per-partition stage, shuffle-free before
+    * the final sort — at 100 TB the codec rides the scan.
+    */
+  val q164_png_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodePngStats(
+        graft.multimodal.Multimodal.pngFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q164Sql: String = q151Sql
 
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
@@ -763,7 +788,8 @@ object PrepQueries {
     "q157_audio_fingerprint" -> q157_audio_fingerprint,
     "q158_audio_features" -> q158_audio_features,
     "q161_video_decode" -> q161_video_decode,
-    "q162_scene_cuts" -> q162_scene_cuts)
+    "q162_scene_cuts" -> q162_scene_cuts,
+    "q164_png_decode" -> q164_png_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -783,5 +809,6 @@ object PrepQueries {
     "q157_audio_fingerprint" -> q157Sql,
     "q158_audio_features" -> q158Sql,
     "q161_video_decode" -> q161Sql,
-    "q162_scene_cuts" -> q162Sql)
+    "q162_scene_cuts" -> q162Sql,
+    "q164_png_decode" -> q164Sql)
 }

@@ -97,6 +97,44 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKFromModel probes by the stored Euclidean rule: a " +
+      "large-norm centroid cannot hijack probes at nProbe=1") {
+    import spark.implicits._
+    // Cluster A: large-norm points near (10, 0); cluster B: near (4, 4).
+    // For any B point v: v·cA ≈ 40 > v·cB ≈ 32, so a raw max-dot probe
+    // ranking would probe A's inverted list FIRST and, at nProbe=1,
+    // never see v's own list — missing its planted twin entirely. The
+    // affine rule v·c − ‖c‖²/2 (≡ Euclidean argmin, the metric the
+    // stored assignments were built with) probes B. Twins 2i/2i+1 are
+    // planted in both clusters; nProbe=1 must find every twin.
+    val pts = (0L until 20L).map { id =>
+      val pair = (id / 2).toInt
+      val jit = 0.01 * (pair % 5 + 1) + (if (id % 2 == 1) 0.001 else 0.0)
+      if (id >= 10) (id, Seq(4.0 + jit, 4.0 - jit))
+      else (id, Seq(10.0 + jit, jit))
+    }
+    val corpus = pts.toDF("id", "v")
+    val (assignedDf, cents) = Clustering.kMeans(
+      corpus, "id", "v", k = 2, iters = 6)
+    // sanity: the two planted clusters really landed in separate lists
+    // with the expected norm gap, otherwise the test proves nothing
+    val byCluster = assignedDf.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byCluster.filter(_._1 < 10).values.toSet.size == 1)
+    assert(byCluster.filter(_._1 >= 10).values.toSet.size == 1)
+    assert(byCluster(0L) != byCluster(10L), "planted clusters merged")
+    val top1 = graft.ops.Similarity.ivfTopKFromModel(
+        corpus, "id", "v", assignedDf.select(col("id"), col("cluster")),
+        cents, k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pts.foreach { case (id, _) =>
+      val twin = if (id % 2 == 0) id + 1 else id - 1
+      assert(top1.get(id).contains(twin),
+        s"query $id found ${top1.get(id)} instead of twin $twin — " +
+          "probe ranking is not metric-consistent with stored assignment")
+    }
+  }
+
   test("k exceeding distinct points: empty clusters keep their previous " +
       "centroid and every point still assigns") {
     import spark.implicits._

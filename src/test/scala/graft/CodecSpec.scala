@@ -52,6 +52,131 @@ class CodecSpec extends AnyFunSuite {
     assert(img.pixels.toSeq === px.toSeq)
   }
 
+  // ------------------------------------------------------------- PNG
+
+  /** Assemble a PNG chunk BY HAND (independent of encodePng). */
+  private def handChunk(chunkType: String, body: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(body)
+    java.nio.ByteBuffer.allocate(12 + body.length)
+      .putInt(body.length).put(t).put(body).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  private def handIhdr(w: Int, h: Int): Array[Byte] =
+    handChunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  test("golden PNG: hand-assembled 2x2 truecolor file (hand-filtered Sub " +
+      "and Up rows, hand-chunked, an ancillary chunk in the middle) " +
+      "decodes to the exact pixels") {
+    // target pixels, row-major RGB:
+    //   row 0: (10,20,30) (13,25,37)   row 1: (110,120,130) (23,25,27)
+    // row 0 filtered with Sub  (type 1): 10 20 30, then 3 5 7
+    // row 1 filtered with Up   (type 2): 100 100 100, then 10 0 -10&0xFF
+    val raw = Array[Int](
+      1, 10, 20, 30, 3, 5, 7,
+      2, 100, 100, 100, 10, 0, 246).map(_.toByte)
+    val png = pngSig ++ handIhdr(2, 2) ++
+      handChunk("tEXt", "comment".getBytes("US-ASCII")) ++ // must be skipped
+      handChunk("IDAT", zlib(raw)) ++
+      handChunk("IEND", Array.emptyByteArray)
+    val img = Codecs.decodePng(png)
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixels.map(_ & 0xFF).toSeq ===
+      Seq(10, 20, 30, 13, 25, 37, 110, 120, 130, 23, 25, 27))
+  }
+
+  test("golden PNG: Paeth and Average rows reconstruct per the spec " +
+      "predictor (hand-computed filtered bytes, split across two IDATs)") {
+    // 2x2 image; row 0: (100,0,50) (40,60,50); row 1 targets
+    // (90,35,75) (80,70,90).
+    // row 0 Average (type 3): left/2 predictor on x>=3 ->
+    //   100, 0, 50, 40-50=-10&0xFF=246, 60-0=60, 50-25=25
+    // row 1 Paeth (type 4): a=left, b=up, c=up-left; x<3: pred=up ->
+    //   90-100=-10&0xFF=246, 35, 75-50=25; x>=3: p=a+b-c picks...
+    //   x=3: a=90 b=40 c=100 p=30 pa=60 pb=10 pc=70 -> b=40, 80-40=40
+    //   x=4: a=35 b=60 c=0  p=95 pa=60 pb=35 pc=95 -> b=60, 70-60=10
+    //   x=5: a=75 b=50 c=50 p=75 pa=0 -> a=75, 90-75=15
+    val raw = Array[Int](
+      3, 100, 0, 50, 246, 60, 25,
+      4, 246, 35, 25, 40, 10, 15).map(_.toByte)
+    val z = zlib(raw)
+    val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
+    val png = pngSig ++ handIhdr(2, 2) ++
+      handChunk("IDAT", z1) ++ handChunk("IDAT", z2) ++
+      handChunk("IEND", Array.emptyByteArray)
+    val img = Codecs.decodePng(png)
+    assert(img.pixels.map(_ & 0xFF).toSeq ===
+      Seq(100, 0, 50, 40, 60, 50, 90, 35, 75, 80, 70, 90))
+  }
+
+  test("PNG round-trip: encode (all five filters cycling, multi-IDAT) " +
+      "then decode is the identity") {
+    // 6 rows -> filters 0,1,2,3,4,0 all exercised
+    val px6 = Array.tabulate(16 * 6 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img6 = Codecs.decodePng(Codecs.encodePng(16, 6, px6))
+    assert(img6.width === 16 && img6.height === 6 && img6.maxVal === 255)
+    assert(img6.pixels.toSeq === px6.toSeq)
+    // incompressible plane large enough that the stream spans >1 IDAT
+    val rnd = new scala.util.Random(7)
+    val pxBig = Array.fill(32 * 64 * 3)(rnd.nextInt(256).toByte)
+    val enc = Codecs.encodePng(32, 64, pxBig)
+    val nIdat = {
+      var count = 0; var pos = 8
+      val bb = java.nio.ByteBuffer.wrap(enc)
+      while (pos < enc.length) {
+        val len = bb.getInt(pos)
+        val t = new String(enc, pos + 4, 4, "US-ASCII")
+        if (t == "IDAT") count += 1
+        pos += 12 + len
+      }
+      count
+    }
+    assert(nIdat >= 2, s"expected a multi-IDAT file, got $nIdat chunk(s)")
+    assert(Codecs.decodePng(enc).pixels.toSeq === pxBig.toSeq)
+  }
+
+  test("PNG malformed inputs fail loudly (signature, CRC, truncation, " +
+      "unsupported color type, wrong inflate size)") {
+    val good = Codecs.encodePng(4, 2, Array.fill(4 * 2 * 3)(9.toByte))
+    intercept[IllegalArgumentException](
+      Codecs.decodePng("JUNKJUNK".getBytes("US-ASCII")))
+    // flip one byte inside the IHDR body: CRC must catch it
+    val crcBad = good.clone(); crcBad(16) = (crcBad(16) ^ 1).toByte
+    intercept[IllegalArgumentException](Codecs.decodePng(crcBad))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](
+      Codecs.decodePng(good.dropRight(15)))
+    // grayscale color type: rejected, not mis-read
+    val gray = pngSig ++ handChunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(1).putInt(1).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+      handChunk("IDAT", zlib(Array[Byte](0, 7))) ++
+      handChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Codecs.decodePng(gray))
+    // IDAT inflating to the wrong length (one scanline missing)
+    val short = pngSig ++ handIhdr(2, 2) ++
+      handChunk("IDAT", zlib(Array[Int](0, 1, 2, 3, 4, 5, 6)
+        .map(_.toByte))) ++
+      handChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Codecs.decodePng(short))
+  }
+
   // ------------------------------------------------------------- WAV
 
   /** Build a RIFF/WAVE file BY HAND (independent of encodeWav). */
@@ -136,6 +261,26 @@ class CodecSpec extends AnyFunSuite {
     assert(wav(2L).n_samples === 0L && wav(2L).min_sample === 0L)
     assert(wav(4L).n_samples === 100L &&
       wav(4L).duration_ms === 100L * 1000 / 8000)
+  }
+
+  test("q164 pipeline: PNG-encoded corpus decodes to EXACTLY the stats " +
+      "of the uncompressed PPM path (same pixel contract, different " +
+      "container), including empty and non-ASCII docs") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abc"), (2L, ""), (3L, "ééA"), (4L, "x" * 100),
+      (5L, "the quick brown fox jumps over the lazy dog " * 4))
+      .toDF("doc_id", "text")
+    val viaPng = Multimodal.decodePngStats(
+        Multimodal.pngFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    val viaPpm = Multimodal.decodeImageStats(
+        Multimodal.imagesFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(viaPng === viaPpm,
+      "container swap changed the decoded truth")
+    assert(viaPng(4L).height === 3 && viaPng(4L).sum_channel === 120L * 100)
   }
 
   test("q153 dHash: identical payloads hash identically, a hand-built " +

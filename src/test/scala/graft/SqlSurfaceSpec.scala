@@ -108,6 +108,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaCols)
   }
 
+  test("NULL text: SQL builders and Column twins share the same " +
+      "null-propagation contract") {
+    import spark.implicits._
+    // Contract documented at the registration site (GraftFunctions):
+    // token_count/quality_ppm propagate NULL, lang_id yields 'und'.
+    val df = Seq((1L, Option.empty[String]), (2L, Some("plain text here")))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sql_surface_nulls")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getLong(0) -> (
+        if (r.isNullAt(1)) null else r.get(1),
+        if (r.isNullAt(2)) null else r.get(2),
+        if (r.isNullAt(3)) null else r.get(3))
+    }.toMap
+    val viaSql = keyed(spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS tc,
+        |  graft_lang_id(text) AS lang, graft_quality_ppm(text) AS q
+        |FROM sql_surface_nulls""".stripMargin).collect())
+    val viaCols = keyed(df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScorePpm(col("text")).as("q")).collect())
+    assert(viaSql === viaCols)
+    // and the documented values on the NULL row specifically:
+    assert(viaSql(1L)._1 == null)
+    assert(viaSql(1L)._2 == "und")
+    assert(viaSql(1L)._3 == null)
+  }
+
   test("Column-API text formulas agree with independent Scala evaluation") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
