@@ -81,6 +81,103 @@ class DocStreamSpec extends AnyFunSuite {
     assert(replayed.collect().toSeq === manifestBefore)
   }
 
+  test("streamed vec tier across a retrain boundary: the frozen-model " +
+      "micro-batch folds a batch-sized delta under the UNMOVED stored " +
+      "model, the retrain micro-batch re-trains over the whole fold, " +
+      "and the served model passes the argmin + ANN rescoring gates " +
+      "in BOTH regimes") {
+    import graft.ops.Clustering
+    val root = java.nio.file.Files.createTempDirectory("docstream_vecs")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val cfg = CorpusBuild.Config(trackCentroids = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq).toSet
+    def runOnce(): Unit = {
+      val q = DocStream.ingestToState(
+        DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+        vecsFor = b => emb.join(b.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow stream failed to drain")
+      q.exception.foreach(e => fail(s"stream failed: $e"))
+    }
+    def gatesEmpty(regime: String): Unit = {
+      assert(CorpusBuild.stateKmeansGate(spark, state).collect().isEmpty,
+        s"argmin gate fired on the $regime state")
+      val claimed = CorpusBuild.stateIvfTopK(spark, state, k = 1, nProbe = 2)
+        .select(lit("streamed").as("tier"), col("query_id"),
+          col("neighbor_id"), col("cos"))
+      assert(graft.queries.CurationQueries.annGate(claimed,
+          CorpusBuild.stateVecs(spark, state)
+            .select(col("id").as("vec_id"), col("v"))).collect().isEmpty,
+        s"ANN rescoring gate fired on the $regime state")
+    }
+
+    // batch sizes against retrainGrowth=0.5: 250 (initial train),
+    // then 100 (tail 100 < ceil(0.5*250)=125 -> FROZEN),
+    // then 150 (tail 250 >= 125 -> RETRAIN over the whole fold)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 350).coalesce(1)
+      .write.mode("append").parquet(lake)
+    runOnce() // two micro-batches: gen0 trains on 250, gen1 freezes
+
+    // the stored model must be EXACTLY the gen-0 train (it did not move)
+    val (a250, c250) = Clustering.kMeans(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      k = cfg.kmeansK, iters = cfg.kmeansIters)
+    assert(CorpusBuild.stateCentroids(spark, state).map(_.toSeq)
+      === c250.map(_.toSeq),
+      "frozen-regime centroids are not the gen-0 model — the freeze " +
+        "either retrained or lost the snapshot")
+    // … and the fold = gen-0 assignments + a batch-sized delta assigned
+    // under that unmoved model
+    val frozenExpect = rows(a250) ++ rows(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 350)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(size(col("v")) > 0)
+        .select(col("id"), Clustering.assignTo(col("v"), c250).as("cluster")))
+    assert(rows(CorpusBuild.stateKmeans(spark, state)) === frozenExpect,
+      "frozen-regime fold diverged from gen-0 train + frozen delta")
+    gatesEmpty("frozen")
+    // ANN served from the frozen state == search under the stored model
+    assert(rows(CorpusBuild.stateIvfTopK(spark, state, k = 1, nProbe = 2))
+      === rows(graft.ops.Similarity.ivfTopKFromModel(
+        emb.filter(col("vec_id") < 350)
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v")),
+        "id", "v",
+        CorpusBuild.stateKmeans(spark, state), c250, k = 1, nProbe = 2)),
+      "frozen-regime ANN diverged from search under the stored model")
+
+    // third file: the tail now trips the geometric retrain
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 350).coalesce(1)
+      .write.mode("append").parquet(lake)
+    runOnce()
+    val (aAll, cAll) = Clustering.kMeans(
+      emb, "vec_id", "embedding", k = cfg.kmeansK, iters = cfg.kmeansIters)
+    assert(CorpusBuild.stateCentroids(spark, state).map(_.toSeq)
+      === cAll.map(_.toSeq),
+      "retrain-regime centroids diverged from a one-shot train")
+    assert(rows(CorpusBuild.stateKmeans(spark, state)) === rows(aAll),
+      "retrain-regime assignments diverged from a one-shot train")
+    gatesEmpty("retrained")
+    assert(rows(CorpusBuild.stateIvfTopK(spark, state, k = 1, nProbe = 2))
+      === rows(graft.ops.Similarity.ivfTopKFromModel(
+        emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v")),
+        "id", "v", aAll.select(col("id"), col("cluster")), cAll,
+        k = 1, nProbe = 2)),
+      "retrain-regime ANN diverged from search under the one-shot model")
+  }
+
   test("streamed count state == full q101/q107 recompute, and survives " +
       "compaction") {
     val root = java.nio.file.Files.createTempDirectory("docstream_counts")
