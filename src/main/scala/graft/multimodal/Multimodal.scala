@@ -275,9 +275,20 @@ object Multimodal {
     * buckets (the q143 maxDf discipline).
     */
   def dhashNearDupPairs(hashes: Dataset[ImageDHash],
+      maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(hashes.toDF(), "media_id", maxDist)
+
+  /** The banded-hamming pair algebra of [[dhashNearDupPairs]] over ANY
+    * (id, hash_hi, hash_lo) sketch relation — image dHash, audio
+    * envelope fingerprint, or any future 64-bit perceptual hash share
+    * one lossless-at-≤3 blocking kernel, so modality parity is a
+    * one-liner, not a re-implementation.
+    */
+  def bandedHammingPairs(hashesDf: DataFrame, idCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4 bands guarantee recall only for distance <= 3")
-    val df = hashes.toDF()
+    val df = hashesDf.select(col(idCol).as("media_id"),
+      col("hash_hi"), col("hash_lo"))
     val bandStructs = array(
       struct(lit(0).as("band"), col("hash_hi").bitwiseAND(65535L).as("bucket")),
       struct(lit(1).as("band"), shiftright(col("hash_hi"), 16).as("bucket")),

@@ -209,11 +209,15 @@ object CurationQueries {
   /** q163 — per-source DATASET CARD: the governance rollup a corpus
     * release ships — per source: docs, tokens, distinct languages,
     * exact-duplicate ppm (docs whose md5 digest appears more than once
-    * WITHIN the source), and mean quality ppm — every figure an exact
+    * WITHIN the source), mean quality ppm, and the per-modality NEAR-dup
+    * membership counts (docs of the source appearing in ≥ 1 text /
+    * image / audio near-dup pair — read from the [[SharedPairs]] memo
+    * q165 publishes, so the card bills its own |pairs|-sized rollup,
+    * not three re-decoded media corpora) — every figure an exact
     * integer so the card is bit-identical across engines and re-runs.
     * One corpus scan + a digest aggregate + a |sources|-row rollup; at
-    * 100 TB this is two shuffles (digest, source), both map-side
-    * combined, output |sources| rows.
+    * 100 TB this is two shuffles (digest, source) plus a pair-scale
+    * membership join, all map-side combined, output |sources| rows.
     */
   val q163_dataset_card: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -226,15 +230,32 @@ object CurationQueries {
       .agg(count(lit(1)).as("n"))
       .groupBy("source")
       .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_docs"))
+    val modal = SharedPairs.serve(s, d)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+        col("modality"))
+      .distinct()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("modality") === "text", 1L).otherwise(0L))
+          .as("m_text"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L))
+          .as("m_image"),
+        sum(when(col("modality") === "audio", 1L).otherwise(0L))
+          .as("m_audio"))
     base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("q_ppm")).as("q_sum"))
       .join(dupDocs, Seq("source"))
+      .join(modal, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         expr("(1000000 * dup_docs) DIV n_docs").as("dup_ppm"),
-        expr("q_sum DIV n_docs").as("mean_quality_ppm"))
+        expr("q_sum DIV n_docs").as("mean_quality_ppm"),
+        coalesce(col("m_text"), lit(0L)).as("text_neardup_docs"),
+        coalesce(col("m_image"), lit(0L)).as("image_neardup_docs"),
+        coalesce(col("m_audio"), lit(0L)).as("audio_neardup_docs"))
       .orderBy("source")
   }
 
@@ -289,15 +310,41 @@ object CurationQueries {
        |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
        |      AS dup_docs
        |  FROM (SELECT source, h, count(*) AS n FROM q GROUP BY source, h)
-       |  GROUP BY source)
+       |  GROUP BY source),
+       |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
+       |ip AS (SELECT id_a, id_b FROM (${ModalPairSql.imagePairs}) t),
+       |ap AS (SELECT id_a, id_b FROM (${ModalPairSql.audioPairs}) t),
+       |mm AS (SELECT DISTINCT doc_id, m FROM (
+       |  SELECT id_a AS doc_id, 'text' AS m FROM tp
+       |  UNION ALL SELECT id_b, 'text' FROM tp
+       |  UNION ALL SELECT id_a, 'image' FROM ip
+       |  UNION ALL SELECT id_b, 'image' FROM ip
+       |  UNION ALL SELECT id_a, 'audio' FROM ap
+       |  UNION ALL SELECT id_b, 'audio' FROM ap)),
+       |ms AS (SELECT d.source,
+       |    CAST(SUM(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_text,
+       |    CAST(SUM(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_image,
+       |    CAST(SUM(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_audio
+       |  FROM mm JOIN documents d ON mm.doc_id = d.doc_id
+       |  GROUP BY d.source)
        |SELECT q.source,
        |  count(*) AS n_docs,
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        |  CAST((1000000 * any_value(dup_docs)) // count(*) AS BIGINT)
        |    AS dup_ppm,
-       |  CAST(SUM(q_ppm) // count(*) AS BIGINT) AS mean_quality_ppm
+       |  CAST(SUM(q_ppm) // count(*) AS BIGINT) AS mean_quality_ppm,
+       |  CAST(coalesce(any_value(m_text), 0) AS BIGINT)
+       |    AS text_neardup_docs,
+       |  CAST(coalesce(any_value(m_image), 0) AS BIGINT)
+       |    AS image_neardup_docs,
+       |  CAST(coalesce(any_value(m_audio), 0) AS BIGINT)
+       |    AS audio_neardup_docs
        |FROM q JOIN dup ON q.source = dup.source
+       |LEFT JOIN ms ON q.source = ms.source
        |GROUP BY q.source ORDER BY q.source""".stripMargin
   }
 

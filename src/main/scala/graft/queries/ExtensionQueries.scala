@@ -77,20 +77,7 @@ object ExtensionQueries {
       .orderBy("id_a", "id_b")
 
   val q19Sql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct([array_to_string(ws[i:i+2], ' ')
-      |                   for i in generate_series(1, len(ws)-2)]) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-      |        FROM documents)
-      |  WHERE len(ws) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(a.sh || b.sh)) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+    ModalPairSql.textPairs + "\nORDER BY id_a, id_b"
 
   /** q20 — SimHash near-dup pairs (64-bit sketch, 8×8-bit band blocking,
     * Hamming ≤ 6). Rows-only driver check (xxhash sketch).

@@ -433,36 +433,7 @@ object PrepQueries {
       .toDF().orderBy("media_id")
 
   val q153Sql: String =
-    """WITH a AS (
-      |  SELECT doc_id AS media_id,
-      |    [ord(c) for c in string_split(coalesce(text, ''), '')
-      |     if ord(c) BETWEEN 0 AND 127] AS codes
-      |  FROM documents),
-      |s AS (SELECT media_id, codes,
-      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS h
-      |  FROM a),
-      |g AS (SELECT media_id, h, r, c,
-      |    coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 1 AS BIGINT)], 0)
-      |  + coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 2 AS BIGINT)], 0)
-      |  + coalesce(codes[CAST((((r*h)//8)*16 + ((c*16)//9))*3 + 3 AS BIGINT)], 0) AS gray
-      |  FROM s, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
-      |bits AS (
-      |  SELECT l.media_id, l.r, l.c FROM g l JOIN g rr
-      |    ON l.media_id = rr.media_id AND l.r = rr.r AND rr.c = l.c + 1
-      |  WHERE l.c < 8 AND l.gray < rr.gray),
-      |hsh AS (
-      |  SELECT media_id,
-      |    SUM(CASE WHEN r < 4 THEN (CAST(1 AS BIGINT) << (r*8 + c))
-      |        ELSE 0 END) AS hash_hi,
-      |    SUM(CASE WHEN r >= 4 THEN (CAST(1 AS BIGINT) << ((r-4)*8 + c))
-      |        ELSE 0 END) AS hash_lo
-      |  FROM bits GROUP BY media_id)
-      |SELECT s.media_id, CAST(16 AS INTEGER) AS width,
-      |  CAST(s.h AS INTEGER) AS height,
-      |  CAST(coalesce(hash_hi, 0) AS BIGINT) AS hash_hi,
-      |  CAST(coalesce(hash_lo, 0) AS BIGINT) AS hash_lo
-      |FROM s LEFT JOIN hsh ON s.media_id = hsh.media_id
-      |ORDER BY s.media_id""".stripMargin
+    ModalPairSql.imageHashes + "\nORDER BY s.media_id"
 
   /** q154 — image near-dup pairs on the q153 fingerprints: 4 bands of
     * 16 bits, hamming ≤ 3 — by pigeonhole the banded join is LOSSLESS
@@ -480,17 +451,8 @@ object PrepQueries {
         maxDist = 3)
       .orderBy("id_a", "id_b")
 
-  val q154Sql: String = {
-    val hashes = q153Sql.replace("ORDER BY s.media_id", "")
-    s"""WITH hashes AS ($hashes)
-       |SELECT a.media_id AS id_a, b.media_id AS id_b,
-       |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
-       |     + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
-       |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
-       |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
-  }
+  val q154Sql: String =
+    ModalPairSql.imagePairs + "\nORDER BY id_a, id_b"
 
   /** q157 — audio waveform fingerprint over REALLY DECODED samples: the
     * q152 payloads (genuine RIFF/WAVE PCM16) parsed back and probed at
@@ -510,28 +472,7 @@ object PrepQueries {
       .toDF().orderBy("media_id")
 
   val q157Sql: String =
-    """WITH a AS (
-      |  SELECT doc_id AS media_id,
-      |    [(ord(c) - 64) * 256 for c in string_split(coalesce(text, ''), '')
-      |     if ord(c) BETWEEN 0 AND 127] AS smp
-      |  FROM documents),
-      |s AS (SELECT media_id, smp, len(smp) AS n FROM a),
-      |bits AS (
-      |  SELECT media_id, b FROM s, generate_series(0, 63) t(b)
-      |  WHERE n >= 1
-      |    AND abs(smp[(b*n)//65 + 1]) < abs(smp[((b+1)*n)//65 + 1])),
-      |hsh AS (
-      |  SELECT media_id,
-      |    SUM(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << b)
-      |        ELSE 0 END) AS hash_hi,
-      |    SUM(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (b-32))
-      |        ELSE 0 END) AS hash_lo
-      |  FROM bits GROUP BY media_id)
-      |SELECT s.media_id, CAST(s.n AS BIGINT) AS n_samples,
-      |  CAST(coalesce(hash_hi, 0) AS BIGINT) AS hash_hi,
-      |  CAST(coalesce(hash_lo, 0) AS BIGINT) AS hash_lo
-      |FROM s LEFT JOIN hsh ON s.media_id = hsh.media_id
-      |ORDER BY s.media_id""".stripMargin
+    ModalPairSql.audioFingerprints + "\nORDER BY s.media_id"
 
   /** q158 — audio screening features over REALLY DECODED samples: zero
     * crossings (the classic voice-activity / noise screen), peak
@@ -666,6 +607,48 @@ object PrepQueries {
 
   val q164Sql: String = q151Sql
 
+  /** q165 — CROSS-MODAL duplicate clusters: the three modality-level
+    * near-dup pair relations — text MinHash+LSH (q19's algebra), image
+    * dHash banded hamming (q154's), audio envelope-fingerprint banded
+    * hamming (the same lossless 4×16 kernel over q157's sketch) — are
+    * keyed by the SHARED document id, so their union is one edge list;
+    * [[graft.ops.Components.connectedComponents]] turns it into unified
+    * duplicate clusters (a doc textually near another and visually near
+    * a third lands all three in one cluster — the keep-one unit a
+    * multimodal training corpus actually dedups by). Builds and
+    * PUBLISHES the tagged pair memo ([[SharedPairs]]) so the q163 card
+    * reads it instead of re-decoding three media corpora. The oracle
+    * re-derives everything brute-force in DuckDB: exact Jaccard pairs ∪
+    * brute-force hamming pairs for both sketch modalities, then a
+    * recursive-CTE transitive closure with min-label semantics (the q56
+    * discipline). At 100 TB: each pair tier is its bucketed self, the
+    * union is pair-scale, CC shuffles only the edge list.
+    */
+  val q165_crossmodal_clusters: Q = (s, d) => {
+    val edges = SharedPairs.publish(s, d).select("id_a", "id_b").distinct()
+    graft.ops.Components.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val q165Sql: String = {
+    s"""WITH RECURSIVE
+       |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
+       |ip AS (SELECT id_a, id_b FROM (${ModalPairSql.imagePairs}) t),
+       |ap AS (SELECT id_a, id_b FROM (${ModalPairSql.audioPairs}) t),
+       |allp AS (SELECT * FROM tp UNION SELECT * FROM ip
+       |         UNION SELECT * FROM ap),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM allp
+       |          UNION SELECT id_b, id_a FROM allp),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS component
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   /** q81 — CDC changelog APPLY: compact a multi-version change log
     * (latest seq wins per key), then merge onto a snapshot — upserts
     * replace or insert, deletes drop — the MERGE INTO semantics every
@@ -789,7 +772,8 @@ object PrepQueries {
     "q158_audio_features" -> q158_audio_features,
     "q161_video_decode" -> q161_video_decode,
     "q162_scene_cuts" -> q162_scene_cuts,
-    "q164_png_decode" -> q164_png_decode)
+    "q164_png_decode" -> q164_png_decode,
+    "q165_crossmodal_clusters" -> q165_crossmodal_clusters)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -810,5 +794,6 @@ object PrepQueries {
     "q158_audio_features" -> q158Sql,
     "q161_video_decode" -> q161Sql,
     "q162_scene_cuts" -> q162Sql,
-    "q164_png_decode" -> q164Sql)
+    "q164_png_decode" -> q164Sql,
+    "q165_crossmodal_clusters" -> q165Sql)
 }

@@ -24,6 +24,64 @@ class CurationExtrasSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("cross-modal clusters: planted modality-specific near-dups merge " +
+      "through the shared doc id — an image-only edge and an audio-only " +
+      "edge chain into ONE cluster no single modality could form") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // 1,2: identical text -> near-dup in ALL THREE modalities.
+    // 3: 48 strictly-ascending chars 48..95; 4: ascending 74..121 —
+    //    both render strictly-increasing pixel ramps (image dHash
+    //    all-ones, hamming 0) but have very different |sample|
+    //    envelopes (no audio pair) and no shared word shingles
+    //    (single-token texts have none) -> IMAGE-ONLY pair.
+    // 8: the char-mirror of 4 (c -> 128-c): |(128-c)-64| = |c-64|, so
+    //    the audio fingerprint is IDENTICAL to 4's, while the pixel
+    //    ramp DESCENDS (dHash all-zeros, hamming 64 from 4) and no
+    //    shingles exist -> AUDIO-ONLY pair with 4.
+    // 7: unrelated singleton.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, (48 to 95).map(_.toChar).mkString),
+      (4L, (74 to 121).map(_.toChar).mkString),
+      (8L, (74 to 121).map(c => (128 - c).toChar).mkString),
+      (7L, "unrelated singleton with entirely separate vocabulary here"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val text = pairSet(graft.ops.TextDedup.minhashLshPairs(docs,
+      "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5))
+    val image = pairSet(Multimodal.dhashNearDupPairs(
+      Multimodal.decodeImageDHash(
+        Multimodal.imagesFromText(spark, docs, "doc_id", "text")),
+      maxDist = 3))
+    val audio = pairSet(Multimodal.bandedHammingPairs(
+      Multimodal.decodeAudioFingerprint(
+        Multimodal.wavFromText(spark, docs, "doc_id", "text")).toDF(),
+      "media_id", maxDist = 3))
+    assert(text === Set((1L, 2L)), s"text pairs: $text")
+    assert(image.contains((3L, 4L)) && !audio.contains((3L, 4L)),
+      s"(3,4) must be image-only: image=$image audio=$audio")
+    assert(audio.contains((4L, 8L)) && !image.contains((4L, 8L)),
+      s"(4,8) must be audio-only: image=$image audio=$audio")
+    assert(image.contains((1L, 2L)) && audio.contains((1L, 2L)),
+      "the exact dup must pair in every modality")
+    // the union edge list clusters 3-4-8 via two different modalities
+    val edges = (text ++ image ++ audio).toSeq.toDF("id_a", "id_b")
+    val comp = graft.ops.Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === comp(2L))
+    assert(comp(3L) === comp(4L) && comp(4L) === comp(8L),
+      s"cross-modal transitivity failed: $comp")
+    assert(comp(7L) === 7L)
+    assert(comp(7L) != comp(1L) && comp(7L) != comp(3L))
+    assert(comp(1L) != comp(3L),
+      "unrelated planted clusters must stay separate")
+  }
+
   test("split leakage: a planted train/test near-dup pair is detected " +
       "with its split labels") {
     import spark.implicits._
