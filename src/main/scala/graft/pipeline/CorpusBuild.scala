@@ -848,6 +848,30 @@ object CorpusBuild {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The cross-split rows of a winnow-overlap relation: split labels
+    * derive from the ids alone ([[graft.ops.Splits]] — no table to
+    * join), so the decontamination filter is a projection + filter over
+    * the pair stream, free at any scale.
+    */
+  def crossSplitOnly(overlap: DataFrame): DataFrame = overlap
+    .withColumn("split_a", graft.ops.Splits.split(col("id_a")))
+    .withColumn("split_b", graft.ops.Splits.split(col("id_b")))
+    .filter(col("split_a") =!= col("split_b"))
+
+  /** SPLIT-AWARE decontamination served from the stored fingerprint
+    * state: [[stateWinnowOverlap]]'s batch-vs-standing-corpus screen
+    * restricted to pairs that CROSS a train/val/test boundary — the
+    * q159 composition served from state, so an incoming batch's eval
+    * contamination surfaces at ingest time (per-batch cost, the corpus
+    * side read from the folded fingerprint table) instead of in a
+    * later corpus-wide audit. Returns (id_a corpus doc, id_b batch
+    * doc, n_shared, split_a, split_b).
+    */
+  def stateSplitLeakage(spark: SparkSession, stateDir: String,
+      batch: DataFrame, minShared: Long = 2L,
+      maxDf: Long = 64L): DataFrame =
+    crossSplitOnly(stateWinnowOverlap(spark, stateDir, batch, minShared, maxDf))
+
   /** The embedding-space tier of one generation (cfg.trackCentroids):
     * write the batch's vectors, decide retrain-vs-freeze by the
     * geometric-growth policy, and write the generation's assignment

@@ -146,6 +146,79 @@ object CurationQueries {
       |            ELSE 'test' END)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q166 — SPLIT-AWARE DECONTAMINATION SERVED FROM STATE: q159's
+    * cross-split audit composed with the stored winnow-fingerprint tier
+    * ([[graft.pipeline.CorpusBuild.stateSplitLeakage]]) — probing the
+    * state with exactly what it ingested, so the readout is the
+    * IN-CORPUS cross-split quote/contamination pair set: doc pairs
+    * sharing ≥ 2 rare stored fingerprints whose id-derived splits
+    * differ. This is the q144 serving shape (corpus side read from the
+    * folded fingerprint table, probe fingerprinted at batch scale) with
+    * the q159 policy (split labels derive from ids in the pair
+    * projection — no label table). The same composition runs pre-fold
+    * on every streamed batch (DocStream onCrossSplit, spec-pinned by a
+    * planted cross-split quote). Canonicalized to id_a < id_b since
+    * probe = corpus makes the overlap symmetric. Oracle: the q143
+    * winnow algebra + the q84 split arithmetic recomputed from raw.
+    */
+  val q166_state_split_leakage: Q = (s, d) => {
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    graft.pipeline.CorpusBuild.stateSplitLeakage(s, dir, Tables.documents(s, d))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "n_shared", "split_a", "split_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q166Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]',
+      |         '', 'g'), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) >= 8 THEN
+      |      [md5(substr(s, i, 8)) for i in generate_series(1, len(s) - 7)]
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, grams,
+      |    CASE WHEN len(grams) >= 4 THEN
+      |      [list_min(grams[j:j+3])
+      |       for j in generate_series(1, len(grams) - 3)]
+      |    ELSE [] END AS sel
+      |  FROM g),
+      |fps AS (
+      |  SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM w),
+      |rare AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      |  WHERE df BETWEEN 2 AND 64),
+      |p AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |lab AS (
+      |  SELECT id_a, id_b, n_shared,
+      |    CAST(CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS ba,
+      |    CAST(CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS bb
+      |  FROM pr)
+      |SELECT id_a, id_b, n_shared,
+      |  CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val'
+      |       ELSE 'test' END AS split_a,
+      |  CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val'
+      |       ELSE 'test' END AS split_b
+      |FROM lab
+      |WHERE (CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val'
+      |            ELSE 'test' END)
+      |   <> (CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val'
+      |            ELSE 'test' END)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q160 — token-budget selection curve: docs bucketed by the exact
     * integer quality score (q23's ppm arithmetic, 21 buckets of 50k
     * ppm), with cumulative docs/tokens from the BEST bucket down — the
@@ -1131,6 +1204,7 @@ object CurationQueries {
     "q89_sketch_error_gate" -> q89_sketch_error_gate,
     "q116_gate_population" -> q116_gate_population,
     "q159_split_leakage" -> q159_split_leakage,
+    "q166_state_split_leakage" -> q166_state_split_leakage,
     "q160_budget_curve" -> q160_budget_curve,
     "q163_dataset_card" -> q163_dataset_card,
     "q90_filter_funnel" -> q90_filter_funnel,
@@ -1153,6 +1227,7 @@ object CurationQueries {
     "q89_sketch_error_gate" -> q89Sql,
     "q116_gate_population" -> q116Sql,
     "q159_split_leakage" -> q159Sql,
+    "q166_state_split_leakage" -> q166Sql,
     "q160_budget_curve" -> q160Sql,
     "q163_dataset_card" -> q163Sql,
     "q90_filter_funnel" -> q90Sql,

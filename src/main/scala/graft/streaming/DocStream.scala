@@ -58,13 +58,22 @@ object DocStream {
     *        to this callback (quarantine queue, alert, audit log); the
     *        ingest itself proceeds regardless, keeping screening a
     *        read-side policy rather than a fold-side mutation
+    * @param onCrossSplit when set, the same pre-fold screen restricted
+    *        to pairs CROSSING a train/val/test boundary
+    *        ([[CorpusBuild.crossSplitOnly]] — split labels derive from
+    *        the ids, no extra join): the q159 split-leakage audit
+    *        served at ingest time, so a test-split doc quoting standing
+    *        train data surfaces before it ever folds in. Shares the
+    *        overlap relation with onBatchOverlap — one screen, two
+    *        readouts
     */
   def ingestToState(docs: DataFrame, stateDir: String,
       checkpointDir: String,
       cfg: CorpusBuild.Config = CorpusBuild.Config(),
       trigger: Trigger = Trigger.AvailableNow(),
       vecsFor: DataFrame => DataFrame = null,
-      onBatchOverlap: DataFrame => Unit = null): StreamingQuery =
+      onBatchOverlap: DataFrame => Unit = null,
+      onCrossSplit: DataFrame => Unit = null): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -76,10 +85,15 @@ object DocStream {
           // before this batch's own fingerprints join the corpus side
           // (the very first batch has no standing corpus to screen
           // against — nothing to quote from an empty corpus)
-          if (onBatchOverlap != null && cfg.trackFingerprints &&
-              CorpusBuild.hasState(b.sparkSession, stateDir))
-            onBatchOverlap(
-              CorpusBuild.stateWinnowOverlap(b.sparkSession, stateDir, b))
+          if ((onBatchOverlap != null || onCrossSplit != null) &&
+              cfg.trackFingerprints &&
+              CorpusBuild.hasState(b.sparkSession, stateDir)) {
+            val overlap =
+              CorpusBuild.stateWinnowOverlap(b.sparkSession, stateDir, b)
+            if (onBatchOverlap != null) onBatchOverlap(overlap)
+            if (onCrossSplit != null)
+              onCrossSplit(CorpusBuild.crossSplitOnly(overlap))
+          }
           CorpusBuild.ingestBatch(stateDir, b, cfg,
             if (vecsFor == null) null else vecsFor(b))
           () // manifest readout is pull-based (stateManifest), not pushed

@@ -81,6 +81,67 @@ class DocStreamSpec extends AnyFunSuite {
     assert(replayed.collect().toSeq === manifestBefore)
   }
 
+  test("streamed cross-split decontamination: a planted test-split doc " +
+      "quoting a standing train-split doc surfaces BEFORE it folds, " +
+      "with its split labels — and the state-served readout agrees") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("docstream_split")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val cfg = CorpusBuild.Config(trackFingerprints = true)
+    // ids 0 (train) and 20 (test) — md5-bucket arithmetic, precomputed
+    // (the CurationExtrasSpec planted pair); the quote is long enough
+    // that its winnow selection shares >= 2 rare fingerprints
+    val quote = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand quietly on the old stone wall"
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) =>
+        (id, t, "en", "srcT", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docRows(Seq(
+      (0L, quote),
+      (1L, "completely unrelated filler text about something else " +
+        "entirely with no shared passages whatsoever in it at all"),
+      (2L, "a second filler document holding distinct vocabulary and " +
+        "no quoted material from anywhere else in this tiny corpus")))
+      .coalesce(1).write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docRows(Seq(
+      (20L, "quail vortex craters surround a lifted passage " + quote +
+        " jagged lunar pebbles drift sideways beyond the quoted span")))
+      .coalesce(1).write.mode("append").parquet(lake)
+
+    val crossSplit = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onCrossSplit = df => crossSplit.synchronized {
+        crossSplit ++= df.collect().map(r => (0 until r.length).map(r.get).toSeq)
+      })
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the planted pair surfaced pre-fold, labeled train vs test, and
+    // nothing else did (the fillers share no passage)
+    val pairs = crossSplit.synchronized(crossSplit.toSeq)
+      .map(r => (r(0), r(1), r(3), r(4)))
+    assert(pairs === Seq((0L, 20L, "train", "test")),
+      s"expected exactly the planted contamination, got $crossSplit")
+
+    // the state-served q166 composition over the INGESTED corpus reads
+    // the same pair from the folded fingerprint table
+    val served = CorpusBuild.stateSplitLeakage(spark, state,
+        spark.read.parquet(lake))
+      .filter(org.apache.spark.sql.functions.col("id_a") <
+        org.apache.spark.sql.functions.col("id_b"))
+      .select("id_a", "id_b", "split_a", "split_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    assert(served === Seq((0L, 20L, "train", "test")),
+      s"state-served split leakage diverged: $served")
+  }
+
   test("streamed vec tier across a retrain boundary: the frozen-model " +
       "micro-batch folds a batch-sized delta under the UNMOVED stored " +
       "model, the retrain micro-batch re-trains over the whole fold, " +
