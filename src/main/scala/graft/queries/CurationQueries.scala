@@ -754,6 +754,12 @@ object CurationQueries {
       // only if q155 has not run this session)
       .unionByName(nonempty("state_ann_claims_nonempty",
         SharedAnn.serve(s, d, "state_ivf")))
+      // q168's tier family must EMIT even at its narrowest probe: with
+      // nProbe=1 every query probes its own (Euclidean-argmin) list, so
+      // any cluster with >= 2 members produces a claim — consumed
+      // through the same memo the gate reads
+      .unionByName(nonempty("state_ann_curve_claims_nonempty",
+        SharedAnn.serve(s, d, "state_ivf_p1")))
       .orderBy("gate")
   }
 
@@ -793,6 +799,7 @@ object CurationQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
       |   WHERE len(embedding) > 0)
       |UNION ALL SELECT 'state_ann_claims_nonempty', 1
+      |UNION ALL SELECT 'state_ann_curve_claims_nonempty', 1
       |ORDER BY gate""".stripMargin
 
   /** q90 — quality filter funnel: the per-stage attrition report every

@@ -802,6 +802,68 @@ object ExtensionQueries {
 
   val q156Sql: String = CurationQueries.q88Sql
 
+  /** The probe widths of the q167 recall curve — the knob a real ANN
+    * deployment turns first: wider probes trade scan fraction
+    * (nProbe/nClusters of the corpus) for recall, and nProbe = the full
+    * cluster count degenerates to the exact tier by construction.
+    */
+  private val RecallCurveProbes = Seq(1, 2, 4, 8)
+
+  /** q167 — IVF RECALL-vs-nPROBE CURVE over the stored model: for each
+    * probe width, the state-served top-1 ([[SharedAnn]] `state_ivf_p*`
+    * tiers — published here, so a bench bills the four searches to this
+    * number) is judged against the brute-force exact top-1 over the
+    * SAME stored vectors; a query is recalled when its served cosine
+    * equals the exact best (cosine equality, not id — ties are
+    * recalled by any co-maximal neighbor, and the q88/q156 family
+    * guarantees served cosines are bit-identical to exact for the same
+    * pairs). Emits one row per probe width with exact-integer ppm.
+    * Rows-only (the stored float model is not reproducible in SQL);
+    * the q168 gate rescored every claim, and SimilaritySpec asserts
+    * the curve is monotone with recall 1 at nProbe = nClusters.
+    */
+  val q167_ivf_recall_curve: Q = (s, d) => {
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    val exact = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("cos").as("best_cos"))
+    RecallCurveProbes.map { p =>
+      val served = SharedAnn.publish(s, d, s"state_ivf_p$p")
+        .select(col("query_id"), col("cos"))
+      exact.join(served, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("cos") >= col("best_cos"), 1L).otherwise(0L))
+            .as("n_recalled"))
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+          coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
+          expr("(1000000 * coalesce(n_recalled, 0)) DIV n_queries")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** q168 — the q156 rescoring gate over the WHOLE q167 curve family:
+    * every (query, neighbor, cos) any probe width emitted is re-scored
+    * with the independent HOF cosine over the stored vectors.
+    * Must be EMPTY. Reads the published `state_ivf_p*` memos (building
+    * only if q167 has not run this session) — the gate bills its
+    * rescoring joins, not four re-run searches.
+    */
+  val q168_ivf_recall_gate: Q = (s, d) => {
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)
+      .select(col("id").as("vec_id"), col("v"))
+    val claims = RecallCurveProbes.map { p =>
+      SharedAnn.serve(s, d, s"state_ivf_p$p")
+        .select(lit(s"state_ivf_p$p").as("tier"), col("query_id"),
+          col("neighbor_id"), col("cos"))
+    }.reduce(_ unionByName _)
+    CurationQueries.annGate(claims, vecs)
+      .orderBy("tier", "query_id", "neighbor_id")
+  }
+
+  val q168Sql: String = CurationQueries.q88Sql
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -830,7 +892,9 @@ object ExtensionQueries {
     "q149_state_semdedup" -> q149_state_semdedup,
     "q150_state_semdedup_gate" -> q150_state_semdedup_gate,
     "q155_state_ann" -> q155_state_ann,
-    "q156_state_ann_gate" -> q156_state_ann_gate)
+    "q156_state_ann_gate" -> q156_state_ann_gate,
+    "q167_ivf_recall_curve" -> q167_ivf_recall_curve,
+    "q168_ivf_recall_gate" -> q168_ivf_recall_gate)
 
   val oracleSql: Map[String, String] = Map(
     "q124_kmeans_gate" -> q124Sql,
@@ -851,5 +915,6 @@ object ExtensionQueries {
     "q144_state_winnow_overlap" -> q144Sql,
     "q148_state_kmeans_gate" -> q148Sql,
     "q150_state_semdedup_gate" -> q150Sql,
-    "q156_state_ann_gate" -> q156Sql)
+    "q156_state_ann_gate" -> q156Sql,
+    "q168_ivf_recall_gate" -> q168Sql)
 }

@@ -49,6 +49,12 @@ private[queries] object SharedAnn {
         // model — the memo holds only the top-1 readout, as above
         graft.pipeline.CorpusBuild.stateIvfTopK(s,
           TokenizerQueries.ensurePostingState(s, d), k = 1, nProbe = 2)
+      case t if t.startsWith("state_ivf_p") =>
+        // the q167 recall-curve family: same stored model, parameterized
+        // probe width — "state_ivf_p4" probes the 4 nearest lists
+        graft.pipeline.CorpusBuild.stateIvfTopK(s,
+          TokenizerQueries.ensurePostingState(s, d), k = 1,
+          nProbe = t.stripPrefix("state_ivf_p").toInt)
       case other => throw new IllegalArgumentException(s"unknown tier $other")
     }
   }

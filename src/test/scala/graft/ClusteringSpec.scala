@@ -135,6 +135,28 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 recall curve over the stored model: recall is monotone in " +
+      "nProbe, exact at nProbe = nClusters, and every claim clears the " +
+      "q168 rescoring gate") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.ExtensionQueries
+      .q167_ivf_recall_curve(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val probes = Seq(1L, 2L, 4L, 8L)
+    assert(rows.keySet === probes.toSet, s"curve rows: $rows")
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a) <= rows(b),
+        s"recall decreased from nProbe=$a to nProbe=$b: $rows")
+    }
+    // nProbe = nClusters probes every inverted list: the candidate set
+    // is the whole corpus (minus self), so recall is exactly 1
+    assert(rows(8L) === 1000000L,
+      s"nProbe = nClusters must reproduce the exact tier: $rows")
+    assert(graft.queries.ExtensionQueries
+      .q168_ivf_recall_gate(spark, sf).collect().isEmpty,
+      "a curve claim failed the independent cosine recompute")
+  }
+
   test("k exceeding distinct points: empty clusters keep their previous " +
       "centroid and every point still assigns") {
     import spark.implicits._

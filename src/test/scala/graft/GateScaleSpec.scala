@@ -71,4 +71,11 @@ class GateScaleSpec extends AnyFunSuite {
       .q156_state_ann_gate(spark, sf).isEmpty,
       "a state-served ANN row failed the cosine recompute at sf0.1")
   }
+
+  test("q168: the multi-probe recall-curve rescoring gate stays empty " +
+      "at sf0.1") {
+    assert(graft.queries.ExtensionQueries
+      .q168_ivf_recall_gate(spark, sf).isEmpty,
+      "a recall-curve claim failed the cosine recompute at sf0.1")
+  }
 }
