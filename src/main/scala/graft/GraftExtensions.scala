@@ -100,5 +100,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(en/de/fr/es/und)"),
       arity("graft_lang_id", 1)(e =>
         graft.functions.TextAnalysis.langIdExpr(e(0)))))
+    // the codec tier's SQL surface: binary payload -> decoded struct
+    ext.injectFunction((FunctionIdentifier("graft_image_stats"),
+      info("graft_image_stats",
+        "graft_image_stats(content) - decode an image payload (P6 PPM " +
+          "or PNG, sniffed from the magic bytes) and return the pixel " +
+          "statistics struct (width, height, n_pixels, sum_channel, " +
+          "sum_channel_sq, max_channel, mean_channel)"),
+      arity("graft_image_stats", 1)(e =>
+        graft.functions.ImageStatsExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_audio_stats"),
+      info("graft_audio_stats",
+        "graft_audio_stats(content) - decode a RIFF/WAVE PCM16 payload " +
+          "(real chunk walk) and return the sample statistics struct " +
+          "(n_samples, duration_ms, sum_sample, min_sample, max_sample)"),
+      arity("graft_audio_stats", 1)(e =>
+        graft.functions.AudioStatsExpr(e(0)))))
   }
 }

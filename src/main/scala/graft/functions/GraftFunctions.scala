@@ -83,6 +83,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_split",
       arity("graft_split", 1)(exprs =>
         TextAnalysis.splitExpr(exprs(0))), "built-in")
+    // the codec tier's SQL surface (binary -> decoded struct): native
+    // expressions over the from-scratch PPM/PNG/WAV decoders
+    reg.createOrReplaceTempFunction("graft_image_stats",
+      arity("graft_image_stats", 1)(exprs =>
+        ImageStatsExpr(exprs(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_audio_stats",
+      arity("graft_audio_stats", 1)(exprs =>
+        AudioStatsExpr(exprs(0))), "built-in")
 
     JobParse.register(spark)
   }

@@ -108,6 +108,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaCols)
   }
 
+  test("graft_image_stats / graft_audio_stats: the codec tier callable " +
+      "from SQL — PPM and PNG payloads sniffed by magic, WAV chunk-" +
+      "walked, structs equal to the Dataset decode path") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    def viaSql(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) = {
+      media.toDF().createOrReplaceTempView("sql_surface_media")
+      spark.sql(
+        """SELECT media_id, s.* FROM (
+          |  SELECT media_id, graft_image_stats(content) AS s
+          |  FROM sql_surface_media)""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getInt(6), r.getDouble(7))).toMap
+    }
+    def viaDs(stats: org.apache.spark.sql.Dataset[Multimodal.ImageStats]) =
+      stats.collect().map(s => s.media_id ->
+        (s.width, s.height, s.n_pixels, s.sum_channel, s.sum_channel_sq,
+          s.max_channel, s.mean_channel)).toMap
+    val ppm = Multimodal.imagesFromText(spark, docs, "doc_id", "text")
+    assert(viaSql(ppm) === viaDs(Multimodal.decodeImageStats(ppm)),
+      "SQL PPM decode diverged from the Dataset path")
+    val png = Multimodal.pngFromText(spark, docs, "doc_id", "text")
+    assert(viaSql(png) === viaDs(Multimodal.decodePngStats(png)),
+      "SQL PNG decode (magic-sniffed) diverged from the Dataset path")
+    val wav = Multimodal.wavFromText(spark, docs, "doc_id", "text")
+    wav.toDF().createOrReplaceTempView("sql_surface_media")
+    val audioSql = spark.sql(
+      """SELECT media_id, s.* FROM (
+        |  SELECT media_id, graft_audio_stats(content) AS s
+        |  FROM sql_surface_media)""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val audioDs = Multimodal.decodeAudioStats(wav)
+      .collect().map(s => s.media_id ->
+        (s.n_samples, s.duration_ms, s.sum_sample, s.min_sample,
+          s.max_sample)).toMap
+    assert(audioSql === audioDs,
+      "SQL WAV decode diverged from the Dataset path")
+  }
+
   test("NULL text: SQL builders and Column twins share the same " +
       "null-propagation contract") {
     import spark.implicits._
