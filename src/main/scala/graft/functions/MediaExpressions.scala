@@ -19,10 +19,11 @@ import graft.multimodal.Codecs
   */
 
 /** `graft_image_stats(content)`: decode an image payload — container
-  * sniffed from its magic (P6 PPM or PNG signature), so the caller
-  * never declares the format — and emit the q151/q164 statistics
-  * struct. The struct fields mirror [[graft.multimodal.Multimodal.ImageStats]]
-  * minus the id (the caller already has its key column).
+  * sniffed from its magic (P6 PPM, PNG signature, or GIF8 header), so
+  * the caller never declares the format — and emit the q151/q164/q169
+  * statistics struct. The struct fields mirror
+  * [[graft.multimodal.Multimodal.ImageStats]] minus the id (the
+  * caller already has its key column).
   */
 case class ImageStatsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -41,6 +42,9 @@ case class ImageStatsExpr(child: Expression)
     val img =
       if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
         Codecs.decodePpm(bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8')
+        Codecs.decodeGif(bytes)
       else Codecs.decodePng(bytes)
     var sum = 0L; var sumSq = 0L; var mx = 0; var i = 0
     while (i < img.pixels.length) {

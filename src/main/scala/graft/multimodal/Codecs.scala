@@ -343,6 +343,271 @@ object Codecs {
     PpmImage(width, height, 255, pixels)
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** Encode a GIF89a with a 256-entry grayscale global color table
+    * (palette i → (i,i,i)) and ONE image whose pixel bytes are palette
+    * indices — a REAL LZW-compressed container: variable-width codes
+    * (9→12 bits, LSB-first bit packing), clear/EOI control codes, a
+    * table reset when the dictionary fills, and 255-byte data
+    * sub-blocks, per the public GIF89a specification. Grayscale
+    * palette keeps the decoded RGB plane a pure function of the index
+    * plane, which is what lets a second engine predict every decoded
+    * statistic from the source bytes.
+    */
+  def encodeGif(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(indices.length == width * height,
+      s"index plane ${indices.length} != ${width * height}")
+    val out = new java.io.ByteArrayOutputStream()
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.write("GIF89a".getBytes(ascii))
+    // logical screen descriptor: w, h (LE), packed (GCT present, 8-bit
+    // color resolution, 256-entry table), background 0, no aspect
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // image descriptor at (0,0), no local table, no interlace
+    out.write(0x2C)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0)
+    // LZW-compressed index stream
+    val minCodeSize = 8
+    out.write(minCodeSize)
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nBits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) {
+        bits.write((cur & 0xFF).toInt); cur >>>= 8; nBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = eoi + 1
+    def reset(): Unit = { dict.clear(); nextCode = eoi + 1; codeSize = minCodeSize + 1 }
+    emit(clear)
+    var w = indices(0) & 0xFF
+    i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xFF
+      val key = (w.toLong << 12) | k // w is a code < 4096, k a byte
+      val hit = dict.get(key)
+      if (hit != null) w = hit.intValue()
+      else {
+        emit(w)
+        if (nextCode < 4096) {
+          dict.put(key, nextCode); nextCode += 1
+          // the decoder reconstructs each entry one code LATER than the
+          // encoder defines it, so the de-facto GIF width contract is
+          // offset by one: encoder widens at (1<<size)+1, decoder at
+          // (1<<size) — both sides then agree on every code's width
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { emit(clear); reset() }
+        w = k
+      }
+      i += 1
+    }
+    emit(w); emit(eoi)
+    if (nBits > 0) bits.write((cur & 0xFF).toInt)
+    // 255-byte sub-blocks + terminator
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF (87a or 89a): header + logical screen descriptor +
+    * global color table, extension blocks skipped by their sub-block
+    * chain lengths (as the spec requires), then ONE image: descriptor
+    * validated (no interlace, no local-table surprises — a local table
+    * is read and used if present), and the LZW index stream decoded
+    * with the full variable-width algorithm — code growth 9→12 bits,
+    * clear-code table resets, the `code == nextCode` (KwKwK) case, and
+    * sub-block reassembly. Indices map through the active palette to
+    * an interleaved RGB plane, returned as a [[PpmImage]] (maxVal 255)
+    * so every pixel consumer is container-agnostic. Animated GIFs
+    * (a second image descriptor) and malformed streams fail loudly.
+    */
+  def decodeGif(bytes: Array[Byte]): PpmImage = {
+    require(bytes.length >= 13, "truncated GIF header")
+    val magic = new String(bytes, 0, 6,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(magic == "GIF89a" || magic == "GIF87a",
+      s"not a GIF payload (header '$magic')")
+    var pos = 6
+    def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+    val screenW = u16(); val screenH = u16()
+    val packed = u8(); u8(); u8() // background index, aspect ratio
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    require(pos + 3 * gctSize <= bytes.length, "truncated global color table")
+    val gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * gctSize)
+    pos += 3 * gctSize
+    // walk blocks to the first image descriptor
+    var image: PpmImage = null
+    var done = false
+    while (!done) {
+      require(pos < bytes.length, "unterminated GIF block stream")
+      u8() match {
+        case 0x21 => // extension: label + sub-block chain, skipped by size
+          require(pos < bytes.length, "truncated extension")
+          u8()
+          var n = u8()
+          while (n != 0) {
+            require(pos + n <= bytes.length, "truncated extension sub-block")
+            pos += n; n = u8()
+          }
+        case 0x2C =>
+          require(image == null, "animated GIF (second image) unsupported")
+          u16(); u16() // left, top
+          val w = u16(); val h = u16()
+          require(w > 0 && h > 0 && w <= screenW && h <= screenH,
+            s"bad image dimensions ${w}x$h in ${screenW}x$screenH screen")
+          val iPacked = u8()
+          require((iPacked & 0x40) == 0, "interlaced GIF unsupported")
+          val lctSize = if ((iPacked & 0x80) != 0) 2 << (iPacked & 7) else 0
+          require(pos + 3 * lctSize <= bytes.length, "truncated local color table")
+          val palette =
+            if (lctSize > 0) {
+              val p = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * lctSize)
+              pos += 3 * lctSize; p
+            } else gct
+          require(palette.nonEmpty, "no color table for image data")
+          val minCodeSize = u8()
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"bad LZW minimum code size $minCodeSize")
+          // reassemble the sub-block chain
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8()
+          while (n != 0) {
+            require(pos + n <= bytes.length, "truncated image sub-block")
+            data.write(bytes, pos, n); pos += n; n = u8()
+          }
+          image = lzwDecode(data.toByteArray, minCodeSize, w, h, palette)
+        case 0x3B =>
+          require(image != null, "GIF trailer before any image")
+          done = true
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02X at byte ${pos - 1}")
+      }
+    }
+    image
+  }
+
+  /** GIF-variant LZW over a reassembled code stream: LSB-first variable
+    * width codes, clear/EOI, dictionary growth with the KwKwK case,
+    * width bump at table powers, reset on clear. Exactly `w*h` indices
+    * must decode; each maps through the palette to RGB.
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      w: Int, h: Int, palette: Array[Byte]): PpmImage = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val nColors = palette.length / 3
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    // dictionary as (prefix code, appended byte) per entry
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var nextCode = eoi + 1
+    var codeSize = minCodeSize + 1
+    var cur = 0L; var nBits = 0; var pos = 0
+    var prevCode = -1
+    def readCode(): Int = {
+      while (nBits < codeSize && pos < data.length) {
+        cur |= (data(pos) & 0xFFL) << nBits; pos += 1; nBits += 8
+      }
+      require(nBits >= codeSize, "truncated LZW stream")
+      val v = (cur & ((1L << codeSize) - 1)).toInt
+      cur >>>= codeSize; nBits -= codeSize
+      v
+    }
+    def expand(code: Int): Unit = {
+      // walk the prefix chain, then reverse into the output
+      var c = code
+      var len = 0
+      val stack = new Array[Byte](4096)
+      while (c >= clear + 2) {
+        stack(len) = suffix(c); len += 1; c = prefix(c)
+      }
+      require(c < clear, s"corrupt LZW chain root $c")
+      require(c < nColors, s"palette index $c outside $nColors-color table")
+      stack(len) = c.toByte; len += 1
+      require(outPos + len <= out.length,
+        "LZW stream decodes past the declared pixel count")
+      var i = len - 1
+      while (i >= 0) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c.toByte
+    }
+    var ended = false
+    while (!ended) {
+      val code = readCode()
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCodeSize + 1; prevCode = -1
+      } else if (code == eoi) {
+        ended = true
+      } else if (prevCode == -1) {
+        require(code < clear, s"first code after clear must be a literal, got $code")
+        expand(code); prevCode = code
+      } else {
+        require(code <= nextCode,
+          s"LZW code $code ahead of dictionary ($nextCode)")
+        val effective =
+          if (code == nextCode) { // KwKwK: entry being defined right now
+            require(nextCode < 4096, "KwKwK against a full table")
+            prefix(nextCode) = prevCode
+            suffix(nextCode) = firstByteOf(prevCode)
+            nextCode += 1
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            expand(nextCode - 1)
+            nextCode - 1
+          } else {
+            expand(code)
+            if (nextCode < 4096) {
+              prefix(nextCode) = prevCode
+              suffix(nextCode) = firstByteOf(code)
+              nextCode += 1
+              if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            }
+            code
+          }
+        prevCode = effective
+      }
+    }
+    require(outPos == out.length,
+      s"LZW stream decoded $outPos of ${out.length} pixels")
+    // indices -> RGB through the palette
+    val pixels = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < out.length) {
+      val idx = out(i) & 0xFF
+      require(idx < nColors, s"pixel index $idx outside $nColors-color table")
+      pixels(i * 3) = palette(idx * 3)
+      pixels(i * 3 + 1) = palette(idx * 3 + 1)
+      pixels(i * 3 + 2) = palette(idx * 3 + 2)
+      i += 1
+    }
+    PpmImage(w, h, 255, pixels)
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** Encode a PCM 16-bit RIFF/WAVE file (standard 44-byte header when no

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * two-tier:
   *
   *  - REAL decoders ([[Codecs]]): P6 PPM images, RIFF/WAVE PCM audio,
-  *    AND compressed PNG (DEFLATE via the JVM's built-in zlib, chunk
-  *    walk, CRC verification, five-filter scanline reconstruction) are
-  *    parsed from scratch (pure JVM), and [[decodeImageStats]] /
-  *    [[decodeAudioStats]] / [[decodePngStats]] emit genuine
-  *    pixel/sample statistics (q151/q152/q164, oracle-checked end to
-  *    end).
+  *    compressed PNG (DEFLATE via the JVM's built-in zlib, chunk walk,
+  *    CRC verification, five-filter scanline reconstruction), AND
+  *    LZW-compressed GIF (variable-width codes, clear/KwKwK handling,
+  *    sub-block reassembly, palette mapping) are parsed from scratch
+  *    (pure JVM), and [[decodeImageStats]] / [[decodeAudioStats]] /
+  *    [[decodePngStats]] / [[decodeGifStats]] emit genuine
+  *    pixel/sample statistics (q151/q152/q164/q169, oracle-checked
+  *    end to end).
   *  - `decodeStub` for the ENTROPY-/TRANSFORM-CODED formats (JPEG,
   *    MP3, H.264): no codec libraries exist in this container and
   *    those codecs (DCT + Huffman, psychoacoustic subband, motion
@@ -210,6 +212,38 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       imageStatsOf(r.media_id, Codecs.decodePng(r.content))))
+  }
+
+  /** REAL GIF payloads synthesized deterministically from text: the
+    * ASCII sub-stream becomes the PALETTE-INDEX plane of a 16-wide
+    * image (height = ceil(n/16), zero-padded) over the 256-entry
+    * grayscale table, LZW-compressed into a genuine GIF89a container
+    * ([[Codecs.encodeGif]] — variable-width codes, clear/EOI, sub-
+    * blocks). Grayscale palette ⇒ each decoded RGB channel equals the
+    * source code, so every statistic is a pure function of the text a
+    * second engine can compute.
+    */
+  def gifFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ascii = asciiBytes(t)
+        val h = math.max(1, (ascii.length + 15) / 16)
+        val plane = java.util.Arrays.copyOf(ascii, 16 * h)
+        MediaRow(id, "image/gif", Codecs.encodeGif(16, h, plane))
+      })
+  }
+
+  /** Decode GIF payloads (REAL LZW parse — [[Codecs.decodeGif]]) into
+    * the shared container-agnostic stats kernel.
+    */
+  def decodeGifStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      imageStatsOf(r.media_id, Codecs.decodeGif(r.content))))
   }
 
   /** A 64-bit difference-hash (dHash) of a decoded image, carried as two

@@ -632,6 +632,50 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  /** q169 — REAL LZW-compressed image decode: synthesize a genuine
+    * GIF89a per document — the ASCII sub-stream as the palette-index
+    * plane of a 16-wide grayscale-palette image, LZW-compressed with
+    * variable-width codes, clear/EOI control codes, and 255-byte
+    * sub-blocks ([[graft.multimodal.Multimodal.gifFromText]]) — then
+    * PARSE it back with the from-scratch [[graft.multimodal.Codecs.decodeGif]]
+    * (header walk, extension skipping, sub-block reassembly, the full
+    * variable-width LZW algorithm including the KwKwK case and table
+    * resets) and emit per-image pixel statistics. Third real
+    * compressed container after PNG (q164) and the entropy coding is
+    * genuine this time — LZW, not just DEFLATE's wrapper. The
+    * grayscale palette triplicates each index into RGB, so the oracle
+    * predicts every field from the text: sum_channel = 3·Σcodes,
+    * mean = Σcodes/(16·h). Per-partition encode+decode in one stage,
+    * shuffle-free before the final sort.
+    */
+  val q169_gif_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeGifStats(
+        graft.multimodal.Multimodal.gifFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q169Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS h
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(16 AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(16 * h AS BIGINT) AS n_pixels,
+      |  CAST(3 * coalesce(list_sum(codes), 0) AS BIGINT) AS sum_channel,
+      |  CAST(3 * coalesce(list_sum([c * c for c in codes]), 0) AS BIGINT)
+      |    AS sum_channel_sq,
+      |  CAST(coalesce(list_max(codes), 0) AS INTEGER) AS max_channel,
+      |  CAST(coalesce(list_sum(codes), 0) AS DOUBLE) / (16.0 * h)
+      |    AS mean_channel
+      |FROM s ORDER BY media_id""".stripMargin
+
   val q165Sql: String = {
     s"""WITH RECURSIVE
        |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
@@ -773,7 +817,8 @@ object PrepQueries {
     "q161_video_decode" -> q161_video_decode,
     "q162_scene_cuts" -> q162_scene_cuts,
     "q164_png_decode" -> q164_png_decode,
-    "q165_crossmodal_clusters" -> q165_crossmodal_clusters)
+    "q165_crossmodal_clusters" -> q165_crossmodal_clusters,
+    "q169_gif_decode" -> q169_gif_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -795,5 +840,6 @@ object PrepQueries {
     "q161_video_decode" -> q161Sql,
     "q162_scene_cuts" -> q162Sql,
     "q164_png_decode" -> q164Sql,
-    "q165_crossmodal_clusters" -> q165Sql)
+    "q165_crossmodal_clusters" -> q165Sql,
+    "q169_gif_decode" -> q169Sql)
 }

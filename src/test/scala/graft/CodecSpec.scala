@@ -177,6 +177,100 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodePng(short))
   }
 
+  // ------------------------------------------------------------- GIF
+
+  /** Pack (code, width) pairs LSB-first into GIF data sub-blocks —
+    * independent of the encoder under test.
+    */
+  private def packLzw(codes: Seq[(Int, Int)]): Array[Byte] = {
+    var cur = 0L; var nBits = 0
+    val out = new java.io.ByteArrayOutputStream()
+    codes.foreach { case (code, width) =>
+      cur |= code.toLong << nBits; nBits += width
+      while (nBits >= 8) { out.write((cur & 0xFF).toInt); cur >>>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) out.write((cur & 0xFF).toInt)
+    val data = out.toByteArray
+    val blocks = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      blocks.write(n); blocks.write(data, off, n); off += n
+    }
+    blocks.write(0)
+    blocks.toByteArray
+  }
+
+  test("golden GIF: hand-assembled 2x2 file (4-color palette, hand-" +
+      "traced variable-width LZW codes with a width bump, a comment " +
+      "extension in the middle) decodes to the exact palette RGB") {
+    // pixels (palette indices): 1, 1, 0, 3
+    // hand-traced encoder codes: clear(4)@3, 1@3, 1@3, 0@3 (dict grows
+    // 6,7,8 -> width bumps to 4 for the tail), 3@4, eoi(5)@4
+    val lzw = packLzw(Seq((4, 3), (1, 3), (1, 3), (0, 3), (3, 4), (5, 4)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](2, 0, 2, 0)) // 2x2 screen, LE
+    out.write(0x81); out.write(0); out.write(0) // GCT: 4 entries
+    val palette = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220)
+    palette.foreach(out.write)
+    out.write(0x21); out.write(0xFE) // comment extension: must be skipped
+    out.write(3); out.write("hey".getBytes("US-ASCII")); out.write(0)
+    out.write(0x2C) // image descriptor
+    out.write(Array[Byte](0, 0, 0, 0, 2, 0, 2, 0, 0))
+    out.write(2) // LZW minimum code size
+    out.write(packLzw(Seq((4, 3), (1, 3), (1, 3), (0, 3), (3, 4), (5, 4))))
+    out.write(0x3B)
+    val img = Codecs.decodeGif(out.toByteArray)
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixels.map(_ & 0xFF).toSeq ===
+      Seq(40, 50, 60, 40, 50, 60, 10, 20, 30, 200, 210, 220),
+      "indices 1,1,0,3 must map through the hand-written palette")
+    assert(lzw.nonEmpty) // silence unused warning on the traced stream
+  }
+
+  test("GIF round-trip: repetitive and random planes, dictionary " +
+      "growth past 9/10 bits and a full-table reset, are the identity") {
+    // repetitive plane: long runs exercise dictionary hits
+    val rep = Array.tabulate(16 * 20)(i => ((i / 7) % 5 * 40).toByte)
+    val r1 = Codecs.decodeGif(Codecs.encodeGif(16, 20, rep))
+    assert(r1.width === 16 && r1.height === 20)
+    assert(r1.pixels.grouped(3).map(_(0)).toSeq === rep.toSeq,
+      "grayscale palette: R channel must equal the index plane")
+    assert(r1.pixels.grouped(3).toSeq.forall(p => p(0) == p(1) && p(1) == p(2)))
+    // random plane big enough that nextCode hits 4096 -> clear + reset
+    val rnd = new scala.util.Random(11)
+    val big = Array.fill(100 * 80)(rnd.nextInt(256).toByte)
+    val r2 = Codecs.decodeGif(Codecs.encodeGif(100, 80, big))
+    assert(r2.pixels.grouped(3).map(_(0)).toSeq === big.toSeq,
+      "full-table reset must round-trip")
+  }
+
+  test("GIF malformed inputs fail loudly (magic, truncation, animation, " +
+      "pixel-count mismatch, unknown block)") {
+    val good = Codecs.encodeGif(4, 2, Array.fill(8)(7.toByte))
+    intercept[IllegalArgumentException](
+      Codecs.decodeGif("NOTAGIF!".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Codecs.decodeGif(good.dropRight(4)))
+    // a second image descriptor (animation): rejected, not half-decoded
+    val animated = good.dropRight(1) ++
+      good.drop(6 + 7 + 768).dropRight(1) ++ Array(0x3B.toByte)
+    intercept[IllegalArgumentException](Codecs.decodeGif(animated))
+    // declared height larger than the LZW stream's pixels (screen and
+    // image heights both bumped so the failure IS the pixel count)
+    val lying = good.clone()
+    val ihPos = 6 + 7 + 768 // image descriptor offset (no extensions)
+    assert(lying(ihPos) == 0x2C.toByte)
+    lying(8) = 3 // screen height 2 -> 3
+    lying(ihPos + 7) = 3 // image height 2 -> 3
+    val e = intercept[IllegalArgumentException](Codecs.decodeGif(lying))
+    assert(e.getMessage.contains("decoded"),
+      s"must fail on the pixel count, got: ${e.getMessage}")
+    // an unknown top-level block type
+    val unknown = good.dropRight(1) ++ Array(0x99.toByte, 0x3B.toByte)
+    intercept[IllegalArgumentException](Codecs.decodeGif(unknown))
+  }
+
   // ------------------------------------------------------------- WAV
 
   /** Build a RIFF/WAVE file BY HAND (independent of encodeWav). */
@@ -281,6 +375,26 @@ class CodecSpec extends AnyFunSuite {
     assert(viaPng === viaPpm,
       "container swap changed the decoded truth")
     assert(viaPng(4L).height === 3 && viaPng(4L).sum_channel === 120L * 100)
+  }
+
+  test("q169 pipeline: GIF-encoded corpus (palette-index plane, LZW) " +
+      "decodes to statistics predictable from the source text") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abc"), (2L, ""), (3L, "ééA"), (4L, "x" * 100))
+      .toDF("doc_id", "text")
+    val g = Multimodal.decodeGifStats(
+        Multimodal.gifFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(g(1L).width === 16 && g(1L).height === 1)
+    assert(g(1L).sum_channel === 3L * (97 + 98 + 99),
+      "grayscale palette triplicates each code into RGB")
+    assert(g(1L).max_channel === 99)
+    assert(g(1L).mean_channel === (97.0 + 98 + 99) / 16.0)
+    assert(g(2L).sum_channel === 0L && g(2L).n_pixels === 16L)
+    assert(g(3L).sum_channel === 3L * 65, "only the ASCII 'A' contributes")
+    assert(g(4L).height === 7 && g(4L).sum_channel === 3L * 120 * 100)
   }
 
   test("q153 dHash: identical payloads hash identically, a hand-built " +

@@ -125,15 +125,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("whole suite: every query plans, and no UNDECLARED nested-loop join") {
-    // Seven queries cross tiny-by-construction sides on purpose (SCALE.md):
+    // These queries cross tiny-by-construction sides on purpose (SCALE.md):
     // q21's broadcast all-pairs scorer, q31's 1-row corpus-size scalar,
     // q59's statuses×date-spine, q93's 1-row total-count scalar against
     // ≤30 vocab rows, q99's 1-row Σ√n scalar against per-source counts,
     // q114/q115's 1-row (N, avgdl) BM25 corpus-stats scalar,
-    // q126/q127's 1-row min/max bucket-edge scalar broadcasts.
+    // q126/q127's 1-row min/max bucket-edge scalar broadcasts,
+    // q167's exact-recall baseline (q21's scorer embedded verbatim —
+    // the brute-force tier IS the ruler the curve is measured with).
     // Everything else must hash/broadcast-join — an accidental nested
     // loop is the classic silent 100×-scale killer.
-    val declaredCross = Set("q21_cosine_top1", "q31_tfidf", "q59_gap_fill",
+    val declaredCross = Set("q21_cosine_top1", "q167_ivf_recall_curve",
+      "q31_tfidf", "q59_gap_fill",
       "q93_vocab_coverage", "q99_temperature_mix",
       "q114_bm25_rank", "q115_bm25_gate",
       "q119_state_bm25_rank", "q120_state_bm25_gate",
