@@ -329,6 +329,78 @@ object Similarity {
     }
   }
 
+  /** The WHOLE recall-vs-nProbe curve from a stored model in ONE
+    * candidate-generation pass: instead of re-running the search once
+    * per probe width (the sum over widths re-scores every narrower
+    * width's candidates again — ~1.9× the widest search for widths
+    * 1/2/4/8), each query's probes carry their RANK in the Euclidean
+    * probe order, every candidate is scored once at the widest width,
+    * and one aggregate takes the per-query top-1 under each `r ≤ p`
+    * cut simultaneously (the [[top1ByCos]] packing, one max per
+    * width). `stack` unpivots the per-width maxima — no union, no
+    * recomputation of the scored relation. Per width the output is
+    * EXACTLY `ivfTopKFromModel(..., k = 1, nProbe = p)`'s (same
+    * metric-consistent probe ranking, same rounded cosines, same
+    * tie-breaks), which ClusteringSpec asserts directly. At 100 TB
+    * this is the only sane way to draw the curve: candidate
+    * generation is the expensive part and it happens once.
+    */
+  def ivfTopKFromModelCurve(corpus: DataFrame, idCol: String,
+      vecCol: String, assignments: DataFrame,
+      centroids: Seq[Array[Double]], probes: Seq[Int]): DataFrame = {
+    require(centroids.nonEmpty, "stored model has no centroids")
+    require(probes.nonEmpty && probes == probes.sorted && probes.distinct == probes,
+      s"probe widths must be sorted and distinct: $probes")
+    val maxP = probes.max
+    def centroidDots(v: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, j) =>
+        val halfSqNorm = 0.5 * c.map(x => x * x).sum
+        struct((dot(v, vecLit(c)) - lit(halfSqNorm)).as("d"), lit(j).as("j"))
+    }
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d)
+    val assigned = vecs.join(
+      assignments.select(col("id"), col("cluster")), Seq("id"))
+    val probesDf = vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        posexplode(slice(sort_array(array(centroidDots(col("v")): _*),
+          asc = false), 1, maxP)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (col("pos") + 1).as("r"), col("col.j").as("cluster"))
+    val scored = probesDf.join(
+        assigned.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("r"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("cos"))
+    val c9 = round(col("cos") * 1e9).cast("long")
+    val idChecked = when(
+      col("neighbor_id") >= 0L && col("neighbor_id") <= IdMask,
+      col("neighbor_id"))
+      .otherwise(raise_error(concat(
+        lit("ivfTopKFromModelCurve: neighbor_id outside [0, 2^32): "),
+        col("neighbor_id").cast("string"))))
+    val aggd = scored
+      .select(col("query_id"), col("r"),
+        (c9 * lit(IdMask + 1L) + (lit(IdMask) - idChecked)).as("pk"))
+      .groupBy("query_id")
+      .agg(max(when(col("r") <= probes.head, col("pk"))).as(s"pk_${probes.head}"),
+        probes.tail.map(p =>
+          max(when(col("r") <= p, col("pk"))).as(s"pk_$p")): _*)
+    aggd
+      .select(col("query_id"), expr(
+        s"stack(${probes.length}, " +
+          probes.map(p => s"CAST($p AS BIGINT), pk_$p").mkString(", ") +
+          ") AS (nprobe, pk)"))
+      .filter(col("pk").isNotNull)
+      .select(col("nprobe"), col("query_id"),
+        (lit(IdMask) - col("pk").bitwiseAND(lit(IdMask))).as("neighbor_id"),
+        (shiftright(col("pk"), 32).cast("double") / 1e9).as("cos"),
+        lit(1).as("rank"))
+  }
+
   /** IVF-PQ — the memory-bound third scale tier: inverted lists from the
     * coarse quantizer (as [[ivfTopK]]) plus PRODUCT-QUANTIZED residuals
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search" —

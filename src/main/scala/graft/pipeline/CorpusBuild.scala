@@ -1048,6 +1048,18 @@ object CorpusBuild {
       stateKmeans(spark, stateDir),
       stateCentroids(spark, stateDir), k, nProbe)
 
+  /** The whole recall-vs-nProbe top-1 family from the stored model in
+    * one candidate-generation pass
+    * ([[graft.ops.Similarity.ivfTopKFromModelCurve]]) — per width
+    * identical to [[stateIvfTopK]](k = 1, nProbe = width).
+    */
+  def stateIvfCurve(spark: SparkSession, stateDir: String,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
+    graft.ops.Similarity.ivfTopKFromModelCurve(
+      stateVecs(spark, stateDir), "id", "v",
+      stateKmeans(spark, stateDir),
+      stateCentroids(spark, stateDir), probes)
+
   /** The keep-list of the stored state: one survivor per component,
     * longest text first then smallest id — [[survivors]]'s rule applied
     * to the persisted docs+labels.

@@ -759,7 +759,8 @@ object CurationQueries {
       // any cluster with >= 2 members produces a claim — consumed
       // through the same memo the gate reads
       .unionByName(nonempty("state_ann_curve_claims_nonempty",
-        SharedAnn.serve(s, d, "state_ivf_p1")))
+        SharedAnn.serve(s, d, "state_ivf_curve")
+          .filter(col("nprobe") === 1L)))
       .orderBy("gate")
   }
 

@@ -809,18 +809,23 @@ object ExtensionQueries {
     */
   private val RecallCurveProbes = Seq(1, 2, 4, 8)
 
-  /** q167 — IVF RECALL-vs-nPROBE CURVE over the stored model: for each
-    * probe width, the state-served top-1 ([[SharedAnn]] `state_ivf_p*`
-    * tiers — published here, so a bench bills the four searches to this
-    * number) is judged against the brute-force exact top-1 over the
-    * SAME stored vectors; a query is recalled when its served cosine
-    * equals the exact best (cosine equality, not id — ties are
+  /** q167 — IVF RECALL-vs-nPROBE CURVE over the stored model: the
+    * whole top-1 family comes from ONE candidate-generation pass
+    * ([[SharedAnn]] `state_ivf_curve`, published here so a bench bills
+    * the single search to this number — per width the relation is
+    * EXACTLY `stateIvfTopK(k=1, nProbe=width)`'s, ClusteringSpec-
+    * asserted) and is judged against the brute-force exact top-1 over
+    * the SAME stored vectors; a query is recalled when its served
+    * cosine equals the exact best (cosine equality, not id — ties are
     * recalled by any co-maximal neighbor, and the q88/q156 family
     * guarantees served cosines are bit-identical to exact for the same
-    * pairs). Emits one row per probe width with exact-integer ppm.
-    * Rows-only (the stored float model is not reproducible in SQL);
-    * the q168 gate rescored every claim, and SimilaritySpec asserts
-    * the curve is monotone with recall 1 at nProbe = nClusters.
+    * pairs). Emits one row per probe width with exact-integer ppm; the
+    * denominator counts EVERY query with an exact neighbor (a width
+    * whose lists turn up no candidate scores a miss, not a skip) via a
+    * declared 4-row broadcast spine. Rows-only (the stored float model
+    * is not reproducible in SQL); the q168 gate rescored every claim,
+    * and ClusteringSpec asserts the curve is monotone with recall 1 at
+    * nProbe = nClusters.
     */
   val q167_ivf_recall_curve: Q = (s, d) => {
     val dir = TokenizerQueries.ensurePostingState(s, d)
@@ -828,36 +833,37 @@ object ExtensionQueries {
       .select(col("id").as("vec_id"), col("v").as("embedding"))
     val exact = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("cos").as("best_cos"))
-    RecallCurveProbes.map { p =>
-      val served = SharedAnn.publish(s, d, s"state_ivf_p$p")
-        .select(col("query_id"), col("cos"))
-      exact.join(served, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          sum(when(col("cos") >= col("best_cos"), 1L).otherwise(0L))
-            .as("n_recalled"))
-        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
-          coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
-          expr("(1000000 * coalesce(n_recalled, 0)) DIV n_queries")
-            .as("recall_ppm"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    val curve = SharedAnn.publish(s, d, "state_ivf_curve")
+    import s.implicits._
+    val spine = RecallCurveProbes.map(_.toLong).toDF("nprobe")
+    exact.crossJoin(broadcast(spine))
+      .join(curve.select(col("nprobe"), col("query_id"), col("cos")),
+        Seq("nprobe", "query_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("cos") >= col("best_cos"), 1L).otherwise(0L))
+          .as("n_recalled"))
+      .select(col("nprobe"), col("n_queries"),
+        coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
+        expr("(1000000 * coalesce(n_recalled, 0)) DIV n_queries")
+          .as("recall_ppm"))
+      .orderBy("nprobe")
   }
 
   /** q168 — the q156 rescoring gate over the WHOLE q167 curve family:
     * every (query, neighbor, cos) any probe width emitted is re-scored
     * with the independent HOF cosine over the stored vectors.
-    * Must be EMPTY. Reads the published `state_ivf_p*` memos (building
-    * only if q167 has not run this session) — the gate bills its
-    * rescoring joins, not four re-run searches.
+    * Must be EMPTY. Reads the published `state_ivf_curve` memo
+    * (building only if q167 has not run this session) — the gate bills
+    * its rescoring join, not a re-run search.
     */
   val q168_ivf_recall_gate: Q = (s, d) => {
     val dir = TokenizerQueries.ensurePostingState(s, d)
     val vecs = graft.pipeline.CorpusBuild.stateVecs(s, dir)
       .select(col("id").as("vec_id"), col("v"))
-    val claims = RecallCurveProbes.map { p =>
-      SharedAnn.serve(s, d, s"state_ivf_p$p")
-        .select(lit(s"state_ivf_p$p").as("tier"), col("query_id"),
-          col("neighbor_id"), col("cos"))
-    }.reduce(_ unionByName _)
+    val claims = SharedAnn.serve(s, d, "state_ivf_curve")
+      .select(concat(lit("state_ivf_p"), col("nprobe")).as("tier"),
+        col("query_id"), col("neighbor_id"), col("cos"))
     CurationQueries.annGate(claims, vecs)
       .orderBy("tier", "query_id", "neighbor_id")
   }

@@ -49,12 +49,12 @@ private[queries] object SharedAnn {
         // model — the memo holds only the top-1 readout, as above
         graft.pipeline.CorpusBuild.stateIvfTopK(s,
           TokenizerQueries.ensurePostingState(s, d), k = 1, nProbe = 2)
-      case t if t.startsWith("state_ivf_p") =>
-        // the q167 recall-curve family: same stored model, parameterized
-        // probe width — "state_ivf_p4" probes the 4 nearest lists
-        graft.pipeline.CorpusBuild.stateIvfTopK(s,
-          TokenizerQueries.ensurePostingState(s, d), k = 1,
-          nProbe = t.stripPrefix("state_ivf_p").toInt)
+      case "state_ivf_curve" =>
+        // the q167 recall-curve relation: all probe widths' top-1s from
+        // ONE candidate-generation pass over the stored model; row count
+        // ≤ widths × queries — memo-sized
+        graft.pipeline.CorpusBuild.stateIvfCurve(s,
+          TokenizerQueries.ensurePostingState(s, d))
       case other => throw new IllegalArgumentException(s"unknown tier $other")
     }
   }

@@ -155,6 +155,16 @@ class ClusteringSpec extends AnyFunSuite {
     assert(graft.queries.ExtensionQueries
       .q168_ivf_recall_gate(spark, sf).collect().isEmpty,
       "a curve claim failed the independent cosine recompute")
+    // the one-pass curve is per-width IDENTICAL to the per-width search
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq).toSet
+    assert(asSet(graft.pipeline.CorpusBuild.stateIvfCurve(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("nprobe") === 2L)
+        .drop("nprobe"))
+      === asSet(graft.pipeline.CorpusBuild.stateIvfTopK(
+        spark, dir, k = 1, nProbe = 2)),
+      "curve slice at width 2 diverged from the direct nProbe=2 search")
   }
 
   test("k exceeding distinct points: empty clusters keep their previous " +
