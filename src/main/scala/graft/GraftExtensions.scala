@@ -103,10 +103,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the codec tier's SQL surface: binary payload -> decoded struct
     ext.injectFunction((FunctionIdentifier("graft_image_stats"),
       info("graft_image_stats",
-        "graft_image_stats(content) - decode an image payload (P6 PPM " +
-          "or PNG, sniffed from the magic bytes) and return the pixel " +
-          "statistics struct (width, height, n_pixels, sum_channel, " +
-          "sum_channel_sq, max_channel, mean_channel)"),
+        "graft_image_stats(content) - decode an image payload (P6 PPM, " +
+          "PNG, GIF, or baseline JPEG, sniffed from the magic bytes) " +
+          "and return the pixel statistics struct (width, height, " +
+          "n_pixels, sum_channel, sum_channel_sq, max_channel, " +
+          "mean_channel)"),
       arity("graft_image_stats", 1)(e =>
         graft.functions.ImageStatsExpr(e(0)))))
     ext.injectFunction((FunctionIdentifier("graft_audio_stats"),

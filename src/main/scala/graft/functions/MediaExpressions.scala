@@ -19,9 +19,9 @@ import graft.multimodal.Codecs
   */
 
 /** `graft_image_stats(content)`: decode an image payload — container
-  * sniffed from its magic (P6 PPM, PNG signature, or GIF8 header), so
-  * the caller never declares the format — and emit the q151/q164/q169
-  * statistics struct. The struct fields mirror
+  * sniffed from its magic (P6 PPM, PNG signature, GIF8 header, or JPEG
+  * SOI), so the caller never declares the format — and emit the
+  * q151/q164/q169/q170 statistics struct. The struct fields mirror
   * [[graft.multimodal.Multimodal.ImageStats]] minus the id (the
   * caller already has its key column).
   */
@@ -45,6 +45,9 @@ case class ImageStatsExpr(child: Expression)
       else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == '8')
         Codecs.decodeGif(bytes)
+      else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8)
+        Codecs.decodeJpeg(bytes)
       else Codecs.decodePng(bytes)
     var sum = 0L; var sumSq = 0L; var mx = 0; var i = 0
     while (i < img.pixels.length) {

@@ -684,4 +684,476 @@ object Codecs {
     sb.get(samples)
     WavAudio(channels, rate, bits, samples)
   }
+
+  // --------------------------------------------------------------- JPEG
+  //
+  // From-scratch BASELINE JPEG (ITU-T T.81 sequential DCT, Huffman
+  // entropy coding) — the first TRANSFORM codec in the tier: real
+  // zigzag scan, run/size AC coding with ZRL and EOB, canonical Huffman
+  // tables carried in DHT, byte-stuffed bit stream, level-shifted
+  // 8x8 FDCT/IDCT with an 8-bit quantization table. Single-component
+  // (grayscale) 1x1-sampled frames only; the decoder reads every table
+  // it uses from the file (DQT/DHT/SOF0/SOS marker walk), so it decodes
+  // any conforming single-component baseline stream, not just this
+  // encoder's output.
+
+  /** Zigzag index k → natural (row*8+col) position, derived by the
+    * spec's diagonal walk (even diagonals ascend) rather than a
+    * transcribed table.
+    */
+  private[multimodal] val Zigzag: Array[Int] = {
+    val out = new Array[Int](64); var k = 0
+    for (d <- 0 until 15) {
+      val pts = for (r <- 0 to d if r < 8 && (d - r) < 8) yield (r, d - r)
+      for ((r, c) <- if (d % 2 == 0) pts.reverse else pts) {
+        out(k) = r * 8 + c; k += 1
+      }
+    }
+    out
+  }
+
+  /** All-ones luminance quantization table (natural order): max-quality
+    * quantization so a DC-only (block-constant) image round-trips
+    * exactly — the property the oracle queries rely on.
+    */
+  private val JpegQuant: Array[Int] = Array.fill(64)(1)
+
+  /** A Huffman table as it appears in a DHT segment: `bits(l-1)` codes
+    * of length `l`, symbol values in canonical order.
+    */
+  final case class HuffSpec(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 16 && bits.sum == vals.length,
+      s"inconsistent Huffman spec: ${bits.sum} codes vs ${vals.length} values")
+    /** symbol → (code, length), canonical assignment. */
+    val encode: Map[Int, (Int, Int)] = {
+      var code = 0; var vi = 0
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          require(code < (1 << l), s"canonical overflow at length $l")
+          m(vals(vi)) = (code, l); code += 1; vi += 1; i += 1
+        }
+        code <<= 1
+      }
+      m.toMap
+    }
+  }
+
+  /** Standard-style luminance DC table (categories 0-11). */
+  private val DcLuma = HuffSpec(
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  /** Standard-style luminance AC table: every (run, size) symbol for
+    * run 0-15 x size 1-10 plus EOB (0x00) and ZRL (0xF0), so any 8-bit
+    * block's coefficients are codable.
+    */
+  private val AcLuma = HuffSpec(
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+      0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+      0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+      0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+      0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+      0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+      0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+      0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+      0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+      0xF9, 0xFA))
+
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** In-place level-shifted spatial block → F(u,v) with the T.81
+    * scaling (index = vFreq*8 + uFreq). Separable, double precision.
+    */
+  private def fdct(b: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += b(y * 8 + x) * CosT(x)(u); x += 1 }
+        tmp(y * 8 + u) = s; u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * CosT(yy)(v); yy += 1 }
+        b(v * 8 + u) = 0.25 * cNorm(u) * cNorm(v) * s; v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** In-place F(u,v) → spatial (still level-shifted; caller adds 128). */
+  private def idct(b: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += cNorm(v) * b(v * 8 + u) * CosT(y)(v); v += 1 }
+        tmp(y * 8 + u) = s; y += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var uu = 0
+        while (uu < 8) { s += cNorm(uu) * tmp(y * 8 + uu) * CosT(x)(uu); uu += 1 }
+        b(y * 8 + x) = 0.25 * s; x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Bit count of |v| — the T.81 magnitude category / size. */
+  private def magCategory(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** The category-bits payload: v itself if positive, v-1's low bits
+    * (ones complement of |v|) if negative.
+    */
+  private def magBits(v: Int, cat: Int): Int =
+    if (v >= 0) v else v + (1 << cat) - 1
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(value: Int, length: Int): Unit = {
+      var i = length - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >>> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def putHuff(t: HuffSpec, sym: Int): Unit = {
+      val (code, len) = t.encode(sym); put(code, len)
+    }
+    def flushOnes(): Unit = while (n != 0) put(1, 1)
+  }
+
+  /** Encode an 8-bit grayscale plane as a single-component baseline
+    * JPEG: JFIF APP0, all-ones DQT, SOF0, two DHTs, one Huffman scan.
+    * Right/bottom partial blocks are edge-replicated, as decoders
+    * conventionally reconstruct-and-crop.
+    */
+  def encodeJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
+      s"bad JPEG dimensions ${width}x$height")
+    require(gray.length == width * height,
+      s"plane is ${gray.length} bytes, expected ${width * height}")
+    val out = new java.io.ByteArrayOutputStream(gray.length / 8 + 1024)
+    def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16); out.write("JFIF".getBytes(ascii)); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0); u16(1); u16(1) // aspect-ratio density 1:1
+    out.write(0); out.write(0) // no thumbnail
+    marker(0xDB); u16(2 + 1 + 64); out.write(0x00) // 8-bit table id 0
+    for (k <- 0 until 64) out.write(JpegQuant(Zigzag(k)))
+    marker(0xC0); u16(8 + 3); out.write(8); u16(height); u16(width)
+    out.write(1) // one component
+    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1, qtable 0
+    def dht(cls: Int, id: Int, t: HuffSpec): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + t.vals.length)
+      out.write((cls << 4) | id)
+      t.bits.foreach(out.write); t.vals.foreach(out.write)
+    }
+    dht(0, 0, DcLuma); dht(1, 0, AcLuma)
+    marker(0xDA); u16(6 + 2); out.write(1) // one scan component
+    out.write(1); out.write(0x00) // component 1: DC table 0, AC table 0
+    out.write(0); out.write(63); out.write(0) // full spectral, no approx
+    val bw = new BitWriter(out)
+    val bx = (width + 7) / 8; val by = (height + 7) / 8
+    val block = new Array[Double](64); val coef = new Array[Int](64)
+    var pred = 0
+    var byi = 0
+    while (byi < by) {
+      var bxi = 0
+      while (bxi < bx) {
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(byi * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bxi * 8 + x, width - 1)
+            block(y * 8 + x) = (gray(sy * width + sx) & 0xFF) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        fdct(block)
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          coef(k) = Math.round(block(nat) / JpegQuant(nat)).toInt; k += 1
+        }
+        val diff = coef(0) - pred; pred = coef(0)
+        val cat = magCategory(diff)
+        bw.putHuff(DcLuma, cat)
+        if (cat > 0) bw.put(magBits(diff, cat), cat)
+        var last = 63
+        while (last >= 1 && coef(last) == 0) last -= 1
+        var run = 0; var kk = 1
+        while (kk <= last) {
+          if (coef(kk) == 0) run += 1
+          else {
+            while (run >= 16) { bw.putHuff(AcLuma, 0xF0); run -= 16 }
+            val s = magCategory(coef(kk))
+            bw.putHuff(AcLuma, (run << 4) | s)
+            bw.put(magBits(coef(kk), s), s)
+            run = 0
+          }
+          kk += 1
+        }
+        if (last < 63) bw.putHuff(AcLuma, 0x00) // EOB
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flushOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decoder built from a DHT's (bits, vals) — the
+    * T.81 mincode/maxcode/valptr walk, one bit at a time.
+    */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var vi = 0
+      for (l <- 1 to 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = vi; minCode(l) = code
+          vi += bits(l - 1); code += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+      require(vi == vals.length, "DHT bits/vals mismatch")
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        code = (code << 1) | br.bit(); l += 1
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      throw new IllegalArgumentException("invalid Huffman code in scan")
+    }
+  }
+
+  /** MSB-first entropy-segment reader that undoes 0xFF00 byte stuffing
+    * and fails loudly on an unexpected in-scan marker.
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "entropy stream truncated")
+        val b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          require(pos < bytes.length, "entropy stream truncated after 0xFF")
+          val m = bytes(pos) & 0xFF
+          require(m == 0x00,
+            f"unexpected marker FF$m%02X inside entropy-coded scan")
+          pos += 1
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Sign-extend a `t`-bit magnitude payload (T.81 EXTEND). */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decode a single-component baseline JPEG by walking the marker
+    * stream — every quantization and Huffman table is read from the
+    * file's own DQT/DHT segments — then Huffman-decoding each 8x8
+    * block (DC prediction + run/size AC with ZRL/EOB), dequantizing,
+    * applying the IDCT, and cropping the block grid to the SOF0
+    * dimensions. The grayscale result is returned triplicated into the
+    * tier's shared RGB [[PpmImage]] container. Progressive frames,
+    * multi-component scans, restart intervals, and 12-bit precision
+    * fail loudly by marker.
+    */
+  def decodeJpeg(bytes: Array[Byte]): PpmImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "not a JPEG payload (no SOI)")
+    var pos = 2
+    def u8(): Int = {
+      require(pos < bytes.length, "truncated JPEG header")
+      val v = bytes(pos) & 0xFF; pos += 1; v
+    }
+    def u16(): Int = {
+      require(pos + 2 <= bytes.length, "truncated JPEG header")
+      val v = ((bytes(pos) & 0xFF) << 8) | (bytes(pos + 1) & 0xFF)
+      pos += 2; v
+    }
+    val quants = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    val huffs = scala.collection.mutable.Map.empty[(Int, Int), HuffDecoder]
+    var width = -1; var height = -1; var compQuant = -1
+    var dcSel = -1; var acSel = -1
+    var sosSeen = false
+    while (!sosSeen) {
+      require(pos + 2 <= bytes.length, "truncated before SOS")
+      require(u8() == 0xFF, "expected marker")
+      var m = u8()
+      while (m == 0xFF) m = u8() // optional fill bytes
+      m match {
+        case 0xDB => // DQT: one or more tables
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val pq = u8(); val prec = pq >>> 4; val id = pq & 0x0F
+            require(prec == 0 || prec == 1, s"bad DQT precision $prec")
+            val t = new Array[Int](64)
+            for (k <- 0 until 64)
+              t(Zigzag(k)) = if (prec == 0) u8() else u16()
+            quants(id) = t
+          }
+        case 0xC4 => // DHT: one or more tables
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val tc = u8(); val cls = tc >>> 4; val id = tc & 0x0F
+            val bl = Array.tabulate(16)(_ => u8())
+            val vl = Array.tabulate(bl.sum)(_ => u8())
+            huffs((cls, id)) = new HuffDecoder(bl, vl)
+          }
+        case 0xC0 => // SOF0 baseline
+          u16()
+          require(u8() == 8, "only 8-bit precision supported")
+          height = u16(); width = u16()
+          val nc = u8()
+          require(nc == 1,
+            s"$nc components unsupported (single-component grayscale only)")
+          u8() // component id
+          require(u8() == 0x11, "only 1x1 sampling supported")
+          compQuant = u8()
+        case 0xDA => // SOS
+          u16()
+          require(u8() == 1, "single-component scan expected")
+          u8() // component selector
+          val t = u8(); dcSel = t >>> 4; acSel = t & 0x0F
+          u8(); u8(); u8() // Ss/Se/Ah-Al, fixed for baseline
+          sosSeen = true
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+             0xCB | 0xCD | 0xCE | 0xCF =>
+          throw new IllegalArgumentException(
+            f"SOF marker FF$m%02X: non-baseline frame unsupported")
+        case 0xDD =>
+          throw new IllegalArgumentException("restart intervals unsupported")
+        case 0xD9 =>
+          throw new IllegalArgumentException("EOI before any scan")
+        case _ => // APPn / COM / anything else with a length: skip
+          val len = u16(); pos += len - 2
+      }
+    }
+    require(width > 0 && height > 0, "SOS before SOF0")
+    val quant = quants.getOrElse(compQuant,
+      throw new IllegalArgumentException(s"missing DQT id $compQuant"))
+    val dcTab = huffs.getOrElse((0, dcSel),
+      throw new IllegalArgumentException(s"missing DC DHT id $dcSel"))
+    val acTab = huffs.getOrElse((1, acSel),
+      throw new IllegalArgumentException(s"missing AC DHT id $acSel"))
+    val br = new BitReader(bytes, pos)
+    val bx = (width + 7) / 8; val by = (height + 7) / 8
+    val gray = new Array[Byte](width * height)
+    val block = new Array[Double](64)
+    var pred = 0
+    var byi = 0
+    while (byi < by) {
+      var bxi = 0
+      while (bxi < bx) {
+        java.util.Arrays.fill(block, 0.0)
+        val cat = dcTab.decode(br)
+        require(cat <= 11, s"DC category $cat out of range")
+        pred += extend(br.bits(cat), cat)
+        block(0) = pred.toDouble * quant(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acTab.decode(br)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            k += rs >>> 4
+            require(k < 64, "AC run past end of block")
+            val s = rs & 0x0F
+            val nat = Zigzag(k)
+            block(nat) = extend(br.bits(s), s).toDouble * quant(nat)
+            k += 1
+          }
+        }
+        idct(block)
+        var y = 0
+        while (y < 8) {
+          val py = byi * 8 + y
+          if (py < height) {
+            var x = 0
+            while (x < 8) {
+              val px = bxi * 8 + x
+              if (px < width) {
+                val v = Math.round(block(y * 8 + x) + 128.0).toInt
+                gray(py * width + px) =
+                  math.max(0, math.min(255, v)).toByte
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        bxi += 1
+      }
+      byi += 1
+    }
+    val pixels = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < gray.length) {
+      pixels(i * 3) = gray(i); pixels(i * 3 + 1) = gray(i)
+      pixels(i * 3 + 2) = gray(i)
+      i += 1
+    }
+    PpmImage(width, height, 255, pixels)
+  }
 }

@@ -12,21 +12,23 @@ import org.apache.spark.sql.functions._
   *
   *  - REAL decoders ([[Codecs]]): P6 PPM images, RIFF/WAVE PCM audio,
   *    compressed PNG (DEFLATE via the JVM's built-in zlib, chunk walk,
-  *    CRC verification, five-filter scanline reconstruction), AND
+  *    CRC verification, five-filter scanline reconstruction),
   *    LZW-compressed GIF (variable-width codes, clear/KwKwK handling,
-  *    sub-block reassembly, palette mapping) are parsed from scratch
-  *    (pure JVM), and [[decodeImageStats]] / [[decodeAudioStats]] /
-  *    [[decodePngStats]] / [[decodeGifStats]] emit genuine
-  *    pixel/sample statistics (q151/q152/q164/q169, oracle-checked
-  *    end to end).
-  *  - `decodeStub` for the ENTROPY-/TRANSFORM-CODED formats (JPEG,
-  *    MP3, H.264): no codec libraries exist in this container and
-  *    those codecs (DCT + Huffman, psychoacoustic subband, motion
-  *    compensation) are out of from-scratch scope, so their payloads
-  *    get byte-level metadata only (length, first byte, digest).
-  *    Swapping in a real codec replaces only the function body — the
-  *    PNG tier proves it: same plan shape (scan → per-partition batch
-  *    transform → typed output), real compressed container.
+  *    sub-block reassembly, palette mapping), AND baseline JPEG (the
+  *    full transform path: marker walk, canonical Huffman from DHT,
+  *    zigzag run/size AC coding, dequantize + IDCT) are parsed from
+  *    scratch (pure JVM), and [[decodeImageStats]] /
+  *    [[decodeAudioStats]] / [[decodePngStats]] / [[decodeGifStats]] /
+  *    [[decodeJpegStats]] emit genuine pixel/sample statistics
+  *    (q151/q152/q164/q169/q170, oracle-checked end to end).
+  *  - `decodeStub` for the PERCEPTUAL formats (MP3, H.264): no codec
+  *    libraries exist in this container and those codecs
+  *    (psychoacoustic subband synthesis, motion compensation) are out
+  *    of from-scratch scope, so their payloads get byte-level metadata
+  *    only (length, first byte, digest). Swapping in a real codec
+  *    replaces only the function body — the PNG/GIF/JPEG tiers prove
+  *    it: same plan shape (scan → per-partition batch transform →
+  *    typed output), real compressed containers.
   */
 object Multimodal {
 
@@ -244,6 +246,48 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       imageStatsOf(r.media_id, Codecs.decodeGif(r.content))))
+  }
+
+  /** REAL baseline JPEG payloads synthesized deterministically from
+    * text: code i becomes one CONSTANT 8x8 block of an 8-wide grayscale
+    * image (height = 8·max(1, n)), Huffman-entropy-coded through the
+    * full transform path ([[Codecs.encodeJpeg]] — FDCT, zigzag,
+    * run/size AC coding, byte stuffing). A constant block's DCT is
+    * DC-only, and with the all-ones quantization table the DC
+    * quantizes losslessly — so the decode round-trips EXACTLY and a
+    * second engine predicts every pixel statistic from the text, while
+    * the bytes on the wire exercise genuine JPEG entropy coding (DC
+    * prediction across blocks makes consecutive-code deltas real).
+    */
+  def jpegFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val codes = asciiBytes(t)
+        val nb = math.max(1, codes.length)
+        val gray = new Array[Byte](64 * nb)
+        var i = 0
+        while (i < codes.length) {
+          java.util.Arrays.fill(gray, 64 * i, 64 * (i + 1), codes(i))
+          i += 1
+        }
+        MediaRow(id, "image/jpeg", Codecs.encodeJpeg(8, 8 * nb, gray))
+      })
+  }
+
+  /** Decode baseline JPEG payloads (REAL transform-codec parse —
+    * [[Codecs.decodeJpeg]]: marker walk, canonical Huffman from DHT,
+    * dequantize, IDCT) into the shared container-agnostic stats
+    * kernel; the grayscale plane arrives triplicated to RGB, so the
+    * stats algebra matches the GIF gray-palette contract.
+    */
+  def decodeJpegStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      imageStatsOf(r.media_id, Codecs.decodeJpeg(r.content))))
   }
 
   /** A 64-bit difference-hash (dHash) of a decoded image, carried as two

@@ -676,6 +676,50 @@ object PrepQueries {
       |    AS mean_channel
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** q170 — REAL TRANSFORM-CODEC image decode: synthesize a genuine
+    * baseline JPEG per document — code i becomes one CONSTANT 8×8 block
+    * of an 8-wide grayscale frame, pushed through the full T.81 path
+    * ([[graft.multimodal.Multimodal.jpegFromText]]: level shift, FDCT,
+    * all-ones quantization, zigzag, DC-predicted category coding,
+    * run/size AC coding, canonical Huffman, byte stuffing) — then PARSE
+    * it back with the from-scratch [[graft.multimodal.Codecs.decodeJpeg]]
+    * (marker walk reading DQT/DHT from the file, Huffman scan decode,
+    * dequantize, IDCT) and emit per-image pixel statistics. A constant
+    * block's DCT is DC-only and the all-ones table quantizes the DC
+    * losslessly, so the lossy-codec round-trip is EXACT here and the
+    * oracle predicts every field from the text — while the bytes on the
+    * wire exercise genuine transform-codec entropy coding (the first
+    * DCT-family format in the tier; the stub now covers only the
+    * perceptual codecs MP3/H.264). Per-partition encode+decode in one
+    * stage, shuffle-free before the final sort; at 100 TB the codec
+    * rides the scan.
+    */
+  val q170_jpeg_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeJpegStats(
+        graft.multimodal.Multimodal.jpegFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q170Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, codes, greatest(1, len(codes)) AS nb
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(8 AS INTEGER) AS width,
+      |  CAST(8 * nb AS INTEGER) AS height,
+      |  CAST(64 * nb AS BIGINT) AS n_pixels,
+      |  CAST(192 * coalesce(list_sum(codes), 0) AS BIGINT) AS sum_channel,
+      |  CAST(192 * coalesce(list_sum([c * c for c in codes]), 0) AS BIGINT)
+      |    AS sum_channel_sq,
+      |  CAST(coalesce(list_max(codes), 0) AS INTEGER) AS max_channel,
+      |  CAST(coalesce(list_sum(codes), 0) AS DOUBLE) / nb AS mean_channel
+      |FROM s ORDER BY media_id""".stripMargin
+
   val q165Sql: String = {
     s"""WITH RECURSIVE
        |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
@@ -818,7 +862,8 @@ object PrepQueries {
     "q162_scene_cuts" -> q162_scene_cuts,
     "q164_png_decode" -> q164_png_decode,
     "q165_crossmodal_clusters" -> q165_crossmodal_clusters,
-    "q169_gif_decode" -> q169_gif_decode)
+    "q169_gif_decode" -> q169_gif_decode,
+    "q170_jpeg_decode" -> q170_jpeg_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -841,5 +886,6 @@ object PrepQueries {
     "q162_scene_cuts" -> q162Sql,
     "q164_png_decode" -> q164Sql,
     "q165_crossmodal_clusters" -> q165Sql,
-    "q169_gif_decode" -> q169Sql)
+    "q169_gif_decode" -> q169Sql,
+    "q170_jpeg_decode" -> q170Sql)
 }

@@ -397,6 +397,158 @@ class CodecSpec extends AnyFunSuite {
     assert(g(4L).height === 7 && g(4L).sum_channel === 3L * 120 * 100)
   }
 
+  // ------------------------------------------------------------- JPEG
+
+  /** A minimal hand-assembled single-component baseline JPEG: all-ones
+    * quant table, a custom one-symbol-per-class DHT (the decoder must
+    * read tables from the file, so the golden need not use the
+    * encoder's tables), and a hand-derived entropy stream.
+    */
+  private def handJpeg(dcBits: Seq[Int], dcVals: Seq[Int],
+      acBits: Seq[Int], acVals: Seq[Int], scan: Seq[Int]): Array[Byte] = {
+    val b = Seq.newBuilder[Int]
+    b ++= Seq(0xFF, 0xD8) // SOI
+    b ++= Seq(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT, 8-bit, id 0
+    b ++= Seq.fill(64)(1)
+    // SOF0: 8-bit, 8x8, one component, 1x1 sampling, qtable 0
+    b ++= Seq(0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08,
+      0x01, 0x01, 0x11, 0x00)
+    def dht(cls: Int, bits: Seq[Int], vals: Seq[Int]): Unit = {
+      b ++= Seq(0xFF, 0xC4)
+      val len = 2 + 1 + 16 + vals.length
+      b ++= Seq(len >>> 8, len & 0xFF, cls << 4)
+      b ++= bits; b ++= vals
+    }
+    dht(0, dcBits, dcVals); dht(1, acBits, acVals)
+    // SOS: one component, DC table 0 / AC table 0, full spectral band
+    b ++= Seq(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00)
+    b ++= scan
+    b ++= Seq(0xFF, 0xD9) // EOI
+    b.result().map(_.toByte).toArray
+  }
+
+  test("golden JPEG: hand-assembled DC-only constant-100 block (own DHT, " +
+      "hand-derived entropy bits) decodes to the exact pixels") {
+    // DC diff = (100-128)*8 = -224, category 8, payload bits
+    // -224 + 255 = 31 = 00011111. DC table: single len-1 code "0" for
+    // category 8; AC table: single len-1 code "0" for EOB.
+    // Scan bits: 0 00011111 0 + six 1-pad = 00001111 10111111.
+    val bytes = handJpeg(
+      dcBits = 1 +: Seq.fill(15)(0), dcVals = Seq(8),
+      acBits = 1 +: Seq.fill(15)(0), acVals = Seq(0x00),
+      scan = Seq(0x0F, 0xBF))
+    val img = Codecs.decodeJpeg(bytes)
+    assert(img.width === 8 && img.height === 8)
+    assert(img.pixels.forall(p => (p & 0xFF) == 100),
+      "DC-only block must reconstruct to the constant source value")
+  }
+
+  test("golden JPEG: hand-assembled block with one AC coefficient " +
+      "exercises zigzag placement, run/size decode, and the IDCT " +
+      "against the T.81 formula computed independently") {
+    // Quantized coefficients: DC = 0, AC at zigzag index 1 (natural
+    // u=1, v=0) = +4. DC table: len-2 codes 00->cat0, 01->cat8 (cat8
+    // unused here); AC: len-2 codes 00->EOB, 01->(run0,size3).
+    // Scan bits: DC 00; AC 01 100 (4); EOB 00; pad 1111111
+    //   -> 00011000 01111111 = 0x18 0x7F.
+    val bytes = handJpeg(
+      dcBits = Seq(0, 2) ++ Seq.fill(14)(0), dcVals = Seq(0, 8),
+      acBits = Seq(0, 2) ++ Seq.fill(14)(0), acVals = Seq(0x00, 0x03),
+      scan = Seq(0x18, 0x7F))
+    val img = Codecs.decodeJpeg(bytes)
+    // f(x,y) = 1/4 C(u=1) C(v=0) * 4 * cos((2x+1)pi/16) * cos(0)
+    //        = cos((2x+1)pi/16) / sqrt(2), constant down each column
+    for (x <- 0 until 8) {
+      val want = Math.round(
+        128.0 + math.cos((2 * x + 1) * math.Pi / 16) / math.sqrt(2.0)).toInt
+      for (y <- 0 until 8)
+        assert((img.pixels((y * 8 + x) * 3) & 0xFF) === want,
+          s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG round-trip: block-constant planes are EXACT (DC-only + " +
+      "all-ones quant), including every DC value 0..255 and cross-block " +
+      "DC prediction") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10) {
+      val nb = 1 + rnd.nextInt(40)
+      val codes = Array.fill(nb)(rnd.nextInt(128).toByte)
+      val gray = new Array[Byte](64 * nb)
+      for (i <- 0 until nb)
+        java.util.Arrays.fill(gray, 64 * i, 64 * (i + 1), codes(i))
+      val img = Codecs.decodeJpeg(Codecs.encodeJpeg(8, 8 * nb, gray))
+      assert(img.width === 8 && img.height === 8 * nb)
+      for (i <- 0 until gray.length; ch <- 0 until 3)
+        assert((img.pixels(i * 3 + ch) & 0xFF) === (gray(i) & 0xFF))
+    }
+    for (v <- 0 until 256) { // every DC magnitude category both signs
+      val img = Codecs.decodeJpeg(Codecs.encodeJpeg(8, 8,
+        Array.fill(64)(v.toByte)))
+      assert((img.pixels(0) & 0xFF) === v, s"constant $v")
+    }
+  }
+
+  test("JPEG round-trip: arbitrary planes (non-multiple-of-8 dims, " +
+      "real AC coefficients) reconstruct within the quantization " +
+      "error bound") {
+    val rnd = new scala.util.Random(11)
+    var maxErr = 0
+    for (_ <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val img = Codecs.decodeJpeg(Codecs.encodeJpeg(w, h, gray))
+      assert(img.width === w && img.height === h)
+      for (i <- 0 until w * h) {
+        val e = math.abs((img.pixels(i * 3) & 0xFF) - (gray(i) & 0xFF))
+        if (e > maxErr) maxErr = e
+      }
+    }
+    // 64 coefficients, each rounded by <= 0.5, basis magnitude <= 1/4
+    assert(maxErr <= 8, s"reconstruction error $maxErr exceeds bound")
+  }
+
+  test("JPEG malformed inputs fail loudly (no SOI, truncation, " +
+      "non-baseline SOF, restart intervals)") {
+    def boom(b: Array[Byte]): Unit =
+      assertThrows[IllegalArgumentException](Codecs.decodeJpeg(b))
+    boom(Array[Byte](1, 2, 3, 4))
+    val good = Codecs.encodeJpeg(8, 8, Array.fill(64)(7.toByte))
+    boom(good.take(good.length - 30)) // cut mid-headers
+    boom(good.take(good.length - 3))  // cut inside the scan
+    val progressive = good.clone()
+    // SOF0 marker (FFC0) -> SOF2: progressive must be rejected by name
+    val sof = progressive.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    progressive(sof + 1) = 0xC2.toByte
+    boom(progressive)
+  }
+
+  test("q170 pipeline: JPEG-encoded corpus (one constant 8x8 block per " +
+      "code, real Huffman transform coding) decodes to statistics " +
+      "predictable from the source text") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abc"), (2L, ""), (3L, "ééA"), (4L, "x" * 100))
+      .toDF("doc_id", "text")
+    val j = Multimodal.decodeJpegStats(
+        Multimodal.jpegFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(j(1L).width === 8 && j(1L).height === 24, "one block per code")
+    assert(j(1L).n_pixels === 192L)
+    assert(j(1L).sum_channel === 3L * 64 * (97 + 98 + 99),
+      "triplicated gray, 64 pixels per code")
+    assert(j(1L).sum_channel_sq ===
+      3L * 64 * (97L * 97 + 98L * 98 + 99L * 99))
+    assert(j(1L).max_channel === 99)
+    assert(j(1L).mean_channel === (97.0 + 98 + 99) / 3.0)
+    assert(j(2L).height === 8 && j(2L).sum_channel === 0L,
+      "empty text encodes one black block")
+    assert(j(3L).sum_channel === 3L * 64 * 65,
+      "only the ASCII 'A' contributes")
+    assert(j(4L).height === 800 && j(4L).sum_channel === 3L * 64 * 120 * 100)
+  }
+
   test("q153 dHash: identical payloads hash identically, a hand-built " +
       "gradient image sets the predicted bits, banding is lossless at " +
       "hamming <= 3 (banded pair set == brute force)") {

@@ -109,8 +109,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
   }
 
   test("graft_image_stats / graft_audio_stats: the codec tier callable " +
-      "from SQL — PPM and PNG payloads sniffed by magic, WAV chunk-" +
-      "walked, structs equal to the Dataset decode path") {
+      "from SQL — PPM, PNG, and JPEG payloads sniffed by magic, WAV " +
+      "chunk-walked, structs equal to the Dataset decode path") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(50)
@@ -134,6 +134,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val png = Multimodal.pngFromText(spark, docs, "doc_id", "text")
     assert(viaSql(png) === viaDs(Multimodal.decodePngStats(png)),
       "SQL PNG decode (magic-sniffed) diverged from the Dataset path")
+    val jpg = Multimodal.jpegFromText(spark, docs, "doc_id", "text")
+    assert(viaSql(jpg) === viaDs(Multimodal.decodeJpegStats(jpg)),
+      "SQL JPEG decode (SOI-sniffed) diverged from the Dataset path")
     val wav = Multimodal.wavFromText(spark, docs, "doc_id", "text")
     wav.toDF().createOrReplaceTempView("sql_surface_media")
     val audioSql = spark.sql(
