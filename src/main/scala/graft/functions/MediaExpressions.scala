@@ -64,11 +64,12 @@ case class ImageStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** `graft_audio_stats(content)`: decode a RIFF/WAVE PCM16 payload (the
-  * real chunk walk) and emit the q152 statistics struct — duration
-  * computed from the sample count and the rate/channels READ FROM the
-  * parsed fmt chunk, so a header mis-decode surfaces as a wrong
-  * duration here exactly as in the Dataset path.
+/** `graft_audio_stats(content)`: decode an audio payload — container
+  * sniffed from its magic (RIFF/WAVE PCM16 chunk walk, or a `fLaC`
+  * stream through the Rice/predictor decode) — and emit the q152
+  * statistics struct; duration comes from the rate/channels READ FROM
+  * the parsed header, so a mis-decode surfaces as a wrong duration
+  * here exactly as in the Dataset path.
   */
 case class AudioStatsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -81,7 +82,12 @@ case class AudioStatsExpr(child: Expression)
     StructField("max_sample", LongType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val wav = Codecs.decodeWav(input.asInstanceOf[Array[Byte]])
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val wav =
+      if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+          bytes(2) == 'a' && bytes(3) == 'C')
+        Codecs.decodeFlac(bytes)
+      else Codecs.decodeWav(bytes)
     var sum = 0L; var mn = 0L; var mx = 0L; var i = 0
     if (wav.samples.nonEmpty) { mn = Long.MaxValue; mx = Long.MinValue }
     while (i < wav.samples.length) {

@@ -685,6 +685,374 @@ object Codecs {
     WavAudio(channels, rate, bits, samples)
   }
 
+  // --------------------------------------------------------------- FLAC
+  //
+  // From-scratch LOSSLESS compressed audio: a FLAC (free lossless audio
+  // codec) subset — real Rice/unary entropy coding, fixed linear
+  // predictors, CRC-8-protected frame headers, CRC-16-protected frames,
+  // UTF-8-coded frame numbers, and a STREAMINFO MD5 of the decoded PCM
+  // that the decoder VERIFIES. Mono 16-bit streams with fixed blocking;
+  // constant / verbatim / fixed-predictor subframes (orders 0-4) and
+  // any Rice partition order decode; LPC subframes and stereo
+  // decorrelation are out of subset and fail loudly by type. Because
+  // the codec is lossless, the decoded truth equals the source samples
+  // exactly — the property the oracle queries rely on.
+
+  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0; var i = from
+    while (i < until) {
+      c ^= bytes(i) & 0xFF
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF
+            else (c << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0; var i = from
+    while (i < until) {
+      c ^= (bytes(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+            else (c << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Growable MSB-first bit sink backed by a byte builder, with byte
+    * positions visible so CRCs can cover exact spans.
+    */
+  private final class FlacWriter {
+    val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def bytePos: Int = { require(n == 0, "unaligned"); buf.size }
+    def put(value: Int, length: Int): Unit = {
+      var i = length - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >>> i) & 1); n += 1
+        if (n == 8) { buf.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def putLong(value: Long, length: Int): Unit = {
+      if (length > 24) { put((value >>> 24).toInt, length - 24)
+        put((value & 0xFFFFFF).toInt, 24) }
+      else put(value.toInt, length)
+    }
+    def alignZero(): Unit = while (n != 0) put(0, 1)
+    /** Unary-encoded Rice quotient: q zero bits then a one. */
+    def putUnary(q: Int): Unit = { var i = 0
+      while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+  }
+
+  /** The UTF-8-style variable-length integer FLAC uses for frame
+    * numbers (1-7 bytes, up to 36 payload bits).
+    */
+  private def putUtf8(w: FlacWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 36), s"frame number $v out of range")
+    if (v < 0x80) w.put(v.toInt, 8)
+    else {
+      // k total bytes carry 6*(k-1) + (7-k) payload bits for k in 2..6,
+      // and exactly 36 for k = 7
+      var k = 2
+      while (k < 7 && v >= (1L << (6 * (k - 1) + (7 - k)))) k += 1
+      val lead = (0xFF << (8 - k)) & 0xFF // k ones then a zero
+      val leadBits = if (k == 7) 0
+        else (v >>> (6 * (k - 1))).toInt & ((1 << (7 - k)) - 1)
+      w.put(lead | leadBits, 8)
+      var i = k - 2
+      while (i >= 0) {
+        w.put(0x80 | ((v >>> (6 * i)).toInt & 0x3F), 8)
+        i -= 1
+      }
+    }
+  }
+
+  /** Encode 16-bit mono PCM as a FLAC-subset stream: fLaC magic, a
+    * STREAMINFO block (with the spec's MD5 of the little-endian PCM),
+    * then fixed-blocksize frames of up to 4096 samples. Each frame
+    * picks its subframe type the way a real encoder does: CONSTANT
+    * when all samples agree, VERBATIM for tiny blocks, else a FIXED
+    * order-2 predictor with single-partition Rice residuals (the
+    * parameter chosen from the residual magnitudes).
+    */
+  def encodeFlac(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    val w = new FlacWriter
+    w.buf.write('f'); w.buf.write('L'); w.buf.write('a'); w.buf.write('C')
+    // STREAMINFO: last-block flag + type 0, 24-bit length 34
+    w.put(0x80, 8); w.put(34, 24)
+    w.put(4096, 16); w.put(4096, 16) // min/max block size
+    w.put(0, 24); w.put(0, 24)       // min/max frame size unknown
+    w.put(sampleRate, 20)
+    w.put(0, 3)                      // channels - 1
+    w.put(15, 5)                     // bits/sample - 1
+    w.putLong(samples.length.toLong, 36)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    md.update(pcm.array())
+    md.digest().foreach(b => w.put(b & 0xFF, 8))
+    var off = 0; var frameNo = 0L
+    while (off < samples.length) {
+      val bs = math.min(4096, samples.length - off)
+      val frameStart = w.bytePos
+      w.put(0x3FFE, 14) // sync
+      w.put(0, 1)       // reserved
+      w.put(0, 1)       // fixed blocking strategy
+      w.put(0x7, 4)     // block size: 16-bit value - 1 follows
+      w.put(0x0, 4)     // sample rate: from STREAMINFO
+      w.put(0x0, 4)     // channel assignment: mono
+      w.put(0x4, 3)     // sample size: 16 bits
+      w.put(0, 1)       // reserved
+      putUtf8(w, frameNo)
+      w.put(bs - 1, 16)
+      val hdr = w.buf.toByteArray
+      w.put(crc8(hdr, frameStart, hdr.length), 8)
+      // subframe header: pad bit + 6-bit type + wasted-bits flag
+      val allEqual = (0 until bs).forall(i => samples(off + i) == samples(off))
+      if (allEqual) {
+        w.put(0, 1); w.put(0x00, 6); w.put(0, 1)
+        w.put(samples(off) & 0xFFFF, 16)
+      } else if (bs < 3) {
+        w.put(0, 1); w.put(0x01, 6); w.put(0, 1)
+        for (i <- 0 until bs) w.put(samples(off + i) & 0xFFFF, 16)
+      } else {
+        val order = 2
+        w.put(0, 1); w.put(0x08 | order, 6); w.put(0, 1)
+        for (i <- 0 until order) w.put(samples(off + i) & 0xFFFF, 16)
+        val res = new Array[Int](bs - order)
+        var i = order
+        while (i < bs) {
+          res(i - order) = samples(off + i) -
+            2 * samples(off + i - 1) + samples(off + i - 2)
+          i += 1
+        }
+        // residual: method 00 (4-bit Rice), partition order 0
+        w.put(0, 2); w.put(0, 4)
+        var zzSum = 0L
+        res.foreach(r => zzSum += ((r << 1) ^ (r >> 31)).toLong)
+        var k = 0
+        while (k < 14 && (res.length.toLong << (k + 1)) < zzSum) k += 1
+        w.put(k, 4)
+        res.foreach { r =>
+          val u = (r << 1) ^ (r >> 31)
+          w.putUnary(u >>> k); w.put(u & ((1 << k) - 1), k)
+        }
+      }
+      w.alignZero()
+      val whole = w.buf.toByteArray
+      w.put(crc16(whole, frameStart, whole.length), 16)
+      off += bs; frameNo += 1
+    }
+    w.buf.toByteArray
+  }
+
+  private final class FlacReader(bytes: Array[Byte]) {
+    var pos = 0
+    private var acc = 0; private var n = 0
+    def bytePos: Int = { require(n == 0, "unaligned"); pos }
+    def atEnd: Boolean = n == 0 && pos >= bytes.length
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "FLAC stream truncated")
+        acc = bytes(pos) & 0xFF; pos += 1; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def bitsLong(k: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def signedBits(k: Int): Int = (bits(k) << (32 - k)) >> (32 - k)
+    def unary(): Int = { var q = 0; while (bit() == 0) q += 1; q }
+    def align(): Unit = n = 0
+  }
+
+  private def readUtf8(r: FlacReader): Long = {
+    val b0 = r.bits(8)
+    if ((b0 & 0x80) == 0) b0.toLong
+    else {
+      var k = 0; var mask = 0x80
+      while (k < 8 && (b0 & mask) != 0) { k += 1; mask >>>= 1 }
+      require(k >= 2 && k <= 7, s"bad UTF-8 lead byte $b0")
+      var v = (b0 & (mask - 1)).toLong
+      var i = 1
+      while (i < k) {
+        val c = r.bits(8)
+        require((c & 0xC0) == 0x80, "bad UTF-8 continuation byte")
+        v = (v << 6) | (c & 0x3F)
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Decode a FLAC-subset payload: magic + metadata-block walk (unknown
+    * blocks skipped by their declared length, STREAMINFO parsed), then
+    * frames — sync code, header fields, CRC-8 over the header bytes,
+    * subframes (constant / verbatim / fixed 0-4 with any Rice
+    * partition order, escape codes included), byte alignment, CRC-16
+    * over the whole frame. The total sample count AND the STREAMINFO
+    * MD5 of the decoded PCM are verified, so a predictor slip or a
+    * Rice mis-read fails loudly even when every CRC happens to pass.
+    */
+  def decodeFlac(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC payload (no magic)")
+    val r = new FlacReader(bytes); r.pos = 4
+    var last = false
+    var rate = -1; var channels = -1; var bps = -1
+    var totalSamples = -1L; var md5 = Array.empty[Byte]
+    while (!last) {
+      val h = r.bits(8); last = (h & 0x80) != 0
+      val btype = h & 0x7F
+      val len = r.bits(24)
+      if (btype == 0) {
+        require(len == 34, s"bad STREAMINFO length $len")
+        r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+        rate = r.bits(20)
+        channels = r.bits(3) + 1
+        bps = r.bits(5) + 1
+        totalSamples = r.bitsLong(36)
+        md5 = Array.tabulate(16)(_ => r.bits(8).toByte)
+      } else {
+        var i = 0
+        while (i < len) { r.bits(8); i += 1 } // skip by declared length
+      }
+    }
+    require(rate > 0, "no STREAMINFO block")
+    require(channels == 1, s"$channels channels unsupported (mono subset)")
+    require(bps == 16, s"$bps bits/sample unsupported (16-bit subset)")
+    val outSamples = Array.newBuilder[Short]
+    var decoded = 0L
+    while (!r.atEnd) {
+      val frameStart = r.bytePos
+      require(r.bits(14) == 0x3FFE, "bad frame sync code")
+      r.bit() // reserved
+      r.bit() // blocking strategy
+      val bsCode = r.bits(4)
+      val srCode = r.bits(4)
+      val chan = r.bits(4)
+      val ssCode = r.bits(3)
+      r.bit() // reserved
+      require(chan == 0, "stereo decorrelation unsupported (mono subset)")
+      require(ssCode == 4, "non-16-bit frame sample size unsupported")
+      readUtf8(r) // frame number
+      val bs = bsCode match {
+        case 0x1 => 192
+        case c if c >= 0x2 && c <= 0x5 => 576 << (c - 2)
+        case 0x6 => r.bits(8) + 1
+        case 0x7 => r.bits(16) + 1
+        case c if c >= 0x8 => 256 << (c - 8)
+        case c => throw new IllegalArgumentException(s"bad block size code $c")
+      }
+      require(srCode == 0, "frame-local sample rate unsupported")
+      val hdrEnd = r.bytePos
+      val wantCrc8 = r.bits(8)
+      require(crc8(bytes, frameStart, hdrEnd) == wantCrc8,
+        "frame header CRC-8 mismatch")
+      // one subframe (mono)
+      require(r.bit() == 0, "subframe padding bit set")
+      val sfType = r.bits(6)
+      val wasted = r.bit()
+      require(wasted == 0, "wasted-bits unsupported in subset")
+      val block = new Array[Int](bs)
+      if (sfType == 0x00) { // CONSTANT
+        val v = r.signedBits(16)
+        java.util.Arrays.fill(block, v)
+      } else if (sfType == 0x01) { // VERBATIM
+        var i = 0
+        while (i < bs) { block(i) = r.signedBits(16); i += 1 }
+      } else if (sfType >= 0x08 && sfType <= 0x0C) { // FIXED order 0-4
+        val order = sfType - 0x08
+        var i = 0
+        while (i < order) { block(i) = r.signedBits(16); i += 1 }
+        val method = r.bits(2)
+        require(method == 0 || method == 1,
+          s"reserved residual coding method $method")
+        val pBits = if (method == 0) 4 else 5
+        val pOrder = r.bits(4)
+        val nPart = 1 << pOrder
+        require(bs % nPart == 0 && (bs >> pOrder) > order,
+          s"bad partition order $pOrder for block $bs")
+        var idx = order
+        var p = 0
+        while (p < nPart) {
+          val cnt = (bs >> pOrder) - (if (p == 0) order else 0)
+          val param = r.bits(pBits)
+          val escape = param == (1 << pBits) - 1
+          val rawBits = if (escape) r.bits(5) else 0
+          var j = 0
+          while (j < cnt) {
+            block(idx) =
+              if (escape) { if (rawBits == 0) 0 else r.signedBits(rawBits) }
+              else {
+                val u = (r.unary() << param) | r.bits(param)
+                (u >>> 1) ^ -(u & 1)
+              }
+            idx += 1; j += 1
+          }
+          p += 1
+        }
+        // undo the fixed predictor
+        var i2 = order
+        while (i2 < bs) {
+          val pr = order match {
+            case 0 => 0
+            case 1 => block(i2 - 1)
+            case 2 => 2 * block(i2 - 1) - block(i2 - 2)
+            case 3 => 3 * block(i2 - 1) - 3 * block(i2 - 2) + block(i2 - 3)
+            case 4 => 4 * block(i2 - 1) - 6 * block(i2 - 2) +
+              4 * block(i2 - 3) - block(i2 - 4)
+          }
+          block(i2) += pr
+          i2 += 1
+        }
+      } else throw new IllegalArgumentException(
+        f"subframe type $sfType%02x unsupported (LPC out of subset)")
+      r.align()
+      val frameEnd = r.bytePos
+      val wantCrc16 = r.bits(16)
+      require(crc16(bytes, frameStart, frameEnd) == wantCrc16,
+        "frame CRC-16 mismatch")
+      block.foreach { v =>
+        require(v >= Short.MinValue && v <= Short.MaxValue,
+          s"decoded sample $v outside 16-bit range")
+        outSamples += v.toShort
+      }
+      decoded += bs
+    }
+    require(decoded == totalSamples,
+      s"decoded $decoded samples, STREAMINFO declares $totalSamples")
+    val samples = outSamples.result()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    md.update(pcm.array())
+    require(java.util.Arrays.equals(md.digest(), md5),
+      "decoded PCM does not match the STREAMINFO MD5")
+    WavAudio(1, rate, 16, samples)
+  }
+
   // --------------------------------------------------------------- JPEG
   //
   // From-scratch BASELINE JPEG (ITU-T T.81 sequential DCT, Huffman

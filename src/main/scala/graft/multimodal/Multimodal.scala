@@ -541,23 +541,60 @@ object Multimodal {
     })
   }
 
+  /** The shared per-clip sample-statistics kernel — container-agnostic
+    * over the decoded [[Codecs.WavAudio]], so every audio consumer
+    * (WAV chunk walk, FLAC frame decode) emits identical truth.
+    */
+  private def audioStatsOf(id: Long, wav: Codecs.WavAudio): AudioStats = {
+    var sum = 0L; var mn = 0L; var mx = 0L; var i = 0
+    if (wav.samples.nonEmpty) { mn = Long.MaxValue; mx = Long.MinValue }
+    while (i < wav.samples.length) {
+      val v = wav.samples(i).toLong
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    val n = wav.samples.length.toLong
+    AudioStats(id, n, n * 1000L / (wav.sampleRate.toLong * wav.channels),
+      sum, mn, mx)
+  }
+
   /** Decode RIFF/WAVE PCM payloads (REAL chunk walk —
     * [[Codecs.decodeWav]]) and emit per-clip sample statistics.
     */
   def decodeAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { r =>
-      val wav = Codecs.decodeWav(r.content)
-      var sum = 0L; var mn = 0L; var mx = 0L; var i = 0
-      if (wav.samples.nonEmpty) { mn = Long.MaxValue; mx = Long.MinValue }
-      while (i < wav.samples.length) {
-        val v = wav.samples(i).toLong
-        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      val n = wav.samples.length.toLong
-      AudioStats(r.media_id, n,
-        n * 1000L / (wav.sampleRate.toLong * wav.channels), sum, mn, mx)
-    })
+    media.mapPartitions(_.map(r =>
+      audioStatsOf(r.media_id, Codecs.decodeWav(r.content))))
+  }
+
+  /** REAL FLAC payloads from text: the SAME sample contract as
+    * [[wavFromText]] (sample i = (code_i − 64)·256, mono 8 kHz), but
+    * shipped LOSSLESSLY COMPRESSED — fixed-predictor subframes with
+    * Rice-coded residuals, CRC-protected frames, STREAMINFO MD5
+    * ([[Codecs.encodeFlac]]). Because FLAC is lossless, the q152
+    * oracle predicts every decoded field without change: the
+    * container changed, the decoded truth didn't.
+    */
+  def flacFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val samples = asciiBytes(t).map(b => ((b - 64) * 256).toShort)
+        MediaRow(id, "audio/flac", Codecs.encodeFlac(8000, samples))
+      })
+  }
+
+  /** Decode FLAC payloads (REAL compressed parse — [[Codecs.decodeFlac]]:
+    * metadata walk, frame sync, Rice/unary entropy decode, fixed
+    * predictors, CRC-8/CRC-16/MD5 verification) into the shared
+    * container-agnostic stats kernel.
+    */
+  def decodeFlacStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      audioStatsOf(r.media_id, Codecs.decodeFlac(r.content))))
   }
 }

@@ -720,6 +720,28 @@ object PrepQueries {
       |  CAST(coalesce(list_sum(codes), 0) AS DOUBLE) / nb AS mean_channel
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** q171 — REAL LOSSLESSLY-COMPRESSED audio decode: synthesize a
+    * genuine FLAC-subset stream per document — same sample contract as
+    * q152 but Rice-entropy-coded through fixed linear predictors, with
+    * CRC-8-protected frame headers, CRC-16-protected frames, and a
+    * STREAMINFO MD5 the decoder VERIFIES
+    * ([[graft.multimodal.Multimodal.flacFromText]]) — then PARSE it
+    * back with the from-scratch [[graft.multimodal.Codecs.decodeFlac]]
+    * (metadata walk, frame sync, unary/Rice decode, predictor undo)
+    * and emit per-clip sample statistics. The oracle is q152's SQL
+    * VERBATIM: lossless compression means the container changed and
+    * the decoded truth didn't — the audio analog of the q164 PNG
+    * discipline. Per-partition encode+decode in one stage,
+    * shuffle-free before the final sort.
+    */
+  val q171_flac_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeFlacStats(
+        graft.multimodal.Multimodal.flacFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q171Sql: String = q152Sql
+
   val q165Sql: String = {
     s"""WITH RECURSIVE
        |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
@@ -863,7 +885,8 @@ object PrepQueries {
     "q164_png_decode" -> q164_png_decode,
     "q165_crossmodal_clusters" -> q165_crossmodal_clusters,
     "q169_gif_decode" -> q169_gif_decode,
-    "q170_jpeg_decode" -> q170_jpeg_decode)
+    "q170_jpeg_decode" -> q170_jpeg_decode,
+    "q171_flac_decode" -> q171_flac_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -887,5 +910,6 @@ object PrepQueries {
     "q164_png_decode" -> q164Sql,
     "q165_crossmodal_clusters" -> q165Sql,
     "q169_gif_decode" -> q169Sql,
-    "q170_jpeg_decode" -> q170Sql)
+    "q170_jpeg_decode" -> q170Sql,
+    "q171_flac_decode" -> q171Sql)
 }

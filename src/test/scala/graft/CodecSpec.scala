@@ -397,6 +397,143 @@ class CodecSpec extends AnyFunSuite {
     assert(g(4L).height === 7 && g(4L).sum_channel === 3L * 120 * 100)
   }
 
+  // ------------------------------------------------------------- FLAC
+
+  /** Independent CRC transcriptions from the FLAC spec (poly 0x07 and
+    * 0x8005, MSB-first, zero init) — used to finish hand-assembled
+    * goldens without calling the codec under test.
+    */
+  private def refCrc8(bytes: Seq[Int]): Int =
+    bytes.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ b) { (c, _) =>
+        if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF
+      }
+    }
+  private def refCrc16(bytes: Seq[Int]): Int =
+    bytes.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ (b << 8)) { (c, _) =>
+        if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+        else (c << 1) & 0xFFFF
+      }
+    }
+
+  /** STREAMINFO for mono/16-bit/8kHz with `n` total samples plus the
+    * spec MD5 of the little-endian PCM — hand-packed field layout.
+    */
+  private def handFlacHeader(n: Int, samples: Seq[Short]): Seq[Int] = {
+    val pcm = samples.flatMap(s => Seq(s & 0xFF, (s >> 8) & 0xFF))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pcm.map(_.toByte).toArray).map(_ & 0xFF).toSeq
+    Seq('f'.toInt, 'L'.toInt, 'a'.toInt, 'C'.toInt,
+      0x80, 0x00, 0x00, 0x22,        // last block, type 0, length 34
+      0x10, 0x00, 0x10, 0x00,        // min/max block size 4096
+      0, 0, 0, 0, 0, 0,              // min/max frame size unknown
+      // rate 8000 (20 bits) | channels-1 0 (3) | bps-1 15 (5) |
+      // total samples (36) = 0x01 0xF4 0x00 0xF0 then 32 bits of n
+      0x01, 0xF4, 0x00, 0xF0,
+      (n >>> 24) & 0xFF, (n >>> 16) & 0xFF, (n >>> 8) & 0xFF, n & 0xFF
+    ) ++ md5
+  }
+
+  test("golden FLAC: hand-assembled constant-subframe frame (hand-" +
+      "packed STREAMINFO and frame header bits, spec CRCs computed " +
+      "independently) decodes to the exact samples") {
+    // Frame: sync 11111111111110, fixed blocking -> FF F8; block size
+    // code 0111 (16-bit follows), rate code 0000 -> 70; channel 0000,
+    // size 100, reserved 0 -> 08; frame number 0; blocksize-1 = 3.
+    val hdr = Seq(0xFF, 0xF8, 0x70, 0x08, 0x00, 0x00, 0x03)
+    // Subframe: pad 0, type 000000 (CONSTANT), wasted 0 -> 00; then
+    // the 16-bit value 1000 = 03 E8 (already byte-aligned).
+    val body = Seq(0x00, 0x03, 0xE8)
+    val frame = hdr ++ Seq(refCrc8(hdr)) ++ body
+    val bytes = (handFlacHeader(4, Seq.fill(4)(1000.toShort)) ++ frame ++
+      Seq(refCrc16(frame) >>> 8, refCrc16(frame) & 0xFF))
+      .map(_.toByte).toArray
+    val out = Codecs.decodeFlac(bytes)
+    assert(out.sampleRate === 8000 && out.channels === 1)
+    assert(out.samples.toSeq === Seq.fill(4)(1000.toShort))
+  }
+
+  test("golden FLAC: hand-assembled FIXED order-1 subframe with HAND-" +
+      "TRACED Rice bits (k=2, unary quotients) decodes through the " +
+      "predictor to the exact samples") {
+    // Samples [100, 101, 103]: warmup [100], residuals [1, 2],
+    // zigzag [2, 4]; k=2: u=2 -> unary 1, rem 10; u=4 -> unary 01,
+    // rem 00. Subframe byte: 0 001001 0 = 12; warmup 00 64; then
+    // method 00, partition order 0000, param 0010, residuals
+    // 110 0100, zero-padded:
+    //   00 000000 10 | 1 10 01 00 ++ pad -> bytes 00 B2 00.
+    val hdr = Seq(0xFF, 0xF8, 0x70, 0x08, 0x00, 0x00, 0x02)
+    val body = Seq(0x12, 0x00, 0x64, 0x00, 0xB2, 0x00)
+    val frame = hdr ++ Seq(refCrc8(hdr)) ++ body
+    val samples = Seq[Short](100, 101, 103)
+    val bytes = (handFlacHeader(3, samples) ++ frame ++
+      Seq(refCrc16(frame) >>> 8, refCrc16(frame) & 0xFF))
+      .map(_.toByte).toArray
+    assert(Codecs.decodeFlac(bytes).samples.toSeq === samples)
+  }
+
+  test("FLAC round-trip: encode then decode is the identity (empty, " +
+      "tiny, constant, random, smooth, and multi-frame streams with " +
+      "multi-byte UTF-8 frame numbers)") {
+    val rnd = new scala.util.Random(3)
+    def rt(s: Array[Short]): Int = {
+      val enc = Codecs.encodeFlac(8000, s)
+      val dec = Codecs.decodeFlac(enc)
+      assert(dec.sampleRate === 8000 && dec.bitsPerSample === 16)
+      assert(java.util.Arrays.equals(dec.samples, s))
+      enc.length
+    }
+    rt(Array.empty[Short]); rt(Array[Short](123)); rt(Array[Short](5, -7))
+    val constBytes = rt(Array.fill[Short](500)(-12345))
+    assert(constBytes < 100, "constant stream must compress to one " +
+      s"CONSTANT subframe, got $constBytes bytes")
+    rt(Array.fill[Short](1000)(rnd.nextInt(65536).toShort))
+    val sineBytes = rt(Array.tabulate[Short](5000)(i =>
+      (8000 * math.sin(i * 0.02)).toShort))
+    assert(sineBytes < 5000, "smooth signals must beat PCM (Rice coding " +
+      s"of order-2 residuals), got $sineBytes bytes for 10000 PCM bytes")
+    // > 128 frames forces 2-byte UTF-8 frame numbers
+    rt(Array.fill[Short](530000)(rnd.nextInt(200).toShort))
+  }
+
+  test("FLAC malformed inputs fail loudly (magic, truncation, residual " +
+      "bit flip vs CRC-16, header bit flip vs CRC-8)") {
+    def boom(b: Array[Byte]): Unit =
+      assertThrows[IllegalArgumentException](Codecs.decodeFlac(b))
+    boom(Array[Byte](1, 2, 3, 4, 5))
+    val good = Codecs.encodeFlac(8000,
+      Array.tabulate[Short](300)(i => (i * 7).toShort))
+    boom(good.take(good.length - 2))
+    val tail = good.clone()
+    tail(good.length - 10) = (tail(good.length - 10) ^ 0x40).toByte
+    boom(tail)
+    val head = good.clone() // byte 47 sits in the first frame header
+    head(47) = (head(47) ^ 0x01).toByte
+    boom(head)
+  }
+
+  test("q171 pipeline: FLAC-encoded corpus decodes to EXACTLY the " +
+      "stats of the uncompressed WAV path (lossless: same sample " +
+      "contract, compressed container)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abc"), (2L, ""), (3L, "ééA"), (4L, "x" * 100),
+      (5L, "the quick brown fox jumps over the lazy dog " * 4))
+      .toDF("doc_id", "text")
+    val viaFlac = Multimodal.decodeFlacStats(
+        Multimodal.flacFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    val viaWav = Multimodal.decodeAudioStats(
+        Multimodal.wavFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(viaFlac === viaWav, "container swap changed the decoded truth")
+    assert(viaFlac(1L).n_samples === 3L &&
+      viaFlac(1L).sum_sample === ((97 - 64) + (98 - 64) + (99 - 64)) * 256L)
+    assert(viaFlac(2L).n_samples === 0L)
+  }
+
   // ------------------------------------------------------------- JPEG
 
   /** A minimal hand-assembled single-component baseline JPEG: all-ones

@@ -137,21 +137,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val jpg = Multimodal.jpegFromText(spark, docs, "doc_id", "text")
     assert(viaSql(jpg) === viaDs(Multimodal.decodeJpegStats(jpg)),
       "SQL JPEG decode (SOI-sniffed) diverged from the Dataset path")
-    val wav = Multimodal.wavFromText(spark, docs, "doc_id", "text")
-    wav.toDF().createOrReplaceTempView("sql_surface_media")
-    val audioSql = spark.sql(
-      """SELECT media_id, s.* FROM (
-        |  SELECT media_id, graft_audio_stats(content) AS s
-        |  FROM sql_surface_media)""".stripMargin)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5))).toMap
-    val audioDs = Multimodal.decodeAudioStats(wav)
-      .collect().map(s => s.media_id ->
+    def audioViaSql(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) = {
+      media.toDF().createOrReplaceTempView("sql_surface_media")
+      spark.sql(
+        """SELECT media_id, s.* FROM (
+          |  SELECT media_id, graft_audio_stats(content) AS s
+          |  FROM sql_surface_media)""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+    }
+    def audioViaDs(stats: org.apache.spark.sql.Dataset[Multimodal.AudioStats]) =
+      stats.collect().map(s => s.media_id ->
         (s.n_samples, s.duration_ms, s.sum_sample, s.min_sample,
           s.max_sample)).toMap
-    assert(audioSql === audioDs,
+    val wav = Multimodal.wavFromText(spark, docs, "doc_id", "text")
+    assert(audioViaSql(wav) === audioViaDs(Multimodal.decodeAudioStats(wav)),
       "SQL WAV decode diverged from the Dataset path")
+    val flac = Multimodal.flacFromText(spark, docs, "doc_id", "text")
+    assert(audioViaSql(flac) === audioViaDs(Multimodal.decodeFlacStats(flac)),
+      "SQL FLAC decode (magic-sniffed) diverged from the Dataset path")
   }
 
   test("NULL text: SQL builders and Column twins share the same " +
