@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PrepQueries, StorageQueries, TokenizerQueries}
+import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PiiQueries, PrepQueries, StorageQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,7 @@ object SparkEntry {
       ExpansionQueries.queries ++ PrepQueries.queries ++
       CurationQueries.queries ++ MixQueries.queries ++
       StorageQueries.queries ++ TokenizerQueries.queries ++
-      FilterQueries.queries
+      FilterQueries.queries ++ PiiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
       CurationQueries.oracleSql ++ MixQueries.oracleSql ++
       StorageQueries.oracleSql ++ TokenizerQueries.oracleSql ++
-      FilterQueries.oracleSql
+      FilterQueries.oracleSql ++ PiiQueries.oracleSql
 }
