@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PiiQueries, PrepQueries, StorageQueries, TokenizerQueries}
+import graft.queries.{AnalyticsQueries, ClassifierQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PiiQueries, PrepQueries, StorageQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,8 @@ object SparkEntry {
       ExpansionQueries.queries ++ PrepQueries.queries ++
       CurationQueries.queries ++ MixQueries.queries ++
       StorageQueries.queries ++ TokenizerQueries.queries ++
-      FilterQueries.queries ++ PiiQueries.queries
+      FilterQueries.queries ++ PiiQueries.queries ++
+      ClassifierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       ExpansionQueries.oracleSql ++ PrepQueries.oracleSql ++
       CurationQueries.oracleSql ++ MixQueries.oracleSql ++
       StorageQueries.oracleSql ++ TokenizerQueries.oracleSql ++
-      FilterQueries.oracleSql ++ PiiQueries.oracleSql
+      FilterQueries.oracleSql ++ PiiQueries.oracleSql ++
+      ClassifierQueries.oracleSql
 }

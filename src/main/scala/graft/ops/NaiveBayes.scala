@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial Naive Bayes text classification — the
+  * quality/domain classifier tier of a training-data pipeline (the
+  * fastText/CCNet-style screen that scores every document before
+  * mixing), built as pure DataFrame algebra:
+  *
+  *  - TRAIN: per-(label, token) counts are ONE map-side-combined
+  *    shuffle over the tokenized corpus; class totals, vocabulary
+  *    size, and priors are 1-row aggregates.
+  *  - MODEL: a |vocab|-row relation carrying each token's smoothed
+  *    log-likelihood ratio ln θ₁(t) − ln θ₀(t) (Laplace +1), plus the
+  *    scalar default ratio for unseen tokens — small enough to
+  *    BROADCAST at any corpus scale (the vocabulary, not the corpus,
+  *    bounds it).
+  *  - PREDICT: per-doc term frequencies join the broadcast model and
+  *    aggregate Σ tf·ratio + ln(n₁/n₀) — map-side work after one
+  *    tf shuffle; no driver-side loops, no collect.
+  *
+  * Binary labels (0/1) — the common screen shape (keep/toss,
+  * high/low quality). At 100 TB: training is one shuffle keyed by
+  * (label, token) with heavy map-side combining (the key space is the
+  * vocabulary, not the corpus), scoring is a broadcast join; both
+  * survive a 1000-executor scale-out unchanged.
+  */
+object NaiveBayes {
+
+  /** Explode a text column into non-empty whitespace tokens. */
+  private def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("tok", explode(split(col(textCol), " ")))
+      .filter(col("tok") =!= "")
+      .drop(textCol)
+
+  /** Train on rows carrying `labelCol` ∈ {0, 1}: returns
+    * (model, scalars) where model has one row per training token
+    * (`tok`, `ratio` = ln θ₁ − ln θ₀) and scalars is a 1-row relation
+    * with the unseen-token default ratio and the log prior.
+    */
+  def train(docs: DataFrame, textCol: String, labelCol: String):
+      (DataFrame, DataFrame) = {
+    val tok = tokens(docs.select(col(labelCol).as("label"), col(textCol)),
+      textCol)
+    val counts = tok.groupBy("label", "tok").agg(count(lit(1)).as("c"))
+    val c0 = counts.filter(col("label") === 0).select(col("tok"),
+      col("c").as("c0"))
+    val c1 = counts.filter(col("label") === 1).select(col("tok"),
+      col("c").as("c1"))
+    // scalar side: class token totals, vocabulary size, doc priors
+    val scal = counts.agg(
+        sum(when(col("label") === 0, col("c")).otherwise(0L)).as("tot0"),
+        sum(when(col("label") === 1, col("c")).otherwise(0L)).as("tot1"),
+        countDistinct("tok").as("v"))
+      .crossJoin(docs.agg(
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n1")))
+      .select(col("tot0"), col("tot1"), col("v"),
+        (log((lit(1.0)) / (col("tot1") + col("v"))) -
+          log(lit(1.0) / (col("tot0") + col("v")))).as("default_ratio"),
+        log(col("n1").cast("double") / col("n0")).as("log_prior"))
+    val model = c0.join(c1, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(scal.select("tot0", "tot1", "v")))
+      .select(col("tok"),
+        (log((coalesce(col("c1"), lit(0L)) + 1) /
+            (col("tot1") + col("v"))) -
+          log((coalesce(col("c0"), lit(0L)) + 1) /
+            (col("tot0") + col("v")))).as("ratio"))
+    (model, scal.select("default_ratio", "log_prior"))
+  }
+
+  /** Score docs with a trained (model, scalars) pair: per-doc term
+    * frequencies left-join the BROADCAST model (unseen tokens take the
+    * smoothed default ratio) and fold into the posterior log-odds;
+    * `predicted` = 1 when the odds favor class 1. `idCol` keys the
+    * output.
+    */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame, scalars: DataFrame): DataFrame = {
+    val tf = tokens(docs.select(col(idCol), col(textCol)), textCol)
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("tok"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      .groupBy(idCol)
+      .agg((sum(col("tf") *
+          coalesce(col("ratio"), col("default_ratio"))) +
+        first("log_prior")).as("log_odds"))
+      .select(col(idCol),
+        when(col("log_odds") > 0, 1L).otherwise(0L).as("predicted"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed-trained document classification ([[graft.ops.NaiveBayes]])
+  * — the quality-classifier tier: train on a labeled split, score the
+  * held-out split, all in DataFrame algebra (one training shuffle, a
+  * broadcast model join to predict).
+  *
+  * Labels are PLANTED deterministically (the media-tier synthesis
+  * discipline): class id%2 appends marker tokens (` alpha`×k for class
+  * 0, ` gamma`×k for class 1, k = 1 + id%3) to the document text, so
+  * the signal is learnable, every held-out doc carries ≥ 1 marker
+  * (posterior margins are O(1) log-units — float noise between engines
+  * is 1e-9-scale and can never flip a prediction), and the DuckDB
+  * oracle can re-train and re-score the identical model. Outputs are
+  * integer-only (predicted / actual / correct) so the cross-engine
+  * hash is exact despite log-float scoring.
+  */
+object ClassifierQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The planted corpus: augmented text, binary label, 80/20 split. */
+  private def planted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 2 === 0,
+          expr("repeat(' alpha', CAST(doc_id % 3 + 1 AS INT))"))
+        .otherwise(
+          expr("repeat(' gamma', CAST(doc_id % 3 + 1 AS INT))")))
+        .as("aug"),
+      (col("doc_id") % 2).as("label"),
+      (col("doc_id") % 10 >= 8).as("is_test"))
+
+  /** q174 — train multinomial NB on the 80% split, predict the held-out
+    * 20%: per-doc predicted vs actual plus a correctness flag. The
+    * oracle re-derives the whole pipeline — tokenize, count, smooth,
+    * score, argmax — in SQL, so a smoothing slip, a wrong total, or a
+    * mishandled unseen token flips a prediction and hash-mismatches.
+    */
+  val q174_nb_classifier: Q = (s, d) => {
+    val base = planted(Tables.documents(s, d))
+    val (model, scal) = graft.ops.NaiveBayes.train(
+      base.filter(!col("is_test")), "aug", "label")
+    graft.ops.NaiveBayes.predict(
+        base.filter(col("is_test")), "aug", "doc_id", model, scal)
+      .join(base.select("doc_id", "label"), Seq("doc_id"))
+      .select(col("doc_id"), col("predicted"),
+        col("label").as("actual"),
+        when(col("predicted") === col("label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val q174Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '') ||
+      |      CASE WHEN doc_id % 2 = 0
+      |        THEN repeat(' alpha', CAST(doc_id % 3 + 1 AS INTEGER))
+      |        ELSE repeat(' gamma', CAST(doc_id % 3 + 1 AS INTEGER)) END
+      |      AS aug,
+      |    doc_id % 2 AS label,
+      |    doc_id % 10 >= 8 AS is_test
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, label, is_test, t.tok
+      |  FROM a, unnest(string_split(aug, ' ')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |counts AS (
+      |  SELECT label, tok, count(*) AS c FROM tok
+      |  WHERE NOT is_test GROUP BY 1, 2),
+      |scal AS (
+      |  SELECT
+      |    (SELECT sum(c) FROM counts WHERE label = 0) AS tot0,
+      |    (SELECT sum(c) FROM counts WHERE label = 1) AS tot1,
+      |    (SELECT count(DISTINCT tok) FROM counts) AS v,
+      |    (SELECT count(*) FROM a WHERE NOT is_test AND label = 0) AS n0,
+      |    (SELECT count(*) FROM a WHERE NOT is_test AND label = 1) AS n1),
+      |toks AS (SELECT DISTINCT tok FROM counts),
+      |model AS (
+      |  SELECT toks.tok,
+      |    ln((coalesce(c1.c, 0) + 1) / (s.tot1 + s.v))
+      |      - ln((coalesce(c0.c, 0) + 1) / (s.tot0 + s.v)) AS ratio
+      |  FROM toks
+      |  CROSS JOIN scal s
+      |  LEFT JOIN counts c0 ON c0.label = 0 AND c0.tok = toks.tok
+      |  LEFT JOIN counts c1 ON c1.label = 1 AND c1.tok = toks.tok),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM tok
+      |  WHERE is_test GROUP BY 1, 2),
+      |score AS (
+      |  SELECT tf.doc_id,
+      |    SUM(tf.tf * coalesce(m.ratio,
+      |      ln(1.0 / (s.tot1 + s.v)) - ln(1.0 / (s.tot0 + s.v))))
+      |      + ln(CAST(s.n1 AS DOUBLE) / s.n0) AS log_odds
+      |  FROM tf
+      |  CROSS JOIN scal s
+      |  LEFT JOIN model m ON m.tok = tf.tok
+      |  GROUP BY tf.doc_id, s.tot0, s.tot1, s.v, s.n0, s.n1)
+      |SELECT a.doc_id,
+      |  CAST(CASE WHEN sc.log_odds > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS predicted,
+      |  CAST(a.label AS BIGINT) AS actual,
+      |  CAST(CASE WHEN (CASE WHEN sc.log_odds > 0 THEN 1 ELSE 0 END)
+      |      = a.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM a JOIN score sc ON sc.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q174_nb_classifier" -> q174_nb_classifier)
+
+  val oracleSql: Map[String, String] = Map(
+    "q174_nb_classifier" -> q174Sql)
+}

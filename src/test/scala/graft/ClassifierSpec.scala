@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.NaiveBayes
+
+/** The NB classifier beyond its DuckDB oracle: hand-computed smoothed
+  * model values on a toy corpus (the oracle proves engine equivalence;
+  * this proves the MATH — Laplace smoothing, unseen-token default,
+  * prior — against numbers derived on paper), plus planted-signal
+  * recovery on the real corpus.
+  */
+class ClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("ClassifierSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hand-computed model: Laplace ratios, unseen-token default, and " +
+      "prior fold to the exact paper values") {
+    import spark.implicits._
+    val train = Seq(("cat cat", 0L), ("dog", 1L)).toDF("t", "y")
+    val (model, scal) = NaiveBayes.train(train, "t", "y")
+    val m = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // counts: c0(cat)=2, c1(dog)=1; tot0=2, tot1=1, V=2
+    // ratio(cat) = ln(1/3) - ln(3/4) = ln(4/9)
+    // ratio(dog) = ln(2/3) - ln(1/4) = ln(8/3)
+    assert(math.abs(m("cat") - math.log(4.0 / 9)) < 1e-12)
+    assert(math.abs(m("dog") - math.log(8.0 / 3)) < 1e-12)
+    val s = scal.collect()(0)
+    // default = ln(1/3) - ln(1/4) = ln(4/3); prior = ln(1/1) = 0
+    assert(math.abs(s.getDouble(0) - math.log(4.0 / 3)) < 1e-12)
+    assert(s.getDouble(1) === 0.0)
+    val test = Seq((1L, "cat dog bird"), (2L, "cat cat")).toDF("id", "t")
+    val p = NaiveBayes.predict(test, "t", "id", model, scal)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: ln(4/9 * 8/3 * 4/3) = ln(128/81) > 0 -> class 1
+    // doc 2: 2 ln(4/9) < 0 -> class 0
+    assert(p(1L) === 1L && p(2L) === 0L)
+  }
+
+  test("planted signal on the real corpus: held-out accuracy is " +
+      "perfect and both classes appear in the predictions") {
+    val out = graft.queries.ClassifierQueries
+      .q174_nb_classifier(spark, "/root/testdata/sf0.001").cache()
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(col("correct") === 0).count() === 0L,
+      "marker margins are O(1) log-units; every held-out doc must score " +
+        "on the planted side")
+    assert(out.select("predicted").distinct().count() === 2L)
+    out.unpersist()
+  }
+}
