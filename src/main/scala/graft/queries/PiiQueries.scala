@@ -99,6 +99,16 @@ object PiiQueries {
         .cast("long").as("n_residual"))
   }
 
+  /** Screen ANY relation's text column: the input row plus the typed
+    * detection counts, redacted text, and residual — the reusable
+    * surface the streaming ingest door ([[graft.streaming.DocStream]])
+    * composes with (detect on arrival, fold only redacted text).
+    * Unlike the q172/q173 queries this plants nothing: it screens the
+    * text it is given.
+    */
+  def screened(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*") +: detect(coalesce(col(textCol), lit(""))): _*)
+
   /** q172 — per-document PII detection + redaction: typed counts, the
     * redacted text (string-equal across engines — a divergent regex
     * semantics or pass order hash-mismatches), and the residual count

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.CorpusBuild
@@ -66,6 +67,19 @@ object DocStream {
     *        train data surfaces before it ever folds in. Shares the
     *        overlap relation with onBatchOverlap — one screen, two
     *        readouts
+    * @param onPii when set, every micro-batch is PII-screened on
+    *        arrival ([[graft.queries.PiiQueries.screened]] — real
+    *        detection over the batch text, nothing planted) and the
+    *        rows with any hit (doc_id + typed counts) are pushed to
+    *        this callback (quarantine/audit), the same policy shape as
+    *        onBatchOverlap
+    * @param redactPii when true, the batch FOLDS WITH REDACTED TEXT —
+    *        unlike the read-side screens this is deliberately a
+    *        fold-side mutation: the production contract that raw PII
+    *        never enters the corpus state (digests, fingerprints, and
+    *        postings are all built from the redacted text, so nothing
+    *        derived can leak it either). `n_chars` keeps the source
+    *        value — it is arrival metadata, not derived state
     */
   def ingestToState(docs: DataFrame, stateDir: String,
       checkpointDir: String,
@@ -73,14 +87,31 @@ object DocStream {
       trigger: Trigger = Trigger.AvailableNow(),
       vecsFor: DataFrame => DataFrame = null,
       onBatchOverlap: DataFrame => Unit = null,
-      onCrossSplit: DataFrame => Unit = null): StreamingQuery =
+      onCrossSplit: DataFrame => Unit = null,
+      onPii: DataFrame => Unit = null,
+      redactPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.toDF()
+          val raw = batch.toDF()
+          // PII screen at the door: detect on the ARRIVING text (the
+          // winnow screens below run against what will fold — if
+          // redaction is on, that is the redacted text, so stored
+          // fingerprints and this screen agree by construction)
+          val b =
+            if (onPii != null || redactPii) {
+              val s = graft.queries.PiiQueries.screened(raw, "text")
+              if (onPii != null) onPii(s
+                .filter(col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+                .select("doc_id", "n_emails", "n_ipv4", "n_phones"))
+              if (redactPii)
+                s.withColumn("text", col("redacted"))
+                  .select(raw.columns.map(col).toSeq: _*)
+              else raw
+            } else raw
           // screen FIRST: batch-vs-standing-corpus by definition means
           // before this batch's own fingerprints join the corpus side
           // (the very first batch has no standing corpus to screen

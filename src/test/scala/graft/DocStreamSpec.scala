@@ -467,4 +467,63 @@ class DocStreamSpec extends AnyFunSuite {
     checkFps()
     checkVecs()
   }
+
+  test("streamed PII screen at the door: arriving PII is detected and " +
+      "typed into the callback, and with redactPii the corpus state " +
+      "folds ONLY redacted text (clean docs byte-identical)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("docstream_pii")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "srcP", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // texts must clear the ingest quality floor (minTokens = 20)
+    docRows(Seq(
+      (1L, "mail me a1@b2.com or call 555-000-1234 soon because the " +
+        "quarterly report needs their contact information before the " +
+        "deadline arrives next monday morning"),
+      (2L, "perfectly clean text body with no sensitive material at all " +
+        "just ordinary words stretched out far enough to clear the " +
+        "twenty token quality floor easily")))
+      .coalesce(1).write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docRows(Seq(
+      (3L, "node 10.1.2.3 rebooted overnight and the monitoring system " +
+        "recorded the outage window while engineers traced the failing " +
+        "switch port across both redundant paths")))
+      .coalesce(1).write.mode("append").parquet(lake)
+
+    val hits = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt,
+      onPii = df => hits.synchronized {
+        hits ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      },
+      redactPii = true)
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the callback saw exactly the two dirty docs, typed correctly
+    assert(hits.synchronized(hits.sortBy(_._1).toSeq) ===
+      Seq((1L, 1L, 0L, 1L), (3L, 0L, 1L, 0L)),
+      s"expected exactly the planted hits, got $hits")
+
+    // the folded state never held raw PII: redacted markers present,
+    // raw patterns absent, clean text untouched
+    val docs = CorpusBuild.stateCorpus(spark, state)
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.keySet === Set(1L, 2L, 3L))
+    assert(docs(1L).startsWith("mail me <EMAIL> or call <PHONE> soon"))
+    assert(docs(2L).startsWith("perfectly clean text body"),
+      "clean text must fold byte-identical")
+    assert(docs(3L).startsWith("node <IP> rebooted"))
+    assert(!docs.values.exists(t => t.contains("@") ||
+      t.contains("555-000") || t.contains("10.1.2.3")),
+      "raw PII leaked into the corpus state")
+  }
 }
