@@ -141,7 +141,11 @@ class PlanSpec extends AnyFunSuite {
       "q114_bm25_rank", "q115_bm25_gate",
       "q119_state_bm25_rank", "q120_state_bm25_gate",
       "q126_snapshot_drift", "q127_zorder_layout", "q132_collocations",
-      "q136_surprisal", "q138_state_surprisal")
+      "q136_surprisal", "q138_state_surprisal",
+      // q174: NB scalar relation (totals/vocab/priors — 1-row) crossed
+      // onto the vocabulary-sized model and the per-doc tf relation;
+      // both are broadcast scalar joins, never a data-scale product
+      "q174_nb_classifier")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
