@@ -587,6 +587,49 @@ object Multimodal {
       })
   }
 
+  /** Statistics of a 2× BOX-FILTER DOWNSAMPLE over really decoded
+    * pixels: each output channel is the rounded mean of its 2×2 input
+    * block ((a+b+c+d+2)>>2 — integer-exact, so a second engine can
+    * predict every value). Odd trailing rows/columns are dropped
+    * (floor semantics); images too small to hold one 2×2 block emit a
+    * zero-sized result row, not a missing row.
+    */
+  case class ResizeStats(media_id: Long, out_width: Int, out_height: Int,
+      n_out_pixels: Long, sum_channel: Long, max_channel: Int)
+
+  /** Decode image payloads and 2×-downsample them with the box filter —
+    * the real-pixel resize step of the decode / feature-extract /
+    * resize / frame-sample quartet (dHash already resamples
+    * nearest-neighbor; this is the mean-pooling path a vision encoder
+    * preprocessor uses). Per-partition, shuffle-free.
+    */
+  def downsampleImageStats(media: Dataset[MediaRow]): Dataset[ResizeStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = Codecs.decodePpm(r.content)
+      val ow = img.width / 2; val oh = img.height / 2
+      var sum = 0L; var mx = 0
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var ch = 0
+          while (ch < 3) {
+            def at(y: Int, x: Int): Int =
+              img.pixels((y * img.width + x) * 3 + ch) & 0xFF
+            val v = (at(2 * oy, 2 * ox) + at(2 * oy, 2 * ox + 1) +
+              at(2 * oy + 1, 2 * ox) + at(2 * oy + 1, 2 * ox + 1) + 2) >> 2
+            sum += v; if (v > mx) mx = v
+            ch += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      ResizeStats(r.media_id, ow, oh, ow.toLong * oh, sum, mx)
+    })
+  }
+
   /** Decode FLAC payloads (REAL compressed parse — [[Codecs.decodeFlac]]:
     * metadata walk, frame sync, Rice/unary entropy decode, fixed
     * predictors, CRC-8/CRC-16/MD5 verification) into the shared

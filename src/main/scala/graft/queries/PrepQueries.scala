@@ -742,6 +742,51 @@ object PrepQueries {
 
   val q171Sql: String = q152Sql
 
+  /** q177 — real-pixel RESIZE over really decoded images: 2× box-filter
+    * downsample of the q151 PPM corpus
+    * ([[graft.multimodal.Multimodal.downsampleImageStats]]) — each
+    * output channel is the integer-exact rounded mean of its 2×2 input
+    * block, so the oracle re-derives every output value from the source
+    * text (completing the decode / feature-extract / RESIZE /
+    * frame-sample quartet on genuine pixels; dHash resamples
+    * nearest-neighbor, this is the mean-pooling path a vision
+    * preprocessor runs). Map-only, rides the scan.
+    */
+  val q177_image_downsample: Q = (s, d) =>
+    graft.multimodal.Multimodal.downsampleImageStats(
+        graft.multimodal.Multimodal.imagesFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q177Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS h
+      |  FROM a),
+      |px AS (
+      |  SELECT media_id,
+      |    ((coalesce(codes[3*(16*(2*(oi//24)) + 2*((oi%24)//3)) + (oi%3) + 1], 0)
+      |      + coalesce(codes[3*(16*(2*(oi//24)) + 2*((oi%24)//3) + 1) + (oi%3) + 1], 0)
+      |      + coalesce(codes[3*(16*(2*(oi//24)+1) + 2*((oi%24)//3)) + (oi%3) + 1], 0)
+      |      + coalesce(codes[3*(16*(2*(oi//24)+1) + 2*((oi%24)//3) + 1) + (oi%3) + 1], 0)
+      |      + 2) // 4) AS v
+      |  FROM (SELECT media_id, codes,
+      |      unnest(generate_series(0, (h // 2) * 24 - 1)) AS oi
+      |    FROM s WHERE h >= 2))
+      |SELECT s.media_id,
+      |  CAST(8 AS INTEGER) AS out_width,
+      |  CAST(s.h // 2 AS INTEGER) AS out_height,
+      |  CAST(8 * (s.h // 2) AS BIGINT) AS n_out_pixels,
+      |  CAST(coalesce(SUM(v), 0) AS BIGINT) AS sum_channel,
+      |  CAST(coalesce(MAX(v), 0) AS INTEGER) AS max_channel
+      |FROM s LEFT JOIN px ON s.media_id = px.media_id
+      |GROUP BY s.media_id, s.h ORDER BY s.media_id""".stripMargin
+
   val q165Sql: String = {
     s"""WITH RECURSIVE
        |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
@@ -886,7 +931,8 @@ object PrepQueries {
     "q165_crossmodal_clusters" -> q165_crossmodal_clusters,
     "q169_gif_decode" -> q169_gif_decode,
     "q170_jpeg_decode" -> q170_jpeg_decode,
-    "q171_flac_decode" -> q171_flac_decode)
+    "q171_flac_decode" -> q171_flac_decode,
+    "q177_image_downsample" -> q177_image_downsample)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -911,5 +957,6 @@ object PrepQueries {
     "q165_crossmodal_clusters" -> q165Sql,
     "q169_gif_decode" -> q169Sql,
     "q170_jpeg_decode" -> q170Sql,
-    "q171_flac_decode" -> q171Sql)
+    "q171_flac_decode" -> q171Sql,
+    "q177_image_downsample" -> q177Sql)
 }

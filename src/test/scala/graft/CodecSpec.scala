@@ -686,6 +686,54 @@ class CodecSpec extends AnyFunSuite {
     assert(j(4L).height === 800 && j(4L).sum_channel === 3L * 64 * 120 * 100)
   }
 
+  test("q177 real-pixel downsample: box-filter means match an " +
+      "independently computed reference (incl. odd heights dropping " +
+      "the trailing row and too-small images emitting a zero row)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abc"),        // h = 1 -> no full 2x2 block: zero-sized out
+      (2L, "x" * 100),    // h = 3 (odd): out height 1, third row dropped
+      (3L, "the quick brown fox jumps over the lazy dog " * 3)) // h = 3
+      .toDF("doc_id", "text")
+    val out = Multimodal.downsampleImageStats(
+        Multimodal.imagesFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(out(1L).out_height === 0 && out(1L).sum_channel === 0L &&
+      out(1L).out_width === 8)
+    // independent reference: rebuild the padded plane from the text and
+    // average 2x2 blocks directly
+    def reference(text: String): (Long, Int) = {
+      val codes = text.getBytes("UTF-8").filter(b => (b & 0x80) == 0)
+      val h = math.max(1, (codes.length + 47) / 48)
+      def plane(i: Int): Int = if (i < codes.length) codes(i) & 0xFF else 0
+      var sum = 0L; var mx = 0
+      for (oy <- 0 until h / 2; ox <- 0 until 8; ch <- 0 until 3) {
+        val v = (plane(3 * (16 * (2 * oy) + 2 * ox) + ch) +
+          plane(3 * (16 * (2 * oy) + 2 * ox + 1) + ch) +
+          plane(3 * (16 * (2 * oy + 1) + 2 * ox) + ch) +
+          plane(3 * (16 * (2 * oy + 1) + 2 * ox + 1) + ch) + 2) / 4
+        sum += v; if (v > mx) mx = v
+      }
+      (sum, mx)
+    }
+    for ((id, text) <- Seq(2L -> "x" * 100,
+        3L -> ("the quick brown fox jumps over the lazy dog " * 3))) {
+      val (sum, mx) = reference(text)
+      assert(out(id).out_height === 1, s"doc $id")
+      assert(out(id).sum_channel === sum, s"doc $id sum")
+      assert(out(id).max_channel === mx, s"doc $id max")
+    }
+    // a uniform plane downsamples to itself: mean of equal values
+    val const = Multimodal.downsampleImageStats(
+        Multimodal.imagesFromText(spark,
+          Seq((9L, "D" * 96)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().head
+    assert(const.out_height === 1 && const.max_channel === 'D'.toInt)
+    assert(const.sum_channel === 24L * 'D'.toInt,
+      "uniform 2x2 blocks must average to the constant")
+  }
+
   test("q153 dHash: identical payloads hash identically, a hand-built " +
       "gradient image sets the predicted bits, banding is lossless at " +
       "hamming <= 3 (banded pair set == brute force)") {
