@@ -163,6 +163,27 @@ class PlanSpec extends AnyFunSuite {
       s"undeclared nested-loop/cartesian joins in: $offenders")
   }
 
+  test("round-10 governance tier plans: the PII screen is MAP-ONLY " +
+      "(no hash exchange — only the output sort's range partitioning), " +
+      "and NB scoring reaches the model via BROADCAST hash join, never " +
+      "shuffling corpus tokens against the vocabulary") {
+    withBroadcastEnabled {
+      val pii = graft.queries.PiiQueries.q172_pii_redact(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!pii.contains("hashpartitioning"),
+        s"q172 must ride the scan — detection/redaction shuffle nothing:\n$pii")
+      val nb = graft.queries.ClassifierQueries
+        .q174_nb_classifier(spark, sf).queryExecution.sparkPlan.toString
+      assert(nb.contains("BroadcastHashJoin"),
+        s"q174's model join must broadcast the vocabulary relation:\n$nb")
+      val url = graft.queries.UrlQueries.q175_url_normalize(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!url.contains("hashpartitioning"),
+        s"q175 must ride the scan — extraction/normalization shuffle " +
+          s"nothing:\n$url")
+    }
+  }
+
   test("q54: SCD2's two window passes share one exchange per window key") {
     val plan = executedPlan(ExpansionQueries.q54_scd2(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
