@@ -587,6 +587,54 @@ object Multimodal {
       })
   }
 
+  /** A decode attempt: the stats when the payload parses, a zeroed row
+    * with `decode_ok = 0` when it doesn't — the quarantine shape. At
+    * 100 TB some payloads ARE corrupt; a lake-scale decode job must
+    * yield (good rows, quarantine rows), never crash the stage and
+    * never emit a silently-wrong statistic.
+    */
+  case class TriedImageStats(media_id: Long, decode_ok: Int, width: Int,
+      height: Int, n_pixels: Long, sum_channel: Long, max_channel: Int)
+
+  /** Decode with QUARANTINE semantics: parse failures (the codecs all
+    * fail loudly by contract) become `decode_ok = 0` rows instead of
+    * stage crashes; good payloads emit their genuine statistics. The
+    * error cause stays out of the row on purpose — exception text is
+    * engine-specific; the quarantine JOIN KEY (media_id) is what a
+    * re-fetch/repair pipeline needs.
+    */
+  def tryDecodeImageStats(media: Dataset[MediaRow]): Dataset[TriedImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val s = imageStatsOf(r.media_id, Codecs.decodePng(r.content))
+        TriedImageStats(r.media_id, 1, s.width, s.height, s.n_pixels,
+          s.sum_channel, s.max_channel)
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+          TriedImageStats(r.media_id, 0, 0, 0, 0L, 0L, 0)
+      }
+    })
+  }
+
+  /** The q178 corruption model: payloads for `media_id % 13 == 0` lose
+    * their trailing 5 bytes — inside the final IDAT/IEND region, so the
+    * PNG chunk walk's length/CRC verification MUST reject them (a
+    * decoder that "tolerates" truncation would emit a silently wrong
+    * statistic; the quarantine flag proves it refuses instead).
+    */
+  def corruptedPngFromText(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    pngFromText(spark, docs, idCol, textCol).map { r =>
+      if (r.media_id % 13 == 0)
+        MediaRow(r.media_id, r.media_type,
+          java.util.Arrays.copyOf(r.content,
+            math.max(0, r.content.length - 5)))
+      else r
+    }
+  }
+
   /** Statistics of a 2× BOX-FILTER DOWNSAMPLE over really decoded
     * pixels: each output channel is the rounded mean of its 2×2 input
     * block ((a+b+c+d+2)>>2 — integer-exact, so a second engine can

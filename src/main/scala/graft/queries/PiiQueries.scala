@@ -61,7 +61,7 @@ object PiiQueries {
     * Single-line on purpose: the host queries run `.stripMargin` over
     * the interpolated result, which would eat a leading `||`.
     */
-  private val plantedSql: String = Seq(
+  private[queries] val plantedSql: String = Seq(
     "coalesce(text, '')",
     "|| CASE WHEN doc_id % 3 = 0",
     "THEN ' contact user' || doc_id || '@example.com' ELSE '' END",

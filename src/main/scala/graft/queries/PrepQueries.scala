@@ -787,6 +787,44 @@ object PrepQueries {
       |FROM s LEFT JOIN px ON s.media_id = px.media_id
       |GROUP BY s.media_id, s.h ORDER BY s.media_id""".stripMargin
 
+  /** q178 — QUARANTINE decode: a media lake with PLANTED corruption
+    * (payloads for id%13 lose their trailing bytes — inside the PNG
+    * chunk structure, so the CRC/length verification must reject them)
+    * decoded with quarantine semantics
+    * ([[graft.multimodal.Multimodal.tryDecodeImageStats]]): good
+    * payloads emit genuine statistics, corrupt ones emit `decode_ok=0`
+    * rows — never a stage crash, never a silently wrong statistic (a
+    * decoder that tolerated the truncation would hash-mismatch on the
+    * zeroed columns). The production contract for 100 TB lakes, where
+    * corrupt files are a certainty; the quarantine relation is the
+    * re-fetch worklist. Map-only.
+    */
+  val q178_quarantine_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryDecodeImageStats(
+        graft.multimodal.Multimodal.corruptedPngFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q178Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 48.0) AS BIGINT)) AS h,
+      |    CASE WHEN media_id % 13 = 0 THEN 0 ELSE 1 END AS ok
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(ok AS INTEGER) AS decode_ok,
+      |  CAST(ok * 16 AS INTEGER) AS width,
+      |  CAST(ok * h AS INTEGER) AS height,
+      |  CAST(ok * 16 * h AS BIGINT) AS n_pixels,
+      |  CAST(ok * coalesce(list_sum(codes), 0) AS BIGINT) AS sum_channel,
+      |  CAST(ok * coalesce(list_max(codes), 0) AS INTEGER) AS max_channel
+      |FROM s ORDER BY media_id""".stripMargin
+
   val q165Sql: String = {
     s"""WITH RECURSIVE
        |tp AS (SELECT id_a, id_b FROM (${ModalPairSql.textPairs}) t),
@@ -932,7 +970,8 @@ object PrepQueries {
     "q169_gif_decode" -> q169_gif_decode,
     "q170_jpeg_decode" -> q170_jpeg_decode,
     "q171_flac_decode" -> q171_flac_decode,
-    "q177_image_downsample" -> q177_image_downsample)
+    "q177_image_downsample" -> q177_image_downsample,
+    "q178_quarantine_decode" -> q178_quarantine_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -958,5 +997,6 @@ object PrepQueries {
     "q169_gif_decode" -> q169Sql,
     "q170_jpeg_decode" -> q170Sql,
     "q171_flac_decode" -> q171Sql,
-    "q177_image_downsample" -> q177Sql)
+    "q177_image_downsample" -> q177Sql,
+    "q178_quarantine_decode" -> q178Sql)
 }

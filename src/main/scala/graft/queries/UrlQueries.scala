@@ -38,7 +38,7 @@ object UrlQueries {
     lit("&utm_source=feed&utm_campaign=c"), col("doc_id") % 4,
     lit("#frag"), col("doc_id") % 3)
 
-  private val plantedSql: String = Seq(
+  private[queries] val plantedSql: String = Seq(
     "coalesce(text, '') || ' see '",
     "|| CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END",
     "|| 'sub' || (doc_id % 20) || '.example.com/item/' || doc_id",

@@ -734,6 +734,32 @@ class CodecSpec extends AnyFunSuite {
       "uniform 2x2 blocks must average to the constant")
   }
 
+  test("q178 quarantine decode: planted corruption is flagged (never " +
+      "crashes, never silently decodes), and clean payloads emit the " +
+      "same statistics as the plain decode path") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // ids 13 and 26 are corrupted (id % 13 == 0); 1/2/3 stay clean
+    val docs = Seq((1L, "abc"), (2L, ""), (3L, "x" * 100),
+      (13L, "corrupted payload body"), (26L, "another broken one"))
+      .toDF("doc_id", "text")
+    val tried = Multimodal.tryDecodeImageStats(
+        Multimodal.corruptedPngFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(tried(13L).decode_ok === 0 && tried(26L).decode_ok === 0)
+    assert(tried(13L).sum_channel === 0L && tried(13L).n_pixels === 0L,
+      "quarantined rows must be zeroed, not partially decoded")
+    val clean = Multimodal.decodePngStats(
+        Multimodal.pngFromText(spark,
+          docs.filter(docs("doc_id") < 13), "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(tried(id).decode_ok === 1)
+      assert(tried(id).sum_channel === clean(id).sum_channel &&
+        tried(id).n_pixels === clean(id).n_pixels, s"doc $id")
+    }
+  }
+
   test("q153 dHash: identical payloads hash identically, a hand-built " +
       "gradient image sets the predicted bits, banding is lossless at " +
       "hamming <= 3 (banded pair set == brute force)") {
