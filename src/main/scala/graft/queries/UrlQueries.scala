@@ -47,21 +47,25 @@ object UrlQueries {
     "|| '#frag' || (doc_id % 3)").mkString(" ")
 
   /** Normalization pipeline over an extracted URL: strip the fragment,
-    * then strip `utm_*` tracking parameters (query-position-safe: a
-    * leading `?utm_` promotes the next `&` back to `?`). Expressed as
-    * three regex passes both engines run identically.
+    * then strip `utm_*` tracking parameters at every query position —
+    * mid-list (`&utm_…`), leading (`?utm_…&` promotes the next `&`
+    * back to `?`), and sole (`?utm_…$` drops with its `?`). Expressed
+    * as four regex passes both engines run identically; PiiSpec pins
+    * the semantics on hand-written URLs.
     */
-  private def normalize(url: Column): Column = {
+  def normalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noTrack0 = regexp_replace(noFrag, "[&]utm_[A-Za-z]+=[^&#]*", "")
-    val noTrack = regexp_replace(noTrack0, "[?]utm_[A-Za-z]+=[^&#]*&", "?")
-    noTrack
+    val noMid = regexp_replace(noFrag, "[&]utm_[A-Za-z]+=[^&#]*", "")
+    val noLead = regexp_replace(noMid, "[?]utm_[A-Za-z]+=[^&#]*&", "?")
+    regexp_replace(noLead, "[?]utm_[A-Za-z]+=[^&#]*$", "")
   }
 
   private val normalizeSql: String =
-    "regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''), " +
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(u, " +
+      "'#.*$', ''), " +
       "'[&]utm_[A-Za-z]+=[^&#]*', '', 'g'), " +
-      "'[?]utm_[A-Za-z]+=[^&#]*&', '?', 'g')"
+      "'[?]utm_[A-Za-z]+=[^&#]*&', '?', 'g'), " +
+      "'[?]utm_[A-Za-z]+=[^&#]*$', '', 'g')"
 
   /** q175 — per-document URL extraction + normalization: the first URL
     * in each doc, its normalized form (fragment gone, tracking params

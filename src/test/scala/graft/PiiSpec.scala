@@ -59,6 +59,32 @@ class PiiSpec extends AnyFunSuite {
       "clean text must pass through byte-identical")
   }
 
+  test("hand-written URLs: normalization strips fragments and utm_* " +
+      "params wherever they sit, keeps meaningful params, and leaves " +
+      "tracking-free URLs untouched") {
+    import spark.implicits._
+    import graft.queries.UrlQueries
+    val cases = Seq(
+      // utm leads the query: the next param is promoted back to '?'
+      (1L, "https://a.io/p?utm_source=x&id=7#sec",
+            "https://a.io/p?id=7"),
+      // utm in the middle and at the end
+      (2L, "http://b.co/x?id=1&utm_campaign=c&page=2&utm_medium=m",
+            "http://b.co/x?id=1&page=2"),
+      // nothing to strip
+      (3L, "https://c.org/plain?keep=1", "https://c.org/plain?keep=1"),
+      // fragment only
+      (4L, "https://d.net/path#top", "https://d.net/path"),
+      // only tracking params: the whole query (and its '?') drops
+      (5L, "https://e.com/q?utm_source=s#f", "https://e.com/q"))
+      .toDF("id", "u", "want")
+    val got = cases.select(col("id"), UrlQueries.normalize(col("u"))
+        .as("got"), col("want"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((id, g, w) <- got)
+      assert(g === w, s"case $id")
+  }
+
   test("planted corpus: q172 residuals are all zero (redaction is " +
       "complete), densities follow the id arithmetic, and the q173 " +
       "rollup sums tie out against q172") {
