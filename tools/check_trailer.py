@@ -18,7 +18,14 @@ Checks:
      rows+schema+hash all true, Z == X - Y.
   2. Every README.md claim of the form `(Y of X;` (the oracle-coverage
      convention): Y == oracle-pass count, X == total.
-  3. No artifact entry has a recorded error; in --round mode, BENCH_r{N}
+  3. Every README.md claim of the form `Y/X hash-match` (the Verifying
+     paragraph): Y == oracle-pass count, X == total (r10 verdict item 5 —
+     this claim drifted silently because only `(Y of X;` was guarded).
+  4. Every README.md gate enumeration `q67/q88/.../qNNN gates` names
+     exactly the artifact's must-be-empty gate set (keys ending `_gate`,
+     plus q67_sketch_precision which predates the suffix convention),
+     and every named gate is hash-match green in the artifact.
+  5. No artifact entry has a recorded error; in --round mode, BENCH_r{N}
      parsed its JSON line, exited rc 0, and reported no per-query errors.
 
 Exit 0 = prose and artifacts agree; exit 1 with a diff otherwise.
@@ -106,6 +113,38 @@ def main(argv):
                 f"({orc} of {total})")
         else:
             print(f"README.md claim ({y} of {x}): OK")
+
+    # Check 3: the Verifying paragraph's "Y/X hash-match" figure.
+    for y, x in re.findall(r"(\d+)/(\d+) hash-match", readme):
+        if (int(y), int(x)) != (orc, total):
+            problems.append(
+                f"README.md claims '{y}/{x} hash-match'; artifacts say "
+                f"{orc}/{total}")
+        else:
+            print(f"README.md claim {y}/{x} hash-match: OK")
+
+    # Check 4: gate enumerations match the artifact's gate set. Gates are
+    # the queries named `*_gate` (q116_gate_population is the population
+    # AUDIT over the gates, not itself a must-be-empty gate) plus
+    # q67_sketch_precision, which predates the `_gate` suffix convention.
+    gate_set = {k.split("_")[0] for k in correctness
+                if k.endswith("_gate")}
+    if "q67_sketch_precision" in correctness:
+        gate_set.add("q67")
+    for enum in re.findall(r"((?:q\d+/){2,}q\d+)\s+gates", readme):
+        named = set(enum.split("/"))
+        if named != gate_set:
+            problems.append(
+                f"README.md gate list {sorted(named)} != artifact gate "
+                f"set {sorted(gate_set)}")
+        else:
+            print(f"README.md gate list ({len(named)} gates): OK")
+    for g in sorted(gate_set):
+        row = next((v for k, v in correctness.items()
+                    if k.split("_")[0] == g), None)
+        if row and not (row.get("rows_match") and row.get("schema_match")
+                        and row.get("hash_match")):
+            problems.append(f"gate {g} is not hash-match green in {src}")
 
     if not local:
         bpath = f"BENCH_r{rnd:02d}.json"
