@@ -357,6 +357,8 @@ object Codecs {
     */
   def encodeGif(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width <= 65535 && height <= 65535,
+      s"GIF dimensions ${width}x$height exceed the 16-bit header fields")
     require(indices.length == width * height,
       s"index plane ${indices.length} != ${width * height}")
     val out = new java.io.ByteArrayOutputStream()
@@ -415,7 +417,19 @@ object Codecs {
       }
       i += 1
     }
-    emit(w); emit(eoi)
+    emit(w)
+    // The decoder adds one more dictionary entry when it READS this
+    // final code (its inserts lag the encoder's by one code) and bumps
+    // its width if that entry lands exactly on 1<<codeSize — so mirror
+    // that bookkeeping here, or EOI gets written one bit narrower than
+    // the decoder reads it and a stream ending on a byte boundary
+    // fails as truncated. (No real entry is defined; only the width
+    // accounting advances.)
+    if (nextCode < 4096) {
+      nextCode += 1
+      if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+    }
+    emit(eoi)
     if (nBits > 0) bits.write((cur & 0xFF).toInt)
     // 255-byte sub-blocks + terminator
     val data = bits.toByteArray

@@ -232,7 +232,12 @@ object Multimodal {
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val ascii = asciiBytes(t)
+        // cap at 16*65535 codes: the GIF header's height field is
+        // 16-bit, so longer docs would overflow it — truncate
+        // deterministically (the oracle slices identically)
+        val raw = asciiBytes(t)
+        val ascii = if (raw.length > 16 * 65535)
+          java.util.Arrays.copyOf(raw, 16 * 65535) else raw
         val h = math.max(1, (ascii.length + 15) / 16)
         val plane = java.util.Arrays.copyOf(ascii, 16 * h)
         MediaRow(id, "image/gif", Codecs.encodeGif(16, h, plane))
@@ -266,7 +271,12 @@ object Multimodal {
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val codes = asciiBytes(t)
+        // cap at 8191 codes: height = 8·nb must fit encodeJpeg's
+        // 16-bit dimension fields — truncate deterministically (the
+        // oracle slices identically)
+        val raw = asciiBytes(t)
+        val codes = if (raw.length > 8191)
+          java.util.Arrays.copyOf(raw, 8191) else raw
         val nb = math.max(1, codes.length)
         val gray = new Array[Byte](64 * nb)
         var i = 0
@@ -611,7 +621,13 @@ object Multimodal {
         TriedImageStats(r.media_id, 1, s.width, s.height, s.n_pixels,
           s.sum_channel, s.max_channel)
       } catch {
-        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+        // NonFatal, not a curated exception list: hostile payloads can
+        // surface DataFormatException from Inflater (CRC-valid but
+        // non-zlib IDAT), NegativeArraySizeException from hostile IHDR
+        // dimensions, etc. — the never-crash-the-stage contract must
+        // hold for ALL of them, not just the two the synthesizer's own
+        // corruption model happens to produce.
+        case scala.util.control.NonFatal(_) =>
           TriedImageStats(r.media_id, 0, 0, 0, 0L, 0L, 0)
       }
     })

@@ -59,7 +59,15 @@ object NaiveBayes {
       .select(col("tot0"), col("tot1"), col("v"),
         (log((lit(1.0)) / (col("tot1") + col("v"))) -
           log(lit(1.0) / (col("tot0") + col("v")))).as("default_ratio"),
-        log(col("n1").cast("double") / col("n0")).as("log_prior"))
+        // assert_true is NULL when both classes are present (coalesce
+        // keeps the prior), and raises at first action otherwise — a
+        // single-class training set must fail LOUDLY, not return an
+        // Infinity prior that silently degenerates every prediction
+        (log(col("n1").cast("double") / col("n0")) +
+          coalesce(assert_true(col("n0") > 0 && col("n1") > 0,
+              lit("NaiveBayes.train: both classes (0 and 1) must be " +
+                "present in the training set")).cast("double"),
+            lit(0.0))).as("log_prior"))
     val model = c0.join(c1, Seq("tok"), "full_outer")
       .crossJoin(broadcast(scal.select("tot0", "tot1", "v")))
       .select(col("tok"),

@@ -660,10 +660,13 @@ object PrepQueries {
       |    [ord(c) for c in string_split(coalesce(text, ''), '')
       |     if ord(c) BETWEEN 0 AND 127] AS codes
       |  FROM documents),
+      |capped AS (
+      |  -- mirror gifFromText's 16*65535-code cap (16-bit height field)
+      |  SELECT media_id, codes[1:1048560] AS codes FROM a),
       |s AS (
       |  SELECT media_id, codes,
       |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS h
-      |  FROM a)
+      |  FROM capped)
       |SELECT media_id,
       |  CAST(16 AS INTEGER) AS width,
       |  CAST(h AS INTEGER) AS height,
@@ -706,9 +709,12 @@ object PrepQueries {
       |    [ord(c) for c in string_split(coalesce(text, ''), '')
       |     if ord(c) BETWEEN 0 AND 127] AS codes
       |  FROM documents),
+      |capped AS (
+      |  -- mirror jpegFromText's 8191-code cap (16-bit height = 8*nb)
+      |  SELECT media_id, codes[1:8191] AS codes FROM a),
       |s AS (
       |  SELECT media_id, codes, greatest(1, len(codes)) AS nb
-      |  FROM a)
+      |  FROM capped)
       |SELECT media_id,
       |  CAST(8 AS INTEGER) AS width,
       |  CAST(8 * nb AS INTEGER) AS height,
