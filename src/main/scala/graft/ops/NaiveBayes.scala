@@ -59,15 +59,18 @@ object NaiveBayes {
       .select(col("tot0"), col("tot1"), col("v"),
         (log((lit(1.0)) / (col("tot1") + col("v"))) -
           log(lit(1.0) / (col("tot0") + col("v")))).as("default_ratio"),
-        // assert_true is NULL when both classes are present (coalesce
-        // keeps the prior), and raises at first action otherwise — a
-        // single-class training set must fail LOUDLY, not return an
-        // Infinity prior that silently degenerates every prediction
-        (log(col("n1").cast("double") / col("n0")) +
-          coalesce(assert_true(col("n0") > 0 && col("n1") > 0,
-              lit("NaiveBayes.train: both classes (0 and 1) must be " +
-                "present in the training set")).cast("double"),
-            lit(0.0))).as("log_prior"))
+        // a single-class training set must fail LOUDLY, not return an
+        // Infinity prior that silently degenerates every prediction.
+        // The branch is CaseWhen-guarded (only the taken branch
+        // evaluates) so the degenerate case raises assert_true's
+        // message, not an upstream ANSI divide-by-zero whose text
+        // never names the real problem
+        when(col("n0") > 0 && col("n1") > 0,
+            log(col("n1").cast("double") / col("n0")))
+          .otherwise(assert_true(col("n0") > 0 && col("n1") > 0,
+            lit("NaiveBayes.train: both classes (0 and 1) must be " +
+              "present in the training set")).cast("double"))
+          .as("log_prior"))
     val model = c0.join(c1, Seq("tok"), "full_outer")
       .crossJoin(broadcast(scal.select("tot0", "tot1", "v")))
       .select(col("tok"),
@@ -76,6 +79,79 @@ object NaiveBayes {
           log((coalesce(col("c0"), lit(0L)) + 1) /
             (col("tot0") + col("v")))).as("ratio"))
     (model, scal.select("default_ratio", "log_prior"))
+  }
+
+  /** Per-(hashed token, class) count DELTA over a labeled batch —
+    * ADDITIVE (corpus counts = Σ batch counts), so a stored generation
+    * chain of these deltas folds by sum into exactly the sufficient
+    * statistic [[train]] computes, with no retrain boundary. Keyed by
+    * xxhash64 of the token: no string reaches a corpus-scale Exchange
+    * or the state files (the posting-table discipline).
+    */
+  def countDelta(docs: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    tokens(docs.select(col(labelCol).as("label"), col(textCol)), textCol)
+      .groupBy(xxhash64(col("tok")).as("tk"))
+      .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"))
+
+  /** Per-class doc-count DELTA (n0, n1) — additive, one row; an empty
+    * batch contributes (0, 0), not nulls, so the fold's sum is total.
+    */
+  def priorDelta(docs: DataFrame, labelCol: String): DataFrame =
+    docs.agg(
+      coalesce(sum(when(col(labelCol) === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n0"),
+      coalesce(sum(when(col(labelCol) === 1, 1L).otherwise(0L)), lit(0L))
+        .as("n1"))
+
+  /** Derive the (model, scalars) pair from FOLDED state counts — the
+    * identical smoothing algebra as [[train]] (Laplace +1, the same
+    * totals, the same vocabulary size, the same single-class guard), so
+    * a state-served score IS a train-on-the-folded-corpus score. Inputs:
+    * `counts` (tk, c0, c1) already summed over the generation chain,
+    * `priors` a 1-row (n0, n1). The returned model is keyed by `tk`;
+    * score with [[predictByKey]].
+    */
+  def modelFromCounts(counts: DataFrame,
+      priors: DataFrame): (DataFrame, DataFrame) = {
+    val scal = counts.agg(sum("c0").as("tot0"), sum("c1").as("tot1"),
+        count(lit(1)).as("v"))
+      .crossJoin(priors) // 1-row x 1-row scalar product
+      .select(col("tot0"), col("tot1"), col("v"),
+        (log(lit(1.0) / (col("tot1") + col("v"))) -
+          log(lit(1.0) / (col("tot0") + col("v")))).as("default_ratio"),
+        when(col("n0") > 0 && col("n1") > 0,
+            log(col("n1").cast("double") / col("n0")))
+          .otherwise(assert_true(col("n0") > 0 && col("n1") > 0,
+            lit("NaiveBayes.modelFromCounts: both classes (0 and 1) " +
+              "must be present in the folded state")).cast("double"))
+          .as("log_prior"))
+    val model = counts
+      .crossJoin(broadcast(scal.select("tot0", "tot1", "v")))
+      .select(col("tk"),
+        (log((col("c1") + 1) / (col("tot1") + col("v"))) -
+          log((col("c0") + 1) / (col("tot0") + col("v")))).as("ratio"))
+    (model, scal.select("default_ratio", "log_prior"))
+  }
+
+  /** [[predict]] against a tk-keyed model (the [[modelFromCounts]]
+    * shape): per-doc term frequencies hash each token with the same
+    * xxhash64 and left-join the BROADCAST model.
+    */
+  def predictByKey(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame, scalars: DataFrame): DataFrame = {
+    val tf = tokens(docs.select(col(idCol), col(textCol)), textCol)
+      .groupBy(col(idCol), xxhash64(col("tok")).as("tk"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("tk"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      .groupBy(idCol)
+      .agg((sum(col("tf") *
+          coalesce(col("ratio"), col("default_ratio"))) +
+        first("log_prior")).as("log_odds"))
+      .select(col(idCol),
+        when(col("log_odds") > 0, 1L).otherwise(0L).as("predicted"))
   }
 
   /** Score docs with a trained (model, scalars) pair: per-doc term

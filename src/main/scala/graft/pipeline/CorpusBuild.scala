@@ -132,6 +132,20 @@ object CorpusBuild {
       // (the q124 gate contract, state-served). Whole-life-of-the-dir
       // contract as above.
       trackCentroids: Boolean = false,
+      // when true, each generation also stores the batch's
+      // per-(token, class) count DELTA (tk = xxhash64(token), c0, c1)
+      // and 1-row (n0, n1) doc-prior delta for the NB quality
+      // classifier, over the batch's TRAIN split (labels are the q174
+      // planted synthesis — deterministic functions of doc_id, so
+      // ingest and in-query synthesis can never disagree). Counts are
+      // ADDITIVE: the fold IS the model's sufficient statistic, there
+      // is no retrain boundary, and the state-derived model
+      // ([[stateClassifierModel]]) is always exactly the model q174
+      // trains on the folded corpus — the ingest door can score every
+      // arriving batch against it ([[stateNbScores]]) with zero
+      // training at query time. Whole-life-of-the-dir contract as
+      // above.
+      trackClassifier: Boolean = false,
       kmeansK: Int = 8,
       kmeansIters: Int = 5,
       retrainGrowth: Double = 0.5,
@@ -474,6 +488,18 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/merges")
     }
+    if (cfg.trackClassifier) {
+      // classifier count deltas over the RAW batch's train split
+      // (q174's input contract is the full documents relation,
+      // pre-quality): additive, fold by sum — see Config.trackClassifier
+      val train = graft.queries.ClassifierQueries.plantedTrain(newDocs)
+      graft.ops.NaiveBayes.countDelta(train, "aug", "label")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/clfcounts")
+      graft.ops.NaiveBayes.priorDelta(train, "label")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/clfpriors")
+    }
     if (cfg.trackCentroids)
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
@@ -630,6 +656,79 @@ object CorpusBuild {
           col("tot_ref").as("n_ref"), col("tot_cur").as("n_cur"),
           expr("(1000000 * t) DIV (2 * tot_ref * tot_cur)").as("drift_ppm")))
       .orderBy("dim", "bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // Stored classifier state (cfg.trackClassifier): the NB sufficient
+  // statistic — per-(token, class) counts and doc priors — folded by sum
+  // over the generation chain; the model derives from the fold with the
+  // exact train() algebra, so state-served scores equal
+  // train-on-the-folded-corpus scores with zero training at query time.
+  // ---------------------------------------------------------------------
+
+  /** Folded classifier count table (tk, c0, c1) over every ingested
+    * batch's train split.
+    */
+  def stateClassifierCounts(spark: SparkSession,
+      stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/clfcounts"): _*)
+      .groupBy("tk").agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"))
+  }
+
+  /** Folded 1-row doc-prior table (n0, n1). */
+  def stateClassifierPriors(spark: SparkSession,
+      stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/clfpriors"): _*)
+      .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"))
+  }
+
+  /** The state-derived NB (model, scalars) pair —
+    * [[graft.ops.NaiveBayes.modelFromCounts]] over the folded counts;
+    * vocabulary-bounded, so the model broadcasts at any corpus scale.
+    */
+  def stateClassifierModel(spark: SparkSession,
+      stateDir: String): (DataFrame, DataFrame) =
+    graft.ops.NaiveBayes.modelFromCounts(
+      stateClassifierCounts(spark, stateDir),
+      stateClassifierPriors(spark, stateDir))
+
+  /** q174's classification served from STORED STATE: score `docs`'
+    * held-out split against the state-derived broadcast model — q174's
+    * exact output shape (doc_id, predicted, actual, correct), zero
+    * training at query time. This is also the ingest door's quality
+    * screen: [[graft.streaming.DocStream.ingestToState]] `onQuality`
+    * pushes each arriving batch through the same scoring path against
+    * the STANDING state before the batch folds in.
+    */
+  def stateNbScores(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    val base = graft.queries.ClassifierQueries.planted(docs)
+    val (model, scal) = stateClassifierModel(spark, stateDir)
+    graft.ops.NaiveBayes.predictByKey(
+        base.filter(col("is_test")), "aug", "doc_id", model, scal)
+      .join(base.select("doc_id", "label"), Seq("doc_id"))
+      .select(col("doc_id"), col("predicted"),
+        col("label").as("actual"),
+        when(col("predicted") === col("label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** The ingest DOOR's readout: every doc of an arriving batch scored
+    * against the STANDING state model — no split restriction (the door
+    * screens whatever arrives, before it folds in). (doc_id, predicted).
+    */
+  def stateNbScreen(spark: SparkSession, stateDir: String,
+      batch: DataFrame): DataFrame = {
+    val b = graft.queries.ClassifierQueries.planted(batch)
+    val (model, scal) = stateClassifierModel(spark, stateDir)
+    graft.ops.NaiveBayes.predictByKey(b, "aug", "doc_id", model, scal)
   }
 
   private def foldCounts(spark: SparkSession, stateDir: String,
@@ -1220,6 +1319,14 @@ object CorpusBuild {
       spark.read.parquet(s"$stateDir/gen=${state.gen.get}/merges")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/merges")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/clfcounts"))) {
+      // classifier count + prior deltas fold by sum into the new base
+      stateClassifierCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/clfcounts")
+      stateClassifierPriors(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/clfpriors")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

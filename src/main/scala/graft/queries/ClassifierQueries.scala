@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
 object ClassifierQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** The planted corpus: augmented text, binary label, 80/20 split. */
-  private def planted(docs: DataFrame): DataFrame =
+  /** The planted corpus: augmented text, binary label, 80/20 split.
+    * Shared with the stored-state tier ([[graft.pipeline.CorpusBuild]]
+    * `trackClassifier`): labels are deterministic functions of doc_id,
+    * so ingest-side count deltas and this in-query synthesis can never
+    * disagree about a document's class.
+    */
+  private[graft] def planted(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 2 === 0,
@@ -108,9 +113,31 @@ object ClassifierQueries {
       |FROM a JOIN score sc ON sc.doc_id = a.doc_id
       |ORDER BY a.doc_id""".stripMargin
 
+  /** The TRAIN-split rows a state ingest folds counts over: (doc_id,
+    * aug, label) for the 80% split of a batch.
+    */
+  private[graft] def plantedTrain(docs: DataFrame): DataFrame =
+    planted(docs).filter(!col("is_test")).select("doc_id", "aug", "label")
+
+  /** q180 — q174's classification served from STORED STATE: the
+    * per-(token, class) count deltas folded over the ingest generation
+    * chain are the model's sufficient statistic (counts are additive,
+    * so there is no retrain boundary — the state model is ALWAYS
+    * exactly the model q174 trains on the folded corpus); the held-out
+    * split scores against the broadcast state-derived model with zero
+    * training at query time. Oracle: q174's SQL verbatim — a wrong
+    * fold, a smoothing slip, or a lost batch flips a prediction and
+    * hash-mismatches.
+    */
+  val q180_state_nb_classifier: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateNbScores(s,
+      TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
-    "q174_nb_classifier" -> q174_nb_classifier)
+    "q174_nb_classifier" -> q174_nb_classifier,
+    "q180_state_nb_classifier" -> q180_state_nb_classifier)
 
   val oracleSql: Map[String, String] = Map(
-    "q174_nb_classifier" -> q174Sql)
+    "q174_nb_classifier" -> q174Sql,
+    "q180_state_nb_classifier" -> q174Sql)
 }

@@ -73,6 +73,16 @@ object DocStream {
     *        rows with any hit (doc_id + typed counts) are pushed to
     *        this callback (quarantine/audit), the same policy shape as
     *        onBatchOverlap
+    * @param onQuality when set (and the dir tracks classifier counts),
+    *        every micro-batch is scored against the STANDING corpus's
+    *        stored NB model BEFORE it folds in
+    *        ([[CorpusBuild.stateNbScreen]] — the state-derived model
+    *        broadcasts; zero training happens at the door) and the
+    *        per-doc (doc_id, predicted) rows are pushed to this
+    *        callback (routing, quarantine, audit) — read-side policy,
+    *        same shape as onBatchOverlap. The very first batch has no
+    *        standing model and skips the screen; its own counts fold
+    *        in and every later batch is screened
     * @param redactPii when true, the batch FOLDS WITH REDACTED TEXT —
     *        unlike the read-side screens this is deliberately a
     *        fold-side mutation: the production contract that raw PII
@@ -89,6 +99,7 @@ object DocStream {
       onBatchOverlap: DataFrame => Unit = null,
       onCrossSplit: DataFrame => Unit = null,
       onPii: DataFrame => Unit = null,
+      onQuality: DataFrame => Unit = null,
       redactPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -124,6 +135,10 @@ object DocStream {
             if (onBatchOverlap != null) onBatchOverlap(overlap)
             if (onCrossSplit != null)
               onCrossSplit(CorpusBuild.crossSplitOnly(overlap))
+          }
+          if (onQuality != null && cfg.trackClassifier &&
+              CorpusBuild.hasState(b.sparkSession, stateDir)) {
+            onQuality(CorpusBuild.stateNbScreen(b.sparkSession, stateDir, b))
           }
           CorpusBuild.ingestBatch(stateDir, b, cfg,
             if (vecsFor == null) null else vecsFor(b))

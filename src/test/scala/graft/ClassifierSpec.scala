@@ -56,4 +56,67 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.select("predicted").distinct().count() === 2L)
     out.unpersist()
   }
+
+  test("state tier: count deltas fold additively into exactly train()'s " +
+      "model — hand scalar values, unseen-token default routing, and a " +
+      "two-batch fold equal to the one-shot train") {
+    import spark.implicits._
+    val b1 = Seq(("cat cat", 0L)).toDF("t", "y")
+    val b2 = Seq(("dog", 1L)).toDF("t", "y")
+    // the stored-state shape: per-batch deltas, folded by sum
+    val folded = NaiveBayes.countDelta(b1, "t", "y")
+      .unionByName(NaiveBayes.countDelta(b2, "t", "y"))
+      .groupBy("tk").agg(sum("c0").as("c0"), sum("c1").as("c1"))
+    val priors = NaiveBayes.priorDelta(b1, "y")
+      .unionByName(NaiveBayes.priorDelta(b2, "y"))
+      .agg(sum("n0").as("n0"), sum("n1").as("n1"))
+    val (model, scal) = NaiveBayes.modelFromCounts(folded, priors)
+    val s = scal.collect()(0)
+    // same paper values as the train() test: default = ln(4/3), prior 0
+    assert(math.abs(s.getDouble(0) - math.log(4.0 / 3)) < 1e-12)
+    assert(s.getDouble(1) === 0.0)
+    val test = Seq((1L, "cat dog bird"), (2L, "cat cat")).toDF("id", "t")
+    val p = NaiveBayes.predictByKey(test, "t", "id", model, scal)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: UNSEEN 'bird' must route to the default ratio ln(4/3):
+    //   ln(4/9 * 8/3 * 4/3) = ln(128/81) > 0 -> class 1; a model that
+    //   dropped unseen tokens instead would still say 1 here, so doc 2
+    //   pins the other side: 2 ln(4/9) < 0 -> class 0
+    assert(p(1L) === 1L && p(2L) === 0L)
+    // and the tk-keyed path agrees with train() doc-for-doc
+    val (tm, ts) = NaiveBayes.train(b1.unionByName(b2), "t", "y")
+    val viaTrain = NaiveBayes.predict(test, "t", "id", tm, ts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTrain === p)
+  }
+
+  test("state tier single-class guard: a fold holding only one class " +
+      "fails loudly from modelFromCounts, same contract as train()") {
+    import spark.implicits._
+    val only1 = Seq(("dog barks", 1L)).toDF("t", "y")
+    val (_, scal) = NaiveBayes.modelFromCounts(
+      NaiveBayes.countDelta(only1, "t", "y")
+        .groupBy("tk").agg(sum("c0").as("c0"), sum("c1").as("c1")),
+      NaiveBayes.priorDelta(only1, "y"))
+    val e = intercept[Throwable](scal.collect())
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("both classes"))))
+  }
+
+  test("REGRESSION (r11 single-class guard): training on a corpus with " +
+      "only one class fails LOUDLY at first action instead of returning " +
+      "an Infinity prior that silently degenerates every prediction") {
+    import spark.implicits._
+    val only1 = Seq(("dog barks", 1L), ("dog runs", 1L)).toDF("t", "y")
+    val (_, scal) = NaiveBayes.train(only1, "t", "y")
+    val e = intercept[Throwable](scal.collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("both classes"),
+      s"expected the assert_true message in the failure chain, got: $chain")
+    val only0 = Seq(("cat", 0L)).toDF("t", "y")
+    val e0 = intercept[Throwable](NaiveBayes.train(only0, "t", "y")._2.collect())
+    assert(Iterator.iterate(e0)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("both classes"))))
+  }
 }

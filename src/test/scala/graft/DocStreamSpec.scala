@@ -468,6 +468,73 @@ class DocStreamSpec extends AnyFunSuite {
     checkVecs()
   }
 
+  test("streamed classifier state: the folded count deltas serve " +
+      "EXACTLY q174's one-shot-train classification, and the onQuality " +
+      "door screens each post-first batch against the standing model") {
+    import graft.ops.NaiveBayes
+    import graft.queries.ClassifierQueries
+    val root = java.nio.file.Files.createTempDirectory("docstream_clf")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackClassifier = true)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    val screens =
+      new scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onQuality = df => screens.synchronized {
+        screens += df.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      })
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the door fired for batches 2 and 3 only (batch 1 had no standing
+    // model to screen against)
+    assert(screens.synchronized(screens.size) === 2,
+      s"expected 2 door screens, got ${screens.size}")
+    // batch 2's screen == scoring batch 2 against the model folded from
+    // batch 1 ALONE (the standing state at that moment)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val t1 = ClassifierQueries.plantedTrain(b1)
+    val (m1, s1) = NaiveBayes.modelFromCounts(
+      NaiveBayes.countDelta(t1, "aug", "label")
+        .groupBy("tk").agg(sum("c0").as("c0"), sum("c1").as("c1")),
+      NaiveBayes.priorDelta(t1, "label"))
+    val expected = NaiveBayes.predictByKey(
+        ClassifierQueries.planted(b2), "aug", "doc_id", m1, s1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screens.synchronized(screens.head) === expected,
+      "door screen diverged from scoring against the standing model")
+
+    // streamed-fold ≡ one-shot-train: the state-served classification
+    // equals q174's exact output over the same corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    val served = rows(CorpusBuild.stateNbScores(spark, state, docs))
+    val oneShot = rows(ClassifierQueries.q174_nb_classifier(spark, sf))
+    assert(served === oneShot,
+      "state-served NB classification diverged from the one-shot train")
+
+    // … and compaction folds the classifier deltas unchanged
+    CorpusBuild.compact(spark, state)
+    CorpusBuild.pruneGenerations(spark, state, keep = 1)
+    assert(rows(CorpusBuild.stateNbScores(spark, state, docs)) === oneShot,
+      "compaction altered the classifier state")
+  }
+
   test("streamed PII screen at the door: arriving PII is detected and " +
       "typed into the callback, and with redactPii the corpus state " +
       "folds ONLY redacted text (clean docs byte-identical)") {

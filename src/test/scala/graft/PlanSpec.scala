@@ -145,7 +145,10 @@ class PlanSpec extends AnyFunSuite {
       // q174: NB scalar relation (totals/vocab/priors — 1-row) crossed
       // onto the vocabulary-sized model and the per-doc tf relation;
       // both are broadcast scalar joins, never a data-scale product
-      "q174_nb_classifier")
+      "q174_nb_classifier",
+      // q180: the same NB scalar crossJoins, state-served (the folded
+      // count state derives the identical 1-row scalar relation)
+      "q180_state_nb_classifier")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
