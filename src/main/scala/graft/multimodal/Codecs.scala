@@ -1400,6 +1400,66 @@ object Codecs {
     * multi-component scans, restart intervals, and 12-bit precision
     * fail loudly by marker.
     */
+  /** Split a CONCATENATED-JPEG (MJPEG) stream into frames by real
+    * marker walking — never by assumed frame sizes: each frame starts
+    * at an SOI, its header segments are skipped by their declared
+    * lengths (so a stray FFD9 inside a COM/APPn body cannot end a
+    * frame early), and after SOS the entropy-coded data is scanned for
+    * the first unstuffed marker (0xFF followed by neither 0x00 byte
+    * stuffing nor an RST), which baseline JPEG guarantees is the EOI.
+    * Each frame slice then decodes through [[decodeJpeg]]'s full
+    * transform path. Malformed streams — a frame boundary that is not
+    * an SOI, a non-EOI marker inside a scan, a truncated tail — fail
+    * loudly.
+    */
+  def decodeJpegStream(bytes: Array[Byte]): IndexedSeq[PpmImage] = {
+    val frames = IndexedSeq.newBuilder[PpmImage]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 2 <= bytes.length && (bytes(pos) & 0xFF) == 0xFF &&
+        (bytes(pos + 1) & 0xFF) == 0xD8,
+        s"expected SOI at frame boundary (byte $pos)")
+      var p = pos + 2
+      def u8(): Int = {
+        require(p < bytes.length, "truncated JPEG frame")
+        val v = bytes(p) & 0xFF; p += 1; v
+      }
+      def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+      // header segments by declared length, until SOS
+      var inScan = false
+      while (!inScan) {
+        require(u8() == 0xFF, "expected marker")
+        var m = u8()
+        while (m == 0xFF) m = u8() // optional fill bytes
+        m match {
+          case 0xDA =>
+            val len = u16(); p += len - 2; inScan = true
+          case 0xD9 =>
+            throw new IllegalArgumentException("EOI before any scan")
+          case 0x01 => () // TEM: standalone, no length
+          case rst if rst >= 0xD0 && rst <= 0xD7 => ()
+          case _ =>
+            val len = u16(); p += len - 2
+        }
+      }
+      // entropy-coded data: the first unstuffed non-RST marker ends it
+      var end = -1
+      while (end < 0) {
+        require(p + 1 < bytes.length, "truncated entropy stream (no EOI)")
+        if ((bytes(p) & 0xFF) == 0xFF) {
+          val nxt = bytes(p + 1) & 0xFF
+          if (nxt == 0x00 || (nxt >= 0xD0 && nxt <= 0xD7)) p += 2
+          else if (nxt == 0xD9) end = p + 2
+          else throw new IllegalArgumentException(
+            f"unexpected marker FF$nxt%02X inside entropy stream")
+        } else p += 1
+      }
+      frames += decodeJpeg(java.util.Arrays.copyOfRange(bytes, pos, end))
+      pos = end
+    }
+    frames.result()
+  }
+
   def decodeJpeg(bytes: Array[Byte]): PpmImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG payload (no SOI)")

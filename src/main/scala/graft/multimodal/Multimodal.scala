@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions._
   *    [[decodeAudioStats]] / [[decodePngStats]] / [[decodeGifStats]] /
   *    [[decodeJpegStats]] emit genuine pixel/sample statistics
   *    (q151/q152/q164/q169/q170, oracle-checked end to end).
-  *  - `decodeStub` for the PERCEPTUAL formats (MP3, H.264): no codec
-  *    libraries exist in this container and those codecs
-  *    (psychoacoustic subband synthesis, motion compensation) are out
+  *  - video carries a genuinely COMPRESSED container too:
+  *    [[mjpegFromText]] concatenates complete baseline JPEGs and
+  *    [[Codecs.decodeJpegStream]] re-discovers frame boundaries by
+  *    marker parsing (q181/q182, oracle-checked).
+  *  - `decodeStub` for the PERCEPTUAL formats (MP3 psychoacoustic
+  *    subband audio, H.264 inter-frame motion-compensated video): no
+  *    codec libraries exist in this container and those codecs are out
   *    of from-scratch scope, so their payloads get byte-level metadata
   *    only (length, first byte, digest). Swapping in a real codec
-  *    replaces only the function body — the PNG/GIF/JPEG tiers prove
-  *    it: same plan shape (scan → per-partition batch transform →
-  *    typed output), real compressed containers.
+  *    replaces only the function body — the PNG/GIF/JPEG/FLAC/MJPEG
+  *    tiers prove it: same plan shape (scan → per-partition batch
+  *    transform → typed output), real compressed containers.
   */
 object Multimodal {
 
@@ -426,6 +430,44 @@ object Multimodal {
       })
   }
 
+  /** REAL COMPRESSED multi-frame video from text: MJPEG — each frame a
+    * complete baseline JPEG over one 6-code slice of the ASCII
+    * sub-stream (code j of the slice becomes one CONSTANT 8×8 block of
+    * an 8-wide, 48-tall grayscale frame, zero-padded), concatenated
+    * back to back. The codec path per frame is [[Codecs.encodeJpeg]]'s
+    * genuine FDCT + Huffman entropy coding, frame boundaries are
+    * discovered by MARKER PARSING ([[Codecs.decodeJpegStream]]), and —
+    * because constant blocks are DC-only and the all-ones quantization
+    * is lossless — every decoded statistic stays an exact integer
+    * function of the source text that a second engine predicts.
+    */
+  def mjpegFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ascii = asciiBytes(t)
+        val nf = math.max(1, (ascii.length + 5) / 6)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nf) {
+          val gray = new Array[Byte](64 * 6)
+          var j = 0
+          while (j < 6) {
+            val from = f * 6 + j
+            if (from < ascii.length)
+              java.util.Arrays.fill(gray, 64 * j, 64 * (j + 1), ascii(from))
+            j += 1
+          }
+          out.write(Codecs.encodeJpeg(8, 48, gray))
+          f += 1
+        }
+        MediaRow(id, "video/x-motion-jpeg", out.toByteArray)
+      })
+  }
+
   /** Per-video decoded statistics with a REAL frame-sampling plan: every
     * `stride`-th frame's channel sum, alongside whole-stream totals —
     * the sample-frames-for-a-VLM shape with the decode riding the scan.
@@ -433,11 +475,12 @@ object Multimodal {
   case class VideoStats(media_id: Long, n_frames: Long, n_pixels: Long,
       sum_channel: Long, sampled_frames: Long, sampled_sum: Long)
 
-  def decodeVideoStats(media: Dataset[MediaRow],
-      stride: Int = 4): Dataset[VideoStats] = {
+  def decodeVideoStats(media: Dataset[MediaRow], stride: Int = 4,
+      decoder: Array[Byte] => IndexedSeq[Codecs.PpmImage] =
+        Codecs.decodePpmStream): Dataset[VideoStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val frames = Codecs.decodePpmStream(r.content)
+      val frames = decoder(r.content)
       var px = 0L; var sum = 0L; var sSum = 0L; var sN = 0L
       var f = 0
       while (f < frames.length) {
@@ -462,10 +505,12 @@ object Multimodal {
       max_delta: Long)
 
   def detectSceneCuts(media: Dataset[MediaRow],
-      threshold: Long = 1000L): Dataset[SceneCuts] = {
+      threshold: Long = 1000L,
+      decoder: Array[Byte] => IndexedSeq[Codecs.PpmImage] =
+        Codecs.decodePpmStream): Dataset[SceneCuts] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val frames = Codecs.decodePpmStream(r.content)
+      val frames = decoder(r.content)
       var prev = 0L; var cuts = 0L; var maxD = 0L
       var f = 0
       while (f < frames.length) {

@@ -952,6 +952,96 @@ object PrepQueries {
       |FROM documents
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** q181 — REAL COMPRESSED video decode: synthesize a genuine MJPEG
+    * stream per document (one complete baseline JPEG per 6-code slice —
+    * [[graft.multimodal.Multimodal.mjpegFromText]]: FDCT, Huffman
+    * entropy coding, DC prediction per frame), discover frame
+    * boundaries by MARKER PARSING
+    * ([[graft.multimodal.Codecs.decodeJpegStream]] — header segments
+    * skipped by length, entropy data scanned for the unstuffed EOI),
+    * and emit q161's per-video totals + every-4th-frame sampled sums.
+    * Block-constant synthesis under the all-ones quantization keeps
+    * every field an exact integer the oracle predicts from the text —
+    * a mis-walked boundary, a broken Huffman table, or an off-by-one
+    * in the sampling all hash-mismatch. The video tier now carries a
+    * genuinely compressed container, like the image tier's PNG/GIF/
+    * JPEG; the remaining stub is inter-frame video (H.264) only.
+    */
+  val q181_mjpeg_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeVideoStats(
+        graft.multimodal.Multimodal.mjpegFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        stride = 4,
+        decoder = graft.multimodal.Codecs.decodeJpegStream)
+      .toDF().orderBy("media_id")
+
+  // 192 = 3 RGB channels (gray triplicated) x 64 pixels per 8x8 block
+  val q181Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 6.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(192 * coalesce(list_sum(codes[6*f + 1 : 6*f + 6]), 0)
+      |      AS BIGINT) AS fsum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s))
+      |SELECT media_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 384 AS BIGINT) AS n_pixels,
+      |  CAST(SUM(fsum) AS BIGINT) AS sum_channel,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS sampled_frames,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN fsum ELSE 0 END) AS BIGINT)
+      |    AS sampled_sum
+      |FROM fr GROUP BY media_id, nf ORDER BY media_id""".stripMargin
+
+  /** q182 — scene cuts over the REALLY DECODED MJPEG frame stream:
+    * q162's adjacent-frame delta algebra over compressed frames; the
+    * 50000 threshold scales q162's 1000 by the 192x channel-sum factor
+    * of the 6-block frame shape (divided by the narrower 6-code slice).
+    */
+  val q182_mjpeg_scene_cuts: Q = (s, d) =>
+    graft.multimodal.Multimodal.detectSceneCuts(
+        graft.multimodal.Multimodal.mjpegFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        threshold = 50000L,
+        decoder = graft.multimodal.Codecs.decodeJpegStream)
+      .toDF().orderBy("media_id")
+
+  val q182Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 6.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(192 * coalesce(list_sum(codes[6*f + 1 : 6*f + 6]), 0)
+      |      AS BIGINT) AS fsum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |d AS (
+      |  SELECT x.media_id, x.nf, abs(y.fsum - x.fsum) AS delta
+      |  FROM fr x JOIN fr y
+      |    ON x.media_id = y.media_id AND y.f = x.f + 1)
+      |SELECT s.media_id, CAST(s.nf AS BIGINT) AS n_frames,
+      |  CAST(coalesce(SUM(CASE WHEN delta > 50000 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(MAX(delta), 0) AS BIGINT) AS max_delta
+      |FROM s LEFT JOIN d ON s.media_id = d.media_id
+      |GROUP BY s.media_id, s.nf ORDER BY s.media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_corpus_health" -> q82_corpus_health,
     "q81_cdc_apply" -> q81_cdc_apply,
@@ -977,7 +1067,9 @@ object PrepQueries {
     "q170_jpeg_decode" -> q170_jpeg_decode,
     "q171_flac_decode" -> q171_flac_decode,
     "q177_image_downsample" -> q177_image_downsample,
-    "q178_quarantine_decode" -> q178_quarantine_decode)
+    "q178_quarantine_decode" -> q178_quarantine_decode,
+    "q181_mjpeg_decode" -> q181_mjpeg_decode,
+    "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -1004,5 +1096,7 @@ object PrepQueries {
     "q170_jpeg_decode" -> q170Sql,
     "q171_flac_decode" -> q171Sql,
     "q177_image_downsample" -> q177Sql,
-    "q178_quarantine_decode" -> q178Sql)
+    "q178_quarantine_decode" -> q178Sql,
+    "q181_mjpeg_decode" -> q181Sql,
+    "q182_mjpeg_scene_cuts" -> q182Sql)
 }

@@ -890,4 +890,142 @@ class CodecSpec extends AnyFunSuite {
       s"expected 18 crossings, got ${ft(1L).zero_crossings}")
     assert(ft(4L).n_samples === 0L && ft(4L).peak === 0L)
   }
+
+  // ------------------------------------------------------------ MJPEG
+
+  test("MJPEG stream walk: concatenated baseline JPEGs split at the " +
+      "real marker boundaries (each frame decodes to its own pixels), " +
+      "and malformed streams fail loudly") {
+    // three frames with distinct constant blocks
+    val f1 = Codecs.encodeJpeg(8, 8, Array.fill(64)(40.toByte))
+    val f2 = Codecs.encodeJpeg(8, 16, Array.fill(128)(90.toByte))
+    val f3 = Codecs.encodeJpeg(8, 8, Array.fill(64)(200.toByte))
+    val frames = Codecs.decodeJpegStream(f1 ++ f2 ++ f3)
+    assert(frames.length === 3)
+    assert(frames(0).height === 8 && (frames(0).pixels(0) & 0xFF) === 40)
+    assert(frames(1).height === 16 && (frames(1).pixels(0) & 0xFF) === 90)
+    assert(frames(2).height === 8 && (frames(2).pixels(0) & 0xFF) === 200)
+    assert(frames.forall(_.width === 8))
+    // a single frame walks identically to the single-image decoder
+    assert(Codecs.decodeJpegStream(f2).head.pixels.toSeq
+      === Codecs.decodeJpeg(f2).pixels.toSeq)
+    // garbage between frames: the walker demands SOI at every boundary
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpegStream(f1 ++ Array[Byte](0, 0) ++ f2))
+    // truncated tail: the second frame loses its EOI
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpegStream(f1 ++ f2.dropRight(2)))
+  }
+
+  test("q181 pipeline: MJPEG-encoded corpus decodes to statistics " +
+      "predictable from the source text (6-code frames, 192x sums)") {
+    import spark.implicits._
+    import graft.multimodal.{Codecs => C, Multimodal}
+    val docs = Seq(
+      (1L, "abcdefgh"),  // 8 codes -> 2 frames (6 + 2-padded)
+      (2L, ""),          // empty -> 1 zero frame
+      (3L, "x" * 30))    // 30 codes -> 5 frames
+      .toDF("doc_id", "text")
+    val v = Multimodal.decodeVideoStats(
+        Multimodal.mjpegFromText(spark, docs, "doc_id", "text"),
+        stride = 4, decoder = C.decodeJpegStream)
+      .collect().map(s => s.media_id -> s).toMap
+    val sum1 = "abcdefgh".map(_.toInt).sum * 192L
+    assert(v(1L).n_frames === 2L && v(1L).n_pixels === 2L * 384)
+    assert(v(1L).sum_channel === sum1)
+    assert(v(1L).sampled_frames === 1L && // frame 0 only
+      v(1L).sampled_sum === "abcdef".map(_.toInt).sum * 192L)
+    assert(v(2L).n_frames === 1L && v(2L).sum_channel === 0L)
+    assert(v(3L).n_frames === 5L &&
+      v(3L).sum_channel === 30L * 'x'.toInt * 192)
+  }
+
+  // --------------------------------------- round-11 fix regressions
+
+  test("REGRESSION (r11 GIF LZW width fix): a plane whose FINAL data " +
+      "code lands exactly on the decoder's width bump, with the packed " +
+      "stream ending on a byte boundary, round-trips exactly (pre-fix " +
+      "the encoder wrote EOI one bit narrow and this plane died with " +
+      "'truncated LZW stream')") {
+    // b(0) = 0, b(i) = b(i-1) + (1 + 2*((i-1)/256)) mod 256: odd deltas
+    // (gcd(d, 256) = 1) keep every consecutive byte pair globally
+    // distinct, so the encoder never takes a dictionary hit. 8445
+    // pixels then force two full-table clears and leave the third
+    // segment's final insert exactly at the 1024-entry width boundary
+    // with the pre-EOI bit count ≡ 6 (mod 8) — the one alignment where
+    // a narrow EOI gets no padding-bit rescue (verified: the
+    // mirror-less encoder fails decode on exactly this length and no
+    // other in 8300..8700).
+    val n = 8445 // = 563 * 15
+    val plane = new Array[Byte](n)
+    var i = 1
+    while (i < n) {
+      plane(i) = ((plane(i - 1) & 0xFF) + 1 + 2 * ((i - 1) / 256)).toByte
+      i += 1
+    }
+    val img = Codecs.decodeGif(Codecs.encodeGif(563, 15, plane))
+    assert(img.width === 563 && img.height === 15)
+    // grayscale palette: the red channel of pixel p is index p
+    var p = 0
+    while (p < n) {
+      assert((img.pixels(3 * p) & 0xFF) === (plane(p) & 0xFF),
+        s"pixel $p diverged")
+      p += 1
+    }
+  }
+
+  test("REGRESSION (r11 NonFatal quarantine): a PNG whose IDAT chunk is " +
+      "CRC-valid but NOT a zlib stream (Inflater's checked " +
+      "DataFormatException) quarantines instead of crashing the stage") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // chunk CRC passes; payload 0x55... fails the zlib header check
+    val hostile = pngSig ++ handIhdr(2, 2) ++
+      handChunk("IDAT", Array.fill(8)(0x55.toByte)) ++
+      handChunk("IEND", Array.emptyByteArray)
+    intercept[Exception](Codecs.decodePng(hostile))
+    val clean = graft.multimodal.Multimodal
+      .pngFromText(spark, Seq((1L, "abc")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().head
+    val tried = Multimodal.tryDecodeImageStats(
+        Seq(Multimodal.MediaRow(7L, "image/png", hostile), clean).toDS())
+      .collect().map(s => s.media_id -> s).toMap
+    assert(tried(7L).decode_ok === 0 && tried(7L).n_pixels === 0L,
+      "non-zlib IDAT must quarantine, zeroed")
+    assert(tried(1L).decode_ok === 1 &&
+      tried(1L).sum_channel === 97L + 98 + 99,
+      "the clean payload in the same batch still decodes")
+  }
+
+  test("REGRESSION (r11 dimension caps): gifFromText truncates at " +
+      "exactly 16*65535 ASCII codes and jpegFromText at 8191 — height " +
+      "pins at the 16-bit ceiling and over-cap codes contribute nothing") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val cap = 16 * 65535 // 1048560
+    val docs = Seq((1L, "x" * (cap - 1)), (2L, "x" * cap),
+      (3L, "x" * (cap + 7))).toDF("doc_id", "text")
+    val g = Multimodal.decodeGifStats(
+        Multimodal.gifFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(g(1L).height === 65535 &&
+      g(1L).sum_channel === 3L * 120 * (cap - 1))
+    assert(g(2L).height === 65535 && g(2L).sum_channel === 3L * 120 * cap)
+    assert(g(3L).height === 65535 && g(3L).sum_channel === 3L * 120 * cap,
+      "codes beyond the 16*65535 cap must contribute nothing")
+    val jcap = 8191
+    val jd = Seq((1L, "y" * (jcap - 1)), (2L, "y" * jcap),
+      (3L, "y" * (jcap + 5))).toDF("doc_id", "text")
+    val j = Multimodal.decodeJpegStats(
+        Multimodal.jpegFromText(spark, jd, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(j(1L).height === 8 * (jcap - 1) &&
+      j(1L).sum_channel === 3L * 121 * 64 * (jcap - 1))
+    assert(j(2L).height === 8 * jcap &&
+      j(2L).sum_channel === 3L * 121 * 64 * jcap)
+    assert(j(3L).height === 8 * jcap &&
+      j(3L).sum_channel === 3L * 121 * 64 * jcap,
+      "codes beyond the 8191 cap must contribute nothing")
+  }
 }
