@@ -699,6 +699,213 @@ object Codecs {
     WavAudio(channels, rate, bits, samples)
   }
 
+  // -------------------------------------------------------------- ADPCM
+  //
+  // From-scratch LOSSY compressed audio: IMA ADPCM inside a RIFF/WAVE
+  // container (format tag 0x0011) — 4-bit delta nibbles against the
+  // spec's 89-entry step table with per-nibble step-index adaptation,
+  // 4-byte block headers re-seeding (predictor, step index) so any
+  // block decodes independently, and a `fact` chunk carrying the true
+  // sample count. The reconstruction is pure small-integer shift/add
+  // arithmetic the public IMA spec defines exactly, so the decoded PCM
+  // is bit-identical across engines: 4:1 lossy on the wire, fully
+  // deterministic on decode.
+
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA quantized-difference reconstruction step: returns the new
+    * (predictor, stepIndex) after applying nibble `n` — shared verbatim
+    * by the encoder (which must track the decoder's state, not its own
+    * ideal) and the decoder.
+    */
+  private def adpcmStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    val step = AdpcmStepTable(idx)
+    var dq = step >> 3
+    if ((n & 4) != 0) dq += step
+    if ((n & 2) != 0) dq += step >> 1
+    if ((n & 1) != 0) dq += step >> 2
+    var p = if ((n & 8) != 0) pred - dq else pred + dq
+    if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+    var i = idx + AdpcmIndexTable(n & 7)
+    if (i < 0) i = 0 else if (i > 88) i = 88
+    (p, i)
+  }
+
+  /** Encode mono PCM16 as IMA ADPCM in a RIFF/WAVE container (format
+    * tag 0x0011): `blockAlign`-byte blocks, each opening with a 4-byte
+    * header — seed predictor (int16 LE, the block's FIRST sample), the
+    * running step index, a reserved zero — followed by one 4-bit
+    * nibble per remaining sample, low nibble first, so a block carries
+    * (blockAlign−4)·2 + 1 samples. A final partial block pads with
+    * zero-difference nibbles; the `fact` chunk's sample count trims
+    * them on decode.
+    */
+  def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(sampleRate > 0, "bad sample rate")
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"bad block align $blockAlign")
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb // 0 for empty input
+    val dataLen = nBlocks * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(48 + dataLen)
+      .put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(20)
+      .putShort(0x11.toShort)            // IMA ADPCM
+      .putShort(1.toShort)               // mono
+      .putInt(sampleRate)
+      .putInt(((sampleRate.toLong * blockAlign + spb - 1) / spb).toInt)
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)               // bits per (coded) sample
+      .putShort(2.toShort)               // cbSize
+      .putShort(spb.toShort)             // samples per block
+    bb.put("fact".getBytes(ascii)).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
+    var idx = 0
+    var s = 0
+    while (s < samples.length) {
+      var pred = samples(s).toInt
+      bb.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+      var j = 1
+      var lowNibble = -1
+      while (j < spb) {
+        val target = if (s + j < samples.length) samples(s + j).toInt
+          else pred // pad: encode zero difference
+        val step = AdpcmStepTable(idx)
+        var diff = target - pred
+        val sign = if (diff < 0) 8 else 0
+        if (sign != 0) diff = -diff
+        var code = 0
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) code |= 1
+        val nib = sign | code
+        val st = adpcmStep(pred, idx, nib) // track the DECODER's state
+        pred = st._1; idx = st._2
+        if (lowNibble < 0) lowNibble = nib
+        else { bb.put((lowNibble | (nib << 4)).toByte); lowNibble = -1 }
+        j += 1
+      }
+      if (lowNibble >= 0) bb.put(lowNibble.toByte) // spb is odd+1: even nibble count, unreachable
+      s += spb
+    }
+    bb.array()
+  }
+
+  /** Decode an IMA ADPCM RIFF/WAVE payload (format tag 0x0011): chunk
+    * walk (fmt validated — mono, 4-bit, samples-per-block consistent
+    * with the block align; `fact` required for the true count), then
+    * per block: re-seed (predictor, step index) from the header, emit
+    * the seed sample, apply each nibble through the shared
+    * reconstruction. Returns 16-bit PCM ([[WavAudio]], bits = 16 — the
+    * DECODED precision) so every audio consumer stays
+    * container-agnostic. Malformed payloads fail loudly.
+    */
+  def decodeWavAdpcm(bytes: Array[Byte]): WavAudio = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b)
+      new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(bytes.length >= 12, "truncated RIFF header")
+    require(fourcc() == "RIFF", "not a RIFF payload")
+    bb.getInt
+    require(fourcc() == "WAVE", "RIFF form is not WAVE")
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var fact = -1
+    var data: Option[Array[Byte]] = None
+    while ((fmt.isEmpty || data.isEmpty || fact < 0) && bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"chunk '$id' declares $size bytes, ${bb.remaining()} remain")
+      val body = new Array[Byte](size); bb.get(body)
+      if (size % 2 == 1 && bb.remaining() > 0) bb.get()
+      id match {
+        case "fmt " =>
+          require(size >= 20, s"ADPCM fmt chunk too small ($size)")
+          val fb = java.nio.ByteBuffer.wrap(body)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val tag = fb.getShort & 0xFFFF
+          val ch = fb.getShort & 0xFFFF
+          val rate = fb.getInt
+          fb.getInt // byte rate: informational
+          val ba = fb.getShort & 0xFFFF
+          val bits = fb.getShort & 0xFFFF
+          fb.getShort // cbSize
+          val spb = fb.getShort & 0xFFFF
+          fmt = Some((tag, ch, rate, ba, { require(bits == 4,
+            s"$bits bits/sample unsupported (IMA ADPCM is 4)"); spb }))
+        case "fact" =>
+          require(size >= 4, "fact chunk too small")
+          fact = java.nio.ByteBuffer.wrap(body)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        case "data" => data = Some(body)
+        case _ => // unknown chunk: skipped by size
+      }
+    }
+    val (tag, channels, rate, blockAlign, spb) = fmt.getOrElse(
+      throw new IllegalArgumentException("no fmt chunk"))
+    require(tag == 0x11, s"format tag $tag unsupported (IMA ADPCM only)")
+    require(channels == 1, s"$channels channels unsupported (mono only)")
+    require(spb == (blockAlign - 4) * 2 + 1,
+      s"samples-per-block $spb inconsistent with block align $blockAlign")
+    val d = data.getOrElse(throw new IllegalArgumentException("no data chunk"))
+    require(fact >= 0, "no fact chunk (required for ADPCM sample count)")
+    require(d.length % blockAlign == 0,
+      s"data length ${d.length} is not a whole number of $blockAlign-byte blocks")
+    val nBlocks = d.length / blockAlign
+    require(fact <= nBlocks * spb,
+      s"fact count $fact exceeds ${nBlocks * spb} decodable samples")
+    require(nBlocks == 0 || fact > (nBlocks - 1) * spb,
+      s"fact count $fact leaves the final block empty")
+    val out = new Array[Short](fact)
+    var outPos = 0
+    val db = java.nio.ByteBuffer.wrap(d)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < nBlocks) {
+      var pred: Int = db.getShort.toInt
+      var idx: Int = db.get() & 0xFF
+      require(idx <= 88, s"step index $idx out of range")
+      db.get() // reserved
+      if (outPos < fact) { out(outPos) = pred.toShort; outPos += 1 }
+      var k = 0
+      val nNibbleBytes = blockAlign - 4
+      while (k < nNibbleBytes) {
+        val byte = db.get() & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte & 0x0F else byte >>> 4
+          val st = adpcmStep(pred, idx, nib)
+          pred = st._1; idx = st._2
+          if (outPos < fact) { out(outPos) = pred.toShort; outPos += 1 }
+          half += 1
+        }
+        k += 1
+      }
+      b += 1
+    }
+    require(outPos == fact, s"decoded $outPos of $fact declared samples")
+    WavAudio(1, rate, 16, out)
+  }
+
   // --------------------------------------------------------------- FLAC
   //
   // From-scratch LOSSLESS compressed audio: a FLAC (free lossless audio

@@ -642,6 +642,48 @@ object Multimodal {
       })
   }
 
+  /** REAL LOSSY-compressed audio from text: IMA ADPCM
+    * ([[Codecs.encodeWavAdpcm]] — 4-bit adaptive delta nibbles, block
+    * headers, `fact` chunk, format tag 0x0011). Each ASCII code
+    * becomes ONE FULL BLOCK of 505 equal samples at the q152 amplitude
+    * contract ((code − 64)·256): a constant block encodes as
+    * zero-difference nibbles at step index 0 where the quantized delta
+    * is exactly 0, so this particular signal round-trips LOSSLESSLY
+    * through the genuinely lossy 4:1 wire format — the DC-only-JPEG
+    * discipline for audio — and the oracle predicts every decoded
+    * statistic from the text.
+    */
+  def adpcmFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val codes = asciiBytes(t)
+        val spb = 505 // (256 - 4) * 2 + 1 at the default block align
+        val samples = new Array[Short](codes.length * spb)
+        var i = 0
+        while (i < codes.length) {
+          val v = ((codes(i) - 64) * 256).toShort
+          var j = 0
+          while (j < spb) { samples(i * spb + j) = v; j += 1 }
+          i += 1
+        }
+        MediaRow(id, "audio/x-ima-adpcm", Codecs.encodeWavAdpcm(8000, samples))
+      })
+  }
+
+  /** Decode IMA ADPCM payloads (REAL nibble reconstruction —
+    * [[Codecs.decodeWavAdpcm]]) into the shared container-agnostic
+    * audio stats kernel.
+    */
+  def decodeAdpcmStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      audioStatsOf(r.media_id, Codecs.decodeWavAdpcm(r.content))))
+  }
+
   /** A decode attempt: the stats when the payload parses, a zeroed row
     * with `decode_ok = 0` when it doesn't — the quarantine shape. At
     * 100 TB some payloads ARE corrupt; a lake-scale decode job must

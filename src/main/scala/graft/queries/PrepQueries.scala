@@ -1042,6 +1042,39 @@ object PrepQueries {
       |FROM s LEFT JOIN d ON s.media_id = d.media_id
       |GROUP BY s.media_id, s.nf ORDER BY s.media_id""".stripMargin
 
+  /** q183 — REAL LOSSY-compressed audio decode: IMA ADPCM payloads
+    * (genuine 4-bit adaptive-delta wire format, block headers, `fact`
+    * chunk — [[graft.multimodal.Multimodal.adpcmFromText]]) parsed
+    * back through the from-scratch nibble reconstruction
+    * ([[graft.multimodal.Codecs.decodeWavAdpcm]]) into q152's audio
+    * statistics shape. The blockwise-constant synthesis makes this
+    * particular signal a lossless fixed point of the lossy codec
+    * (zero-difference nibbles at step index 0), so the oracle predicts
+    * every field exactly: 505 samples per code at the (code − 64)·256
+    * amplitude — a mis-seeded block header, a wrong step-table entry,
+    * or a dropped `fact` trim all hash-mismatch. CodecSpec pins the
+    * genuinely lossy path with hand-traced nibble streams.
+    */
+  val q183_adpcm_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeAdpcmStats(
+        graft.multimodal.Multimodal.adpcmFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q183Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [(ord(c) - 64) * 256 for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS smp
+      |  FROM documents)
+      |SELECT media_id,
+      |  CAST(505 * len(smp) AS BIGINT) AS n_samples,
+      |  CAST((505 * len(smp) * 1000) // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(505 * coalesce(list_sum(smp), 0) AS BIGINT) AS sum_sample,
+      |  CAST(coalesce(list_min(smp), 0) AS BIGINT) AS min_sample,
+      |  CAST(coalesce(list_max(smp), 0) AS BIGINT) AS max_sample
+      |FROM a ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_corpus_health" -> q82_corpus_health,
     "q81_cdc_apply" -> q81_cdc_apply,
@@ -1069,7 +1102,8 @@ object PrepQueries {
     "q177_image_downsample" -> q177_image_downsample,
     "q178_quarantine_decode" -> q178_quarantine_decode,
     "q181_mjpeg_decode" -> q181_mjpeg_decode,
-    "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts)
+    "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
+    "q183_adpcm_decode" -> q183_adpcm_decode)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -1098,5 +1132,6 @@ object PrepQueries {
     "q177_image_downsample" -> q177Sql,
     "q178_quarantine_decode" -> q178Sql,
     "q181_mjpeg_decode" -> q181Sql,
-    "q182_mjpeg_scene_cuts" -> q182Sql)
+    "q182_mjpeg_scene_cuts" -> q182Sql,
+    "q183_adpcm_decode" -> q183Sql)
 }

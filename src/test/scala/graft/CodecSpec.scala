@@ -891,6 +891,105 @@ class CodecSpec extends AnyFunSuite {
     assert(ft(4L).n_samples === 0L && ft(4L).peak === 0L)
   }
 
+  // ------------------------------------------------------------ ADPCM
+
+  /** Hand-assemble an IMA ADPCM RIFF container (independent of
+    * encodeWavAdpcm): fmt tag 0x11 with cbSize/samplesPerBlock, a fact
+    * chunk, and raw block bytes.
+    */
+  private def handAdpcm(blockAlign: Int, fact: Int,
+      blocks: Array[Byte]): Array[Byte] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + blocks.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(48 + blocks.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(fact)
+    bb.put("data".getBytes("US-ASCII")).putInt(blocks.length).put(blocks)
+    bb.array()
+  }
+
+  test("golden ADPCM: a hand-traced nibble stream (step-index growth " +
+      "through 0->2->10, sign nibbles, clamps) decodes to the exact " +
+      "paper samples") {
+    // seed pred=0 idx=0; nibbles 1,4,7,9,0,15,2,12 walk the step table
+    // as hand-computed: dq = step>>3 (+step)(+step>>1)(+step>>2)
+    val block = Array[Byte](0, 0, 0, 0, // header: pred 0, idx 0, rsvd
+      0x41, 0x97.toByte, 0xF0.toByte, 0xC2.toByte) // low nibble first
+    val wav = Codecs.decodeWavAdpcm(handAdpcm(8, 9, block))
+    assert(wav.channels === 1 && wav.sampleRate === 8000)
+    assert(wav.samples.toSeq ===
+      Seq[Short](0, 1, 8, 24, 18, 20, -10, 11, -23))
+  }
+
+  test("ADPCM encoder: hand-checked nibble selection ([0,5,-3] -> " +
+      "nibbles 3,12 then zero-difference pads), genuinely LOSSY (5 " +
+      "reconstructs as 4) but deterministic, fact-trimmed on decode") {
+    val enc = Codecs.encodeWavAdpcm(8000, Array[Short](0, 5, -3),
+      blockAlign = 8)
+    // data chunk tail: 4-byte header + nibble bytes C3 00 00 00
+    assert(enc.takeRight(8).toSeq === Seq[Byte](0, 0, 0, 0,
+      0xC3.toByte, 0, 0, 0))
+    val wav = Codecs.decodeWavAdpcm(enc)
+    assert(wav.samples.toSeq === Seq[Short](0, 4, -3),
+      "step-7 quantization reconstructs 5 as 4 — lossy, deterministically")
+  }
+
+  test("ADPCM blockwise-constant signals are a lossless fixed point " +
+      "(zero-difference nibbles at step index 0), across blocks and " +
+      "with a trimmed final block; malformed payloads fail loudly") {
+    val spb = 505
+    val codes = Array[Int](97, 98, 40)
+    val samples = codes.flatMap(c =>
+      Array.fill(spb)(((c - 64) * 256).toShort))
+    val wav = Codecs.decodeWavAdpcm(Codecs.encodeWavAdpcm(8000, samples))
+    assert(wav.samples.toSeq === samples.toSeq,
+      "constant blocks must round-trip exactly through the lossy codec")
+    // partial final block: fact trims the pad nibbles
+    val odd = samples.take(2 * spb + 17)
+    assert(Codecs.decodeWavAdpcm(Codecs.encodeWavAdpcm(8000, odd))
+      .samples.toSeq === odd.toSeq)
+    // empty input: zero blocks, zero samples
+    assert(Codecs.decodeWavAdpcm(Codecs.encodeWavAdpcm(8000,
+      Array.empty[Short])).samples.isEmpty)
+    // malformed: a PCM WAV is not ADPCM
+    intercept[IllegalArgumentException](Codecs.decodeWavAdpcm(
+      Codecs.encodeWav(1, 8000, Array[Short](1, 2))))
+    // step index out of range in a block header
+    val bad = Array[Byte](0, 0, 89.toByte, 0, 0, 0, 0, 0)
+    intercept[IllegalArgumentException](
+      Codecs.decodeWavAdpcm(handAdpcm(8, 9, bad)))
+    // fact count exceeding the decodable samples
+    intercept[IllegalArgumentException](
+      Codecs.decodeWavAdpcm(handAdpcm(8, 10,
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))))
+  }
+
+  test("q183 pipeline: ADPCM-encoded corpus decodes to statistics " +
+      "predictable from the source text (505 samples per code)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "abc"), (2L, ""), (3L, "ééA"))
+      .toDF("doc_id", "text")
+    val a = Multimodal.decodeAdpcmStats(
+        Multimodal.adpcmFromText(spark, docs, "doc_id", "text"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(a(1L).n_samples === 3L * 505)
+    assert(a(1L).sum_sample ===
+      505L * ((97 - 64) + (98 - 64) + (99 - 64)) * 256)
+    assert(a(1L).min_sample === (97 - 64) * 256L &&
+      a(1L).max_sample === (99 - 64) * 256L)
+    assert(a(1L).duration_ms === 3L * 505 * 1000 / 8000)
+    assert(a(2L).n_samples === 0L && a(2L).sum_sample === 0L)
+    assert(a(3L).n_samples === 505L &&
+      a(3L).sum_sample === 505L * (65 - 64) * 256,
+      "only the ASCII 'A' contributes")
+  }
+
   // ------------------------------------------------------------ MJPEG
 
   test("MJPEG stream walk: concatenated baseline JPEGs split at the " +
