@@ -738,6 +738,109 @@ object Multimodal {
     }
   }
 
+  /** The mixed-container quarantine row: one shape across image and
+    * audio payloads — `n_units` is pixels or samples, `sum_val`/
+    * `max_val` the channel or sample statistics — so one lake-scale
+    * decode job can quarantine across every format it holds.
+    */
+  case class TriedMediaStats(media_id: Long, media_type: String,
+      decode_ok: Int, n_units: Long, sum_val: Long, max_val: Long)
+
+  /** A MIXED media lake: container chosen by doc_id % 4 (PNG / GIF /
+    * JPEG / FLAC), each through its existing synthesis path — the
+    * production shape where one directory holds many formats.
+    */
+  def mixedMediaLake(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] =
+    pngFromText(spark, docs.filter(col(idCol) % 4 === 0), idCol, textCol)
+      .unionByName(gifFromText(spark,
+        docs.filter(col(idCol) % 4 === 1), idCol, textCol))
+      .unionByName(jpegFromText(spark,
+        docs.filter(col(idCol) % 4 === 2), idCol, textCol))
+      .unionByName(flacFromText(spark,
+        docs.filter(col(idCol) % 4 === 3), idCol, textCol))
+
+  /** The q184 corruption model — a format-SPECIFIC detectable
+    * corruption class per container, for `media_id % 13 == 0`:
+    *  - PNG: trailing 5-byte truncation (q178's class — the chunk
+    *    walk's length/CRC verification must reject);
+    *  - GIF: LZW code overflow — the first code byte forced to 0xFF
+    *    turns the mandatory 9-bit clear code (0x100, low byte 0x00)
+    *    into code 0x1FF, ahead of any dictionary, which the decoder's
+    *    first-code-after-clear check must reject. Offset 793 is fixed
+    *    by [[Codecs.encodeGif]]'s layout: 6 header + 7 LSD + 768 GCT +
+    *    10 image descriptor + 1 min-code-size + 1 sub-block size;
+    *  - JPEG: marker corruption — the SOF0 marker (the first FF C0 in
+    *    the stream; header segment bodies cannot contain FF C0 before
+    *    it) becomes FF C2, a progressive SOF the baseline decoder
+    *    must reject by type;
+    *  - FLAC: CRC corruption — the final byte (inside the last frame's
+    *    CRC-16 footer, or the STREAMINFO MD5 on a frameless stream)
+    *    inverted, which the frame CRC / MD5 verification must reject.
+    */
+  def corruptMixed(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.media_id % 13 != 0) r
+      else r.media_type match {
+        case "image/png" =>
+          MediaRow(r.media_id, r.media_type, java.util.Arrays.copyOf(
+            r.content, math.max(0, r.content.length - 5)))
+        case "image/gif" =>
+          val b = r.content.clone()
+          b(793) = 0xFF.toByte
+          MediaRow(r.media_id, r.media_type, b)
+        case "image/jpeg" =>
+          val b = r.content.clone()
+          var i = 0
+          while (!((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0))
+            i += 1
+          b(i + 1) = 0xC2.toByte
+          MediaRow(r.media_id, r.media_type, b)
+        case "audio/flac" =>
+          val b = r.content.clone()
+          b(b.length - 1) = (b(b.length - 1) ^ 0xFF).toByte
+          MediaRow(r.media_id, r.media_type, b)
+        case other => throw new IllegalArgumentException(
+          s"no corruption model for $other")
+      }
+    }
+  }
+
+  /** Decode a MIXED lake with quarantine semantics: dispatch on the
+    * container type, catch every NonFatal parse failure into a zeroed
+    * `decode_ok = 0` row — q178's never-crash contract extended across
+    * all four compressed containers.
+    */
+  def tryDecodeMixedStats(
+      media: Dataset[MediaRow]): Dataset[TriedMediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        r.media_type match {
+          case "image/png" | "image/gif" | "image/jpeg" =>
+            val img = r.media_type match {
+              case "image/png" => Codecs.decodePng(r.content)
+              case "image/gif" => Codecs.decodeGif(r.content)
+              case _ => Codecs.decodeJpeg(r.content)
+            }
+            val s = imageStatsOf(r.media_id, img)
+            TriedMediaStats(r.media_id, r.media_type, 1,
+              s.n_pixels, s.sum_channel, s.max_channel.toLong)
+          case "audio/flac" =>
+            val a = audioStatsOf(r.media_id, Codecs.decodeFlac(r.content))
+            TriedMediaStats(r.media_id, r.media_type, 1,
+              a.n_samples, a.sum_sample, a.max_sample)
+          case other => throw new IllegalArgumentException(
+            s"unknown media type $other")
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedMediaStats(r.media_id, r.media_type, 0, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** Statistics of a 2× BOX-FILTER DOWNSAMPLE over really decoded
     * pixels: each output channel is the rounded mean of its 2×2 input
     * block ((a+b+c+d+2)>>2 — integer-exact, so a second engine can

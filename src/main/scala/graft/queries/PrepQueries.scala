@@ -1075,6 +1075,64 @@ object PrepQueries {
       |  CAST(coalesce(list_max(smp), 0) AS BIGINT) AS max_sample
       |FROM a ORDER BY media_id""".stripMargin
 
+  /** q184 — QUARANTINE PARITY across all four compressed containers:
+    * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
+    * FLAC) with a format-SPECIFIC planted corruption class per format
+    * for doc_id % 13 == 0 (PNG trailing truncation, GIF LZW
+    * code-overflow, JPEG progressive-SOF marker, FLAC CRC/MD5 flip —
+    * [[graft.multimodal.Multimodal.corruptMixed]]); one decode job
+    * ([[graft.multimodal.Multimodal.tryDecodeMixedStats]]) yields
+    * (good rows, quarantine rows) across every format, never a stage
+    * crash, never a silently wrong statistic. The oracle predicts
+    * EXACTLY which ids quarantine and the genuine per-container
+    * statistics of the rest — extending q178's production contract
+    * from one container to the whole lake.
+    */
+  val q184_quarantine_mixed: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryDecodeMixedStats(
+        graft.multimodal.Multimodal.corruptMixed(
+          graft.multimodal.Multimodal.mixedMediaLake(
+            s, Tables.documents(s, d), "doc_id", "text")))
+      .toDF().orderBy("media_id")
+
+  val q184Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, doc_id % 4 AS fmt,
+      |    (doc_id % 13 = 0) AS corrupt,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |b AS (
+      |  SELECT media_id, fmt, corrupt,
+      |    CASE fmt WHEN 1 THEN codes[1:1048560]
+      |             WHEN 2 THEN codes[1:8191]
+      |             ELSE codes END AS codes
+      |  FROM a),
+      |c AS (
+      |  SELECT media_id, fmt, corrupt, len(codes) AS n,
+      |    coalesce(list_sum(codes), 0) AS sc,
+      |    coalesce(list_max(codes), 0) AS mc
+      |  FROM b)
+      |SELECT media_id,
+      |  CASE fmt WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+      |           WHEN 2 THEN 'image/jpeg' ELSE 'audio/flac' END
+      |    AS media_type,
+      |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INTEGER) AS decode_ok,
+      |  CAST(CASE WHEN corrupt THEN 0
+      |    WHEN fmt = 0 THEN 16 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT))
+      |    WHEN fmt = 1 THEN 16 * greatest(1, CAST(ceil(n / 16.0) AS BIGINT))
+      |    WHEN fmt = 2 THEN 64 * greatest(1, n)
+      |    ELSE n END AS BIGINT) AS n_units,
+      |  CAST(CASE WHEN corrupt THEN 0
+      |    WHEN fmt = 0 THEN sc
+      |    WHEN fmt = 1 THEN 3 * sc
+      |    WHEN fmt = 2 THEN 192 * sc
+      |    ELSE 256 * (sc - 64 * n) END AS BIGINT) AS sum_val,
+      |  CAST(CASE WHEN corrupt THEN 0
+      |    WHEN fmt = 3 THEN CASE WHEN n = 0 THEN 0 ELSE 256 * (mc - 64) END
+      |    ELSE mc END AS BIGINT) AS max_val
+      |FROM c ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_corpus_health" -> q82_corpus_health,
     "q81_cdc_apply" -> q81_cdc_apply,
@@ -1103,7 +1161,8 @@ object PrepQueries {
     "q178_quarantine_decode" -> q178_quarantine_decode,
     "q181_mjpeg_decode" -> q181_mjpeg_decode,
     "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
-    "q183_adpcm_decode" -> q183_adpcm_decode)
+    "q183_adpcm_decode" -> q183_adpcm_decode,
+    "q184_quarantine_mixed" -> q184_quarantine_mixed)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -1133,5 +1192,6 @@ object PrepQueries {
     "q178_quarantine_decode" -> q178Sql,
     "q181_mjpeg_decode" -> q181Sql,
     "q182_mjpeg_scene_cuts" -> q182Sql,
-    "q183_adpcm_decode" -> q183Sql)
+    "q183_adpcm_decode" -> q183Sql,
+    "q184_quarantine_mixed" -> q184Sql)
 }

@@ -1039,6 +1039,67 @@ class CodecSpec extends AnyFunSuite {
       v(3L).sum_channel === 30L * 'x'.toInt * 192)
   }
 
+  // -------------------------------------------- mixed-lake quarantine
+
+  test("q184 mixed quarantine: each container's planted corruption " +
+      "class is rejected by its own verification layer, clean payloads " +
+      "keep genuine stats, and ARBITRARY corruption never crashes") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // ids 0..47 cover all four formats; 0 (png), 13 (gif), 26 (jpeg),
+    // 39 (flac) are the corrupt ones — one per container class
+    val docs = (0L until 48L)
+      .map(i => (i, s"media payload body $i " + "y" * (i % 31).toInt))
+      .toDF("doc_id", "text")
+    val tried = Multimodal.tryDecodeMixedStats(
+        Multimodal.corruptMixed(
+          Multimodal.mixedMediaLake(spark, docs, "doc_id", "text")))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(tried.size === 48)
+    for (id <- Seq(0L, 13L, 26L, 39L)) {
+      assert(tried(id).decode_ok === 0 && tried(id).n_units === 0L &&
+        tried(id).sum_val === 0L, s"id $id must quarantine zeroed")
+    }
+    assert(tried.count(_._2.decode_ok == 0) === 4,
+      "exactly the four planted corruptions quarantine")
+    // clean spot checks, one per format (codes of "media payload body 4 ")
+    def codes(id: Long): Seq[Int] =
+      s"media payload body $id " + "y" * (id % 31).toInt map (_.toInt)
+    assert(tried(4L).media_type === "image/png" &&
+      tried(4L).sum_val === codes(4L).sum)
+    assert(tried(1L).media_type === "image/gif" &&
+      tried(1L).sum_val === 3L * codes(1L).sum)
+    assert(tried(2L).media_type === "image/jpeg" &&
+      tried(2L).sum_val === 192L * codes(2L).sum &&
+      tried(2L).n_units === 64L * codes(2L).length)
+    assert(tried(3L).media_type === "audio/flac" &&
+      tried(3L).sum_val === 256L * codes(3L).map(_ - 64).sum)
+    // never-crash property: seeded random byte flips AND random-length
+    // truncations over every container type — rows may decode or
+    // quarantine, but every one comes back and none crashes the stage
+    val clean = Multimodal.mixedMediaLake(spark, docs, "doc_id", "text")
+      .collect()
+    val rnd = new scala.util.Random(42)
+    val mangled = clean.iterator.flatMap { r =>
+      Iterator.tabulate(4) { k =>
+        val b = r.content.clone()
+        if (k % 2 == 0) {
+          var j = 0
+          while (j < 5) {
+            val p = rnd.nextInt(b.length)
+            b(p) = (b(p) ^ (1 + rnd.nextInt(255))).toByte
+            j += 1
+          }
+          Multimodal.MediaRow(r.media_id * 10 + k, r.media_type, b)
+        } else Multimodal.MediaRow(r.media_id * 10 + k, r.media_type,
+          java.util.Arrays.copyOf(b, rnd.nextInt(b.length + 1)))
+      }
+    }.toSeq
+    val res = Multimodal.tryDecodeMixedStats(mangled.toDS()).collect()
+    assert(res.length === mangled.length,
+      "every mangled payload must yield a row — decoded or quarantined")
+  }
+
   // --------------------------------------- round-11 fix regressions
 
   test("REGRESSION (r11 GIF LZW width fix): a plane whose FINAL data " +
