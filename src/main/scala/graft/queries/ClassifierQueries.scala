@@ -133,6 +133,63 @@ object ClassifierQueries {
     graft.pipeline.CorpusBuild.stateNbScores(s,
       TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
 
+  /** Spliceable oracle fragment: (doc_id, predicted) for EVERY document
+    * — q174's train/smooth/score algebra with the held-out restriction
+    * removed from the scoring side (the release card's quality column
+    * screens the whole corpus, not just the test split). Nested inside
+    * another query's CTE parens (the q179Sql discipline); `||` stays at
+    * line ends so an outer stripMargin cannot eat it.
+    */
+  private[graft] val nbScoreAllSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '') ||
+      |      CASE WHEN doc_id % 2 = 0
+      |        THEN repeat(' alpha', CAST(doc_id % 3 + 1 AS INTEGER))
+      |        ELSE repeat(' gamma', CAST(doc_id % 3 + 1 AS INTEGER)) END
+      |      AS aug,
+      |    doc_id % 2 AS label,
+      |    doc_id % 10 >= 8 AS is_test
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, label, is_test, t.tok
+      |  FROM a, unnest(string_split(aug, ' ')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |counts AS (
+      |  SELECT label, tok, count(*) AS c FROM tok
+      |  WHERE NOT is_test GROUP BY 1, 2),
+      |scal AS (
+      |  SELECT
+      |    (SELECT sum(c) FROM counts WHERE label = 0) AS tot0,
+      |    (SELECT sum(c) FROM counts WHERE label = 1) AS tot1,
+      |    (SELECT count(DISTINCT tok) FROM counts) AS v,
+      |    (SELECT count(*) FROM a WHERE NOT is_test AND label = 0) AS n0,
+      |    (SELECT count(*) FROM a WHERE NOT is_test AND label = 1) AS n1),
+      |toks AS (SELECT DISTINCT tok FROM counts),
+      |model AS (
+      |  SELECT toks.tok,
+      |    ln((coalesce(c1.c, 0) + 1) / (s.tot1 + s.v))
+      |      - ln((coalesce(c0.c, 0) + 1) / (s.tot0 + s.v)) AS ratio
+      |  FROM toks
+      |  CROSS JOIN scal s
+      |  LEFT JOIN counts c0 ON c0.label = 0 AND c0.tok = toks.tok
+      |  LEFT JOIN counts c1 ON c1.label = 1 AND c1.tok = toks.tok),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |score AS (
+      |  SELECT tf.doc_id,
+      |    SUM(tf.tf * coalesce(m.ratio,
+      |      ln(1.0 / (s.tot1 + s.v)) - ln(1.0 / (s.tot0 + s.v))))
+      |      + ln(CAST(s.n1 AS DOUBLE) / s.n0) AS log_odds
+      |  FROM tf
+      |  CROSS JOIN scal s
+      |  LEFT JOIN model m ON m.tok = tf.tok
+      |  GROUP BY tf.doc_id, s.tot0, s.tot1, s.v, s.n0, s.n1)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN log_odds > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS predicted
+      |FROM score""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q174_nb_classifier" -> q174_nb_classifier,
     "q180_state_nb_classifier" -> q180_state_nb_classifier)

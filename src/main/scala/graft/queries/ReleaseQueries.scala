@@ -20,11 +20,16 @@ object ReleaseQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** q179 — per-source release card: raw docs, dedup-kept docs, PII
-    * exposure (docs with any hit + total typed hits), and distinct
-    * planted domains. The oracle re-derives the ENTIRE composition —
-    * recursive-CTE dedup clusters with the longest-wins survivor rule,
-    * the PII counts, and the domain extraction — so a drift in any one
-    * tier breaks the card.
+    * exposure (docs with any hit + total typed hits), distinct planted
+    * domains, quality-classifier passes (every doc scored by the NB
+    * model trained on the 80% split — q174's algebra over the whole
+    * corpus), and media quarantine counts (the q178 corrupt-PNG lake
+    * REALLY decoded, quarantined rows counted). The oracle re-derives
+    * the ENTIRE five-tier composition — recursive-CTE dedup clusters
+    * with the longest-wins survivor rule, the PII counts, the domain
+    * extraction, the full NB train/score, and the corruption model's
+    * quarantine prediction — so a drift in any one tier breaks the
+    * card.
     */
   val q179_release_card: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -44,8 +49,23 @@ object ReleaseQueries {
       .withColumn("u", regexp_extract(UrlQueries.plantedText,
         UrlQueries.UrlRe, 0))
       .withColumn("domain", regexp_extract(col("u"), "https?://([^/]+)", 1))
+    // quality tier: q174's model, scoring EVERY doc (the card screens
+    // the whole corpus, not just the held-out split)
+    val base = ClassifierQueries.planted(docs)
+    val (model, scal) = graft.ops.NaiveBayes.train(
+      base.filter(!col("is_test")), "aug", "label")
+    val qual = graft.ops.NaiveBayes.predict(base, "aug", "doc_id",
+      model, scal)
+    // media tier: the q178 corrupt lake genuinely decoded — the
+    // quarantine flag comes from the PNG chunk walk, not the id rule
+    val quar = graft.multimodal.Multimodal.tryDecodeImageStats(
+        graft.multimodal.Multimodal.corruptedPngFromText(
+          s, docs, "doc_id", "text"))
+      .toDF().select(col("media_id").as("doc_id"), col("decode_ok"))
     withUrl
       .join(kept, Seq("doc_id"), "left_outer")
+      .join(qual, Seq("doc_id"))
+      .join(quar, Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs"),
@@ -54,14 +74,20 @@ object ReleaseQueries {
           .otherwise(0L)).as("docs_with_pii"),
         sum(col("n_emails") + col("n_ipv4") + col("n_phones"))
           .as("pii_total"),
-        countDistinct("domain").as("distinct_domains"))
+        countDistinct("domain").as("distinct_domains"),
+        sum(col("predicted")).as("quality_pass"),
+        sum(when(col("decode_ok") === 0, 1L).otherwise(0L))
+          .as("media_quarantined"))
       .orderBy("source")
   }
 
   val q179Sql: String = {
     val q74Inner = PrepQueries.q74Sql
+    val nbAll = ClassifierQueries.nbScoreAllSql
     s"""WITH k AS (
        |  SELECT survivor_id FROM ( $q74Inner ) t),
+       |q AS (
+       |  SELECT doc_id, predicted FROM ( $nbAll ) z),
        |p AS (
        |  SELECT doc_id, source,
        |    ${PiiQueries.plantedSql} AS aug,
@@ -82,8 +108,13 @@ object ReleaseQueries {
        |  CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS docs_with_pii,
        |  CAST(SUM(np) AS BIGINT) AS pii_total,
-       |  CAST(count(DISTINCT domain) AS BIGINT) AS distinct_domains
-       |FROM r LEFT JOIN k ON k.survivor_id = r.doc_id
+       |  CAST(count(DISTINCT domain) AS BIGINT) AS distinct_domains,
+       |  CAST(SUM(q.predicted) AS BIGINT) AS quality_pass,
+       |  CAST(SUM(CASE WHEN r.doc_id % 13 = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS media_quarantined
+       |FROM r
+       |LEFT JOIN k ON k.survivor_id = r.doc_id
+       |JOIN q ON q.doc_id = r.doc_id
        |GROUP BY r.source ORDER BY r.source""".stripMargin
   }
 

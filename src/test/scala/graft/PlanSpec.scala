@@ -148,7 +148,10 @@ class PlanSpec extends AnyFunSuite {
       "q174_nb_classifier",
       // q180: the same NB scalar crossJoins, state-served (the folded
       // count state derives the identical 1-row scalar relation)
-      "q180_state_nb_classifier")
+      "q180_state_nb_classifier",
+      // q179: the release card's quality tier embeds q174's NB scoring,
+      // inheriting its declared 1-row scalar crossJoins
+      "q179_release_card")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
