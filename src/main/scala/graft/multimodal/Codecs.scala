@@ -763,7 +763,7 @@ object Codecs {
     val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    bb.put("RIFF".getBytes(ascii)).putInt(48 + dataLen)
+    bb.put("RIFF".getBytes(ascii)).putInt(52 + dataLen) // file size - 8
       .put("WAVE".getBytes(ascii))
     bb.put("fmt ".getBytes(ascii)).putInt(20)
       .putShort(0x11.toShort)            // IMA ADPCM

@@ -468,6 +468,58 @@ object Multimodal {
       })
   }
 
+  /** REAL INTER-FRAME-compressed video from text: FLC — 16×4 palettized
+    * frames where frame f replaces ONLY row (f mod 4) with 16-code
+    * slice f of the ASCII sub-stream (zero-padded), so every frame
+    * after the first is a genuinely SPARSE delta (one row of 64
+    * pixels) that [[Flc.encodeFlc]] diffs word-wise into DELTA_FLC
+    * packets against the decoder's persistent buffer. The palette is
+    * the grayscale identity (index i → (i,i,i)), so the decoded
+    * channel sum of frame f is exactly 3·Σ sliceSum(g) for
+    * g ∈ [max(0, f−3), f] — rows persist until their residue class
+    * next writes — a sliding-window algebra a second engine predicts
+    * from the text alone.
+    */
+  def flcFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val palette = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      palette(3 * i) = i.toByte; palette(3 * i + 1) = i.toByte
+      palette(3 * i + 2) = i.toByte
+      i += 1
+    }
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        // cap at 16*65535 codes: the FLIC header's frame count is
+        // 16-bit, so longer docs would overflow it — truncate
+        // deterministically (the oracle slices identically)
+        val raw = asciiBytes(t)
+        val ascii = if (raw.length > 16 * 65535)
+          java.util.Arrays.copyOf(raw, 16 * 65535) else raw
+        val nf = math.max(1, (ascii.length + 15) / 16)
+        val frames = new Array[Array[Byte]](nf)
+        var f = 0
+        while (f < nf) {
+          val plane =
+            if (f == 0) new Array[Byte](64)
+            else java.util.Arrays.copyOf(frames(f - 1), 64)
+          val row = f % 4
+          val from = f * 16
+          val n = math.max(0, math.min(16, ascii.length - from))
+          java.util.Arrays.fill(plane, 16 * row, 16 * (row + 1), 0.toByte)
+          if (n > 0) System.arraycopy(ascii, from, plane, 16 * row, n)
+          frames(f) = plane
+          f += 1
+        }
+        MediaRow(id, "video/x-flc",
+          Flc.encodeFlc(16, 4, palette, frames.toSeq))
+      })
+  }
+
   /** Per-video decoded statistics with a REAL frame-sampling plan: every
     * `stride`-th frame's channel sum, alongside whole-stream totals —
     * the sample-frames-for-a-VLM shape with the decode riding the scan.

@@ -1133,6 +1133,110 @@ object PrepQueries {
       |    ELSE mc END AS BIGINT) AS max_val
       |FROM c ORDER BY media_id""".stripMargin
 
+  /** q185 — REAL INTER-FRAME-compressed video decode: FLC payloads
+    * (the public Autodesk Animator format — BYTE_RUN keyframe RLE,
+    * then genuinely DIFFED DELTA_FLC word packets against the
+    * decoder's PERSISTENT frame buffer, COLOR_256 palette —
+    * [[graft.multimodal.Multimodal.flcFromText]] /
+    * [[graft.multimodal.Flc.decodeFlc]]) through q161's per-video
+    * stats shape. The video tier's missing compression class: MJPEG
+    * (q181) compresses each frame independently; FLC frames are
+    * RECONSTRUCTED from their predecessors, so a buffer that fails to
+    * persist, a mis-applied line skip, or a delta leaking into the
+    * wrong row corrupts every later frame and hash-mismatches. The
+    * synthesis rewrites one 16-pixel row per frame (row f mod 4 ←
+    * slice f), making the decoded frame sum a sliding window —
+    * 3·Σ sliceSum([max(0, f−3), f]) — the oracle computes from the
+    * text alone.
+    */
+  val q185_flc_decode: Q = (s, d) =>
+    graft.multimodal.Multimodal.decodeVideoStats(
+        graft.multimodal.Multimodal.flcFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        stride = 4, decoder = graft.multimodal.Flc.decodeFlc)
+      .toDF().orderBy("media_id")
+
+  val q185Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |b AS (SELECT media_id, codes[1:1048560] AS codes FROM a),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM b),
+      |sl AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0)
+      |      AS BIGINT) AS ssum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    3 * SUM(ssum) OVER (PARTITION BY media_id ORDER BY f
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fsum
+      |  FROM sl)
+      |SELECT media_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 64 AS BIGINT) AS n_pixels,
+      |  CAST(SUM(fsum) AS BIGINT) AS sum_channel,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS sampled_frames,
+      |  CAST(SUM(CASE WHEN f % 4 = 0 THEN fsum ELSE 0 END) AS BIGINT)
+      |    AS sampled_sum
+      |FROM fr GROUP BY media_id, nf ORDER BY media_id""".stripMargin
+
+  /** q186 — scene cuts over the REALLY RECONSTRUCTED FLC frame stream:
+    * q162's adjacent-frame delta algebra, but every frame past the
+    * first exists only as a delta — the cut detector sees the
+    * persistent-buffer reconstruction, so the inter-frame decode is
+    * what's being audited. Threshold 400 on the 16×4 grayscale
+    * contract (frame sums are 3× a 4-slice window, deltas ≤ 6096)
+    * fires on roughly a quarter of adjacent pairs at the corpus
+    * distribution — cuts and non-cuts both present.
+    */
+  val q186_flc_scene_cuts: Q = (s, d) =>
+    graft.multimodal.Multimodal.detectSceneCuts(
+        graft.multimodal.Multimodal.flcFromText(
+          s, Tables.documents(s, d), "doc_id", "text"),
+        threshold = 400L, decoder = graft.multimodal.Flc.decodeFlc)
+      .toDF().orderBy("media_id")
+
+  val q186Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |b AS (SELECT media_id, codes[1:1048560] AS codes FROM a),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM b),
+      |sl AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0)
+      |      AS BIGINT) AS ssum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    3 * SUM(ssum) OVER (PARTITION BY media_id ORDER BY f
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fsum
+      |  FROM sl),
+      |d AS (
+      |  SELECT x.media_id, abs(y.fsum - x.fsum) AS delta
+      |  FROM fr x JOIN fr y
+      |    ON x.media_id = y.media_id AND y.f = x.f + 1)
+      |SELECT s.media_id, CAST(s.nf AS BIGINT) AS n_frames,
+      |  CAST(coalesce(SUM(CASE WHEN delta > 400 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(MAX(delta), 0) AS BIGINT) AS max_delta
+      |FROM s LEFT JOIN d ON s.media_id = d.media_id
+      |GROUP BY s.media_id, s.nf ORDER BY s.media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_corpus_health" -> q82_corpus_health,
     "q81_cdc_apply" -> q81_cdc_apply,
@@ -1162,7 +1266,9 @@ object PrepQueries {
     "q181_mjpeg_decode" -> q181_mjpeg_decode,
     "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
     "q183_adpcm_decode" -> q183_adpcm_decode,
-    "q184_quarantine_mixed" -> q184_quarantine_mixed)
+    "q184_quarantine_mixed" -> q184_quarantine_mixed,
+    "q185_flc_decode" -> q185_flc_decode,
+    "q186_flc_scene_cuts" -> q186_flc_scene_cuts)
 
   val oracleSql: Map[String, String] = Map(
     "q70_session_window" -> q70Sql,
@@ -1193,5 +1299,7 @@ object PrepQueries {
     "q181_mjpeg_decode" -> q181Sql,
     "q182_mjpeg_scene_cuts" -> q182Sql,
     "q183_adpcm_decode" -> q183Sql,
-    "q184_quarantine_mixed" -> q184Sql)
+    "q184_quarantine_mixed" -> q184Sql,
+    "q185_flc_decode" -> q185Sql,
+    "q186_flc_scene_cuts" -> q186Sql)
 }

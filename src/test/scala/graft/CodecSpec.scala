@@ -902,7 +902,7 @@ class CodecSpec extends AnyFunSuite {
     val spb = (blockAlign - 4) * 2 + 1
     val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + blocks.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(48 + blocks.length)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(52 + blocks.length)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
       .putShort(0x11).putShort(1).putInt(8000).putInt(4000)
