@@ -228,17 +228,259 @@ object FilterQueries {
       |  CAST((1000000 * entropy_sum) // n_tokens AS BIGINT) AS avg_q6
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q187 — bigram-LM perplexity filter (the CCNet shape — Wenzek et
+    * al. 2020: score crawled text against an LM trained on a clean
+    * corpus, bucket by perplexity — with a bigram model, singleton
+    * pruning as in KenLM practice, and stupid-backoff-style penalties
+    * per Brants et al. 2007, all in q136's integer-log2 quantization so
+    * no float crosses the oracle boundary). The model trains on the
+    * TRAIN split only (q84's md5-bucket < 90), so val/test documents
+    * genuinely contain model-unseen bigrams and the whole cascade is
+    * oracle-exercised: (a) seen bigram — ⌊log2 c1(w1)⌋ − ⌊log2
+    * c2(w1,w2)⌋; (b) unseen bigram, known w2 — 4 + ⌊log2 T⌋ −
+    * ⌊log2 c1(w2)⌋; (c) out-of-vocabulary w2 — 4 + ⌊log2 T⌋. Two
+    * planted id-derived tokens per document (the PiiQueries synthesis
+    * discipline — both engines construct them identically) guarantee
+    * branches (b) and (c) fire at every SF: `zqx<doc_id>` is unique so
+    * pruning makes it OOV; `qv<doc_id%7>` is common so the bigram
+    * ending in it backs off to a known unigram.
+    *
+    * Scale shape: adjacent pairs come from slice/zip on the token
+    * array (q131's idiom — no shuffle to form them); the bigram table
+    * is built and joined on an xxhash64 8-byte key (never a string
+    * pair through a corpus-scale Exchange); the unigram model and the
+    * 1-row total are vocab-sized/scalar broadcasts exactly like q136.
+    * One model-build shuffle + one scoring join + one per-doc rollup.
+    */
+  val q187_bigram_perplexity: Q = (s, d) => {
+    val planted = concat(coalesce(col("text"), lit("")), lit(" zqx"),
+      col("doc_id").cast("string"), lit(" qv"),
+      (col("doc_id") % 7).cast("string"))
+    val t = TextAnalysis.tokens(planted)
+    val n = greatest(size(t) - 1, lit(0))
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (graft.ops.Splits.bucket(col("doc_id")) < 90).as("is_train"),
+        explode(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("doc_id"), col("is_train"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"),
+        xxhash64(col("p.w1"), col("p.w2")).as("bk"))
+    val big = pairs.filter(col("is_train")).groupBy("bk")
+      .agg(count(lit(1)).as("c2")).filter(col("c2") >= 2L)
+    val uni = Tables.documents(s, d)
+      .filter(graft.ops.Splits.bucket(col("doc_id")) < 90)
+      .select(explode(t).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= 2L)
+    val total = uni.agg(sum(col("c1")).as("t"))
+    pairs
+      .join(big, Seq("bk"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total)) // 1-row scalar: the model's token total
+      .select(col("doc_id"),
+        when(col("c2").isNotNull,
+          TextAnalysis.floorLog2(col("c1w1")) -
+            TextAnalysis.floorLog2(col("c2")))
+        .when(col("c1w2").isNotNull,
+          lit(4L) + TextAnalysis.floorLog2(col("t")) -
+            TextAnalysis.floorLog2(col("c1w2")))
+        .otherwise(lit(4L) + TextAnalysis.floorLog2(col("t"))).as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("q")).as("pplx_sum"))
+      .select(col("doc_id"), col("n_pairs"), col("pplx_sum"),
+        TextAnalysis.intDiv(col("pplx_sum") * 1000000L, col("n_pairs"))
+          .as("avg_q6"))
+      .orderBy("doc_id")
+  }
+
+  val q187Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(coalesce(text, '') || ' zqx' ||
+      |      CAST(doc_id AS VARCHAR) || ' qv' ||
+      |      CAST(doc_id % 7 AS VARCHAR)), '\s+') AS tk,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, is_train, tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT doc_id, is_train, tk,
+      |      unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |  FROM p WHERE is_train GROUP BY w1, w2 HAVING count(*) >= 2),
+      |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(tk) AS tok FROM t WHERE is_train)
+      |  WHERE len(tok) > 0 GROUP BY tok HAVING count(*) >= 2),
+      |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |    CASE WHEN c2.c2 IS NOT NULL
+      |           THEN (length(bin(u1.c1)) - 1) - (length(bin(c2.c2)) - 1)
+      |         WHEN u2.c1 IS NOT NULL
+      |           THEN 4 + (length(bin(tt.t)) - 1) - (length(bin(u2.c1)) - 1)
+      |         ELSE 4 + (length(bin(tt.t)) - 1) END AS q
+      |  FROM p
+      |  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      |  LEFT JOIN c1 u1 ON p.w1 = u1.tok
+      |  LEFT JOIN c1 u2 ON p.w2 = u2.tok
+      |  CROSS JOIN tt)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(q) AS BIGINT) AS pplx_sum,
+      |  CAST(sum(q) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+      |    AS avg_q6
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q188 — DSIR data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 — public literature): estimate hashed-bigram
+    * distributions for a TARGET corpus and for the RAW train pool,
+    * then score every document by its summed log-likelihood ratio
+    * Σ_f n_f(doc)·(log p̂_target(f) − log p̂_raw(f)) — the importance
+    * weight that decides which raw documents enter the training mix.
+    * Both logs are integer-log2 quantized (q136's `length(bin(x)) − 1`
+    * idiom) with add-one smoothing over the B=256 feature buckets, so
+    * every weight is an exact integer. λ ∈ [−63, 63] by construction
+    * (each log ratio is bounded by the total's bit width), so the
+    * per-doc mean is reported over the shifted non-negative score
+    * λ+64 — Spark's floor division and DuckDB's `//` (which truncates
+    * toward zero) agree only on non-negative operands. The selection
+    * readout is the sign test dsir_sum ≥ 0 (doc leans target-ward) —
+    * a map-only threshold, not a global top-k sort.
+    *
+    * The target/raw contrast rides q174's planted-marker corpus
+    * ([[ClassifierQueries.planted]] — the synthesis discipline for
+    * operators this uniform corpus can't exercise): target = class-0
+    * train docs. A subsample of a UNIFORM corpus has the same bucket
+    * distribution as its pool, so every λ would quantize to 0 (ct/cr
+    * and Tt/Tr shrink by the same factor and log2 sees only ≥2×
+    * deviations — verified empirically, all-zero weights); the marker
+    * n-grams give the target a genuinely distinct distribution, which
+    * is the regime DSIR exists for. Marker buckets score λ ≈ +1
+    * (exclusively target) / strongly negative (absent from target),
+    * shared-text buckets ≈ 0 — so the sign test recovers the target
+    * style, with corpus noise keeping both classes honest.
+    *
+    * Feature hashing must agree bit-for-bit across engines, so buckets
+    * come from the md5-prefix idiom ([[graft.ops.Splits.bucket]]'s
+    * contract), not xxhash64 (engine-specific — fine for shuffle keys,
+    * never for oracle-visible values).
+    *
+    * Scale shape: bigrams form shuffle-free from slice/zip; ONE
+    * aggregate builds the 256-bucket model (map-side combine, 256 rows
+    * out — both class counts as conditional sums in the same pass);
+    * the model and its 1-row totals broadcast back onto the pair
+    * stream; one per-doc rollup. `explode_outer` keeps sub-2-token
+    * documents in the output with n_bigrams = 0.
+    */
+  val q188_dsir_weights: Q = (s, d) => {
+    val B = 256L
+    val t = TextAnalysis.tokens(col("aug"))
+    val n = greatest(size(t) - 1, lit(0))
+    val pairs = ClassifierQueries.planted(Tables.documents(s, d))
+      .select(col("doc_id"),
+        (graft.ops.Splits.bucket(col("doc_id")) < 90).as("is_train"),
+        (col("label") === 0L).as("is_q"),
+        explode_outer(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .select(col("doc_id"), col("is_train"), col("is_q"),
+        when(col("bg").isNotNull,
+          conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % B)
+          .as("fb"))
+    val model = pairs.filter(col("is_train") && col("fb").isNotNull)
+      .groupBy("fb")
+      .agg(sum(when(col("is_q"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = model.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"),
+      coalesce(sum(col("cr")), lit(0L)).as("tr"))
+    val lam =
+      (TextAnalysis.floorLog2(coalesce(col("ct"), lit(0L)) + 1L) -
+        TextAnalysis.floorLog2(col("tt") + B)) -
+      (TextAnalysis.floorLog2(coalesce(col("cr"), lit(0L)) + 1L) -
+        TextAnalysis.floorLog2(col("tr") + B))
+    pairs
+      .join(broadcast(model), Seq("fb"), "left")
+      .crossJoin(broadcast(tot)) // 1-row scalar: the model's smoothing totals
+      .select(col("doc_id"),
+        when(col("fb").isNotNull, lam).as("lam"))
+      .groupBy("doc_id")
+      .agg(count(col("lam")).as("n_bigrams"),
+        coalesce(sum(col("lam")), lit(0L)).as("dsir_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_sum"),
+        when(col("n_bigrams") > 0L,
+          TextAnalysis.intDiv(
+            (col("dsir_sum") + col("n_bigrams") * 64L) * 1000000L,
+            col("n_bigrams"))).otherwise(0L).as("avg_shift_q6"),
+        when((col("n_bigrams") > 0L) && (col("dsir_sum") >= 0L), 1L)
+          .otherwise(0L).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val q188Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(coalesce(text, '') ||
+      |      CASE WHEN doc_id % 2 = 0
+      |        THEN repeat(' alpha', CAST(doc_id % 3 + 1 AS INTEGER))
+      |        ELSE repeat(' gamma', CAST(doc_id % 3 + 1 AS INTEGER)) END),
+      |      '\s+') AS tk,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train,
+      |    doc_id % 2 = 0 AS is_q
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, is_train, is_q,
+      |    CAST(CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))
+      |      AS UBIGINT) % 256 AS BIGINT) AS fb
+      |  FROM (SELECT doc_id, is_train, is_q, tk,
+      |      unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+      |m AS (
+      |  SELECT fb,
+      |    CAST(count(CASE WHEN is_q THEN 1 END) AS BIGINT) AS ct,
+      |    CAST(count(*) AS BIGINT) AS cr
+      |  FROM p WHERE is_train GROUP BY fb),
+      |tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+      |  CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM m),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |    ((length(bin(coalesce(m.ct, 0) + 1)) - 1)
+      |      - (length(bin(tot.tt + 256)) - 1))
+      |    - ((length(bin(coalesce(m.cr, 0) + 1)) - 1)
+      |      - (length(bin(tot.tr + 256)) - 1)) AS lam
+      |  FROM p LEFT JOIN m ON p.fb = m.fb CROSS JOIN tot),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(lam) AS BIGINT) AS dsir_sum
+      |  FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(a.dsir_sum, 0) AS BIGINT) AS dsir_sum,
+      |  CAST(CASE WHEN a.n_bigrams > 0 THEN
+      |      ((a.dsir_sum + 64 * a.n_bigrams) * 1000000) // a.n_bigrams
+      |    ELSE 0 END AS BIGINT) AS avg_shift_q6,
+      |  CAST(CASE WHEN a.n_bigrams > 0 AND a.dsir_sum >= 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS selected
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_word_repetition" -> q134_word_repetition,
     "q135_dup_bigram" -> q135_dup_bigram,
     "q136_surprisal" -> q136_surprisal,
     "q137_collapse_runs" -> q137_collapse_runs,
-    "q146_doc_entropy" -> q146_doc_entropy)
+    "q146_doc_entropy" -> q146_doc_entropy,
+    "q187_bigram_perplexity" -> q187_bigram_perplexity,
+    "q188_dsir_weights" -> q188_dsir_weights)
 
   val oracleSql: Map[String, String] = Map(
     "q134_word_repetition" -> q134Sql,
     "q135_dup_bigram" -> q135Sql,
     "q136_surprisal" -> q136Sql,
     "q137_collapse_runs" -> q137Sql,
-    "q146_doc_entropy" -> q146Sql)
+    "q146_doc_entropy" -> q146Sql,
+    "q187_bigram_perplexity" -> q187Sql,
+    "q188_dsir_weights" -> q188Sql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -771,6 +772,102 @@ object TokenizerQueries {
       .select("vocab_id", "token", "n")
       .orderBy("vocab_id")
 
+  /** q189 — reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009 — public
+    * literature): fuse the lexical ranking (q110's exact integer triple
+    * over [[SearchTerms]]) with a semantic ranking (cosine against a
+    * fixed query vector — vec 0, the q21 contract: round to 6 decimals,
+    * id tie-break) by RRF(d) = Σ_lists 1/(60 + rank_d), quantized to
+    * exact integers as 1000000 // (60 + rank) so no float crosses the
+    * oracle boundary. The hybrid-search shape every RAG stack runs —
+    * BM25 ∪ ANN candidates, one fused order — with both input ranks and
+    * the fused score oracle-checkable because each layer is already
+    * integer-exact.
+    *
+    * Scale shape: both candidate lists are top-50 via TakeOrdered
+    * (orderBy.limit — never a global sort), so the rank windows and the
+    * fusion join run over two 50-row relations — constant-bounded,
+    * broadcast-sized — while the corpus-scale work (the term-filtered
+    * explode; the 1×N broadcast cosine scan) stays distributed. The
+    * lexical core is REBUILT here (not served from q110's memo) so the
+    * bench bills this query its own explode.
+    */
+  val q189_rrf_hybrid: Q = (s, d) => {
+    val K = 50
+    val lexTop = keywordMatchCore(s, d)
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
+      .limit(K)
+    // rank windows run over the 50-row TakeOrdered output: bounded.
+    val wLex = Window.orderBy(col("n_terms").desc, col("total_tf").desc,
+      col("doc_id"))
+    val lex = lexTop.withColumn("rank_lex",
+      row_number().over(wLex).cast("long"))
+    val emb = Tables.embeddings(s, d)
+    val qv = broadcast(emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb")))
+    val scored = emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(qv) // 1-row scalar: the fixed query vector
+      .select(col("vec_id").as("doc_id"),
+        round(round(
+          graft.ops.Similarity.dot(col("embedding").cast("array<double>"),
+            col("q_emb").cast("array<double>")) /
+          (graft.ops.Similarity.l2norm(col("embedding").cast("array<double>")) *
+            graft.ops.Similarity.l2norm(col("q_emb").cast("array<double>"))),
+          9), 6).as("cos"))
+    val semTop = scored.orderBy(col("cos").desc, col("doc_id")).limit(K)
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = semTop.withColumn("rank_sem",
+      row_number().over(wSem).cast("long"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0L)).as("rank_sem"),
+        (coalesce(TextAnalysis.intDiv(lit(1000000L),
+            lit(60L) + col("rank_lex")), lit(0L)) +
+          coalesce(TextAnalysis.intDiv(lit(1000000L),
+            lit(60L) + col("rank_sem")), lit(0L))).as("rrf_q6"))
+      .orderBy(col("rrf_q6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q189Sql: String =
+    """WITH lex0 AS (
+      |  SELECT doc_id,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+      |    CAST(count(*) AS BIGINT) AS total_tf
+      |  FROM (SELECT doc_id,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok IN ('spark', 'data', 'query', 'join')
+      |  GROUP BY doc_id
+      |  ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY n_terms DESC, total_tf DESC, doc_id) AS BIGINT)
+      |    AS rank_lex FROM lex0),
+      |sem0 AS (
+      |  SELECT b.vec_id AS doc_id,
+      |    round(round(
+      |      list_sum(list_transform(generate_series(1, 64),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+      |      9), 6) AS cos
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id != 0
+      |  WHERE a.vec_id = 0
+      |  ORDER BY cos DESC, doc_id LIMIT 50),
+      |sem AS (SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem FROM sem0)
+      |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |  CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+      |  CAST(coalesce(rank_sem, 0) AS BIGINT) AS rank_sem,
+      |  CAST(coalesce(1000000 // (60 + rank_lex), 0)
+      |    + coalesce(1000000 // (60 + rank_sem), 0) AS BIGINT) AS rrf_q6
+      |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      |ORDER BY rrf_q6 DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -787,7 +884,8 @@ object TokenizerQueries {
     "q138_state_surprisal" -> q138_state_surprisal,
     "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize,
     "q142_state_vocab" -> q142_state_vocab,
-    "q145_vocab_growth" -> q145_vocab_growth)
+    "q145_vocab_growth" -> q145_vocab_growth,
+    "q189_rrf_hybrid" -> q189_rrf_hybrid)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -806,5 +904,6 @@ object TokenizerQueries {
     "q139_state_bpe_tokenize" -> q108Sql,
     // the state-served vocab must reproduce q49's corpus-scan build exactly
     "q142_state_vocab" -> ExpansionQueries.q49Sql,
-    "q145_vocab_growth" -> q145Sql)
+    "q145_vocab_growth" -> q145Sql,
+    "q189_rrf_hybrid" -> q189Sql)
 }

@@ -151,7 +151,14 @@ class PlanSpec extends AnyFunSuite {
       "q180_state_nb_classifier",
       // q179: the release card's quality tier embeds q174's NB scoring,
       // inheriting its declared 1-row scalar crossJoins
-      "q179_release_card")
+      "q179_release_card",
+      // q187: q136's 1-row token-total scalar broadcast, reused for the
+      // bigram model's backoff term
+      "q187_bigram_perplexity",
+      // q188: the DSIR model's 1-row smoothing-total scalar broadcast
+      "q188_dsir_weights",
+      // q189: the fixed 1-row query vector broadcast onto the corpus scan
+      "q189_rrf_hybrid")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
