@@ -1213,6 +1213,135 @@ object CurationQueries {
       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** q190 — the per-DOCUMENT curation decision matrix: q179 answers
+    * "what does the release look like per source"; this answers "why
+    * was THIS document dropped" — the reason-attributed record every
+    * curation pipeline writes beside its keep-list (and the relation
+    * q90's funnel aggregates away). Five independently-verified tiers
+    * become one reason bitmap per document:
+    *   bit 1  r_short — under the 100-char floor (q90 stage 1);
+    *   bit 2  r_rep   — Gopher-style repetition (q134's exact dup/top
+    *                    ppm over thresholds 650000 / 150000 — chosen at
+    *                    the corpus's 75th/90th percentiles so both
+    *                    classes are populated at every SF);
+    *   bit 4  r_pplx  — q187's bigram perplexity above 5400000 μ-log2
+    *                    units (≈ 75th percentile);
+    *   bit 8  r_pii   — any typed PII hit on the planted text (q172);
+    *   bit 16 r_dup   — near-dup cluster non-survivor (q74's
+    *                    longest-wins rule over the SHARED cluster memo
+    *                    — billed once per session to q56).
+    * keep = mask 0. The oracle re-derives all five tiers — q187's
+    * entire train+score cascade and q74's recursive-CTE closure nest
+    * as CTEs (the q179 composition discipline), so a drift in any
+    * tier flips a bit and hash-mismatches.
+    *
+    * 100 TB: short/rep/pii ride the scan (map-only); pplx adds q187's
+    * model build; the survivor join serves the memoized cluster
+    * relation; one final per-doc join tree on 8-byte doc_id keys.
+    */
+  val q190_curation_matrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val comp = graft.ops.TextDedup.dedupClusterRelationShared(
+      docs, d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    val byLen = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("id"))
+    val kept = comp
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .withColumn("rk", row_number().over(byLen))
+      .filter(col("rk") === 1)
+      .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
+    val pplx = FilterQueries.q187_bigram_perplexity(s, d)
+      .select(col("doc_id"), col("avg_q6"))
+    val st = TextAnalysis.runStats(
+      filter(TextAnalysis.tokens(col("text")), t => length(t) > 0))
+    val piiHits =
+      size(regexp_extract_all(col("aug"), lit(PiiQueries.EmailRe), lit(0))) +
+      size(regexp_extract_all(col("aug"), lit(PiiQueries.Ipv4Re), lit(0))) +
+      size(regexp_extract_all(col("aug"), lit(PiiQueries.PhoneRe), lit(0)))
+    val flags = docs
+      .withColumn("aug", PiiQueries.plantedText)
+      .select(col("doc_id"),
+        when(col("n_chars") < 100L, 1L).otherwise(0L).as("r_short"),
+        st.as("st"),
+        when(piiHits > 0, 1L).otherwise(0L).as("r_pii"))
+      .select(col("doc_id"), col("r_short"), col("r_pii"),
+        when(
+          TextAnalysis.intDiv(
+            (col("st.n_tokens") - col("st.n_distinct")) * 1000000L,
+            greatest(col("st.n_tokens"), lit(1L))) > 650000L ||
+          TextAnalysis.intDiv(col("st.top_cnt") * 1000000L,
+            greatest(col("st.n_tokens"), lit(1L))) > 150000L, 1L)
+          .otherwise(0L).as("r_rep"))
+    flags
+      .join(pplx, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("r_short"), col("r_rep"),
+        when(coalesce(col("avg_q6"), lit(0L)) > 5400000L, 1L)
+          .otherwise(0L).as("r_pplx"),
+        col("r_pii"),
+        when(col("is_kept").isNull, 1L).otherwise(0L).as("r_dup"))
+      .select(col("doc_id"), col("r_short"), col("r_rep"), col("r_pplx"),
+        col("r_pii"), col("r_dup"),
+        (col("r_short") + col("r_rep") * 2L + col("r_pplx") * 4L +
+          col("r_pii") * 8L + col("r_dup") * 16L).as("reason_mask"))
+      .withColumn("keep", when(col("reason_mask") === 0L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val q190Sql: String = {
+    val q187Inner = FilterQueries.q187Sql
+    val q74Inner = PrepQueries.q74Sql
+    s"""WITH rep AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS top_cnt
+       |  FROM (SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id,
+       |        unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents)
+       |    WHERE len(w) > 0 GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |pplx AS ( $q187Inner ),
+       |keep74 AS (SELECT survivor_id FROM ( $q74Inner ) t),
+       |pii AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(aug, '${PiiQueries.EmailRe}'))
+       |      + len(regexp_extract_all(aug, '${PiiQueries.Ipv4Re}'))
+       |      + len(regexp_extract_all(aug, '${PiiQueries.PhoneRe}'))
+       |      AS hits
+       |  FROM (SELECT doc_id, ${PiiQueries.plantedSql} AS aug
+       |    FROM documents)),
+       |f AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS r_short,
+       |    CAST(CASE WHEN
+       |        (rep.n_tokens - rep.n_distinct) * 1000000
+       |          // greatest(rep.n_tokens, 1) > 650000
+       |        OR rep.top_cnt * 1000000
+       |          // greatest(rep.n_tokens, 1) > 150000
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+       |    CAST(CASE WHEN coalesce(pplx.avg_q6, 0) > 5400000
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_pplx,
+       |    CAST(CASE WHEN pii.hits > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS r_pii,
+       |    CAST(CASE WHEN k.survivor_id IS NULL THEN 1 ELSE 0 END
+       |      AS BIGINT) AS r_dup
+       |  FROM documents d
+       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  LEFT JOIN pplx ON pplx.doc_id = d.doc_id
+       |  JOIN pii ON pii.doc_id = d.doc_id
+       |  LEFT JOIN keep74 k ON k.survivor_id = d.doc_id)
+       |SELECT doc_id, r_short, r_rep, r_pplx, r_pii, r_dup,
+       |  r_short + r_rep * 2 + r_pplx * 4 + r_pii * 8 + r_dup * 16
+       |    AS reason_mask,
+       |  CAST(CASE WHEN r_short + r_rep + r_pplx + r_pii + r_dup = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -1234,7 +1363,8 @@ object CurationQueries {
     "q95_pack" -> q95_pack,
     "q96_ingest_neardup" -> q96_ingest_neardup,
     "q97_cluster_sizes" -> q97_cluster_sizes,
-    "q98_source_quota_agg" -> q98_source_quota_agg)
+    "q98_source_quota_agg" -> q98_source_quota_agg,
+    "q190_curation_matrix" -> q190_curation_matrix)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -1259,5 +1389,6 @@ object CurationQueries {
     "q97_cluster_sizes" -> q97Sql,
     // the aggregate variant must reproduce the window variant EXACTLY —
     // same oracle, so the driver hash-checks the equivalence end-to-end
-    "q98_source_quota_agg" -> q92Sql)
+    "q98_source_quota_agg" -> q92Sql,
+    "q190_curation_matrix" -> q190Sql)
 }

@@ -158,7 +158,10 @@ class PlanSpec extends AnyFunSuite {
       // q188: the DSIR model's 1-row smoothing-total scalar broadcast
       "q188_dsir_weights",
       // q189: the fixed 1-row query vector broadcast onto the corpus scan
-      "q189_rrf_hybrid")
+      "q189_rrf_hybrid",
+      // q190: embeds q187's perplexity tier, inheriting its declared
+      // 1-row model-total scalar crossJoin
+      "q190_curation_matrix")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
