@@ -146,6 +146,15 @@ object CorpusBuild {
       // training at query time. Whole-life-of-the-dir contract as
       // above.
       trackClassifier: Boolean = false,
+      // when true, each generation also stores the batch's per-bucket
+      // DSIR count DELTA (fb, ct, cr) over the batch's train split
+      // ([[graft.ops.Dsir.countDelta]] — hashed-bigram target/raw
+      // occurrence counts). Additive like the classifier counts: the
+      // fold IS the model, no retrain boundary, and
+      // [[stateDsirScores]] serves q188's exact readout with zero
+      // model-building at query time. Whole-life-of-the-dir contract
+      // as above.
+      trackDsir: Boolean = false,
       kmeansK: Int = 8,
       kmeansIters: Int = 5,
       retrainGrowth: Double = 0.5,
@@ -500,6 +509,15 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/clfpriors")
     }
+    if (cfg.trackDsir) {
+      // DSIR bucket-count deltas over the RAW batch (q188's input
+      // contract is the full documents relation; the train restriction
+      // lives inside countDelta): additive, fold by sum
+      graft.ops.Dsir.countDelta(
+          graft.queries.ClassifierQueries.planted(newDocs))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/dsircounts")
+    }
     if (cfg.trackCentroids)
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
@@ -730,6 +748,37 @@ object CorpusBuild {
     val (model, scal) = stateClassifierModel(spark, stateDir)
     graft.ops.NaiveBayes.predictByKey(b, "aug", "doc_id", model, scal)
   }
+
+  // ---------------------------------------------------------------------
+  // Stored DSIR state (cfg.trackDsir): the hashed-bigram target/raw
+  // bucket counts — folded by sum over the generation chain; scores
+  // derive from the fold with q188's exact algebra, so the state-served
+  // readout equals build-the-model-on-the-folded-corpus with zero model
+  // work at query time.
+  // ---------------------------------------------------------------------
+
+  /** Folded DSIR bucket-count table (fb, ct, cr) over every ingested
+    * batch's train split — ≤ [[graft.ops.Dsir.B]] rows, broadcast-sized
+    * at any corpus scale.
+    */
+  def stateDsirCounts(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/dsircounts"): _*)
+      .groupBy("fb").agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+  }
+
+  /** q188's importance weights served from STORED STATE: score `docs`
+    * against the folded bucket counts — q188's exact output shape
+    * (doc_id, n_bigrams, dsir_sum, avg_shift_q6, selected), zero model
+    * building at query time.
+    */
+  def stateDsirScores(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame =
+    graft.ops.Dsir.scores(
+      graft.ops.Dsir.pairs(graft.queries.ClassifierQueries.planted(docs)),
+      stateDsirCounts(spark, stateDir))
 
   private def foldCounts(spark: SparkSession, stateDir: String,
       table: String, keys: String*): DataFrame = {
@@ -1327,6 +1376,12 @@ object CorpusBuild {
         .parquet(s"$stateDir/gen=$gen/clfcounts")
       stateClassifierPriors(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/clfpriors")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/dsircounts"))) {
+      // DSIR bucket-count deltas fold by sum into the new base
+      stateDsirCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/dsircounts")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

@@ -190,11 +190,28 @@ object ClassifierQueries {
       |    AS predicted
       |FROM score""".stripMargin
 
+  /** q191 — q188's DSIR importance weights served from STORED STATE:
+    * the per-bucket (target, raw) count deltas folded over the ingest
+    * generation chain ARE the model (counts are additive — no retrain
+    * boundary, the same sufficient-statistic property q180 exploits),
+    * and every document scores against the broadcast folded table with
+    * zero model-building at query time. Oracle: q188's SQL verbatim —
+    * a wrong fold, a lost batch, or a double-counted replay shifts a
+    * bucket count across a log2 boundary and hash-mismatches.
+    */
+  val q191_state_dsir: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateDsirScores(s,
+      TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q174_nb_classifier" -> q174_nb_classifier,
-    "q180_state_nb_classifier" -> q180_state_nb_classifier)
+    "q180_state_nb_classifier" -> q180_state_nb_classifier,
+    "q191_state_dsir" -> q191_state_dsir)
 
   val oracleSql: Map[String, String] = Map(
     "q174_nb_classifier" -> q174Sql,
-    "q180_state_nb_classifier" -> q174Sql)
+    "q180_state_nb_classifier" -> q174Sql,
+    // the state-served weights must reproduce q188's in-query model
+    // EXACTLY — same oracle, so the driver hash-checks the fold
+    "q191_state_dsir" -> FilterQueries.q188Sql)
 }

@@ -378,46 +378,10 @@ object FilterQueries {
     * documents in the output with n_bigrams = 0.
     */
   val q188_dsir_weights: Q = (s, d) => {
-    val B = 256L
-    val t = TextAnalysis.tokens(col("aug"))
-    val n = greatest(size(t) - 1, lit(0))
-    val pairs = ClassifierQueries.planted(Tables.documents(s, d))
-      .select(col("doc_id"),
-        (graft.ops.Splits.bucket(col("doc_id")) < 90).as("is_train"),
-        (col("label") === 0L).as("is_q"),
-        explode_outer(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
-          (x, y) => concat(x, lit(" "), y))).as("bg"))
-      .select(col("doc_id"), col("is_train"), col("is_q"),
-        when(col("bg").isNotNull,
-          conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % B)
-          .as("fb"))
-    val model = pairs.filter(col("is_train") && col("fb").isNotNull)
-      .groupBy("fb")
-      .agg(sum(when(col("is_q"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-    val tot = model.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"),
-      coalesce(sum(col("cr")), lit(0L)).as("tr"))
-    val lam =
-      (TextAnalysis.floorLog2(coalesce(col("ct"), lit(0L)) + 1L) -
-        TextAnalysis.floorLog2(col("tt") + B)) -
-      (TextAnalysis.floorLog2(coalesce(col("cr"), lit(0L)) + 1L) -
-        TextAnalysis.floorLog2(col("tr") + B))
-    pairs
-      .join(broadcast(model), Seq("fb"), "left")
-      .crossJoin(broadcast(tot)) // 1-row scalar: the model's smoothing totals
-      .select(col("doc_id"),
-        when(col("fb").isNotNull, lam).as("lam"))
-      .groupBy("doc_id")
-      .agg(count(col("lam")).as("n_bigrams"),
-        coalesce(sum(col("lam")), lit(0L)).as("dsir_sum"))
-      .select(col("doc_id"), col("n_bigrams"), col("dsir_sum"),
-        when(col("n_bigrams") > 0L,
-          TextAnalysis.intDiv(
-            (col("dsir_sum") + col("n_bigrams") * 64L) * 1000000L,
-            col("n_bigrams"))).otherwise(0L).as("avg_shift_q6"),
-        when((col("n_bigrams") > 0L) && (col("dsir_sum") >= 0L), 1L)
-          .otherwise(0L).as("selected"))
-      .orderBy("doc_id")
+    val planted = ClassifierQueries.planted(Tables.documents(s, d))
+    graft.ops.Dsir.scores(
+      graft.ops.Dsir.pairs(planted),
+      graft.ops.Dsir.countDelta(planted))
   }
 
   val q188Sql: String =

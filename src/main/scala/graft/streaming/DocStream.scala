@@ -83,6 +83,16 @@ object DocStream {
     *        same shape as onBatchOverlap. The very first batch has no
     *        standing model and skips the screen; its own counts fold
     *        in and every later batch is screened
+    * @param onDsir when set (and the dir tracks DSIR counts), every
+    *        micro-batch's importance weights are scored against the
+    *        STANDING folded bucket counts BEFORE the batch folds in
+    *        ([[CorpusBuild.stateDsirScores]] — the ≤256-row model
+    *        broadcasts; zero model-building at the door) and the
+    *        per-doc (doc_id, n_bigrams, dsir_sum, avg_shift_q6,
+    *        selected) rows are pushed to this callback — the
+    *        data-selection door: arriving documents carry their
+    *        target-resemblance weight for routing/mixing policy.
+    *        First-batch semantics as onQuality
     * @param redactPii when true, the batch FOLDS WITH REDACTED TEXT —
     *        unlike the read-side screens this is deliberately a
     *        fold-side mutation: the production contract that raw PII
@@ -100,6 +110,7 @@ object DocStream {
       onCrossSplit: DataFrame => Unit = null,
       onPii: DataFrame => Unit = null,
       onQuality: DataFrame => Unit = null,
+      onDsir: DataFrame => Unit = null,
       redactPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -139,6 +150,10 @@ object DocStream {
           if (onQuality != null && cfg.trackClassifier &&
               CorpusBuild.hasState(b.sparkSession, stateDir)) {
             onQuality(CorpusBuild.stateNbScreen(b.sparkSession, stateDir, b))
+          }
+          if (onDsir != null && cfg.trackDsir &&
+              CorpusBuild.hasState(b.sparkSession, stateDir)) {
+            onDsir(CorpusBuild.stateDsirScores(b.sparkSession, stateDir, b))
           }
           CorpusBuild.ingestBatch(stateDir, b, cfg,
             if (vecsFor == null) null else vecsFor(b))

@@ -90,6 +90,73 @@ class ClassifierSpec extends AnyFunSuite {
     assert(viaTrain === p)
   }
 
+  test("DSIR state tier: two-batch bucket-count deltas fold additively " +
+      "into exactly the one-shot model, and scores agree row-for-row") {
+    import spark.implicits._
+    import graft.ops.{Dsir, Splits}
+    // ids that land in the train split (Splits.bucket is md5-derived,
+    // so membership is discovered, not assumed)
+    val ids = spark.range(0, 60).select(col("id"))
+      .filter(Splits.bucket(col("id")) < 90)
+      .as[Long].collect().toSeq
+    val docs = ids.map { id =>
+      val aug = if (id % 2 == 0) "x y alpha alpha alpha"
+                else "x y gamma gamma gamma"
+      (id, aug, id % 2)
+    }.toDF("doc_id", "aug", "label")
+    val (b1, b2) = (docs.filter(col("doc_id") < 30),
+      docs.filter(col("doc_id") >= 30))
+    val folded = Dsir.countDelta(b1).unionByName(Dsir.countDelta(b2))
+      .groupBy("fb").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+    val oneshot = Dsir.countDelta(docs)
+    // the fold IS the one-shot table
+    val foldMap = folded.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneMap = oneshot.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(foldMap === oneMap)
+    // and the served scores agree row-for-row
+    val viaFold = Dsir.scores(Dsir.pairs(docs), folded)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaOne = Dsir.scores(Dsir.pairs(docs), oneshot)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaFold === viaOne)
+  }
+
+  test("DSIR sign semantics: target-exclusive bigrams never score " +
+      "negative, target-absent bigrams score strictly negative, " +
+      "sub-2-token docs survive with zero pairs") {
+    import spark.implicits._
+    import graft.ops.{Dsir, Splits}
+    val ids = spark.range(0, 60).select(col("id"))
+      .filter(Splits.bucket(col("id")) < 90)
+      .as[Long].collect().toSeq
+    // class 0 (the DSIR target) writes only alpha-bigrams, class 1 only
+    // gamma-bigrams. Hand algebra: on alpha buckets ct = cr, so
+    // λ = L(Tr+B) − L(Tt+B) ≥ 0 (Tr ≥ Tt always — quantization may
+    // round the gap to 0, never below); on gamma buckets ct = 0, so
+    // λ = (L(Tr+B) − L(Tt+B)) − L(cr+1) ≤ 1 − L(3·n_odd+1) < 0 at
+    // this corpus size. Sign-test selection must follow exactly.
+    val docs = ids.map { id =>
+      val aug = if (id % 2 == 0) "alpha alpha alpha alpha"
+                else "gamma gamma gamma gamma"
+      (id, aug, id % 2)
+    }.toDF("doc_id", "aug", "label")
+      .unionByName(Seq((997L, "solo", 997L % 2)).toDF(
+        "doc_id", "aug", "label"))
+    val out = Dsir.scores(Dsir.pairs(docs), Dsir.countDelta(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    ids.foreach { id =>
+      val (n, s, sel) = out(id)
+      assert(n === 3, s"doc $id pair count")
+      if (id % 2 == 0) assert(s >= 0 && sel === 1L, s"doc $id: ($s, $sel)")
+      else assert(s < 0 && sel === 0L, s"doc $id: ($s, $sel)")
+    }
+    // the single-token doc survives explode_outer with zero pairs
+    assert(out(997L) === ((0L, 0L, 0L)))
+  }
+
   test("state tier single-class guard: a fold holding only one class " +
       "fails loudly from modelFromCounts, same contract as train()") {
     import spark.implicits._

@@ -535,6 +535,71 @@ class DocStreamSpec extends AnyFunSuite {
       "compaction altered the classifier state")
   }
 
+  test("streamed DSIR state: the folded bucket-count deltas serve " +
+      "EXACTLY q188's one-shot weights, and the onDsir door scores " +
+      "each post-first batch against the standing counts") {
+    import graft.ops.Dsir
+    import graft.queries.ClassifierQueries
+    val root = java.nio.file.Files.createTempDirectory("docstream_dsir")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackDsir = true)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    val screens =
+      new scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long)]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onDsir = df => screens.synchronized {
+        screens += df.select("doc_id", "dsir_sum", "selected").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      })
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the door fired for batches 2 and 3 only (batch 1 had no standing
+    // counts to score against)
+    assert(screens.synchronized(screens.size) === 2,
+      s"expected 2 door screens, got ${screens.size}")
+    // batch 2's screen == scoring batch 2 against the counts folded
+    // from batch 1 ALONE (the standing state at that moment)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val expected = Dsir.scores(
+        Dsir.pairs(ClassifierQueries.planted(b2)),
+        Dsir.countDelta(ClassifierQueries.planted(b1)))
+      .select("doc_id", "dsir_sum", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(screens.synchronized(screens.head) === expected,
+      "door screen diverged from scoring against the standing counts")
+
+    // streamed-fold ≡ one-shot: the state-served weights equal q188's
+    // exact output over the same corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    val served = rows(CorpusBuild.stateDsirScores(spark, state, docs))
+    val oneShot = rows(
+      graft.queries.FilterQueries.q188_dsir_weights(spark, sf))
+    assert(served === oneShot,
+      "state-served DSIR weights diverged from the one-shot model")
+
+    // … and compaction folds the bucket counts unchanged
+    CorpusBuild.compact(spark, state)
+    CorpusBuild.pruneGenerations(spark, state, keep = 1)
+    assert(rows(CorpusBuild.stateDsirScores(spark, state, docs)) === oneShot,
+      "compaction altered the DSIR state")
+  }
+
   test("streamed PII screen at the door: arriving PII is detected and " +
       "typed into the callback, and with redactPii the corpus state " +
       "folds ONLY redacted text (clean docs byte-identical)") {

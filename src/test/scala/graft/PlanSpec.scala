@@ -161,7 +161,10 @@ class PlanSpec extends AnyFunSuite {
       "q189_rrf_hybrid",
       // q190: embeds q187's perplexity tier, inheriting its declared
       // 1-row model-total scalar crossJoin
-      "q190_curation_matrix")
+      "q190_curation_matrix",
+      // q191: q188's scoring algebra over the folded state — the same
+      // declared 1-row smoothing-total scalar broadcast
+      "q191_state_dsir")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
