@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -870,6 +870,123 @@ object ExtensionQueries {
 
   val q168Sql: String = CurationQueries.q88Sql
 
+  /** q193 — content-defined chunking (the FastCDC family — Xia et al.,
+    * USENIX ATC 2016 — public literature; Muthitacharoen et al.'s LBFS
+    * is the ancestor): a chunk boundary falls AFTER position i exactly
+    * when the trailing 8-char window's hash lands in bucket 0 of 64
+    * (expected chunk ≈ 64 chars — measured 51 at this corpus), so
+    * boundaries move WITH content — an insertion re-chunks only its
+    * neighborhood where fixed-width chunking shifts every later chunk.
+    * This is the shift-resistant dedup unit object stores and
+    * incremental-sync systems use, complementary to winnowing (q140
+    * SELECTS representative fingerprints; CDC SEGMENTS the text).
+    * Readout per doc: chunk count, max chunk length, and how many of
+    * the doc's chunks also occur in ≥1 other document (the cross-doc
+    * dedup signal), as an exact ppm.
+    *
+    * Engine notes: the window hash is the md5-prefix bucket (portable);
+    * chunk identity crosses the corpus-scale Exchange as
+    * xxhash64(chunk) — an 8-byte key, never the chunk string — and the
+    * oracle groups by its own chunk substrings, so the emitted COUNTS
+    * agree while neither engine's hash leaks into the output (q101's
+    * shingle discipline). At 100 TB the per-position md5 is the scan's
+    * map cost; a production build would swap in a rolling-hash Catalyst
+    * Expression (same boundaries, one multiply/add per char) — the
+    * plumbing here is hash-agnostic.
+    *
+    * Scale shape: boundary detection and chunk formation are PURE
+    * per-row HOFs (no explode until the chunk relation); one
+    * map-side-combined shuffle groups chunk keys (8-byte), one join
+    * back, one per-doc rollup.
+    */
+  val q193_cdc_chunks: Q = (s, d) => {
+    val txt = coalesce(col("text"), lit(""))
+    val len = length(txt).cast("long")
+    val isCut = (i: Column) =>
+      conv(substring(md5(txt.substr(i.cast("int") - 7, lit(8))), 1, 8),
+        16, 10).cast("long") % 64L === 0L
+    val cuts = when(len >= 8L,
+      filter(transform(sequence(lit(8L), len), i => when(isCut(i), i)),
+        x => x.isNotNull)).otherwise(array().cast("array<long>"))
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), txt.as("tx"), cuts.as("cuts"))
+      .select(col("doc_id"), col("tx"),
+        concat(array(lit(0L)), col("cuts")).as("st"),
+        concat(col("cuts"), array(length(col("tx")).cast("long")))
+          .as("en"))
+      .select(col("doc_id"),
+        filter(zip_with(col("st"), col("en"), (a, b) => struct(
+            (b - a).as("l"),
+            xxhash64(col("tx").substr((a + 1L).cast("int"),
+              (b - a).cast("int"))).as("ck"))),
+          c => c("l") > 0L).as("ch"))
+      .select(col("doc_id"), explode_outer(col("ch")).as("c"))
+      .select(col("doc_id"), col("c.l").as("l"), col("c.ck").as("ck"))
+    val dup = chunks.filter(col("ck").isNotNull)
+      .groupBy("ck").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2L)
+      .select(col("ck"), lit(1L).as("is_dup"))
+    chunks
+      .join(dup, Seq("ck"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("ck")).as("n_chunks"),
+        coalesce(max(col("l")), lit(0L)).as("max_chunk_len"),
+        coalesce(sum(coalesce(col("is_dup"), lit(0L))), lit(0L))
+          .as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("max_chunk_len"),
+        col("n_dup_chunks"),
+        TextAnalysis.intDiv(col("n_dup_chunks") * 1000000L,
+          greatest(col("n_chunks"), lit(1L))).as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q193Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+      |cpos AS (
+      |  SELECT doc_id, i
+      |  FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |    FROM t WHERE len(tx) >= 8)
+      |  WHERE CAST(CAST(('0x' || substr(md5(
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8)), 1, 8))
+      |    AS UBIGINT) % 64 AS BIGINT) = 0),
+      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
+      |  FROM cpos GROUP BY doc_id),
+      |sp AS (
+      |  SELECT t.doc_id, t.tx,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
+      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
+      |      CAST(len(t.tx) AS BIGINT)) AS en
+      |  FROM t LEFT JOIN cutl USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id,
+      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
+      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk,
+      |    en[i] - st[i] AS l
+      |  FROM (SELECT doc_id, tx, st, en,
+      |      unnest(generate_series(1, len(st))) AS i FROM sp)
+      |  WHERE en[i] - st[i] > 0),
+      |dup AS (SELECT chunk FROM ch
+      |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      |a AS (
+      |  SELECT ch.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(max(ch.l) AS BIGINT) AS max_chunk_len,
+      |    CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dup_chunks
+      |  FROM ch LEFT JOIN dup ON ch.chunk = dup.chunk
+      |  GROUP BY ch.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(a.max_chunk_len, 0) AS BIGINT) AS max_chunk_len,
+      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) * 1000000
+      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
+      |    AS dup_ppm
+      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -887,6 +1004,7 @@ object ExtensionQueries {
     "q22_token_stats" -> q22_token_stats,
     "q23_lang_quality" -> q23_lang_quality,
     "q24_fingerprint" -> q24_fingerprint,
+    "q193_cdc_chunks" -> q193_cdc_chunks,
     "q25_multimodal_meta" -> q25_multimodal_meta,
     "q26_lsh_cosine" -> q26_lsh_cosine,
     "q67_sketch_precision" -> q67_sketch_precision,
@@ -915,6 +1033,7 @@ object ExtensionQueries {
     "q22_token_stats" -> q22Sql,
     "q23_lang_quality" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
+    "q193_cdc_chunks" -> q193Sql,
     "q25_multimodal_meta" -> q25Sql,
     "q140_winnow_fingerprint" -> q140Sql,
     "q143_winnow_overlap" -> q143Sql,

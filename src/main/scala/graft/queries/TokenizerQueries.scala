@@ -868,6 +868,63 @@ object TokenizerQueries {
       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
       |ORDER BY rrf_q6 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q192 — per-language tokenizer fertility: the multilingual-equity
+    * readout (Petrov et al., "Language Model Tokenizers Introduce
+    * Unfairness Between Languages", NeurIPS 2023 — public literature):
+    * apply q108's learned BPE to every document and roll the
+    * compression statistics up per language — BPE symbols per
+    * whitespace word (fertility) and characters per BPE symbol — the
+    * table a tokenizer review reads to see which languages pay more
+    * tokens for the same text. Both ratios are exact integer ppm-style
+    * quotients of corpus sums, so the oracle re-derives the ENTIRE
+    * learn+apply chain (q108's SQL nested verbatim) plus the rollup.
+    *
+    * Scale shape: after the dict-scale merge learning (q105's cost,
+    * shared), tokenization is a per-row replace chain riding the scan;
+    * the rollup is ONE map-side-combined shuffle with |langs| rows out.
+    */
+  val q192_tokenizer_fertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "text"),
+        "word", "n", NumMerges)
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    Bpe.tokenizeDocs(docs, merges.toIndexedSeq)
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_bpe_symbols")).as("n_bpe"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_chars_total"),
+        TextAnalysis.intDiv(col("n_bpe") * 1000000L,
+          greatest(col("n_words"), lit(1L))).as("fertility_q6"),
+        TextAnalysis.intDiv(col("n_chars_total") * 1000000L,
+          greatest(col("n_bpe"), lit(1L))).as("chars_per_bpe_q6"))
+      .orderBy("lang")
+  }
+
+  val q192Sql: String = {
+    val q108Inner = q108Sql
+    s"""WITH b AS ( $q108Inner )
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(b.n_tokens) AS BIGINT) AS n_words,
+       |  CAST(sum(b.n_bpe_symbols) AS BIGINT) AS n_bpe,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(sum(b.n_bpe_symbols) AS BIGINT) * 1000000
+       |    // greatest(CAST(sum(b.n_tokens) AS BIGINT), 1)
+       |    AS fertility_q6,
+       |  CAST(sum(d.n_chars) AS BIGINT) * 1000000
+       |    // greatest(CAST(sum(b.n_bpe_symbols) AS BIGINT), 1)
+       |    AS chars_per_bpe_q6
+       |FROM b JOIN documents d ON b.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -885,7 +942,8 @@ object TokenizerQueries {
     "q139_state_bpe_tokenize" -> q139_state_bpe_tokenize,
     "q142_state_vocab" -> q142_state_vocab,
     "q145_vocab_growth" -> q145_vocab_growth,
-    "q189_rrf_hybrid" -> q189_rrf_hybrid)
+    "q189_rrf_hybrid" -> q189_rrf_hybrid,
+    "q192_tokenizer_fertility" -> q192_tokenizer_fertility)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -905,5 +963,6 @@ object TokenizerQueries {
     // the state-served vocab must reproduce q49's corpus-scan build exactly
     "q142_state_vocab" -> ExpansionQueries.q49Sql,
     "q145_vocab_growth" -> q145Sql,
-    "q189_rrf_hybrid" -> q189Sql)
+    "q189_rrf_hybrid" -> q189Sql,
+    "q192_tokenizer_fertility" -> q192Sql)
 }
