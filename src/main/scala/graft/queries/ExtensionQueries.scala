@@ -899,8 +899,14 @@ object ExtensionQueries {
     * map-side-combined shuffle groups chunk keys (8-byte), one join
     * back, one per-doc rollup.
     */
-  val q193_cdc_chunks: Q = (s, d) => {
-    val txt = coalesce(col("text"), lit(""))
+  /** The CDC chunk array of a text column: array<struct(l, ck)> where l
+    * is the chunk length and ck = xxhash64(chunk text) — the shared
+    * kernel of q193 and CdcSpec's shift-resistance property. A boundary
+    * falls after position i (1-based, i ≥ 8) iff the trailing 8-char
+    * window's md5-prefix bucket ≡ 0 (mod 64).
+    */
+  private[graft] def cdcChunks(text: Column): Column = {
+    val txt = coalesce(text, lit(""))
     val len = length(txt).cast("long")
     val isCut = (i: Column) =>
       conv(substring(md5(txt.substr(i.cast("int") - 7, lit(8))), 1, 8),
@@ -908,18 +914,18 @@ object ExtensionQueries {
     val cuts = when(len >= 8L,
       filter(transform(sequence(lit(8L), len), i => when(isCut(i), i)),
         x => x.isNotNull)).otherwise(array().cast("array<long>"))
+    val st = concat(array(lit(0L)), cuts)
+    val en = concat(cuts, array(len))
+    filter(zip_with(st, en, (a, b) => struct(
+        (b - a).as("l"),
+        xxhash64(txt.substr((a + 1L).cast("int"),
+          (b - a).cast("int"))).as("ck"))),
+      c => c("l") > 0L)
+  }
+
+  val q193_cdc_chunks: Q = (s, d) => {
     val chunks = Tables.documents(s, d)
-      .select(col("doc_id"), txt.as("tx"), cuts.as("cuts"))
-      .select(col("doc_id"), col("tx"),
-        concat(array(lit(0L)), col("cuts")).as("st"),
-        concat(col("cuts"), array(length(col("tx")).cast("long")))
-          .as("en"))
-      .select(col("doc_id"),
-        filter(zip_with(col("st"), col("en"), (a, b) => struct(
-            (b - a).as("l"),
-            xxhash64(col("tx").substr((a + 1L).cast("int"),
-              (b - a).cast("int"))).as("ck"))),
-          c => c("l") > 0L).as("ch"))
+      .select(col("doc_id"), cdcChunks(col("text")).as("ch"))
       .select(col("doc_id"), explode_outer(col("ch")).as("c"))
       .select(col("doc_id"), col("c.l").as("l"), col("c.ck").as("ck"))
     val dup = chunks.filter(col("ck").isNotNull)
