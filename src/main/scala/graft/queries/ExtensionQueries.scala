@@ -993,6 +993,91 @@ object ExtensionQueries {
       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q194 — CDC-grained eval decontamination: q69/q111 screen on token
+    * n-grams and q166 on winnow fingerprints; this is the third
+    * granularity real pipelines ship (Dolma/RedPajama-style) — the
+    * CHUNK. Every train-split document is audited for content-defined
+    * chunks (q193's kernel) that also occur in any val/test-split
+    * document: because boundaries are content-defined, a contaminated
+    * passage yields the SAME chunks in both splits regardless of where
+    * it sits in either document — the shift-resistance CdcSpec proves
+    * is exactly what makes this screen alignment-free. Readout per
+    * train doc: chunk count, eval-shared chunk count, shared ppm — the
+    * removal worklist.
+    *
+    * Scale shape: chunking rides the scan; the eval-chunk set is built
+    * with one map-side-combined distinct on the 8-byte chunk key and
+    * the audit is one key join + per-doc rollup — no pairwise
+    * comparison anywhere.
+    */
+  val q194_cdc_decontam: Q = (s, d) => {
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (graft.ops.Splits.bucket(col("doc_id")) < 90).as("is_train"),
+        explode_outer(cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("is_train"), col("c.ck").as("ck"))
+    val evalSet = chunks.filter(!col("is_train") && col("ck").isNotNull)
+      .select("ck").distinct()
+      .withColumn("in_eval", lit(1L))
+    chunks.filter(col("is_train"))
+      .join(evalSet, Seq("ck"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("ck")).as("n_chunks"),
+        coalesce(sum(coalesce(col("in_eval"), lit(0L))), lit(0L))
+          .as("n_eval_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_eval_shared"),
+        TextAnalysis.intDiv(col("n_eval_shared") * 1000000L,
+          greatest(col("n_chunks"), lit(1L))).as("shared_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q194Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, coalesce(text, '') AS tx,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train
+      |  FROM documents),
+      |cpos AS (
+      |  SELECT doc_id, i
+      |  FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |    FROM t WHERE len(tx) >= 8)
+      |  WHERE CAST(CAST(('0x' || substr(md5(
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8)), 1, 8))
+      |    AS UBIGINT) % 64 AS BIGINT) = 0),
+      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
+      |  FROM cpos GROUP BY doc_id),
+      |sp AS (
+      |  SELECT t.doc_id, t.tx, t.is_train,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
+      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
+      |      CAST(len(t.tx) AS BIGINT)) AS en
+      |  FROM t LEFT JOIN cutl USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id, is_train,
+      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
+      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk
+      |  FROM (SELECT doc_id, tx, is_train, st, en,
+      |      unnest(generate_series(1, len(st))) AS i FROM sp)
+      |  WHERE en[i] - st[i] > 0),
+      |ev AS (SELECT DISTINCT chunk FROM ch WHERE NOT is_train),
+      |a AS (
+      |  SELECT ch.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN ev.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_eval_shared
+      |  FROM ch LEFT JOIN ev ON ch.chunk = ev.chunk
+      |  WHERE ch.is_train GROUP BY ch.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) AS n_eval_shared,
+      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) * 1000000
+      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
+      |    AS shared_ppm
+      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+      |WHERE t.is_train
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -1011,6 +1096,7 @@ object ExtensionQueries {
     "q23_lang_quality" -> q23_lang_quality,
     "q24_fingerprint" -> q24_fingerprint,
     "q193_cdc_chunks" -> q193_cdc_chunks,
+    "q194_cdc_decontam" -> q194_cdc_decontam,
     "q25_multimodal_meta" -> q25_multimodal_meta,
     "q26_lsh_cosine" -> q26_lsh_cosine,
     "q67_sketch_precision" -> q67_sketch_precision,
@@ -1040,6 +1126,7 @@ object ExtensionQueries {
     "q23_lang_quality" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q193_cdc_chunks" -> q193Sql,
+    "q194_cdc_decontam" -> q194Sql,
     "q25_multimodal_meta" -> q25Sql,
     "q140_winnow_fingerprint" -> q140Sql,
     "q143_winnow_overlap" -> q143Sql,
