@@ -1213,6 +1213,91 @@ object CurationQueries {
       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** q195 — epoch allocation under a token budget (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", NeurIPS 2023 — public
+    * literature: repeating data up to ~4 epochs is nearly as good as
+    * fresh data, so a budget-constrained run REPEATS its best data):
+    * the quality-ordered waterfall that turns q160's cumulative curve
+    * into a mixing plan. Budget B = 2× the corpus's token total (a
+    * RATIO, so the plan scales with the corpus); walking buckets from
+    * best to worst, each bucket receives up to 4 epochs out of
+    * whatever budget remains after every better bucket took its full
+    * allocation: e = clamp((B − 4·tokens_above) ÷ n_tokens, 0, 4).
+    * All arithmetic is exact integers over the ≤21-row bucket
+    * relation, so the unpartitioned windows are the q160/q145 bounded
+    * discipline (never the doc relation), and the only corpus-scale
+    * work is q160's one scan + bucket aggregate. The subtraction is
+    * clamped non-negative BEFORE the division — Spark floor-division
+    * and DuckDB `//` (truncating) agree only there.
+    */
+  val q195_epoch_allocation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d).select(
+      TextAnalysis.qualityScorePpm(col("text")).as("q_ppm"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val buckets = scored
+      .groupBy(expr("q_ppm DIV 50000").cast("long").as("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val cum = Window.orderBy(col("q_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withCum = buckets.select(col("q_bucket"), col("n_docs"),
+      col("n_tokens"),
+      (sum(col("n_tokens")).over(cum) - col("n_tokens")).as("above"),
+      (sum(col("n_tokens")).over(all) * 2L).as("budget"))
+    withCum
+      .select(col("q_bucket"), col("n_docs"), col("n_tokens"),
+        least(TextAnalysis.intDiv(
+            greatest(col("budget") - col("above") * 4L, lit(0L)),
+            greatest(col("n_tokens"), lit(1L))),
+          lit(4L)).as("epochs"))
+      .select(col("q_bucket"), col("n_docs"), col("n_tokens"),
+        col("epochs"),
+        (col("epochs") * col("n_tokens")).as("alloc_tokens"))
+      .orderBy(col("q_bucket").desc)
+  }
+
+  val q195Sql: String = {
+    val enList = TextAnalysis.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""WITH r AS (
+       |  SELECT
+       |    ((least((CAST(length(text) AS BIGINT) * 1000000) // 500, 1000000)
+       |      + (1000000 - (CAST(len(regexp_extract_all(text,
+       |          '[^A-Za-z0-9\\s]')) AS BIGINT) * 1000000)
+       |        // greatest(CAST(length(text) AS BIGINT), 1))
+       |      + least((CAST(len(list_filter(string_split_regex(trim(text),
+       |            '\\s+'), x -> list_contains($enList, x))) AS BIGINT)
+       |          * 4 * 1000000)
+       |        // greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |            AS BIGINT), 1), 1000000)
+       |      + least((CAST(length(text) AS BIGINT) * 1000000)
+       |        // (greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |            AS BIGINT), 1) * 8), 1000000)) // 4) AS q_ppm,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT q_ppm // 50000 AS q_bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM r GROUP BY q_ppm // 50000),
+       |c AS (
+       |  SELECT q_bucket, n_docs, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY q_bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS above,
+       |    CAST(SUM(n_tokens) OVER () * 2 AS BIGINT) AS budget
+       |  FROM b)
+       |SELECT q_bucket, n_docs, n_tokens,
+       |  least(greatest(budget - above * 4, 0)
+       |    // greatest(n_tokens, 1), 4) AS epochs,
+       |  least(greatest(budget - above * 4, 0)
+       |    // greatest(n_tokens, 1), 4) * n_tokens AS alloc_tokens
+       |FROM c ORDER BY q_bucket DESC""".stripMargin
+  }
+
   /** q190 — the per-DOCUMENT curation decision matrix: q179 answers
     * "what does the release look like per source"; this answers "why
     * was THIS document dropped" — the reason-attributed record every
@@ -1364,7 +1449,8 @@ object CurationQueries {
     "q96_ingest_neardup" -> q96_ingest_neardup,
     "q97_cluster_sizes" -> q97_cluster_sizes,
     "q98_source_quota_agg" -> q98_source_quota_agg,
-    "q190_curation_matrix" -> q190_curation_matrix)
+    "q190_curation_matrix" -> q190_curation_matrix,
+    "q195_epoch_allocation" -> q195_epoch_allocation)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -1390,5 +1476,6 @@ object CurationQueries {
     // the aggregate variant must reproduce the window variant EXACTLY —
     // same oracle, so the driver hash-checks the equivalence end-to-end
     "q98_source_quota_agg" -> q92Sql,
-    "q190_curation_matrix" -> q190Sql)
+    "q190_curation_matrix" -> q190Sql,
+    "q195_epoch_allocation" -> q195Sql)
 }
