@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
   *    [[decodeAudioStats]] / [[decodePngStats]] / [[decodeGifStats]] /
   *    [[decodeJpegStats]] emit genuine pixel/sample statistics
   *    (q151/q152/q164/q169/q170, oracle-checked end to end).
-  *  - video carries a genuinely COMPRESSED container too:
+  *  - video carries genuinely COMPRESSED containers too:
   *    [[mjpegFromText]] concatenates complete baseline JPEGs and
   *    [[Codecs.decodeJpegStream]] re-discovers frame boundaries by
-  *    marker parsing (q181/q182, oracle-checked).
+  *    marker parsing (q181/q182, oracle-checked); [[flcFromText]] /
+  *    [[graft.multimodal.Flc]] is REAL INTER-FRAME compression —
+  *    DELTA_FLC packets reconstructed against a persistent frame
+  *    buffer (q185/q186, oracle-checked).
   *  - `decodeStub` for the PERCEPTUAL formats (MP3 psychoacoustic
-  *    subband audio, H.264 inter-frame motion-compensated video): no
-  *    codec libraries exist in this container and those codecs are out
-  *    of from-scratch scope, so their payloads get byte-level metadata
-  *    only (length, first byte, digest). Swapping in a real codec
-  *    replaces only the function body — the PNG/GIF/JPEG/FLAC/MJPEG
-  *    tiers prove it: same plan shape (scan → per-partition batch
-  *    transform → typed output), real compressed containers.
+  *    subband audio; H.264's lossy transform + motion search — its
+  *    inter-frame prediction STRUCTURE is covered by the FLC tier,
+  *    what remains out of scope is the perceptual/rate-distortion
+  *    layer): no codec libraries exist in this container and those
+  *    codecs are out of from-scratch scope, so their payloads get
+  *    byte-level metadata only (length, first byte, digest). Swapping
+  *    in a real codec replaces only the function body — the
+  *    PNG/GIF/JPEG/FLAC/MJPEG/FLC/ADPCM tiers prove it: same plan
+  *    shape (scan → per-partition batch transform → typed output),
+  *    real compressed containers.
   */
 object Multimodal {
 
