@@ -150,4 +150,41 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == docs.count(),
       "per-source doc counts do not sum to the corpus")
   }
+
+  test("epoch allocation (q195): the waterfall never exceeds the budget, " +
+      "epochs are monotone non-increasing down the quality order, the " +
+      "best bucket is fully funded, and a boundary bucket is partial") {
+    val rows = graft.queries.CurationQueries
+      .q195_epoch_allocation(spark, sf).collect()
+    // rows come back ordered q_bucket DESC: (bucket, docs, tokens,
+    // epochs, alloc)
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val budget = 2L * totalTokens
+    val alloc = rows.map(_.getLong(4)).sum
+    assert(alloc <= budget,
+      s"allocated $alloc exceeds budget $budget")
+    val epochs = rows.map(_.getLong(3)).toSeq
+    assert(epochs === epochs.sorted.reverse,
+      s"epochs must be non-increasing down the quality order: $epochs")
+    assert(epochs.forall(e => e >= 0L && e <= 4L),
+      s"epochs outside the 0..4 cap: $epochs")
+    // budget = 2x corpus at a 4-epoch cap guarantees the top bucket is
+    // fully funded and that SOME bucket gets nothing (4x everything
+    // would need twice the budget) — the waterfall's shape, not a
+    // tuning accident
+    assert(epochs.head === 4L, "the best bucket must be fully funded")
+    assert(epochs.last === 0L || alloc === budget,
+      "with a 2x budget under a 4x cap, allocation must exhaust either " +
+        "the budget or the low-quality tail")
+    // every epoch value is exactly the closed-form waterfall:
+    // clamp((B - 4*tokens_above) / tokens, 0, 4)
+    var above = 0L
+    rows.foreach { r =>
+      val (toks, e) = (r.getLong(2), r.getLong(3))
+      val want = math.min(4L,
+        math.max(0L, (budget - 4L * above) / math.max(toks, 1L)))
+      assert(e === want, s"bucket ${r.getLong(0)}: epochs $e != $want")
+      above += toks
+    }
+  }
 }
