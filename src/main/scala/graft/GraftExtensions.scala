@@ -117,5 +117,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(n_samples, duration_ms, sum_sample, min_sample, max_sample)"),
       arity("graft_audio_stats", 1)(e =>
         graft.functions.AudioStatsExpr(e(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks",
+        "graft_cdc_chunks(text) - content-defined chunking: " +
+          "array<struct(l, ck)> of chunk code-point lengths and " +
+          "xxhash64 chunk keys; boundaries from a Rabin-style rolling " +
+          "polynomial over the trailing 8 code points (bucket 64)"),
+      arity("graft_cdc_chunks", 1)(e =>
+        graft.functions.CdcChunksExpr(e(0)))))
   }
 }

@@ -91,6 +91,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_audio_stats",
       arity("graft_audio_stats", 1)(exprs =>
         AudioStatsExpr(exprs(0))), "built-in")
+    // content-defined chunking (rolling polynomial window hash, one
+    // pass per row — the q193/q194 kernel)
+    reg.createOrReplaceTempFunction("graft_cdc_chunks",
+      arity("graft_cdc_chunks", 1)(exprs =>
+        CdcChunksExpr(exprs(0))), "built-in")
 
     JobParse.register(spark)
   }

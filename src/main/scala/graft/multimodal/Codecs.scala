@@ -830,7 +830,10 @@ object Codecs {
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var fact = -1
     var data: Option[Array[Byte]] = None
-    while ((fmt.isEmpty || data.isEmpty || fact < 0) && bb.remaining() >= 8) {
+    // walk EVERY chunk to the end of the payload — bytes after the last
+    // chunk (or a dangling partial header) are trailing garbage and the
+    // container contract is to fail loudly, like decodeFlc/decodeJpegStream
+    while (bb.remaining() >= 8) {
       val id = fourcc()
       val size = bb.getInt
       require(size >= 0 && size <= bb.remaining(),
@@ -860,6 +863,8 @@ object Codecs {
         case _ => // unknown chunk: skipped by size
       }
     }
+    require(bb.remaining() == 0,
+      s"${bb.remaining()} trailing bytes after the last RIFF chunk")
     val (tag, channels, rate, blockAlign, spb) = fmt.getOrElse(
       throw new IllegalArgumentException("no fmt chunk"))
     require(tag == 0x11, s"format tag $tag unsupported (IMA ADPCM only)")

@@ -220,6 +220,11 @@ object Flc {
             s += n
           }
         }
+        // the count word's top two bits are opcode space (01/10/11);
+        // a count above 0x3FFF would be misread as a different opcode
+        require(packets.size <= 0x3FFF,
+          s"DELTA_FLC line $y needs ${packets.size} packets; " +
+            "the 14-bit packet-count field caps at 16383")
         u16(packets.size) // top bits 00: packet count
         for ((px, s, n) <- packets) {
           body.write(px)

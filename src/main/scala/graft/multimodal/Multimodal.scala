@@ -851,8 +851,11 @@ object Multimodal {
         case "image/jpeg" =>
           val b = r.content.clone()
           var i = 0
-          while (!((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0))
+          while (i + 1 < b.length &&
+              !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0))
             i += 1
+          if (i + 1 >= b.length) throw new IllegalArgumentException(
+            s"media ${r.media_id}: no baseline SOF0 marker to corrupt")
           b(i + 1) = 0xC2.toByte
           MediaRow(r.media_id, r.media_type, b)
         case "audio/flac" =>

@@ -1403,10 +1403,11 @@ object CurationQueries {
        |    CAST(CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS BIGINT)
        |      AS r_short,
        |    CAST(CASE WHEN
-       |        (rep.n_tokens - rep.n_distinct) * 1000000
-       |          // greatest(rep.n_tokens, 1) > 650000
-       |        OR rep.top_cnt * 1000000
-       |          // greatest(rep.n_tokens, 1) > 150000
+       |        (coalesce(rep.n_tokens, 0) - coalesce(rep.n_distinct, 0))
+       |          * 1000000
+       |          // greatest(coalesce(rep.n_tokens, 0), 1) > 650000
+       |        OR coalesce(rep.top_cnt, 0) * 1000000
+       |          // greatest(coalesce(rep.n_tokens, 0), 1) > 150000
        |      THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
        |    CAST(CASE WHEN coalesce(pplx.avg_q6, 0) > 5400000
        |      THEN 1 ELSE 0 END AS BIGINT) AS r_pplx,
@@ -1415,7 +1416,7 @@ object CurationQueries {
        |    CAST(CASE WHEN k.survivor_id IS NULL THEN 1 ELSE 0 END
        |      AS BIGINT) AS r_dup
        |  FROM documents d
-       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id
        |  LEFT JOIN pplx ON pplx.doc_id = d.doc_id
        |  JOIN pii ON pii.doc_id = d.doc_id
        |  LEFT JOIN keep74 k ON k.survivor_id = d.doc_id)

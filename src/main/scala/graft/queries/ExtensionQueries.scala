@@ -884,15 +884,15 @@ object ExtensionQueries {
     * the doc's chunks also occur in ≥1 other document (the cross-doc
     * dedup signal), as an exact ppm.
     *
-    * Engine notes: the window hash is the md5-prefix bucket (portable);
-    * chunk identity crosses the corpus-scale Exchange as
-    * xxhash64(chunk) — an 8-byte key, never the chunk string — and the
-    * oracle groups by its own chunk substrings, so the emitted COUNTS
-    * agree while neither engine's hash leaks into the output (q101's
-    * shingle discipline). At 100 TB the per-position md5 is the scan's
-    * map cost; a production build would swap in a rolling-hash Catalyst
-    * Expression (same boundaries, one multiply/add per char) — the
-    * plumbing here is hash-agnostic.
+    * Engine notes: the window hash is a Rabin-style polynomial over the
+    * trailing 8 code points (CdcChunksExpr — computed ROLLING, one
+    * multiply/add per character; the oracle evaluates the same
+    * polynomial per position with nested Horner arithmetic, so both
+    * engines define cuts identically); chunk identity crosses the
+    * corpus-scale Exchange as xxhash64(chunk) — an 8-byte key, never
+    * the chunk string — and the oracle groups by its own chunk
+    * substrings, so the emitted COUNTS agree while neither engine's
+    * hash leaks into the output (q101's shingle discipline).
     *
     * Scale shape: boundary detection and chunk formation are PURE
     * per-row HOFs (no explode until the chunk relation); one
@@ -901,26 +901,16 @@ object ExtensionQueries {
     */
   /** The CDC chunk array of a text column: array<struct(l, ck)> where l
     * is the chunk length and ck = xxhash64(chunk text) — the shared
-    * kernel of q193 and CdcSpec's shift-resistance property. A boundary
-    * falls after position i (1-based, i ≥ 8) iff the trailing 8-char
-    * window's md5-prefix bucket ≡ 0 (mod 64).
+    * kernel of q193/q194 and CdcSpec's shift-resistance property. A
+    * boundary falls after position i (1-based, i ≥ 8) iff the trailing
+    * 8-code-point window's polynomial hash ≡ 0 (mod 64) — evaluated by
+    * the native rolling-hash expression (one pass per row,
+    * [[graft.functions.CdcChunksExpr]]).
     */
   private[graft] def cdcChunks(text: Column): Column = {
-    val txt = coalesce(text, lit(""))
-    val len = length(txt).cast("long")
-    val isCut = (i: Column) =>
-      conv(substring(md5(txt.substr(i.cast("int") - 7, lit(8))), 1, 8),
-        16, 10).cast("long") % 64L === 0L
-    val cuts = when(len >= 8L,
-      filter(transform(sequence(lit(8L), len), i => when(isCut(i), i)),
-        x => x.isNotNull)).otherwise(array().cast("array<long>"))
-    val st = concat(array(lit(0L)), cuts)
-    val en = concat(cuts, array(len))
-    filter(zip_with(st, en, (a, b) => struct(
-        (b - a).as("l"),
-        xxhash64(txt.substr((a + 1L).cast("int"),
-          (b - a).cast("int"))).as("ck"))),
-      c => c("l") > 0L)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.CdcChunksExpr(
+      ColumnShim.expression(coalesce(text, lit("")))))
   }
 
   val q193_cdc_chunks: Q = (s, d) => {
@@ -947,15 +937,15 @@ object ExtensionQueries {
   }
 
   val q193Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
       |cpos AS (
       |  SELECT doc_id, i
-      |  FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
-      |    FROM t WHERE len(tx) >= 8)
-      |  WHERE CAST(CAST(('0x' || substr(md5(
-      |      substr(tx, CAST(i - 7 AS INTEGER), 8)), 1, 8))
-      |    AS UBIGINT) % 64 AS BIGINT) = 0),
+      |  FROM (SELECT doc_id, i,
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
+      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |      FROM t WHERE len(tx) >= 8))
+      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
       |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
       |  FROM cpos GROUP BY doc_id),
       |sp AS (
@@ -1032,18 +1022,18 @@ object ExtensionQueries {
   }
 
   val q194Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, coalesce(text, '') AS tx,
       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
       |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train
       |  FROM documents),
       |cpos AS (
       |  SELECT doc_id, i
-      |  FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
-      |    FROM t WHERE len(tx) >= 8)
-      |  WHERE CAST(CAST(('0x' || substr(md5(
-      |      substr(tx, CAST(i - 7 AS INTEGER), 8)), 1, 8))
-      |    AS UBIGINT) % 64 AS BIGINT) = 0),
+      |  FROM (SELECT doc_id, i,
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
+      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |      FROM t WHERE len(tx) >= 8))
+      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
       |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
       |  FROM cpos GROUP BY doc_id),
       |sp AS (

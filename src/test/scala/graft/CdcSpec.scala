@@ -93,6 +93,29 @@ class CdcSpec extends AnyFunSuite {
     assert(s8.map(_._1).sum === 8L && s8.size <= 2)
   }
 
+  test("rolling hash ≡ windowed definition: the expression's cut " +
+      "positions match a per-position Horner evaluation of the same " +
+      "polynomial") {
+    import graft.functions.CdcChunksExpr.{B, M}
+    // independent reference: hash EVERY trailing-8 window from scratch
+    // (interior cuts only — a cut at the very end does not create an
+    // empty tail chunk, so it is invisible in the length sequence)
+    def refCuts(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      (8 until cps.length).filter { i =>
+        val h = (i - 8 until i).foldLeft(0L)((a, k) => (a * B + cps(k)) % M)
+        h % 64L == 0L
+      }
+    }
+    for (t <- Seq(base, "XYZQ " + base, base.take(100), "abcdefgh")) {
+      val Seq(ch) = chunksOf(t)
+      val expCuts = ch.map(_._1).scanLeft(0L)(_ + _).drop(1).dropRight(1)
+      assert(expCuts === refCuts(t).map(_.toLong),
+        s"rolling-hash cuts diverged from the window definition on " +
+          s"'${t.take(20)}...'")
+    }
+  }
+
   test("identical substrings in different documents yield identical " +
       "interior chunk keys (the cross-doc dedup signal)") {
     val shared = base.substring(40, 360)
