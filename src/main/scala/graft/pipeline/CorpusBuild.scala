@@ -155,6 +155,19 @@ object CorpusBuild {
       // model-building at query time. Whole-life-of-the-dir contract
       // as above.
       trackDsir: Boolean = false,
+      // when true, each generation also stores the batch's UNPRUNED
+      // bigram-LM count deltas over the batch's train split: (bk =
+      // xxhash64(w1, w2), c2) bigram counts and (w, c1) unigram counts
+      // ([[graft.ops.BigramLm]]). Additive like the classifier/DSIR
+      // counts — the fold IS the model's sufficient statistic. The
+      // deltas MUST stay unpruned: KenLM-style singleton pruning does
+      // not commute with the fold (a bigram seen once in each of two
+      // batches is a per-batch singleton but a keeper overall), so
+      // [[BigramLm.scores]] prunes AT READ and the state-served
+      // perplexity (q196, `onPerplexity` door) equals
+      // train-on-the-folded-corpus exactly. Whole-life-of-the-dir
+      // contract as above.
+      trackBigramLm: Boolean = false,
       kmeansK: Int = 8,
       kmeansIters: Int = 5,
       retrainGrowth: Double = 0.5,
@@ -518,6 +531,17 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/dsircounts")
     }
+    if (cfg.trackBigramLm) {
+      // bigram-LM count deltas over the RAW batch's train split
+      // (q187's input contract is the full documents relation) —
+      // stored UNPRUNED, see Config.trackBigramLm
+      graft.ops.BigramLm.bigramDelta(newDocs)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/lmbigrams")
+      graft.ops.BigramLm.unigramDelta(newDocs)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/lmunigrams")
+    }
     if (cfg.trackCentroids)
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
@@ -779,6 +803,45 @@ object CorpusBuild {
     graft.ops.Dsir.scores(
       graft.ops.Dsir.pairs(graft.queries.ClassifierQueries.planted(docs)),
       stateDsirCounts(spark, stateDir))
+
+  // ---------------------------------------------------------------------
+  // Stored bigram-LM state (cfg.trackBigramLm): UNPRUNED bigram/unigram
+  // counts over the train split — folded by sum over the generation
+  // chain; singleton pruning happens AT READ inside BigramLm.scores
+  // (pruning does not commute with the fold), so the state-served
+  // perplexity equals train-on-the-folded-corpus exactly.
+  // ---------------------------------------------------------------------
+
+  /** Folded UNPRUNED bigram count table (bk, c2). */
+  def stateLmBigramCounts(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/lmbigrams"): _*)
+      .groupBy("bk").agg(sum(col("c2")).as("c2"))
+  }
+
+  /** Folded UNPRUNED unigram count table (w, c1) — vocab-bounded. */
+  def stateLmUnigramCounts(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/lmunigrams"): _*)
+      .groupBy("w").agg(sum(col("c1")).as("c1"))
+  }
+
+  /** q187's perplexity readout served from STORED STATE: score `docs`
+    * against the folded count tables — q187's exact output shape
+    * (doc_id, n_pairs, pplx_sum, avg_q6), zero model-building at query
+    * time. Also the `onPerplexity` ingest door's screen
+    * ([[graft.streaming.DocStream.ingestToState]]): arriving batches
+    * score against the STANDING model before they fold in.
+    */
+  def stateBigramScores(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame =
+    graft.ops.BigramLm.scores(graft.ops.BigramLm.pairs(docs),
+      stateLmBigramCounts(spark, stateDir),
+      stateLmUnigramCounts(spark, stateDir))
 
   private def foldCounts(spark: SparkSession, stateDir: String,
       table: String, keys: String*): DataFrame = {
@@ -1382,6 +1445,15 @@ object CorpusBuild {
       // DSIR bucket-count deltas fold by sum into the new base
       stateDsirCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/dsircounts")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/lmbigrams"))) {
+      // bigram-LM count deltas fold by sum into the new base (still
+      // unpruned — compaction must not bake pruning into the chain)
+      stateLmBigramCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/lmbigrams")
+      stateLmUnigramCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/lmunigrams")
     }
     commitGeneration(spark, stateDir, gen, state.maxId.get, base = gen)
     gen

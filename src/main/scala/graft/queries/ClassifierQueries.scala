@@ -203,15 +203,34 @@ object ClassifierQueries {
     graft.pipeline.CorpusBuild.stateDsirScores(s,
       TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
 
+  /** q196 — q187's bigram-LM perplexity served from STORED STATE: the
+    * UNPRUNED bigram/unigram count deltas folded over the ingest
+    * generation chain are the model's sufficient statistic (counts are
+    * additive — no retrain boundary, the q180/q191 property), with
+    * KenLM-style singleton pruning applied AT READ over the fold —
+    * pruning does not commute with the fold, so a per-batch prune
+    * would silently drop every bigram whose occurrences straddle a
+    * generation boundary (BigramLmSpec pins this). Oracle: q187's SQL
+    * verbatim — a wrong fold, a pruning slip, or a lost batch shifts a
+    * count across a log2 boundary and hash-mismatches.
+    */
+  val q196_state_perplexity: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateBigramScores(s,
+      TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q174_nb_classifier" -> q174_nb_classifier,
     "q180_state_nb_classifier" -> q180_state_nb_classifier,
-    "q191_state_dsir" -> q191_state_dsir)
+    "q191_state_dsir" -> q191_state_dsir,
+    "q196_state_perplexity" -> q196_state_perplexity)
 
   val oracleSql: Map[String, String] = Map(
     "q174_nb_classifier" -> q174Sql,
     "q180_state_nb_classifier" -> q174Sql,
     // the state-served weights must reproduce q188's in-query model
     // EXACTLY — same oracle, so the driver hash-checks the fold
-    "q191_state_dsir" -> FilterQueries.q188Sql)
+    "q191_state_dsir" -> FilterQueries.q188Sql,
+    // likewise: the state-served perplexity must reproduce q187's
+    // in-query model exactly, pruning-at-read included
+    "q196_state_perplexity" -> FilterQueries.q187Sql)
 }

@@ -251,51 +251,15 @@ object FilterQueries {
     * pair through a corpus-scale Exchange); the unigram model and the
     * 1-row total are vocab-sized/scalar broadcasts exactly like q136.
     * One model-build shuffle + one scoring join + one per-doc rollup.
+    * The algebra lives in [[graft.ops.BigramLm]], shared verbatim with
+    * the stored-state tier (q196 — folded unpruned count deltas,
+    * singleton pruning at read) and the `onPerplexity` ingest door.
     */
   val q187_bigram_perplexity: Q = (s, d) => {
-    val planted = concat(coalesce(col("text"), lit("")), lit(" zqx"),
-      col("doc_id").cast("string"), lit(" qv"),
-      (col("doc_id") % 7).cast("string"))
-    val t = TextAnalysis.tokens(planted)
-    val n = greatest(size(t) - 1, lit(0))
-    val pairs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        (graft.ops.Splits.bucket(col("doc_id")) < 90).as("is_train"),
-        explode(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
-          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
-      .select(col("doc_id"), col("is_train"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"),
-        xxhash64(col("p.w1"), col("p.w2")).as("bk"))
-    val big = pairs.filter(col("is_train")).groupBy("bk")
-      .agg(count(lit(1)).as("c2")).filter(col("c2") >= 2L)
-    val uni = Tables.documents(s, d)
-      .filter(graft.ops.Splits.bucket(col("doc_id")) < 90)
-      .select(explode(t).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .filter(col("c1") >= 2L)
-    val total = uni.agg(sum(col("c1")).as("t"))
-    pairs
-      .join(big, Seq("bk"), "left")
-      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1w1"))),
-        Seq("w1"), "left")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
-        Seq("w2"), "left")
-      .crossJoin(broadcast(total)) // 1-row scalar: the model's token total
-      .select(col("doc_id"),
-        when(col("c2").isNotNull,
-          TextAnalysis.floorLog2(col("c1w1")) -
-            TextAnalysis.floorLog2(col("c2")))
-        .when(col("c1w2").isNotNull,
-          lit(4L) + TextAnalysis.floorLog2(col("t")) -
-            TextAnalysis.floorLog2(col("c1w2")))
-        .otherwise(lit(4L) + TextAnalysis.floorLog2(col("t"))).as("q"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("q")).as("pplx_sum"))
-      .select(col("doc_id"), col("n_pairs"), col("pplx_sum"),
-        TextAnalysis.intDiv(col("pplx_sum") * 1000000L, col("n_pairs"))
-          .as("avg_q6"))
-      .orderBy("doc_id")
+    val docs = Tables.documents(s, d)
+    graft.ops.BigramLm.scores(graft.ops.BigramLm.pairs(docs),
+      graft.ops.BigramLm.bigramDelta(docs),
+      graft.ops.BigramLm.unigramDelta(docs))
   }
 
   val q187Sql: String =

@@ -463,7 +463,8 @@ object TokenizerQueries {
         trackPostings = true, trackPack = true, trackDrift = true,
         trackPositions = true, trackMerges = true,
         trackFingerprints = true, trackCentroids = true,
-        trackClassifier = true, trackDsir = true, nearDupTier = false)
+        trackClassifier = true, trackDsir = true, trackBigramLm = true,
+        nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

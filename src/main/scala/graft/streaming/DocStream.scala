@@ -93,6 +93,17 @@ object DocStream {
     *        data-selection door: arriving documents carry their
     *        target-resemblance weight for routing/mixing policy.
     *        First-batch semantics as onQuality
+    * @param onPerplexity when set (and the dir tracks bigram-LM
+    *        counts), every micro-batch is perplexity-scored against
+    *        the STANDING folded bigram/unigram counts BEFORE the batch
+    *        folds in ([[CorpusBuild.stateBigramScores]] — singleton
+    *        pruning applied at read over the fold, the model tables
+    *        broadcast, zero model-building at the door) and the
+    *        per-doc (doc_id, n_pairs, pplx_sum, avg_q6) rows are
+    *        pushed to this callback — the CCNet-shape quality door:
+    *        arriving documents carry their LM-fluency bucket for
+    *        filtering/mixing policy. First-batch semantics as
+    *        onQuality
     * @param redactPii when true, the batch FOLDS WITH REDACTED TEXT —
     *        unlike the read-side screens this is deliberately a
     *        fold-side mutation: the production contract that raw PII
@@ -111,6 +122,7 @@ object DocStream {
       onPii: DataFrame => Unit = null,
       onQuality: DataFrame => Unit = null,
       onDsir: DataFrame => Unit = null,
+      onPerplexity: DataFrame => Unit = null,
       redactPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -154,6 +166,11 @@ object DocStream {
           if (onDsir != null && cfg.trackDsir &&
               CorpusBuild.hasState(b.sparkSession, stateDir)) {
             onDsir(CorpusBuild.stateDsirScores(b.sparkSession, stateDir, b))
+          }
+          if (onPerplexity != null && cfg.trackBigramLm &&
+              CorpusBuild.hasState(b.sparkSession, stateDir)) {
+            onPerplexity(
+              CorpusBuild.stateBigramScores(b.sparkSession, stateDir, b))
           }
           CorpusBuild.ingestBatch(stateDir, b, cfg,
             if (vecsFor == null) null else vecsFor(b))

@@ -600,6 +600,92 @@ class DocStreamSpec extends AnyFunSuite {
       "compaction altered the DSIR state")
   }
 
+  test("streamed bigram-LM state: the folded UNPRUNED count deltas " +
+      "serve EXACTLY q187's one-shot perplexity (singleton pruning at " +
+      "read), and the onPerplexity door scores each post-first batch " +
+      "against the standing model") {
+    import graft.ops.BigramLm
+    val root = java.nio.file.Files.createTempDirectory("docstream_lm")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackBigramLm = true)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    val screens =
+      new scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long)]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onPerplexity = df => screens.synchronized {
+        screens += df.select("doc_id", "pplx_sum", "avg_q6").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      })
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the door fired for batches 2 and 3 only (batch 1 had no standing
+    // model to score against)
+    assert(screens.synchronized(screens.size) === 2,
+      s"expected 2 door screens, got ${screens.size}")
+    // batch 2's screen == scoring batch 2 against the counts folded
+    // from batch 1 ALONE (the standing state at that moment)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val b3 = docs.filter(col("doc_id") >= 400)
+    val expected = BigramLm.scores(BigramLm.pairs(b2),
+        BigramLm.bigramDelta(b1), BigramLm.unigramDelta(b1))
+      .select("doc_id", "pplx_sum", "avg_q6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(screens.synchronized(screens.head) === expected,
+      "door screen diverged from scoring against the standing model")
+
+    // streamed-fold ≡ one-shot: the state-served perplexity equals
+    // q187's exact output over the same corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    val oneShot = rows(
+      graft.queries.FilterQueries.q187_bigram_perplexity(spark, sf))
+    assert(rows(CorpusBuild.stateBigramScores(spark, state, docs))
+        === oneShot,
+      "state-served perplexity diverged from the one-shot model")
+
+    // THE reason the deltas store unpruned counts: singleton pruning
+    // does not commute with the fold. Exhibit the straddlers — bigrams
+    // whose occurrences split across generations (per-batch singletons,
+    // keepers overall) — and show a prune-per-batch fold actually
+    // changes the served scores.
+    val atRead = CorpusBuild.stateLmBigramCounts(spark, state)
+      .filter(col("c2") >= 2L)
+    val perBatchPruned = Seq(b1, b2, b3)
+      .map(b => BigramLm.bigramDelta(b).filter(col("c2") >= 2L))
+      .reduce(_ union _)
+      .groupBy("bk").agg(sum(col("c2")).as("c2"))
+    val straddlers = atRead.join(perBatchPruned, Seq("bk"), "left_anti")
+    assert(straddlers.count() > 0,
+      "corpus has no generation-straddling bigrams — the pruning pin " +
+        "is vacuous at this split")
+    val wrong = rows(BigramLm.scores(BigramLm.pairs(docs),
+      perBatchPruned, CorpusBuild.stateLmUnigramCounts(spark, state)))
+    assert(wrong !== oneShot,
+      "prune-per-batch fold scored identically — the pin lost its teeth")
+
+    // … and compaction folds the count tables unchanged (still unpruned)
+    CorpusBuild.compact(spark, state)
+    CorpusBuild.pruneGenerations(spark, state, keep = 1)
+    assert(rows(CorpusBuild.stateBigramScores(spark, state, docs))
+        === oneShot,
+      "compaction altered the bigram-LM state")
+  }
+
   test("streamed PII screen at the door: arriving PII is detected and " +
       "typed into the callback, and with redactPii the corpus state " +
       "folds ONLY redacted text (clean docs byte-identical)") {

@@ -164,7 +164,10 @@ class PlanSpec extends AnyFunSuite {
       "q190_curation_matrix",
       // q191: q188's scoring algebra over the folded state — the same
       // declared 1-row smoothing-total scalar broadcast
-      "q191_state_dsir")
+      "q191_state_dsir",
+      // q196: q187's scoring algebra over the folded state — the same
+      // declared 1-row token-total scalar broadcast
+      "q196_state_perplexity")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
