@@ -168,6 +168,18 @@ object CorpusBuild {
       // train-on-the-folded-corpus exactly. Whole-life-of-the-dir
       // contract as above.
       trackBigramLm: Boolean = false,
+      // when true, each generation also stores the batch's EVAL-SPLIT
+      // content-defined chunk index: (doc_id, ck) rows with ck the
+      // xxhash64 chunk key of the rolling-hash CDC kernel
+      // ([[graft.queries.ExtensionQueries.cdcChunkKeys]]). Batch-
+      // disjoint docs → union fold IS the index (the fingerprints
+      // contract). This is the third decontamination granularity's
+      // state tier (chunks, beside token n-grams and winnow
+      // fingerprints): q197 audits the train split against the folded
+      // eval index, and the `onCdc` ingest door screens every arriving
+      // batch against the STANDING index before it folds in.
+      // Whole-life-of-the-dir contract as above.
+      trackCdc: Boolean = false,
       kmeansK: Int = 8,
       kmeansIters: Int = 5,
       retrainGrowth: Double = 0.5,
@@ -542,6 +554,16 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/lmunigrams")
     }
+    if (cfg.trackCdc) {
+      // eval-split CDC chunk index over the RAW batch (q194's input
+      // contract is the full documents relation; eval = NOT the q84
+      // train bucket): per-row chunking + batch-disjoint docs → union
+      // fold, write cost ∝ the batch's eval share
+      graft.queries.ExtensionQueries.cdcChunkKeys(
+          newDocs.filter(graft.ops.Splits.bucket(col("doc_id")) >= 90))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/cdcevalchunks")
+    }
     if (cfg.trackCentroids)
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
@@ -803,6 +825,63 @@ object CorpusBuild {
     graft.ops.Dsir.scores(
       graft.ops.Dsir.pairs(graft.queries.ClassifierQueries.planted(docs)),
       stateDsirCounts(spark, stateDir))
+
+  // ---------------------------------------------------------------------
+  // Stored CDC chunk-index state (cfg.trackCdc): the eval split's
+  // content-defined chunk keys — batch-disjoint docs, union fold over
+  // the generation chain. Chunk-grained decontamination (q194) served
+  // without re-chunking the eval side.
+  // ---------------------------------------------------------------------
+
+  /** The folded eval-split CDC chunk index: (doc_id, ck) rows. */
+  def stateCdcEvalChunks(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+      (base to gen).map(g => s"$stateDir/gen=$g/cdcevalchunks"): _*)
+  }
+
+  /** q194's chunk-grained decontamination audit served from STORED
+    * STATE: `docs`' train split is chunked at query time (the chunking
+    * rides the scan — one rolling-hash pass per row), the EVAL side is
+    * READ from the folded index — the eval split is never re-chunked.
+    * q194's exact output shape (doc_id, n_chunks, n_eval_shared,
+    * shared_ppm) over the train docs.
+    */
+  def stateCdcDecontam(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame =
+    cdcAudit(docs.filter(graft.ops.Splits.bucket(col("doc_id")) < 90),
+      stateCdcEvalChunks(spark, stateDir))
+
+  /** The `onCdc` ingest DOOR's readout: EVERY doc of an arriving batch
+    * audited against the STANDING eval chunk index (the door screens
+    * whatever arrives, before it folds in — no split restriction).
+    */
+  def stateCdcScreen(spark: SparkSession, stateDir: String,
+      batch: DataFrame): DataFrame =
+    cdcAudit(batch, stateCdcEvalChunks(spark, stateDir))
+
+  /** Shared audit rollup: chunk `docs` per row, mark chunks present in
+    * `evalChunks`' key set, aggregate per doc — one distinct + one key
+    * join + one rollup, never pairwise (q194's algebra verbatim).
+    */
+  private def cdcAudit(docs: DataFrame, evalChunks: DataFrame): DataFrame = {
+    val evalSet = evalChunks.select("ck").distinct()
+      .withColumn("in_eval", lit(1L))
+    docs.select(col("doc_id"),
+        explode_outer(graft.queries.ExtensionQueries
+          .cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.ck").as("ck"))
+      .join(evalSet, Seq("ck"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("ck")).as("n_chunks"),
+        coalesce(sum(coalesce(col("in_eval"), lit(0L))), lit(0L))
+          .as("n_eval_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_eval_shared"),
+        graft.functions.TextAnalysis.intDiv(col("n_eval_shared") * 1000000L,
+          greatest(col("n_chunks"), lit(1L))).as("shared_ppm"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------------
   // Stored bigram-LM state (cfg.trackBigramLm): UNPRUNED bigram/unigram
@@ -1445,6 +1524,12 @@ object CorpusBuild {
       // DSIR bucket-count deltas fold by sum into the new base
       stateDsirCounts(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/dsircounts")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/cdcevalchunks"))) {
+      // the chunk index folds by union — rewrite as one table
+      stateCdcEvalChunks(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/cdcevalchunks")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/lmbigrams"))) {

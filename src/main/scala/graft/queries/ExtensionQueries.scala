@@ -1068,6 +1068,32 @@ object ExtensionQueries {
       |WHERE t.is_train
       |ORDER BY t.doc_id""".stripMargin
 
+  /** (doc_id, ck) chunk-key rows of a docs relation — the CDC chunk
+    * INDEX a state generation stores for its eval-split docs
+    * ([[graft.pipeline.CorpusBuild]] cfg.trackCdc). Plain explode:
+    * chunk-less docs contribute nothing to an index.
+    */
+  private[graft] def cdcChunkKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.ck").as("ck"))
+
+  /** q197 — q194's chunk-grained decontamination served from STORED
+    * STATE: the eval split's chunk index is written once, as per-batch
+    * (doc_id, ck) deltas folded by union over the ingest generation
+    * chain (batch-disjoint docs — the fingerprint tier's contract),
+    * and the audit re-chunks only the TRAIN side at query time (the
+    * rolling-hash pass rides the scan). The same standing index
+    * screens every arriving batch at the DocStream `onCdc` door before
+    * it folds in — the third decontamination granularity's door,
+    * beside winnow fingerprints (q166/onCrossSplit) and the model
+    * doors. Oracle: q194's SQL verbatim — a lost batch, a double-fold,
+    * or a chunk-rule drift between the stored and query-time kernels
+    * hash-mismatches.
+    */
+  val q197_state_cdc_decontam: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateCdcDecontam(s,
+      TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q123_kmeans_clusters" -> q123_kmeans_clusters,
     "q124_kmeans_gate" -> q124_kmeans_gate,
@@ -1087,6 +1113,7 @@ object ExtensionQueries {
     "q24_fingerprint" -> q24_fingerprint,
     "q193_cdc_chunks" -> q193_cdc_chunks,
     "q194_cdc_decontam" -> q194_cdc_decontam,
+    "q197_state_cdc_decontam" -> q197_state_cdc_decontam,
     "q25_multimodal_meta" -> q25_multimodal_meta,
     "q26_lsh_cosine" -> q26_lsh_cosine,
     "q67_sketch_precision" -> q67_sketch_precision,
@@ -1117,6 +1144,9 @@ object ExtensionQueries {
     "q24_fingerprint" -> q24Sql,
     "q193_cdc_chunks" -> q193Sql,
     "q194_cdc_decontam" -> q194Sql,
+    // the state-served audit must reproduce q194's in-query readout
+    // EXACTLY — same oracle, so the driver hash-checks the index fold
+    "q197_state_cdc_decontam" -> q194Sql,
     "q25_multimodal_meta" -> q25Sql,
     "q140_winnow_fingerprint" -> q140Sql,
     "q143_winnow_overlap" -> q143Sql,

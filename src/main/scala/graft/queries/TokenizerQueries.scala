@@ -464,7 +464,7 @@ object TokenizerQueries {
         trackPositions = true, trackMerges = true,
         trackFingerprints = true, trackCentroids = true,
         trackClassifier = true, trackDsir = true, trackBigramLm = true,
-        nearDupTier = false)
+        trackCdc = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

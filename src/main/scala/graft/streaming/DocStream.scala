@@ -104,6 +104,16 @@ object DocStream {
     *        arriving documents carry their LM-fluency bucket for
     *        filtering/mixing policy. First-batch semantics as
     *        onQuality
+    * @param onCdc when set (and the dir tracks the CDC chunk index),
+    *        every micro-batch is chunk-audited against the STANDING
+    *        eval-split chunk index BEFORE the batch folds in
+    *        ([[CorpusBuild.stateCdcScreen]] — the batch chunks in one
+    *        rolling-hash pass, the eval side reads from state) and the
+    *        rows with any eval-shared chunk (doc_id, n_chunks,
+    *        n_eval_shared, shared_ppm) are pushed to this callback —
+    *        the chunk-grained decontamination door, the third
+    *        granularity beside token n-grams and winnow fingerprints
+    *        (onCrossSplit). First-batch semantics as onQuality
     * @param redactPii when true, the batch FOLDS WITH REDACTED TEXT —
     *        unlike the read-side screens this is deliberately a
     *        fold-side mutation: the production contract that raw PII
@@ -123,6 +133,7 @@ object DocStream {
       onQuality: DataFrame => Unit = null,
       onDsir: DataFrame => Unit = null,
       onPerplexity: DataFrame => Unit = null,
+      onCdc: DataFrame => Unit = null,
       redactPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -171,6 +182,11 @@ object DocStream {
               CorpusBuild.hasState(b.sparkSession, stateDir)) {
             onPerplexity(
               CorpusBuild.stateBigramScores(b.sparkSession, stateDir, b))
+          }
+          if (onCdc != null && cfg.trackCdc &&
+              CorpusBuild.hasState(b.sparkSession, stateDir)) {
+            onCdc(CorpusBuild.stateCdcScreen(b.sparkSession, stateDir, b)
+              .filter(col("n_eval_shared") > 0))
           }
           CorpusBuild.ingestBatch(stateDir, b, cfg,
             if (vecsFor == null) null else vecsFor(b))

@@ -686,6 +686,86 @@ class DocStreamSpec extends AnyFunSuite {
       "compaction altered the bigram-LM state")
   }
 
+  test("streamed CDC chunk-index state: the folded eval chunk index " +
+      "serves EXACTLY q194's one-shot decontamination audit, and the " +
+      "onCdc door surfaces each post-first batch's eval-shared chunks " +
+      "against the standing index") {
+    import graft.queries.ExtensionQueries
+    val root = java.nio.file.Files.createTempDirectory("docstream_cdc")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackCdc = true)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    val screens =
+      new scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long)]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onCdc = df => screens.synchronized {
+        screens += df.select("doc_id", "n_chunks", "n_eval_shared")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      })
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // the door fired for batches 2 and 3 only (batch 1 had no standing
+    // index to audit against)
+    assert(screens.synchronized(screens.size) === 2,
+      s"expected 2 door screens, got ${screens.size}")
+    // batch 2's screen == auditing ALL of batch 2 against the chunk
+    // index of batch 1's eval docs ALONE (the standing state), kept to
+    // the rows with any shared chunk
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val standingEval = ExtensionQueries.cdcChunkKeys(
+        b1.filter(graft.ops.Splits.bucket(col("doc_id")) >= 90))
+      .select("ck").distinct().withColumn("in_eval", lit(1L))
+    val expected = b2
+      .select(col("doc_id"),
+        explode_outer(ExtensionQueries.cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.ck").as("ck"))
+      .join(standingEval, Seq("ck"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("ck")).as("n_chunks"),
+        coalesce(sum(coalesce(col("in_eval"), lit(0L))), lit(0L))
+          .as("n_eval_shared"))
+      .filter(col("n_eval_shared") > 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(expected.nonEmpty,
+      "corpus has no batch-2-vs-batch-1-eval shared chunks — the door " +
+        "assertion is vacuous at this split")
+    assert(screens.synchronized(screens.head) === expected,
+      "door screen diverged from auditing against the standing index")
+
+    // streamed-fold ≡ one-shot: the state-served audit equals q194's
+    // exact output over the same corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    val oneShot = rows(ExtensionQueries.q194_cdc_decontam(spark, sf))
+    assert(rows(CorpusBuild.stateCdcDecontam(spark, state, docs))
+        === oneShot,
+      "state-served CDC decontamination diverged from the one-shot audit")
+
+    // … and compaction folds the chunk index unchanged
+    CorpusBuild.compact(spark, state)
+    CorpusBuild.pruneGenerations(spark, state, keep = 1)
+    assert(rows(CorpusBuild.stateCdcDecontam(spark, state, docs))
+        === oneShot,
+      "compaction altered the CDC chunk index")
+  }
+
   test("streamed PII screen at the door: arriving PII is detected and " +
       "typed into the callback, and with redactPii the corpus state " +
       "folds ONLY redacted text (clean docs byte-identical)") {
