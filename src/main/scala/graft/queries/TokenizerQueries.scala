@@ -891,7 +891,17 @@ object TokenizerQueries {
       .orderBy("merge_rank")
       .select("lhs", "rhs").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    Bpe.tokenizeDocs(docs, merges.toIndexedSeq)
+    fertilityRollup(Bpe.tokenizeDocs(docs, merges.toIndexedSeq), docs)
+  }
+
+  /** The per-language fertility rollup shared by q192 (in-query learn)
+    * and q198 (stored merge table): join the tokenized readout back to
+    * the language/char metadata, aggregate corpus sums per language,
+    * report the two exact ppm quotients.
+    */
+  private def fertilityRollup(tokenized: DataFrame,
+      docs: DataFrame): DataFrame =
+    tokenized
       .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
         Seq("doc_id"))
       .groupBy("lang")
@@ -906,6 +916,21 @@ object TokenizerQueries {
         TextAnalysis.intDiv(col("n_chars_total") * 1000000L,
           greatest(col("n_bpe"), lit(1L))).as("chars_per_bpe_q6"))
       .orderBy("lang")
+
+  /** q198 — q192's fertility table served from the STORED merge table
+    * (`CorpusBuild.trackMerges`): the tokenizer is LOADED (q139's
+    * serving shape — the stored table is retrained per generation over
+    * the folded dict, so it always equals learn-on-the-folded-corpus),
+    * applied in one scan, and rolled up per language — the dict-scale
+    * aggregate and the N driver-paced merge-learning rounds drop out
+    * of the report entirely (PlanSpec pins their absence from the
+    * served plan). Oracle: q192's SQL verbatim — the nested learn+apply
+    * chain — so a stale or mis-folded merge table hash-mismatches.
+    */
+  val q198_state_fertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    fertilityRollup(graft.pipeline.CorpusBuild
+      .stateBpeTokenize(s, ensurePostingState(s, d), docs), docs)
   }
 
   val q192Sql: String = {
@@ -944,7 +969,8 @@ object TokenizerQueries {
     "q142_state_vocab" -> q142_state_vocab,
     "q145_vocab_growth" -> q145_vocab_growth,
     "q189_rrf_hybrid" -> q189_rrf_hybrid,
-    "q192_tokenizer_fertility" -> q192_tokenizer_fertility)
+    "q192_tokenizer_fertility" -> q192_tokenizer_fertility,
+    "q198_state_fertility" -> q198_state_fertility)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -965,5 +991,9 @@ object TokenizerQueries {
     "q142_state_vocab" -> ExpansionQueries.q49Sql,
     "q145_vocab_growth" -> q145Sql,
     "q189_rrf_hybrid" -> q189Sql,
-    "q192_tokenizer_fertility" -> q192Sql)
+    "q192_tokenizer_fertility" -> q192Sql,
+    // the state-served fertility must reproduce q192's learn+apply
+    // rollup exactly — same oracle, so the driver hash-checks the
+    // stored merge table against a from-scratch retrain
+    "q198_state_fertility" -> q192Sql)
 }

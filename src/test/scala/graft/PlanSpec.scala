@@ -379,4 +379,30 @@ class PlanSpec extends AnyFunSuite {
     val scans = "FileScan".r.findAllIn(finalPlan).length
     assert(scans == 1, s"profile re-scanned the table ($scans scans):\n$plan")
   }
+
+  test("q198: the state-served fertility path carries NO dict-scale " +
+      "aggregate — the merge table is a stored-artifact scan, while " +
+      "q192's in-query learn does aggregate the word dict") {
+    val dir = graft.queries.TokenizerQueries.ensurePostingState(spark, sf)
+    // the tokenizer LOAD: a parquet scan of the stored merge snapshot,
+    // no aggregate keyed on the corpus word dict
+    val loadPlan = graft.pipeline.CorpusBuild.stateBpeMerges(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!loadPlan.contains("Aggregate"),
+      s"stored-merge load aggregates:\n$loadPlan")
+    // the served report: tokenize + metadata join + ONE per-language
+    // rollup — no aggregate keyed on `word` anywhere in the plan
+    val served = graft.queries.TokenizerQueries
+      .q198_state_fertility(spark, sf)
+    val servedPlan = served.queryExecution.sparkPlan.toString
+    assert(!servedPlan.contains("keys=[word"),
+      s"served fertility still aggregates the word dict:\n$servedPlan")
+    // contrast: the in-query tier's dict build DOES (the cost q198 sheds)
+    val dictPlan = graft.ops.Bpe.wordDict(
+        graft.queries.Tables.documents(spark, sf), "text")
+      .queryExecution.sparkPlan.toString
+    assert(dictPlan.contains("keys=[word"),
+      s"contrast lost its teeth — wordDict no longer groups by word:\n" +
+        dictPlan)
+  }
 }
