@@ -1810,4 +1810,127 @@ object Codecs {
     }
     PpmImage(width, height, 255, pixels)
   }
+
+  // -----------------------------------------------------------------------
+  // MP3 (MPEG-1 Audio Layer III) — the CONTAINER layer: frame-sync
+  // walking, exactly what decodeJpegStream's marker walk is for video.
+  // The frame STRUCTURE is fully deterministic public arithmetic
+  // (ISO/IEC 11172-3): an 11-bit sync word, version/layer bits, a
+  // 4-bit bitrate index and 2-bit sample-rate index into published
+  // tables, a padding bit, and frame length = 144·bitrate/samplerate
+  // + padding bytes. Only the PAYLOAD decode (Huffman spectral data →
+  // synthesis filterbank) is perceptual/float — that side stays the
+  // engine's one declared stub (Multimodal.decodeStub). ID3v2 prefix
+  // tags are skipped by their declared syncsafe size, as real rippers
+  // do.
+  // -----------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrate table (kbps) — index 1..14 valid; 0 is
+    * "free format" and 15 is forbidden (ISO/IEC 11172-3, Table B.2).
+    */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table (Hz) — index 0..2 valid; 3 reserved. */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** The Layer III frame length in bytes (header included): slots are
+    * whole bytes at layer III, so len = ⌊144000·kbps / rate⌋ + padding.
+    */
+  def mp3FrameLength(bitrateKbps: Int, sampleRate: Int, padding: Int): Int =
+    144000 * bitrateKbps / sampleRate + padding
+
+  /** One walked frame: byte offset, decoded header fields, length. */
+  case class Mp3Frame(offset: Int, bitrateKbps: Int, sampleRate: Int,
+      padding: Int, length: Int)
+
+  /** A walked MP3 stream: the ID3v2 prefix size consumed (0 when no
+    * tag) and every frame in order.
+    */
+  case class Mp3Stream(id3Bytes: Int, frames: Vector[Mp3Frame])
+
+  /** Build a structurally-genuine MPEG-1 Layer III stream: an optional
+    * ID3v2.3 tag (10-byte header + `id3Size` declared-syncsafe payload
+    * bytes), then one real frame header per (bitrateIndex,
+    * sampleRateIndex, padding) triple with a deterministic filler
+    * payload of the correct slot count. The payload bytes are NOT
+    * audio (that is the declared perceptual stub) — every structural
+    * field is real and [[decodeMp3Stream]] must walk it exactly.
+    */
+  def encodeMp3Stream(frames: Seq[(Int, Int, Int)],
+      id3Size: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      require(id3Size < (1 << 28), s"ID3v2 size $id3Size exceeds syncsafe")
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0) // v2.3.0
+      out.write(0) // flags: no unsynchronisation, no footer
+      out.write((id3Size >> 21) & 0x7F); out.write((id3Size >> 14) & 0x7F)
+      out.write((id3Size >> 7) & 0x7F); out.write(id3Size & 0x7F)
+      var i = 0
+      while (i < id3Size) { out.write((i * 31 + 7) & 0x7F); i += 1 }
+    }
+    for ((bi, si, pad) <- frames) {
+      require(bi >= 1 && bi <= 14, s"bitrate index $bi out of 1..14")
+      require(si >= 0 && si <= 2, s"sample-rate index $si out of 0..2")
+      require(pad == 0 || pad == 1, s"padding bit $pad")
+      out.write(0xFF)
+      out.write(0xFB) // sync 111 + version 11 (MPEG-1) + layer 01 (III)
+                      // + protection 1 (no CRC)
+      out.write((bi << 4) | (si << 2) | (pad << 1)) // private bit 0
+      out.write(0xC4) // mono, no mode ext, no copyright, original, no emphasis
+      val len = mp3FrameLength(Mp3Bitrates(bi), Mp3SampleRates(si), pad)
+      var i = 4
+      while (i < len) { out.write((i * 131 + bi) & 0xFF); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Walk an MP3 stream structurally: skip a leading ID3v2 tag by its
+    * declared syncsafe size, then frame by frame — verify the sync
+    * word, require MPEG-1 Layer III with a valid bitrate/sample-rate
+    * index, compute the frame length from the header tables, and
+    * advance exactly that many bytes. Malformed streams fail loudly:
+    * bad sync, reserved table indices, a frame running past the
+    * payload, or trailing bytes after the last frame.
+    */
+  def decodeMp3Stream(bytes: Array[Byte]): Mp3Stream = {
+    var pos = 0
+    var id3 = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      require((bytes(5) & 0x10) == 0, "ID3v2 footer flag unsupported")
+      require(((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) == 0,
+        "ID3v2 size bytes are not syncsafe")
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      id3 = 10 + size
+      require(id3 <= bytes.length,
+        s"ID3v2 declares $size payload bytes, stream has ${bytes.length}")
+      pos = id3
+    }
+    val frames = Vector.newBuilder[Mp3Frame]
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length,
+        s"truncated frame header at offset $pos")
+      val b0 = bytes(pos) & 0xFF; val b1 = bytes(pos + 1) & 0xFF
+      val b2 = bytes(pos + 2) & 0xFF
+      require(b0 == 0xFF && (b1 & 0xE0) == 0xE0,
+        f"lost frame sync at offset $pos (bytes $b0%02x $b1%02x)")
+      require((b1 & 0x18) == 0x18, s"not MPEG-1 at offset $pos")
+      require((b1 & 0x06) == 0x02, s"not Layer III at offset $pos")
+      val bi = (b2 >> 4) & 0xF
+      val si = (b2 >> 2) & 0x3
+      val pad = (b2 >> 1) & 0x1
+      require(bi >= 1 && bi <= 14, s"bad bitrate index $bi at offset $pos")
+      require(si <= 2, s"reserved sample-rate index at offset $pos")
+      val len = mp3FrameLength(Mp3Bitrates(bi), Mp3SampleRates(si), pad)
+      require(pos + len <= bytes.length,
+        s"frame at offset $pos declares $len bytes, " +
+          s"${bytes.length - pos} remain")
+      frames += Mp3Frame(pos, Mp3Bitrates(bi), Mp3SampleRates(si), pad, len)
+      pos += len
+    }
+    Mp3Stream(id3, frames.result())
+  }
 }

@@ -28,17 +28,23 @@ import org.apache.spark.sql.functions._
   *    [[graft.multimodal.Flc]] is REAL INTER-FRAME compression —
   *    DELTA_FLC packets reconstructed against a persistent frame
   *    buffer (q185/q186, oracle-checked).
-  *  - `decodeStub` for the PERCEPTUAL formats (MP3 psychoacoustic
-  *    subband audio; H.264's lossy transform + motion search — its
-  *    inter-frame prediction STRUCTURE is covered by the FLC tier,
-  *    what remains out of scope is the perceptual/rate-distortion
-  *    layer): no codec libraries exist in this container and those
-  *    codecs are out of from-scratch scope, so their payloads get
-  *    byte-level metadata only (length, first byte, digest). Swapping
-  *    in a real codec replaces only the function body — the
-  *    PNG/GIF/JPEG/FLAC/MJPEG/FLC/ADPCM tiers prove it: same plan
-  *    shape (scan → per-partition batch transform → typed output),
-  *    real compressed containers.
+  *  - the MP3 CONTAINER layer is real: [[mp3FromText]] /
+  *    [[Codecs.decodeMp3Stream]] synthesize and frame-sync-walk
+  *    genuine MPEG-1 Layer III streams (ID3v2 syncsafe skip, header
+  *    table lookups, slot-count frame lengths — q199, oracle-checked),
+  *    the audio analogue of the MJPEG marker walk.
+  *  - `decodeStub` for the PERCEPTUAL layers only (MP3's payload —
+  *    Huffman spectral decode + psychoacoustic synthesis filterbank —
+  *    its container walk is now real, q199; H.264's lossy transform +
+  *    motion search — its inter-frame prediction STRUCTURE is covered
+  *    by the FLC tier, what remains out of scope is the
+  *    perceptual/rate-distortion layer): no codec libraries exist in
+  *    this container and those codecs are out of from-scratch scope,
+  *    so their payloads get byte-level metadata only (length, first
+  *    byte, digest). Swapping in a real codec replaces only the
+  *    function body — the PNG/GIF/JPEG/FLAC/MJPEG/FLC/ADPCM tiers
+  *    prove it: same plan shape (scan → per-partition batch transform
+  *    → typed output), real compressed containers.
   */
 object Multimodal {
 
@@ -730,6 +736,71 @@ object Multimodal {
         }
         MediaRow(id, "audio/x-ima-adpcm", Codecs.encodeWavAdpcm(8000, samples))
       })
+  }
+
+  /** Structurally-genuine MP3 streams from text: a per-document ID3v2
+    * tag whose declared (syncsafe) size is id-derived — (id·37) mod 300
+    * crosses the 7-bit byte boundary, so multi-byte syncsafe decoding
+    * is exercised — then one MPEG-1 Layer III frame per 16-code ASCII
+    * slice (≥ 1), each frame's bitrate index / padding bit derived
+    * from the slice's code sum so the walk is text-coupled:
+    * bi = 1 + (csum + f) mod 14, pad = (csum + id) mod 2, sample rate
+    * = table[id mod 3]. Every structural field (sync, version/layer
+    * bits, table indices, slot count) is real wire format
+    * ([[Codecs.encodeMp3Stream]]); only the payload bytes are filler —
+    * the payload DECODE (Huffman spectral data, synthesis filterbank)
+    * is the perceptual side that stays stubbed.
+    */
+  def mp3FromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val codes = asciiBytes(t)
+        val nf = math.max(1, (codes.length + 15) / 16)
+        val frames = (0 until nf).map { f =>
+          var csum = 0L
+          var j = f * 16
+          while (j < math.min((f + 1) * 16, codes.length)) {
+            csum += codes(j); j += 1
+          }
+          (1 + ((csum + f) % 14).toInt, (id % 3).toInt,
+            ((csum + id) % 2).toInt)
+        }
+        MediaRow(id, "audio/mpeg",
+          Codecs.encodeMp3Stream(frames, ((id * 37) % 300).toInt))
+      })
+  }
+
+  case class Mp3Census(media_id: Long, id3_bytes: Long, n_frames: Long,
+      total_bytes: Long, max_frame_len: Long, n_padded: Long,
+      last_offset: Long, sum_kbps: Long)
+
+  /** The frame census of REALLY WALKED MP3 streams
+    * ([[Codecs.decodeMp3Stream]] — sync verification, header-table
+    * lookups, ID3v2 syncsafe skip): per stream, the consumed tag size,
+    * frame count, byte totals, the padded-frame count, the last
+    * frame's byte offset, and the summed bitrate column — every field
+    * an exact integer a second engine predicts from the header tables
+    * alone. A mis-walked sync, a wrong table row, or an off-by-one in
+    * the padding arithmetic shifts an offset and hash-mismatches.
+    */
+  def mp3FrameCensus(media: Dataset[MediaRow]): Dataset[Mp3Census] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeMp3Stream(r.content)
+      Mp3Census(
+        media_id = r.media_id,
+        id3_bytes = s.id3Bytes.toLong,
+        n_frames = s.frames.size.toLong,
+        total_bytes = r.content.length.toLong,
+        max_frame_len = s.frames.map(_.length).max.toLong,
+        n_padded = s.frames.count(_.padding == 1).toLong,
+        last_offset = s.frames.last.offset.toLong,
+        sum_kbps = s.frames.map(_.bitrateKbps.toLong).sum)
+    })
   }
 
   /** Decode IMA ADPCM payloads (REAL nibble reconstruction —

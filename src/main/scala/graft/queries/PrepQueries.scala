@@ -1075,6 +1075,70 @@ object PrepQueries {
       |  CAST(coalesce(list_max(smp), 0) AS BIGINT) AS max_sample
       |FROM a ORDER BY media_id""".stripMargin
 
+  /** q199 — MP3 FRAME CENSUS, the structural container walk: per
+    * document a genuine MPEG-1 Layer III stream is synthesized (real
+    * sync words, version/layer bits, bitrate/sample-rate table
+    * indices, padding bits, an ID3v2 tag with a syncsafe declared
+    * size — [[graft.multimodal.Multimodal.mp3FromText]]) and then
+    * REALLY WALKED ([[graft.multimodal.Codecs.decodeMp3Stream]]): the
+    * tag is skipped by its declared size and every frame boundary is
+    * re-derived from the 11-bit sync + the published header tables
+    * (frame length = ⌊144000·kbps / rate⌋ + padding — ISO/IEC
+    * 11172-3), exactly what [[Codecs.decodeJpegStream]]'s marker walk
+    * is for video. The oracle predicts every census field (frame
+    * count, offsets, padded frames, bitrate sums) from the same
+    * header-table arithmetic — a mis-walked sync or an off-by-one in
+    * the slot count shifts an offset and hash-mismatches. This
+    * narrows the engine's declared perceptual stub from "MP3" to the
+    * MP3 PAYLOAD only (Huffman spectral decode / synthesis
+    * filterbank): the container layer is now real, like every other
+    * shipped format.
+    */
+  val q199_mp3_frame_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.mp3FrameCensus(
+        graft.multimodal.Multimodal.mp3FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q199Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (
+      |  SELECT media_id, nf, f,
+      |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |      [CAST(1 + (csum + f) % 14 AS INTEGER)] AS kbps,
+      |    (csum + media_id) % 2 AS pad,
+      |    [44100,48000,32000][CAST(media_id % 3 + 1 AS INTEGER)] AS sr
+      |  FROM fr),
+      |fx AS (
+      |  SELECT media_id, nf, f, kbps, pad,
+      |    144000 * kbps // sr + pad AS flen
+      |  FROM fl)
+      |SELECT media_id,
+      |  CAST(10 + (media_id * 37) % 300 AS BIGINT) AS id3_bytes,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(10 + (media_id * 37) % 300 + sum(flen) AS BIGINT)
+      |    AS total_bytes,
+      |  CAST(max(flen) AS BIGINT) AS max_frame_len,
+      |  CAST(sum(pad) AS BIGINT) AS n_padded,
+      |  CAST(10 + (media_id * 37) % 300 + sum(flen)
+      |    - max(CASE WHEN f = nf - 1 THEN flen END) AS BIGINT)
+      |    AS last_offset,
+      |  CAST(sum(kbps) AS BIGINT) AS sum_kbps
+      |FROM fx GROUP BY media_id, nf ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1265,6 +1329,7 @@ object PrepQueries {
     "q178_quarantine_decode" -> q178_quarantine_decode,
     "q181_mjpeg_decode" -> q181_mjpeg_decode,
     "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
+    "q199_mp3_frame_census" -> q199_mp3_frame_census,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1298,6 +1363,7 @@ object PrepQueries {
     "q178_quarantine_decode" -> q178Sql,
     "q181_mjpeg_decode" -> q181Sql,
     "q182_mjpeg_scene_cuts" -> q182Sql,
+    "q199_mp3_frame_census" -> q199Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -1188,4 +1188,52 @@ class CodecSpec extends AnyFunSuite {
       j(3L).sum_channel === 3L * 121 * 64 * jcap,
       "codes beyond the 8191 cap must contribute nothing")
   }
+
+  test("MP3 frame walk: encode/walk round-trips frames exactly — " +
+      "header-table lengths, offsets, padding — and the ID3v2 " +
+      "syncsafe size crosses the 7-bit byte boundary") {
+    import graft.multimodal.Codecs
+    // three frames covering both padding values and distinct table rows
+    val frames = Seq((1, 0, 0), (14, 2, 1), (9, 1, 0))
+    val id3 = 200 // > 127: the syncsafe encoding spans two size bytes
+    val bytes = Codecs.encodeMp3Stream(frames, id3)
+    val s = Codecs.decodeMp3Stream(bytes)
+    assert(s.id3Bytes === 210)
+    assert(s.frames.map(f => (f.bitrateKbps, f.sampleRate, f.padding)) ===
+      Seq((32, 44100, 0), (320, 32000, 1), (128, 48000, 0)))
+    // hand-computed slot counts: 144000*32/44100=104, 144000*320/32000
+    // +1=1441, 144000*128/48000=384
+    assert(s.frames.map(_.length) === Seq(104, 1441, 384))
+    assert(s.frames.map(_.offset) === Seq(210, 314, 1755))
+    assert(bytes.length === 210 + 104 + 1441 + 384)
+    // a tag-less stream walks from offset 0
+    val bare = Codecs.decodeMp3Stream(Codecs.encodeMp3Stream(frames))
+    assert(bare.id3Bytes === 0 && bare.frames.head.offset === 0)
+  }
+
+  test("MP3 frame walk failure modes: trailing garbage, lost sync, " +
+      "truncated frame, and reserved table indices all fail loudly") {
+    import graft.multimodal.Codecs
+    val ok = Codecs.encodeMp3Stream(Seq((5, 0, 0)))
+    // trailing garbage after the last frame
+    intercept[IllegalArgumentException] {
+      Codecs.decodeMp3Stream(ok :+ 0x00.toByte)
+    }
+    // lost sync: first header byte corrupted
+    val badSync = ok.clone(); badSync(0) = 0x7F.toByte
+    intercept[IllegalArgumentException](Codecs.decodeMp3Stream(badSync))
+    // truncation inside the declared frame
+    intercept[IllegalArgumentException] {
+      Codecs.decodeMp3Stream(java.util.Arrays.copyOf(ok, ok.length - 1))
+    }
+    // forbidden bitrate index 15 and reserved sample-rate index 3
+    val badBr = ok.clone(); badBr(2) = 0xF0.toByte
+    intercept[IllegalArgumentException](Codecs.decodeMp3Stream(badBr))
+    val badSr = ok.clone()
+    badSr(2) = ((badSr(2) & 0xF0) | 0x0C).toByte
+    intercept[IllegalArgumentException](Codecs.decodeMp3Stream(badSr))
+    // an ID3 tag whose declared size overruns the stream
+    val shortTag = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 1, 0)
+    intercept[IllegalArgumentException](Codecs.decodeMp3Stream(shortTag))
+  }
 }
