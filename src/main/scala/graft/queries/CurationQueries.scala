@@ -1302,7 +1302,7 @@ object CurationQueries {
     * "what does the release look like per source"; this answers "why
     * was THIS document dropped" — the reason-attributed record every
     * curation pipeline writes beside its keep-list (and the relation
-    * q90's funnel aggregates away). Five independently-verified tiers
+    * q90's funnel aggregates away). Six independently-verified tiers
     * become one reason bitmap per document:
     *   bit 1  r_short — under the 100-char floor (q90 stage 1);
     *   bit 2  r_rep   — Gopher-style repetition (q134's exact dup/top
@@ -1314,15 +1314,20 @@ object CurationQueries {
     *   bit 8  r_pii   — any typed PII hit on the planted text (q172);
     *   bit 16 r_dup   — near-dup cluster non-survivor (q74's
     *                    longest-wins rule over the SHARED cluster memo
-    *                    — billed once per session to q56).
-    * keep = mask 0. The oracle re-derives all five tiers — q187's
-    * entire train+score cascade and q74's recursive-CTE closure nest
-    * as CTEs (the q179 composition discipline), so a drift in any
-    * tier flips a bit and hash-mismatches.
+    *                    — billed once per session to q56);
+    *   bit 32 r_cdc   — chunk-grained eval contamination (q194's CDC
+    *                    audit: a train doc sharing ≥ 1 content-defined
+    *                    chunk with the eval split).
+    * keep = mask 0. The oracle re-derives all six tiers — q187's
+    * entire train+score cascade, q74's recursive-CTE closure, and
+    * q194's per-position chunking nest as CTEs (the q179 composition
+    * discipline), so a drift in any tier flips a bit and
+    * hash-mismatches.
     *
     * 100 TB: short/rep/pii ride the scan (map-only); pplx adds q187's
-    * model build; the survivor join serves the memoized cluster
-    * relation; one final per-doc join tree on 8-byte doc_id keys.
+    * model build; cdc adds q194's one rolling-hash pass + key join;
+    * the survivor join serves the memoized cluster relation; one
+    * final per-doc join tree on 8-byte doc_id keys.
     */
   val q190_curation_matrix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1338,6 +1343,13 @@ object CurationQueries {
       .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
     val pplx = FilterQueries.q187_bigram_perplexity(s, d)
       .select(col("doc_id"), col("avg_q6"))
+    // bit 32 — chunk-grained eval contamination (q194's audit): a TRAIN
+    // doc sharing ≥ 1 content-defined chunk with the eval split; eval
+    // docs themselves are never flagged (they are not contaminated
+    // train data)
+    val cdc = ExtensionQueries.q194_cdc_decontam(s, d)
+      .filter(col("n_eval_shared") > 0L)
+      .select(col("doc_id"), lit(1L).as("cdc_hit"))
     val st = TextAnalysis.runStats(
       filter(TextAnalysis.tokens(col("text")), t => length(t) > 0))
     val piiHits =
@@ -1361,15 +1373,18 @@ object CurationQueries {
     flags
       .join(pplx, Seq("doc_id"), "left_outer")
       .join(kept, Seq("doc_id"), "left_outer")
+      .join(cdc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("r_short"), col("r_rep"),
         when(coalesce(col("avg_q6"), lit(0L)) > 5400000L, 1L)
           .otherwise(0L).as("r_pplx"),
         col("r_pii"),
-        when(col("is_kept").isNull, 1L).otherwise(0L).as("r_dup"))
+        when(col("is_kept").isNull, 1L).otherwise(0L).as("r_dup"),
+        coalesce(col("cdc_hit"), lit(0L)).as("r_cdc"))
       .select(col("doc_id"), col("r_short"), col("r_rep"), col("r_pplx"),
-        col("r_pii"), col("r_dup"),
+        col("r_pii"), col("r_dup"), col("r_cdc"),
         (col("r_short") + col("r_rep") * 2L + col("r_pplx") * 4L +
-          col("r_pii") * 8L + col("r_dup") * 16L).as("reason_mask"))
+          col("r_pii") * 8L + col("r_dup") * 16L +
+          col("r_cdc") * 32L).as("reason_mask"))
       .withColumn("keep", when(col("reason_mask") === 0L, 1L).otherwise(0L))
       .orderBy("doc_id")
   }
@@ -1377,6 +1392,7 @@ object CurationQueries {
   val q190Sql: String = {
     val q187Inner = FilterQueries.q187Sql
     val q74Inner = PrepQueries.q74Sql
+    val q194Inner = CdcOracle.q194Sql // init-order-safe (see CdcOracle)
     s"""WITH rep AS (
        |  SELECT doc_id,
        |    CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -1390,6 +1406,8 @@ object CurationQueries {
        |  GROUP BY doc_id),
        |pplx AS ( $q187Inner ),
        |keep74 AS (SELECT survivor_id FROM ( $q74Inner ) t),
+       |cdc AS (SELECT doc_id FROM ( $q194Inner ) c
+       |  WHERE c.n_eval_shared > 0),
        |pii AS (
        |  SELECT doc_id,
        |    len(regexp_extract_all(aug, '${PiiQueries.EmailRe}'))
@@ -1414,16 +1432,20 @@ object CurationQueries {
        |    CAST(CASE WHEN pii.hits > 0 THEN 1 ELSE 0 END AS BIGINT)
        |      AS r_pii,
        |    CAST(CASE WHEN k.survivor_id IS NULL THEN 1 ELSE 0 END
-       |      AS BIGINT) AS r_dup
+       |      AS BIGINT) AS r_dup,
+       |    CAST(CASE WHEN cdc.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |      AS BIGINT) AS r_cdc
        |  FROM documents d
        |  LEFT JOIN rep ON rep.doc_id = d.doc_id
        |  LEFT JOIN pplx ON pplx.doc_id = d.doc_id
        |  JOIN pii ON pii.doc_id = d.doc_id
-       |  LEFT JOIN keep74 k ON k.survivor_id = d.doc_id)
-       |SELECT doc_id, r_short, r_rep, r_pplx, r_pii, r_dup,
+       |  LEFT JOIN keep74 k ON k.survivor_id = d.doc_id
+       |  LEFT JOIN cdc ON cdc.doc_id = d.doc_id)
+       |SELECT doc_id, r_short, r_rep, r_pplx, r_pii, r_dup, r_cdc,
        |  r_short + r_rep * 2 + r_pplx * 4 + r_pii * 8 + r_dup * 16
-       |    AS reason_mask,
-       |  CAST(CASE WHEN r_short + r_rep + r_pplx + r_pii + r_dup = 0
+       |    + r_cdc * 32 AS reason_mask,
+       |  CAST(CASE WHEN r_short + r_rep + r_pplx + r_pii + r_dup
+       |      + r_cdc = 0
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
   }

@@ -15,6 +15,111 @@ import graft.ops.{Similarity, TextDedup}
   * checks plus ScalaTest equivalence against their oracle-checked exact
   * counterparts.
   */
+
+/** The CDC oracle SQL, hoisted to a dependency-free object:
+  * ExtensionQueries and CurationQueries initialize in whichever order
+  * a caller touches them first, and each references the other — a SQL
+  * val living in either would read as null mid-initialization when
+  * nested into the other's oracle (q190 nests q194). This object
+  * depends only on the functions package, so it is always fully
+  * initialized before use.
+  */
+private[graft] object CdcOracle {
+  val q193Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+      |cpos AS (
+      |  SELECT doc_id, i
+      |  FROM (SELECT doc_id, i,
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
+      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |      FROM t WHERE len(tx) >= 8))
+      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
+      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
+      |  FROM cpos GROUP BY doc_id),
+      |sp AS (
+      |  SELECT t.doc_id, t.tx,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
+      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
+      |      CAST(len(t.tx) AS BIGINT)) AS en
+      |  FROM t LEFT JOIN cutl USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id,
+      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
+      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk,
+      |    en[i] - st[i] AS l
+      |  FROM (SELECT doc_id, tx, st, en,
+      |      unnest(generate_series(1, len(st))) AS i FROM sp)
+      |  WHERE en[i] - st[i] > 0),
+      |dup AS (SELECT chunk FROM ch
+      |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      |a AS (
+      |  SELECT ch.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(max(ch.l) AS BIGINT) AS max_chunk_len,
+      |    CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dup_chunks
+      |  FROM ch LEFT JOIN dup ON ch.chunk = dup.chunk
+      |  GROUP BY ch.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(a.max_chunk_len, 0) AS BIGINT) AS max_chunk_len,
+      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) * 1000000
+      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
+      |    AS dup_ppm
+      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  val q194Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, coalesce(text, '') AS tx,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train
+      |  FROM documents),
+      |cpos AS (
+      |  SELECT doc_id, i
+      |  FROM (SELECT doc_id, i,
+      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
+      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
+      |      FROM t WHERE len(tx) >= 8))
+      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
+      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
+      |  FROM cpos GROUP BY doc_id),
+      |sp AS (
+      |  SELECT t.doc_id, t.tx, t.is_train,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
+      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
+      |      CAST(len(t.tx) AS BIGINT)) AS en
+      |  FROM t LEFT JOIN cutl USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id, is_train,
+      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
+      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk
+      |  FROM (SELECT doc_id, tx, is_train, st, en,
+      |      unnest(generate_series(1, len(st))) AS i FROM sp)
+      |  WHERE en[i] - st[i] > 0),
+      |ev AS (SELECT DISTINCT chunk FROM ch WHERE NOT is_train),
+      |a AS (
+      |  SELECT ch.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN ev.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_eval_shared
+      |  FROM ch LEFT JOIN ev ON ch.chunk = ev.chunk
+      |  WHERE ch.is_train GROUP BY ch.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) AS n_eval_shared,
+      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) * 1000000
+      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
+      |    AS shared_ppm
+      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+      |WHERE t.is_train
+      |ORDER BY t.doc_id""".stripMargin
+}
+
 object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -936,52 +1041,9 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  val q193Sql: String =
-    s"""WITH t AS (
-      |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
-      |cpos AS (
-      |  SELECT doc_id, i
-      |  FROM (SELECT doc_id, i,
-      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
-      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
-      |      FROM t WHERE len(tx) >= 8))
-      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
-      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
-      |  FROM cpos GROUP BY doc_id),
-      |sp AS (
-      |  SELECT t.doc_id, t.tx,
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
-      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
-      |      CAST(len(t.tx) AS BIGINT)) AS en
-      |  FROM t LEFT JOIN cutl USING (doc_id)),
-      |ch AS (
-      |  SELECT doc_id,
-      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
-      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk,
-      |    en[i] - st[i] AS l
-      |  FROM (SELECT doc_id, tx, st, en,
-      |      unnest(generate_series(1, len(st))) AS i FROM sp)
-      |  WHERE en[i] - st[i] > 0),
-      |dup AS (SELECT chunk FROM ch
-      |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
-      |a AS (
-      |  SELECT ch.doc_id,
-      |    CAST(count(*) AS BIGINT) AS n_chunks,
-      |    CAST(max(ch.l) AS BIGINT) AS max_chunk_len,
-      |    CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS n_dup_chunks
-      |  FROM ch LEFT JOIN dup ON ch.chunk = dup.chunk
-      |  GROUP BY ch.doc_id)
-      |SELECT t.doc_id,
-      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
-      |  CAST(coalesce(a.max_chunk_len, 0) AS BIGINT) AS max_chunk_len,
-      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
-      |  CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) * 1000000
-      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
-      |    AS dup_ppm
-      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+  val q193Sql: String = CdcOracle.q193Sql
+
+  val q194Sql: String = CdcOracle.q194Sql
 
   /** q194 — CDC-grained eval decontamination: q69/q111 screen on token
     * n-grams and q166 on winnow fingerprints; this is the third
@@ -1021,52 +1083,6 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  val q194Sql: String =
-    s"""WITH t AS (
-      |  SELECT doc_id, coalesce(text, '') AS tx,
-      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-      |      AS UBIGINT) % 100 AS BIGINT) < 90 AS is_train
-      |  FROM documents),
-      |cpos AS (
-      |  SELECT doc_id, i
-      |  FROM (SELECT doc_id, i,
-      |      substr(tx, CAST(i - 7 AS INTEGER), 8) AS w
-      |    FROM (SELECT doc_id, tx, unnest(generate_series(8, len(tx))) AS i
-      |      FROM t WHERE len(tx) >= 8))
-      |  WHERE ${graft.functions.CdcChunksExpr.hornerSql("w")} % 64 = 0),
-      |cutl AS (SELECT doc_id, list_sort(list(i)) AS cuts
-      |  FROM cpos GROUP BY doc_id),
-      |sp AS (
-      |  SELECT t.doc_id, t.tx, t.is_train,
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      coalesce(cutl.cuts, CAST([] AS BIGINT[]))) AS st,
-      |    list_append(coalesce(cutl.cuts, CAST([] AS BIGINT[])),
-      |      CAST(len(t.tx) AS BIGINT)) AS en
-      |  FROM t LEFT JOIN cutl USING (doc_id)),
-      |ch AS (
-      |  SELECT doc_id, is_train,
-      |    substr(tx, CAST(st[i] + 1 AS INTEGER),
-      |      CAST(en[i] - st[i] AS INTEGER)) AS chunk
-      |  FROM (SELECT doc_id, tx, is_train, st, en,
-      |      unnest(generate_series(1, len(st))) AS i FROM sp)
-      |  WHERE en[i] - st[i] > 0),
-      |ev AS (SELECT DISTINCT chunk FROM ch WHERE NOT is_train),
-      |a AS (
-      |  SELECT ch.doc_id,
-      |    CAST(count(*) AS BIGINT) AS n_chunks,
-      |    CAST(sum(CASE WHEN ev.chunk IS NOT NULL THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS n_eval_shared
-      |  FROM ch LEFT JOIN ev ON ch.chunk = ev.chunk
-      |  WHERE ch.is_train GROUP BY ch.doc_id)
-      |SELECT t.doc_id,
-      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
-      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) AS n_eval_shared,
-      |  CAST(coalesce(a.n_eval_shared, 0) AS BIGINT) * 1000000
-      |    // greatest(CAST(coalesce(a.n_chunks, 0) AS BIGINT), 1)
-      |    AS shared_ppm
-      |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
-      |WHERE t.is_train
-      |ORDER BY t.doc_id""".stripMargin
 
   /** (doc_id, ck) chunk-key rows of a docs relation — the CDC chunk
     * INDEX a state generation stores for its eval-split docs

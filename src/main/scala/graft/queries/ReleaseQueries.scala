@@ -23,11 +23,13 @@ object ReleaseQueries {
     * exposure (docs with any hit + total typed hits), distinct planted
     * domains, quality-classifier passes (every doc scored by the NB
     * model trained on the 80% split — q174's algebra over the whole
-    * corpus), and media quarantine counts (the q178 corrupt-PNG lake
-    * REALLY decoded, quarantined rows counted). The oracle re-derives
-    * the ENTIRE five-tier composition — recursive-CTE dedup clusters
-    * with the longest-wins survivor rule, the PII counts, the domain
-    * extraction, the full NB train/score, and the corruption model's
+    * corpus), DSIR target-resemblance passes (q188's importance sign
+    * test — the data-selection tier), and media quarantine counts (the
+    * q178 corrupt-PNG lake REALLY decoded, quarantined rows counted).
+    * The oracle re-derives the ENTIRE six-tier composition —
+    * recursive-CTE dedup clusters with the longest-wins survivor rule,
+    * the PII counts, the domain extraction, the full NB train/score,
+    * the full DSIR model + sign test, and the corruption model's
     * quarantine prediction — so a drift in any one tier breaks the
     * card.
     */
@@ -56,6 +58,10 @@ object ReleaseQueries {
       base.filter(!col("is_test")), "aug", "label")
     val qual = graft.ops.NaiveBayes.predict(base, "aug", "doc_id",
       model, scal)
+    // data-selection tier: q188's DSIR importance sign test — how much
+    // of each source leans target-ward under the standing contrast
+    val dsir = FilterQueries.q188_dsir_weights(s, d)
+      .select(col("doc_id"), col("selected"))
     // media tier: the q178 corrupt lake genuinely decoded — the
     // quarantine flag comes from the PNG chunk walk, not the id rule
     val quar = graft.multimodal.Multimodal.tryDecodeImageStats(
@@ -65,6 +71,7 @@ object ReleaseQueries {
     withUrl
       .join(kept, Seq("doc_id"), "left_outer")
       .join(qual, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"))
       .join(quar, Seq("doc_id"))
       .groupBy("source")
       .agg(
@@ -76,6 +83,7 @@ object ReleaseQueries {
           .as("pii_total"),
         countDistinct("domain").as("distinct_domains"),
         sum(col("predicted")).as("quality_pass"),
+        sum(col("selected")).as("dsir_selected"),
         sum(when(col("decode_ok") === 0, 1L).otherwise(0L))
           .as("media_quarantined"))
       .orderBy("source")
@@ -84,10 +92,13 @@ object ReleaseQueries {
   val q179Sql: String = {
     val q74Inner = PrepQueries.q74Sql
     val nbAll = ClassifierQueries.nbScoreAllSql
+    val q188Inner = FilterQueries.q188Sql
     s"""WITH k AS (
        |  SELECT survivor_id FROM ( $q74Inner ) t),
        |q AS (
        |  SELECT doc_id, predicted FROM ( $nbAll ) z),
+       |w AS (
+       |  SELECT doc_id, selected FROM ( $q188Inner ) y),
        |p AS (
        |  SELECT doc_id, source,
        |    ${PiiQueries.plantedSql} AS aug,
@@ -110,11 +121,13 @@ object ReleaseQueries {
        |  CAST(SUM(np) AS BIGINT) AS pii_total,
        |  CAST(count(DISTINCT domain) AS BIGINT) AS distinct_domains,
        |  CAST(SUM(q.predicted) AS BIGINT) AS quality_pass,
+       |  CAST(SUM(w.selected) AS BIGINT) AS dsir_selected,
        |  CAST(SUM(CASE WHEN r.doc_id % 13 = 0 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS media_quarantined
        |FROM r
        |LEFT JOIN k ON k.survivor_id = r.doc_id
        |JOIN q ON q.doc_id = r.doc_id
+       |JOIN w ON w.doc_id = r.doc_id
        |GROUP BY r.source ORDER BY r.source""".stripMargin
   }
 
