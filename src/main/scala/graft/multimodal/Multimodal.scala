@@ -803,6 +803,61 @@ object Multimodal {
     })
   }
 
+  /** MP3's format-specific corruption class (the q184 discipline —
+    * every container's planted corruption violates ITS OWN wire
+    * format): for media_id % 13 == 0, the FIRST frame header's bitrate
+    * index is overwritten with the forbidden value 15 (ISO/IEC 11172-3
+    * reserves it), which [[Codecs.decodeMp3Stream]]'s table validation
+    * must reject. The corrupter walks the ID3v2 header itself to find
+    * the first frame — container knowledge, like corruptMixed's SOF0
+    * scan.
+    */
+  def corruptMp3(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.media_id % 13 != 0) r
+      else {
+        val b = r.content.clone()
+        var off = 0
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+          off = 10 + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+            ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+        if (off + 2 >= b.length) throw new IllegalArgumentException(
+          s"media ${r.media_id}: no frame header to corrupt")
+        b(off + 2) = (b(off + 2) | 0xF0).toByte // bitrate index -> 15
+        MediaRow(r.media_id, r.media_type, b)
+      }
+    }
+  }
+
+  case class TriedMp3Census(media_id: Long, decode_ok: Long,
+      id3_bytes: Long, n_frames: Long, total_bytes: Long,
+      max_frame_len: Long, n_padded: Long, last_offset: Long,
+      sum_kbps: Long)
+
+  /** The MP3 census with quarantine semantics: a stream whose walk
+    * fails (lost sync, forbidden table index, truncation, trailing
+    * bytes) becomes a zeroed `decode_ok = 0` row — q178/q184's
+    * never-crash production contract extended to the fifth container.
+    */
+  def tryMp3Census(media: Dataset[MediaRow]): Dataset[TriedMp3Census] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val s = Codecs.decodeMp3Stream(r.content)
+        TriedMp3Census(r.media_id, 1L, s.id3Bytes.toLong,
+          s.frames.size.toLong, r.content.length.toLong,
+          s.frames.map(_.length).max.toLong,
+          s.frames.count(_.padding == 1).toLong,
+          s.frames.last.offset.toLong,
+          s.frames.map(_.bitrateKbps.toLong).sum)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedMp3Census(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** Decode IMA ADPCM payloads (REAL nibble reconstruction —
     * [[Codecs.decodeWavAdpcm]]) into the shared container-agnostic
     * audio stats kernel.

@@ -1139,6 +1139,44 @@ object PrepQueries {
       |  CAST(sum(kbps) AS BIGINT) AS sum_kbps
       |FROM fx GROUP BY media_id, nf ORDER BY media_id""".stripMargin
 
+  /** q200 — MP3 QUARANTINE PARITY, the fifth container under the
+    * q178/q184 production contract: for media_id % 13 == 0 the first
+    * frame header's bitrate index is overwritten with the FORBIDDEN
+    * value 15 (the format's own reserved code — every container's
+    * corruption class violates its own wire format), the walk is
+    * really attempted, and failures become zeroed `decode_ok = 0` rows
+    * — never a stage crash, never a silently wrong census. The oracle
+    * predicts exactly which ids quarantine and the full q199 census of
+    * the rest.
+    */
+  val q200_mp3_quarantine: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryMp3Census(
+        graft.multimodal.Multimodal.corruptMp3(
+          graft.multimodal.Multimodal.mp3FromText(
+            s, Tables.documents(s, d), "doc_id", "text")))
+      .toDF().orderBy("media_id")
+
+  val q200Sql: String =
+    s"""WITH census AS ( $q199Sql )
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE id3_bytes END
+       |    AS id3_bytes,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_frames END
+       |    AS n_frames,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE total_bytes END
+       |    AS total_bytes,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE max_frame_len END
+       |    AS max_frame_len,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_padded END
+       |    AS n_padded,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE last_offset END
+       |    AS last_offset,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE sum_kbps END
+       |    AS sum_kbps
+       |FROM census ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1330,6 +1368,7 @@ object PrepQueries {
     "q181_mjpeg_decode" -> q181_mjpeg_decode,
     "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
     "q199_mp3_frame_census" -> q199_mp3_frame_census,
+    "q200_mp3_quarantine" -> q200_mp3_quarantine,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1364,6 +1403,7 @@ object PrepQueries {
     "q181_mjpeg_decode" -> q181Sql,
     "q182_mjpeg_scene_cuts" -> q182Sql,
     "q199_mp3_frame_census" -> q199Sql,
+    "q200_mp3_quarantine" -> q200Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

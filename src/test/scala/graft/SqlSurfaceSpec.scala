@@ -236,4 +236,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val items = mg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     assert(items.contains("a"), s"dominant item missing from $items")
   }
+
+  test("graft_cdc_chunks callable from SQL and equal to the Column-API " +
+      "kernel") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+      .createOrReplaceTempView("t_cdc")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.l, c.ck FROM (
+        |  SELECT doc_id,
+        |    explode(graft_cdc_chunks(coalesce(text, ''))) AS c
+        |  FROM t_cdc)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaCol = spark.table("t_cdc")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.queries.ExtensionQueries.cdcChunks(
+            org.apache.spark.sql.functions.col("text"))).as("c"))
+      .select("doc_id", "c.l", "c.ck")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql === viaCol,
+      "SQL CDC chunking diverged from the Column-API kernel")
+    assert(viaSql.nonEmpty)
+  }
 }
