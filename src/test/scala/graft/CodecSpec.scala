@@ -1189,6 +1189,39 @@ class CodecSpec extends AnyFunSuite {
       "codes beyond the 8191 cap must contribute nothing")
   }
 
+  test("REGRESSION (r13 ADPCM trailing garbage): bytes after the last " +
+      "RIFF chunk are rejected loudly, matching the decodeFlc/" +
+      "decodeJpegStream container contract") {
+    import graft.multimodal.Codecs
+    val wire = Codecs.encodeWavAdpcm(8000, Array.fill[Short](505)(100))
+    Codecs.decodeWavAdpcm(wire) // sanity: the clean stream decodes
+    val ex = intercept[IllegalArgumentException](
+      Codecs.decodeWavAdpcm(wire :+ 0x00.toByte))
+    assert(ex.getMessage.contains("trailing"),
+      s"wrong failure: ${ex.getMessage}")
+    // a full bogus chunk header after data is also trailing garbage
+    intercept[IllegalArgumentException](Codecs.decodeWavAdpcm(
+      wire ++ "JUNK".getBytes ++ Array[Byte](99, 0, 0, 0)))
+  }
+
+  test("REGRESSION (r13 corruptMixed SOF0 bound): a JPEG payload with " +
+      "no baseline SOF0 marker raises a clear contract error instead " +
+      "of an executor ArrayIndexOutOfBoundsException") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // media_id 13 selects the corruption branch; the payload is a
+    // structurally plausible prefix with no FF C0 anywhere
+    val rows = Seq(Multimodal.MediaRow(13L, "image/jpeg",
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDB.toByte,
+        0x00, 0x04, 0x01, 0x02))).toDS()
+    val ex = intercept[Exception](
+      Multimodal.corruptMixed(rows).collect())
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("SOF0"), s"wrong failure: $msgs")
+  }
+
   test("MP3 frame walk: encode/walk round-trips frames exactly — " +
       "header-table lengths, offsets, padding — and the ID3v2 " +
       "syncsafe size crosses the 7-bit byte boundary") {

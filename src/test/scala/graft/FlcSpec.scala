@@ -281,4 +281,30 @@ class FlcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Flc.encodeFlc(4, 2, grayPalette, Seq.empty))
   }
+
+  test("REGRESSION (r13 packet-count guard): a delta line needing more " +
+      "than 16383 packets is REJECTED, not silently written into the " +
+      "opcode bit space") {
+    // width 65534 -> 32767 words per line; change every second word ->
+    // 16384 one-word spans = 16384 packets > 0x3FFF
+    val w = 65534
+    val f0 = new Array[Byte](w) // height 1
+    val f1 = f0.clone()
+    var x = 0
+    while (x < w) { f1(x) = 1; x += 4 } // first byte of every 2nd word
+    val ex = intercept[IllegalArgumentException](
+      Flc.encodeFlc(w, 1, grayPalette, Seq(f0, f1)))
+    assert(ex.getMessage.contains("packet"),
+      s"wrong failure: ${ex.getMessage}")
+    // just under the cap still encodes and round-trips: change every
+    // second word only in the first half of the line (8192 packets)
+    val f2 = f0.clone()
+    x = 0
+    while (x < w / 2) { f2(x) = 1; x += 4 }
+    val ok = Flc.decodeFlc(
+      Flc.encodeFlc(w, 1, grayPalette, Seq(f0, f2)))
+    assert(ok.size === 2 &&
+      ok(1).pixels.count(_ != 0) === 3 * ((w / 2 + 3) / 4),
+      "sub-cap wide delta failed to round-trip")
+  }
 }
