@@ -1858,17 +1858,21 @@ object Codecs {
     * field is real and [[decodeMp3Stream]] must walk it exactly.
     */
   def encodeMp3Stream(frames: Seq[(Int, Int, Int)],
-      id3Size: Int = -1): Array[Byte] = {
+      id3Size: Int = -1, id3Payload: Array[Byte] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    if (id3Size >= 0) {
-      require(id3Size < (1 << 28), s"ID3v2 size $id3Size exceeds syncsafe")
+    val size = if (id3Payload != null) id3Payload.length else id3Size
+    if (size >= 0) {
+      require(size < (1 << 28), s"ID3v2 size $size exceeds syncsafe")
       out.write('I'); out.write('D'); out.write('3')
       out.write(3); out.write(0) // v2.3.0
       out.write(0) // flags: no unsynchronisation, no footer
-      out.write((id3Size >> 21) & 0x7F); out.write((id3Size >> 14) & 0x7F)
-      out.write((id3Size >> 7) & 0x7F); out.write(id3Size & 0x7F)
-      var i = 0
-      while (i < id3Size) { out.write((i * 31 + 7) & 0x7F); i += 1 }
+      out.write((size >> 21) & 0x7F); out.write((size >> 14) & 0x7F)
+      out.write((size >> 7) & 0x7F); out.write(size & 0x7F)
+      if (id3Payload != null) out.write(id3Payload)
+      else {
+        var i = 0
+        while (i < size) { out.write((i * 31 + 7) & 0x7F); i += 1 }
+      }
     }
     for ((bi, si, pad) <- frames) {
       require(bi >= 1 && bi <= 14, s"bitrate index $bi out of 1..14")
@@ -1884,6 +1888,79 @@ object Codecs {
       while (i < len) { out.write((i * 131 + bi) & 0xFF); i += 1 }
     }
     out.toByteArray
+  }
+
+  /** An ID3v2.3 tag PAYLOAD of text frames (ID3v2.3 informal standard,
+    * §3.3/§4.2 — public spec): each frame is a 4-char uppercase id, a
+    * 4-byte big-endian size (v2.3 frame sizes are NOT syncsafe — only
+    * the tag header's is), two zero flag bytes, then for text ("T***")
+    * frames an encoding byte (0x00 = ISO-8859-1) and the text. Zero
+    * padding after the last frame is the spec's seek-room convention.
+    */
+  def encodeId3Frames(frames: Seq[(String, String)],
+      padding: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- frames) {
+      require(id.length == 4 && id.forall(c =>
+          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"bad frame id '$id'")
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      out.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val sz = payload.length + 1 // + the encoding byte
+      out.write((sz >>> 24) & 0xFF); out.write((sz >>> 16) & 0xFF)
+      out.write((sz >>> 8) & 0xFF); out.write(sz & 0xFF)
+      out.write(0); out.write(0) // flags
+      out.write(0) // encoding: ISO-8859-1
+      out.write(payload)
+    }
+    var i = 0
+    while (i < padding) { out.write(0); i += 1 }
+    out.toByteArray
+  }
+
+  /** Parse the text frames of a leading ID3v2.3 tag — REAL tag-frame
+    * walking (id, big-endian size, flags, encoding byte), not the
+    * skip-by-declared-size shortcut [[decodeMp3Stream]] uses: this is
+    * the metadata-extraction read a media pipeline runs over its
+    * audio lake. Returns (frameId → text) pairs in wire order. Fails
+    * loudly on a frame overrunning the tag, non-zero flags, or an
+    * encoding this subset doesn't carry (only 0x00 ISO-8859-1 is
+    * synthesized). A zero byte where a frame id should start is the
+    * padding convention and ends the walk.
+    */
+  def decodeId3TextFrames(bytes: Array[Byte]): Vector[(String, String)] = {
+    require(bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3', "no ID3v2 tag")
+    require(bytes(3) == 3, s"ID3v2.${bytes(3)} unsupported (v2.3 only)")
+    require(((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) == 0,
+      "ID3v2 size bytes are not syncsafe")
+    val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+      ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+    val end = 10 + size
+    require(end <= bytes.length,
+      s"ID3v2 declares $size payload bytes, stream has ${bytes.length}")
+    val frames = Vector.newBuilder[(String, String)]
+    var pos = 10
+    while (pos < end && bytes(pos) != 0) { // 0x00 = padding starts
+      require(pos + 10 <= end, s"truncated frame header at tag offset $pos")
+      val id = new String(bytes, pos, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = ((bytes(pos + 4) & 0xFF) << 24) |
+        ((bytes(pos + 5) & 0xFF) << 16) |
+        ((bytes(pos + 6) & 0xFF) << 8) | (bytes(pos + 7) & 0xFF)
+      require(bytes(pos + 8) == 0 && bytes(pos + 9) == 0,
+        s"frame $id carries flags this subset does not")
+      require(sz >= 1 && pos + 10 + sz <= end,
+        s"frame $id declares $sz bytes, ${end - pos - 10} remain in tag")
+      if (id.startsWith("T")) {
+        require(bytes(pos + 10) == 0,
+          s"frame $id text encoding ${bytes(pos + 10)} unsupported")
+        frames += id -> new String(bytes, pos + 11, sz - 1,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      pos += 10 + sz
+    }
+    frames.result()
   }
 
   /** Walk an MP3 stream structurally: skip a leading ID3v2 tag by its

@@ -774,6 +774,54 @@ object Multimodal {
       })
   }
 
+  /** MP3 streams whose ID3v2.3 tags carry REAL text frames — planted
+    * deterministically from the document row (TIT2 = "doc <id>",
+    * TPE1 = lang, TALB = source, (id mod 7)·3 bytes of padding), over
+    * two id-derived audio frames. The tag is genuine wire format
+    * ([[Codecs.encodeId3Frames]]): big-endian v2.3 frame sizes, flag
+    * bytes, ISO-8859-1 encoding marker — so parsing it back is real
+    * metadata extraction, not an echo.
+    */
+  def mp3TaggedFromDocs(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, source) =>
+        val tag = Codecs.encodeId3Frames(
+          Seq("TIT2" -> s"doc $id", "TPE1" -> lang, "TALB" -> source),
+          padding = (id % 7).toInt * 3)
+        val bi = 1 + (id % 14).toInt
+        val fr = (bi, (id % 3).toInt, (id % 2).toInt)
+        MediaRow(id, "audio/mpeg",
+          Codecs.encodeMp3Stream(Seq(fr, fr), id3Payload = tag))
+      })
+  }
+
+  case class Mp3Tags(media_id: Long, tag_bytes: Long, n_tag_frames: Long,
+      title: String, artist: String, album: String, n_audio_frames: Long,
+      total_bytes: Long)
+
+  /** Extract the tag metadata AND walk the audio frames of tagged MP3
+    * streams — the two container layers read by one pass each
+    * ([[Codecs.decodeId3TextFrames]] walks frame ids/sizes/encodings;
+    * [[Codecs.decodeMp3Stream]] re-derives the audio frame boundaries).
+    */
+  def mp3ExtractTags(media: Dataset[MediaRow]): Dataset[Mp3Tags] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = Codecs.decodeId3TextFrames(r.content)
+      val tags = frames.toMap
+      val s = Codecs.decodeMp3Stream(r.content)
+      Mp3Tags(r.media_id, s.id3Bytes.toLong, frames.size.toLong,
+        tags.getOrElse("TIT2", ""), tags.getOrElse("TPE1", ""),
+        tags.getOrElse("TALB", ""), s.frames.size.toLong,
+        r.content.length.toLong)
+    })
+  }
+
   case class Mp3Census(media_id: Long, id3_bytes: Long, n_frames: Long,
       total_bytes: Long, max_frame_len: Long, n_padded: Long,
       last_offset: Long, sum_kbps: Long)

@@ -394,6 +394,76 @@ object FilterQueries {
       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q201 — perplexity-informed source reweighting: the closed-form
+    * single-step member of the DoReMi family (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023 — public literature; this is the excess-loss
+    * heuristic, not the full minimax-DRO training loop): per source,
+    * the exact corpus-sum perplexity (q187's model — sum of per-doc
+    * pplx_sum over sum of pairs, not a mean of means), then each
+    * source's EXCESS over the easiest source (+1 so every source keeps
+    * a floor weight — DoReMi's insight is to UPWEIGHT the domains the
+    * reference model finds hard), normalized to a ppm mixing weight.
+    * Everything is exact integer arithmetic over non-negative
+    * operands, so the oracle reproduces it bit for bit.
+    *
+    * Scale shape: q187's scoring rides as before (one model shuffle +
+    * broadcast joins); the rollup is one map-side-combined shuffle
+    * with |sources| rows out; the min and the excess total are 1-row
+    * scalar broadcasts over that bounded relation (declared in
+    * PlanSpec's list) — nothing corpus-scale happens after the rollup.
+    */
+  val q201_source_reweight: Q = (s, d) => {
+    val perDoc = q187_bigram_perplexity(s, d)
+      .select(col("doc_id"), col("n_pairs"), col("pplx_sum"))
+    val bySrc = Tables.documents(s, d).select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pairs")).as("sum_pairs"),
+        sum(col("pplx_sum")).as("sum_pplx"))
+      .select(col("source"), col("n_docs"), col("sum_pairs"),
+        col("sum_pplx"),
+        TextAnalysis.intDiv(col("sum_pplx") * 1000000L, col("sum_pairs"))
+          .as("source_q6"))
+    val floor = bySrc.agg(min(col("source_q6")).as("mn"))
+    val withExcess = bySrc
+      .crossJoin(broadcast(floor)) // 1-row scalar: the easiest source
+      .withColumn("excess", col("source_q6") - col("mn") + 1L)
+    val total = withExcess.agg(sum(col("excess")).as("te"))
+    withExcess
+      .crossJoin(broadcast(total)) // 1-row scalar: the excess total
+      .select(col("source"), col("n_docs"), col("sum_pairs"),
+        col("sum_pplx"), col("source_q6"), col("excess"),
+        TextAnalysis.intDiv(col("excess") * 1000000L, col("te"))
+          .as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  val q201Sql: String = {
+    val q187Inner = q187Sql
+    s"""WITH pplx AS ( $q187Inner ),
+       |s AS (
+       |  SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(p.n_pairs) AS BIGINT) AS sum_pairs,
+       |    CAST(sum(p.pplx_sum) AS BIGINT) AS sum_pplx
+       |  FROM documents d JOIN pplx p ON p.doc_id = d.doc_id
+       |  GROUP BY d.source),
+       |s2 AS (
+       |  SELECT source, n_docs, sum_pairs, sum_pplx,
+       |    CAST(1000000 * sum_pplx // sum_pairs AS BIGINT) AS source_q6
+       |  FROM s),
+       |m AS (SELECT min(source_q6) AS mn FROM s2),
+       |e AS (
+       |  SELECT s2.*, CAST(source_q6 - m.mn + 1 AS BIGINT) AS excess
+       |  FROM s2 CROSS JOIN m),
+       |t AS (SELECT CAST(sum(excess) AS BIGINT) AS te FROM e)
+       |SELECT source, n_docs, sum_pairs, sum_pplx, source_q6, excess,
+       |  CAST(1000000 * excess // t.te AS BIGINT) AS weight_ppm
+       |FROM e CROSS JOIN t ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_word_repetition" -> q134_word_repetition,
     "q135_dup_bigram" -> q135_dup_bigram,
@@ -401,7 +471,8 @@ object FilterQueries {
     "q137_collapse_runs" -> q137_collapse_runs,
     "q146_doc_entropy" -> q146_doc_entropy,
     "q187_bigram_perplexity" -> q187_bigram_perplexity,
-    "q188_dsir_weights" -> q188_dsir_weights)
+    "q188_dsir_weights" -> q188_dsir_weights,
+    "q201_source_reweight" -> q201_source_reweight)
 
   val oracleSql: Map[String, String] = Map(
     "q134_word_repetition" -> q134Sql,
@@ -410,5 +481,6 @@ object FilterQueries {
     "q137_collapse_runs" -> q137Sql,
     "q146_doc_entropy" -> q146Sql,
     "q187_bigram_perplexity" -> q187Sql,
-    "q188_dsir_weights" -> q188Sql)
+    "q188_dsir_weights" -> q188Sql,
+    "q201_source_reweight" -> q201Sql)
 }

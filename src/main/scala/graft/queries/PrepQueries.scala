@@ -1177,6 +1177,55 @@ object PrepQueries {
        |    AS sum_kbps
        |FROM census ORDER BY media_id""".stripMargin
 
+  /** q202 — ID3v2.3 METADATA EXTRACTION: the tag layer q199 merely
+    * skips is itself a deterministic wire format, and the metadata
+    * read (title/artist/album) is what a real audio-lake pipeline
+    * extracts per file. Per document a tagged MP3 is synthesized with
+    * REAL text frames (big-endian v2.3 frame sizes, flag bytes, the
+    * ISO-8859-1 encoding marker, zero padding —
+    * [[graft.multimodal.Codecs.encodeId3Frames]]) planted from the
+    * document row, then parsed back by genuine frame walking
+    * ([[graft.multimodal.Codecs.decodeId3TextFrames]] — never an
+    * echo: a mis-read size, a wrong offset, or an encoding slip
+    * garbles a string) alongside the audio-frame walk. The oracle
+    * predicts the strings from the source columns and every byte
+    * total from the frame-size arithmetic.
+    */
+  val q202_mp3_tag_extract: Q = (s, d) =>
+    graft.multimodal.Multimodal.mp3ExtractTags(
+        graft.multimodal.Multimodal.mp3TaggedFromDocs(
+          s, Tables.documents(s, d), "doc_id"))
+      .toDF().orderBy("media_id")
+
+  val q202Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    'doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |    coalesce(lang, '') AS artist,
+      |    coalesce(source, '') AS album,
+      |    CAST(doc_id % 7 AS BIGINT) * 3 AS pad_bytes
+      |  FROM documents),
+      |t AS (
+      |  SELECT media_id, title, artist, album,
+      |    10 + 3 * 10 + 3 * 1
+      |      + len(title) + len(artist) + len(album)
+      |      + pad_bytes AS tag_bytes
+      |  FROM a),
+      |f AS (
+      |  SELECT media_id, tag_bytes, title, artist, album,
+      |    144000 * [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |        [CAST(1 + media_id % 14 AS INTEGER)]
+      |      // [44100,48000,32000][CAST(media_id % 3 + 1 AS INTEGER)]
+      |      + media_id % 2 AS flen
+      |  FROM t)
+      |SELECT media_id,
+      |  CAST(tag_bytes AS BIGINT) AS tag_bytes,
+      |  CAST(3 AS BIGINT) AS n_tag_frames,
+      |  title, artist, album,
+      |  CAST(2 AS BIGINT) AS n_audio_frames,
+      |  CAST(tag_bytes + 2 * flen AS BIGINT) AS total_bytes
+      |FROM f ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1369,6 +1418,7 @@ object PrepQueries {
     "q182_mjpeg_scene_cuts" -> q182_mjpeg_scene_cuts,
     "q199_mp3_frame_census" -> q199_mp3_frame_census,
     "q200_mp3_quarantine" -> q200_mp3_quarantine,
+    "q202_mp3_tag_extract" -> q202_mp3_tag_extract,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1404,6 +1454,7 @@ object PrepQueries {
     "q182_mjpeg_scene_cuts" -> q182Sql,
     "q199_mp3_frame_census" -> q199Sql,
     "q200_mp3_quarantine" -> q200Sql,
+    "q202_mp3_tag_extract" -> q202Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -1244,6 +1244,28 @@ class CodecSpec extends AnyFunSuite {
     assert(bare.id3Bytes === 0 && bare.frames.head.offset === 0)
   }
 
+  test("ID3v2.3 text-frame walk: round-trip, padding stop, and loud " +
+      "failures on truncation / flags / unsupported encoding") {
+    import graft.multimodal.Codecs
+    val tag = Codecs.encodeId3Frames(
+      Seq("TIT2" -> "hello", "TPE1" -> "", "TALB" -> "wörld"), padding = 9)
+    val stream = Codecs.encodeMp3Stream(Seq((3, 1, 0)), id3Payload = tag)
+    assert(Codecs.decodeId3TextFrames(stream) ===
+      Vector("TIT2" -> "hello", "TPE1" -> "", "TALB" -> "wörld"))
+    // the frame-sync walk coexists: same stream, both layers parse
+    assert(Codecs.decodeMp3Stream(stream).frames.size === 1)
+    // a frame size overrunning the tag fails loudly
+    val bad = stream.clone()
+    bad(10 + 7) = 0x70.toByte // TIT2's BE size low byte -> huge
+    intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(bad))
+    // non-zero frame flags are rejected by this subset
+    val flagged = stream.clone(); flagged(10 + 8) = 0x40.toByte
+    intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(flagged))
+    // a non-ISO-8859-1 encoding byte is rejected, not mis-decoded
+    val enc = stream.clone(); enc(10 + 10) = 1.toByte
+    intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(enc))
+  }
+
   test("MP3 frame walk failure modes: trailing garbage, lost sync, " +
       "truncated frame, and reserved table indices all fail loudly") {
     import graft.multimodal.Codecs

@@ -167,7 +167,11 @@ class PlanSpec extends AnyFunSuite {
       "q191_state_dsir",
       // q196: q187's scoring algebra over the folded state — the same
       // declared 1-row token-total scalar broadcast
-      "q196_state_perplexity")
+      "q196_state_perplexity",
+      // q201: q187's scalar inherited, plus two of its own — the 1-row
+      // easiest-source floor and the 1-row excess total, both over the
+      // |sources|-bounded rollup
+      "q201_source_reweight")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
