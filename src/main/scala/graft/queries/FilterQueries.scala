@@ -413,10 +413,19 @@ object FilterQueries {
     * scalar broadcasts over that bounded relation (declared in
     * PlanSpec's list) — nothing corpus-scale happens after the rollup.
     */
-  val q201_source_reweight: Q = (s, d) => {
-    val perDoc = q187_bigram_perplexity(s, d)
-      .select(col("doc_id"), col("n_pairs"), col("pplx_sum"))
-    val bySrc = Tables.documents(s, d).select("doc_id", "source")
+  val q201_source_reweight: Q = (s, d) =>
+    reweightRollup(Tables.documents(s, d),
+      q187_bigram_perplexity(s, d)
+        .select(col("doc_id"), col("n_pairs"), col("pplx_sum")))
+
+  /** The excess/normalize rollup shared by q201 (in-query model) and
+    * q203 (stored-state model): per-source exact sums, excess over the
+    * easiest source (+1 floor), ppm weights — two declared 1-row
+    * scalar broadcasts over the |sources|-bounded relation.
+    */
+  private def reweightRollup(docs: DataFrame,
+      perDoc: DataFrame): DataFrame = {
+    val bySrc = docs.select("doc_id", "source")
       .join(perDoc, Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -439,6 +448,21 @@ object FilterQueries {
           .as("weight_ppm"))
       .orderBy("source")
   }
+
+  /** q203 — q201's source reweighting served from the STORED bigram-LM
+    * state: the per-doc perplexities come from
+    * [[graft.pipeline.CorpusBuild.stateBigramScores]] (the q196 fold —
+    * unpruned deltas, pruning at read) instead of an in-query model
+    * build, so the mixing-weight report costs one scoring scan + the
+    * bounded rollup. Oracle: q201's SQL verbatim — the q196/q197/q198
+    * discipline applied to the round's own new analytic: a stale fold
+    * shifts a source's excess and hash-mismatches.
+    */
+  val q203_state_reweight: Q = (s, d) =>
+    reweightRollup(Tables.documents(s, d),
+      graft.pipeline.CorpusBuild.stateBigramScores(s,
+          TokenizerQueries.ensurePostingState(s, d), Tables.documents(s, d))
+        .select(col("doc_id"), col("n_pairs"), col("pplx_sum")))
 
   val q201Sql: String = {
     val q187Inner = q187Sql
@@ -472,7 +496,8 @@ object FilterQueries {
     "q146_doc_entropy" -> q146_doc_entropy,
     "q187_bigram_perplexity" -> q187_bigram_perplexity,
     "q188_dsir_weights" -> q188_dsir_weights,
-    "q201_source_reweight" -> q201_source_reweight)
+    "q201_source_reweight" -> q201_source_reweight,
+    "q203_state_reweight" -> q203_state_reweight)
 
   val oracleSql: Map[String, String] = Map(
     "q134_word_repetition" -> q134Sql,
@@ -482,5 +507,8 @@ object FilterQueries {
     "q146_doc_entropy" -> q146Sql,
     "q187_bigram_perplexity" -> q187Sql,
     "q188_dsir_weights" -> q188Sql,
-    "q201_source_reweight" -> q201Sql)
+    "q201_source_reweight" -> q201Sql,
+    // the state-served weights must reproduce q201's in-query model
+    // EXACTLY — same oracle, so the driver hash-checks the fold
+    "q203_state_reweight" -> q201Sql)
 }

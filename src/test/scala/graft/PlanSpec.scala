@@ -171,7 +171,10 @@ class PlanSpec extends AnyFunSuite {
       // q201: q187's scalar inherited, plus two of its own — the 1-row
       // easiest-source floor and the 1-row excess total, both over the
       // |sources|-bounded rollup
-      "q201_source_reweight")
+      "q201_source_reweight",
+      // q203: q201's rollup over the folded state — the same declared
+      // scalars (token total, floor, excess total)
+      "q203_state_reweight")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
