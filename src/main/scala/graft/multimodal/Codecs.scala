@@ -1894,23 +1894,41 @@ object Codecs {
     * §3.3/§4.2 — public spec): each frame is a 4-char uppercase id, a
     * 4-byte big-endian size (v2.3 frame sizes are NOT syncsafe — only
     * the tag header's is), two zero flag bytes, then for text ("T***")
-    * frames an encoding byte (0x00 = ISO-8859-1) and the text. Zero
-    * padding after the last frame is the spec's seek-room convention.
+    * frames an encoding byte and the text. Frames whose id satisfies
+    * `utf16` carry encoding 0x01 (UTF-16 with a little-endian BOM —
+    * half the real-world v2.3 tag population); the rest carry 0x00
+    * (ISO-8859-1). Encoding contracts are LOUD, not lossy: an
+    * ISO-8859-1 frame rejects any character above U+00FF (no silent
+    * '?' substitution), and a UTF-16 frame rejects surrogates (BMP
+    * only — keeps char count equal to code-unit count, the
+    * cross-engine length contract). Zero padding after the last frame
+    * is the spec's seek-room convention.
     */
   def encodeId3Frames(frames: Seq[(String, String)],
-      padding: Int = 0): Array[Byte] = {
+      padding: Int = 0, utf16: String => Boolean = _ => false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for ((id, text) <- frames) {
       require(id.length == 4 && id.forall(c =>
           (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
         s"bad frame id '$id'")
-      val payload = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val payload =
+        if (utf16(id)) {
+          require(!text.exists(Character.isSurrogate),
+            s"frame $id text is not BMP-only; UTF-16 subset requires it")
+          Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        } else {
+          require(text.forall(_ <= 0xFF),
+            s"frame $id text is not ISO-8859-1-mappable; " +
+              "use a UTF-16 frame instead of lossy substitution")
+          text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
       out.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       val sz = payload.length + 1 // + the encoding byte
       out.write((sz >>> 24) & 0xFF); out.write((sz >>> 16) & 0xFF)
       out.write((sz >>> 8) & 0xFF); out.write(sz & 0xFF)
       out.write(0); out.write(0) // flags
-      out.write(0) // encoding: ISO-8859-1
+      out.write(if (utf16(id)) 1 else 0)
       out.write(payload)
     }
     var i = 0
@@ -1922,11 +1940,13 @@ object Codecs {
     * walking (id, big-endian size, flags, encoding byte), not the
     * skip-by-declared-size shortcut [[decodeMp3Stream]] uses: this is
     * the metadata-extraction read a media pipeline runs over its
-    * audio lake. Returns (frameId → text) pairs in wire order. Fails
-    * loudly on a frame overrunning the tag, non-zero flags, or an
-    * encoding this subset doesn't carry (only 0x00 ISO-8859-1 is
-    * synthesized). A zero byte where a frame id should start is the
-    * padding convention and ends the walk.
+    * audio lake. Returns (frameId → text) pairs in wire order. Text
+    * encodings 0x00 (ISO-8859-1) and 0x01 (UTF-16 with BOM, either
+    * byte order) are decoded; 0x02/0x03 (v2.4-only UTF-16BE/UTF-8)
+    * fail loudly, as do a frame overrunning the tag, non-zero flags, a
+    * UTF-16 frame with a missing/invalid BOM, or an odd UTF-16 byte
+    * count. A zero byte where a frame id should start is the padding
+    * convention and ends the walk.
     */
   def decodeId3TextFrames(bytes: Array[Byte]): Vector[(String, String)] = {
     require(bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
@@ -1953,10 +1973,28 @@ object Codecs {
       require(sz >= 1 && pos + 10 + sz <= end,
         s"frame $id declares $sz bytes, ${end - pos - 10} remain in tag")
       if (id.startsWith("T")) {
-        require(bytes(pos + 10) == 0,
-          s"frame $id text encoding ${bytes(pos + 10)} unsupported")
-        frames += id -> new String(bytes, pos + 11, sz - 1,
-          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val enc = bytes(pos + 10) & 0xFF
+        val text = enc match {
+          case 0 =>
+            new String(bytes, pos + 11, sz - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 =>
+            require(sz >= 3, s"frame $id UTF-16 text lacks a BOM")
+            val b0 = bytes(pos + 11) & 0xFF; val b1 = bytes(pos + 12) & 0xFF
+            val cs =
+              if (b0 == 0xFF && b1 == 0xFE)
+                java.nio.charset.StandardCharsets.UTF_16LE
+              else if (b0 == 0xFE && b1 == 0xFF)
+                java.nio.charset.StandardCharsets.UTF_16BE
+              else throw new IllegalArgumentException(
+                f"frame $id UTF-16 BOM invalid ($b0%02x $b1%02x)")
+            require((sz - 3) % 2 == 0,
+              s"frame $id UTF-16 text has odd byte count ${sz - 3}")
+            new String(bytes, pos + 13, sz - 3, cs)
+          case other => throw new IllegalArgumentException(
+            s"frame $id text encoding $other unsupported (0x00/0x01 only)")
+        }
+        frames += id -> text
       }
       pos += 10 + sz
     }

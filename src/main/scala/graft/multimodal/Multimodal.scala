@@ -779,8 +779,13 @@ object Multimodal {
     * TPE1 = lang, TALB = source, (id mod 7)·3 bytes of padding), over
     * two id-derived audio frames. The tag is genuine wire format
     * ([[Codecs.encodeId3Frames]]): big-endian v2.3 frame sizes, flag
-    * bytes, ISO-8859-1 encoding marker — so parsing it back is real
-    * metadata extraction, not an echo.
+    * bytes, and a PER-FRAME id-derived text encoding — TIT2 goes
+    * UTF-16 (0x01, BOM) when id mod 5 = 0, TPE1 when id mod 2 = 1,
+    * TALB when id mod 3 = 0, ISO-8859-1 (0x00) otherwise — so both
+    * v2.3 text encodings are live at every SF and parsing the tag back
+    * is real metadata extraction, not an echo. The encoder's contracts
+    * stay loud: a non-Latin-1 character in an ISO frame or a surrogate
+    * in a UTF-16 frame fails the encode rather than substituting.
     */
   def mp3TaggedFromDocs(spark: SparkSession, docs: DataFrame,
       idCol: String): Dataset[MediaRow] = {
@@ -790,9 +795,13 @@ object Multimodal {
         coalesce(col("source"), lit("")).as("source"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, lang, source) =>
+        val u16: Set[String] =
+          (if (id % 5 == 0) Set("TIT2") else Set.empty[String]) ++
+            (if (id % 2 == 1) Set("TPE1") else Set.empty[String]) ++
+            (if (id % 3 == 0) Set("TALB") else Set.empty[String])
         val tag = Codecs.encodeId3Frames(
           Seq("TIT2" -> s"doc $id", "TPE1" -> lang, "TALB" -> source),
-          padding = (id % 7).toInt * 3)
+          padding = (id % 7).toInt * 3, utf16 = u16)
         val bi = 1 + (id % 14).toInt
         val fr = (bi, (id % 3).toInt, (id % 2).toInt)
         MediaRow(id, "audio/mpeg",
@@ -834,6 +843,12 @@ object Multimodal {
     * an exact integer a second engine predicts from the header tables
     * alone. A mis-walked sync, a wrong table row, or an off-by-one in
     * the padding arithmetic shifts an offset and hash-mismatches.
+    *
+    * A structurally valid stream with ZERO audio frames (tag-only, or
+    * empty input) is a stated contract, not a crash: every frame field
+    * reads zero (n_frames = 0 disambiguates last_offset = 0 from a
+    * real frame at offset 0), so the quarantine tier never mistakes a
+    * frame-less-but-valid stream for a corrupt one.
     */
   def mp3FrameCensus(media: Dataset[MediaRow]): Dataset[Mp3Census] = {
     import media.sparkSession.implicits._
@@ -844,9 +859,11 @@ object Multimodal {
         id3_bytes = s.id3Bytes.toLong,
         n_frames = s.frames.size.toLong,
         total_bytes = r.content.length.toLong,
-        max_frame_len = s.frames.map(_.length).max.toLong,
+        max_frame_len =
+          if (s.frames.isEmpty) 0L else s.frames.map(_.length).max.toLong,
         n_padded = s.frames.count(_.padding == 1).toLong,
-        last_offset = s.frames.last.offset.toLong,
+        last_offset =
+          if (s.frames.isEmpty) 0L else s.frames.last.offset.toLong,
         sum_kbps = s.frames.map(_.bitrateKbps.toLong).sum)
     })
   }
@@ -892,12 +909,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       try {
+        // same frame-less contract as [[mp3FrameCensus]]: a tag-only
+        // stream is decode_ok = 1 with zeroed frame fields — quarantine
+        // is for wire-format violations, never for a valid empty walk
         val s = Codecs.decodeMp3Stream(r.content)
         TriedMp3Census(r.media_id, 1L, s.id3Bytes.toLong,
           s.frames.size.toLong, r.content.length.toLong,
-          s.frames.map(_.length).max.toLong,
+          if (s.frames.isEmpty) 0L else s.frames.map(_.length).max.toLong,
           s.frames.count(_.padding == 1).toLong,
-          s.frames.last.offset.toLong,
+          if (s.frames.isEmpty) 0L else s.frames.last.offset.toLong,
           s.frames.map(_.bitrateKbps.toLong).sum)
       } catch {
         case scala.util.control.NonFatal(_) =>

@@ -66,6 +66,15 @@ object BigramLm {
   /** UNPRUNED (bk, c2) bigram counts over `docs`' train split — the
     * additive delta a state generation stores (pruning at read, see
     * the class doc).
+    *
+    * Accepted tradeoff: grouping on bk alone means a 64-bit xxhash64
+    * collision between two distinct bigrams would merge their counts
+    * (the q101 keys-through-Exchanges discipline), and the stored-state
+    * tier persists the merged table for the life of a state dir. At
+    * ~2⁻⁶⁴ per pair the expected collision count stays ≪ 1 below
+    * ~10⁹ distinct bigrams, and a collision shifts one count across a
+    * log2 boundary at worst — not a silent corruption class worth a
+    * string re-key through a corpus-scale shuffle.
     */
   def bigramDelta(docs: DataFrame): DataFrame =
     pairs(docs).filter(col("is_train"))

@@ -1181,15 +1181,18 @@ object PrepQueries {
     * skips is itself a deterministic wire format, and the metadata
     * read (title/artist/album) is what a real audio-lake pipeline
     * extracts per file. Per document a tagged MP3 is synthesized with
-    * REAL text frames (big-endian v2.3 frame sizes, flag bytes, the
-    * ISO-8859-1 encoding marker, zero padding —
-    * [[graft.multimodal.Codecs.encodeId3Frames]]) planted from the
-    * document row, then parsed back by genuine frame walking
-    * ([[graft.multimodal.Codecs.decodeId3TextFrames]] — never an
-    * echo: a mis-read size, a wrong offset, or an encoding slip
-    * garbles a string) alongside the audio-frame walk. The oracle
-    * predicts the strings from the source columns and every byte
-    * total from the frame-size arithmetic.
+    * REAL text frames (big-endian v2.3 frame sizes, flag bytes, BOTH
+    * v2.3 text encodings live per id-derived frame choice — ISO-8859-1
+    * and UTF-16-with-BOM, half the real-world v2.3 tag population
+    * each — zero padding; [[graft.multimodal.Codecs.encodeId3Frames]])
+    * planted from the document row, then parsed back by genuine frame
+    * walking ([[graft.multimodal.Codecs.decodeId3TextFrames]] — never
+    * an echo: a mis-read size, a wrong offset, a BOM slip, or an
+    * encoding mix-up garbles a string) alongside the audio-frame walk.
+    * The oracle predicts the strings from the source columns and every
+    * byte total from the frame-size arithmetic, INCLUDING each frame's
+    * encoding choice (a UTF-16 frame costs 2 BOM bytes + 2 bytes per
+    * character where an ISO frame costs 1).
     */
   val q202_mp3_tag_extract: Q = (s, d) =>
     graft.multimodal.Multimodal.mp3ExtractTags(
@@ -1208,7 +1211,12 @@ object PrepQueries {
       |t AS (
       |  SELECT media_id, title, artist, album,
       |    10 + 3 * 10 + 3 * 1
-      |      + len(title) + len(artist) + len(album)
+      |      + CASE WHEN media_id % 5 = 0
+      |          THEN 2 + 2 * len(title) ELSE len(title) END
+      |      + CASE WHEN media_id % 2 = 1
+      |          THEN 2 + 2 * len(artist) ELSE len(artist) END
+      |      + CASE WHEN media_id % 3 = 0
+      |          THEN 2 + 2 * len(album) ELSE len(album) END
       |      + pad_bytes AS tag_bytes
       |  FROM a),
       |f AS (

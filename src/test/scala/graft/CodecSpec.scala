@@ -1261,9 +1261,62 @@ class CodecSpec extends AnyFunSuite {
     // non-zero frame flags are rejected by this subset
     val flagged = stream.clone(); flagged(10 + 8) = 0x40.toByte
     intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(flagged))
-    // a non-ISO-8859-1 encoding byte is rejected, not mis-decoded
+    // flipping an ISO frame's encoding byte to UTF-16 makes its first
+    // two text bytes ('h','e') an invalid BOM — rejected, not mis-decoded
     val enc = stream.clone(); enc(10 + 10) = 1.toByte
     intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(enc))
+  }
+
+  test("ID3v2.3 UTF-16 text frames: BOM'd round-trip beyond Latin-1, " +
+      "big-endian BOM accepted, and loud failures on v2.4 encodings, " +
+      "lossy ISO encode, and surrogates") {
+    import graft.multimodal.Codecs
+    // mixed-encoding tag: TPE1 carries text no ISO-8859-1 frame could
+    val tag = Codecs.encodeId3Frames(
+      Seq("TIT2" -> "plain", "TPE1" -> "héllo — 日本語", "TALB" -> "wörld"),
+      padding = 4, utf16 = Set("TPE1"))
+    val stream = Codecs.encodeMp3Stream(Seq((3, 1, 0)), id3Payload = tag)
+    assert(Codecs.decodeId3TextFrames(stream) ===
+      Vector("TIT2" -> "plain", "TPE1" -> "héllo — 日本語",
+        "TALB" -> "wörld"))
+    // byte arithmetic: UTF-16 frame = header 10 + enc 1 + BOM 2 + 2/char
+    val t = "héllo — 日本語"
+    assert(tag.length ===
+      (10 + 1 + 5) + (10 + 1 + 2 + 2 * t.length) + (10 + 1 + 5) + 4)
+    // a big-endian BOM decodes too (the spec allows either byte order)
+    val be = Codecs.encodeId3Frames(Seq("TXXX" -> "ab"), utf16 = Set("TXXX"))
+    be(10 + 1) = 0xFE.toByte; be(10 + 2) = 0xFF.toByte // flip BOM to BE
+    be(10 + 3) = 0; be(10 + 4) = 'a'.toByte // re-order the code units
+    be(10 + 5) = 0; be(10 + 6) = 'b'.toByte
+    val beTag = Codecs.encodeMp3Stream(Seq((3, 1, 0)), id3Payload = be)
+    assert(Codecs.decodeId3TextFrames(beTag) === Vector("TXXX" -> "ab"))
+    // v2.4-only encodings (0x02 UTF-16BE, 0x03 UTF-8) stay loud
+    for (e <- Seq(2, 3)) {
+      val bad = beTag.clone(); bad(10 + 10) = e.toByte
+      intercept[IllegalArgumentException](Codecs.decodeId3TextFrames(bad))
+    }
+    // an ISO frame refuses non-Latin-1 text instead of '?'-substituting
+    intercept[IllegalArgumentException](
+      Codecs.encodeId3Frames(Seq("TIT2" -> "日本語")))
+    // the UTF-16 subset refuses non-BMP text (surrogate pairs would
+    // break the char-count = code-unit-count cross-engine contract)
+    intercept[IllegalArgumentException](
+      Codecs.encodeId3Frames(Seq("TIT2" -> "a😀b"),
+        utf16 = Set("TIT2")))
+  }
+
+  test("MP3 census frame-less contract: a tag-only stream is valid " +
+      "with zeroed frame fields, never a quarantine or a crash") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val tagOnly = Codecs.encodeMp3Stream(Seq.empty, id3Size = 40)
+    assert(Codecs.decodeMp3Stream(tagOnly).frames.isEmpty)
+    val ds = Seq(Multimodal.MediaRow(1L, "audio/mpeg", tagOnly)).toDS()
+    val c = Multimodal.mp3FrameCensus(ds).collect()
+    assert(c.length === 1)
+    assert(c.head === Multimodal.Mp3Census(1L, 50L, 0L, 50L, 0L, 0L, 0L, 0L))
+    val t = Multimodal.tryMp3Census(ds).collect()
+    assert(t.head.decode_ok === 1L && t.head.n_frames === 0L)
   }
 
   test("MP3 frame walk failure modes: trailing garbage, lost sync, " +
