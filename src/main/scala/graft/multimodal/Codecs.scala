@@ -2048,4 +2048,319 @@ object Codecs {
     }
     Mp3Stream(id3, frames.result())
   }
+
+  // ------------------------------------------------- H.264/AVC (Annex B)
+  // The structural container layer of ITU-T H.264 / ISO/IEC 14496-10
+  // (public spec): Annex-B byte-stream start codes, the one-byte NAL
+  // header, emulation-prevention escaping, and the Exp-Golomb-coded
+  // sequence parameter set. Slice PAYLOAD decode (CABAC/CAVLC entropy
+  // coding, prediction, the loop filter) is the perceptual side that
+  // stays stubbed — the q199 MP3 discipline applied to the last named
+  // format: every boundary, header field, and SPS dimension below is
+  // real wire format a second engine predicts exactly.
+
+  /** Exp-Golomb/bit writer for RBSP payloads (spec §9.1: ue(v) codes
+    * value k as ⌊log2(k+1)⌋ zero bits, a 1, then k+1 sans its MSB —
+    * 2·⌊log2(k+1)⌋+1 bits total).
+    */
+  private final class GolombWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0, s"ue($v)")
+      val k = v + 1
+      val nb = 31 - Integer.numberOfLeadingZeros(k) // ⌊log2(k+1)⌋
+      var i = 0
+      while (i < nb) { bit(0); i += 1 }
+      bits(k, nb + 1)
+    }
+    /** rbsp_trailing_bits: the stop bit, then zero-pad to a byte — the
+      * byte holding the stop bit is therefore never 0x00, so a zero
+      * byte immediately before a start code can only be the 4-byte
+      * start code's own prefix (the walk relies on this).
+      */
+    def rbspTrailing(): Array[Byte] = {
+      bit(1)
+      while (nbits != 0) bit(0)
+      out.toByteArray
+    }
+  }
+
+  /** Exp-Golomb/bit reader over an (unescaped) RBSP. */
+  private final class GolombReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def bit(): Int = {
+      require(pos < bytes.length * 8, "RBSP overrun")
+      val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; b
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var nb = 0
+      while (bit() == 0) { nb += 1; require(nb <= 31, "ue(v) overlong") }
+      var v = 1; var i = 0
+      while (i < nb) { v = (v << 1) | bit(); i += 1 }
+      v - 1
+    }
+    /** Verify rbsp_trailing_bits: a stop bit, then zeros to the end. */
+    def expectTrailing(): Unit = {
+      require(bit() == 1, "RBSP stop bit missing")
+      while (pos < bytes.length * 8)
+        require(bit() == 0, "nonzero bit after RBSP stop bit")
+    }
+  }
+
+  /** Insert emulation_prevention_three_byte (spec §7.4.1.1): any
+    * 0x00 0x00 followed by a byte ≤ 0x03 inside a NAL's RBSP gets a
+    * 0x03 spliced in, so the escaped payload can never contain a start
+    * code. The synthesized SPS values are small enough that this never
+    * fires for them (CodecSpec pins the escape path with crafted
+    * payloads), which is what lets the oracle predict NAL byte sizes
+    * from the ue(v) bit arithmetic alone.
+    */
+  private[graft] def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 4)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i) & 0xFF
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Remove emulation-prevention bytes: 00 00 03 → 00 00 (the 0x03 must
+    * be followed by ≤ 0x03 or end-of-NAL, else the escape was fake).
+    */
+  private[graft] def unescapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var zeros = 0
+    var i = 0
+    while (i < nal.length) {
+      val b = nal(i) & 0xFF
+      if (zeros >= 2 && b == 3) {
+        require(i + 1 >= nal.length || (nal(i + 1) & 0xFF) <= 3,
+          s"spurious emulation-prevention byte at NAL offset $i")
+        zeros = 0
+      } else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** The SPS fields this subset carries (Baseline/Main/Extended
+    * profiles — no high-profile chroma/scaling branch; pic_order_cnt
+    * type 2, frame_mbs_only, no cropping, no VUI — each restriction
+    * checked loudly at parse).
+    */
+  final case class H264Sps(profileIdc: Int, levelIdc: Int,
+      log2MaxFrameNum: Int, maxNumRefFrames: Int, widthMbs: Int,
+      heightMbs: Int, direct8x8: Int)
+
+  /** One walked NAL unit: the start-code byte offset, the start-code
+    * length (3 or 4), the header fields, and the payload size in RBSP
+    * bytes (post-unescape, excluding the header byte).
+    */
+  final case class H264Nal(offset: Int, startCodeLen: Int, refIdc: Int,
+      nalType: Int, rbspBytes: Int)
+
+  /** A walked Annex-B stream: every NAL in order plus the parsed SPS
+    * (exactly one per stream in this subset).
+    */
+  final case class H264Stream(nals: Vector[H264Nal], sps: H264Sps)
+
+  private def writeSpsRbsp(sps: H264Sps): Array[Byte] = {
+    require(Seq(66, 77, 88).contains(sps.profileIdc),
+      s"profile_idc ${sps.profileIdc} outside the Baseline/Main/Extended " +
+        "subset (high profiles add the chroma/scaling SPS branch)")
+    require(sps.levelIdc >= 10 && sps.levelIdc <= 62,
+      s"level_idc ${sps.levelIdc}")
+    require(sps.log2MaxFrameNum >= 4 && sps.log2MaxFrameNum <= 16,
+      s"log2_max_frame_num ${sps.log2MaxFrameNum} outside [4, 16]")
+    require(sps.widthMbs >= 1 && sps.heightMbs >= 1,
+      s"dimensions ${sps.widthMbs}x${sps.heightMbs} MBs")
+    val w = new GolombWriter
+    w.bits(sps.profileIdc, 8)
+    w.bits(0, 8) // constraint_set flags + reserved_zero_2bits
+    w.bits(sps.levelIdc, 8)
+    w.ue(0) // seq_parameter_set_id
+    w.ue(sps.log2MaxFrameNum - 4)
+    w.ue(2) // pic_order_cnt_type 2: no further POC fields
+    w.ue(sps.maxNumRefFrames)
+    w.bit(0) // gaps_in_frame_num_value_allowed_flag
+    w.ue(sps.widthMbs - 1)
+    w.ue(sps.heightMbs - 1)
+    w.bit(1) // frame_mbs_only_flag
+    w.bit(sps.direct8x8)
+    w.bit(0) // frame_cropping_flag
+    w.bit(0) // vui_parameters_present_flag
+    w.rbspTrailing()
+  }
+
+  /** The minimal PPS this subset writes: both ids 0, every optional
+    * mode off, all three QP offsets 0 — 18 bits, 3 RBSP bytes.
+    */
+  private def writePpsRbsp(): Array[Byte] = {
+    val w = new GolombWriter
+    w.ue(0); w.ue(0) // pic_parameter_set_id, seq_parameter_set_id
+    w.bit(0); w.bit(0) // entropy_coding_mode, bottom_field_poc_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    w.bit(0); w.bits(0, 2) // weighted_pred_flag, weighted_bipred_idc
+    w.ue(0); w.ue(0); w.ue(0) // init_qp, init_qs, chroma_qp_offset (se(0))
+    w.bit(0); w.bit(0); w.bit(0) // deblock_ctrl, constrained_intra, redundant
+    w.rbspTrailing()
+  }
+
+  private def parseSpsRbsp(rbsp: Array[Byte]): H264Sps = {
+    val r = new GolombReader(rbsp)
+    val profile = r.bits(8)
+    require(Seq(66, 77, 88).contains(profile),
+      s"profile_idc $profile outside the Baseline/Main/Extended subset")
+    require(r.bits(8) == 0, "constraint/reserved byte nonzero")
+    val level = r.bits(8)
+    require(r.ue() == 0, "seq_parameter_set_id != 0")
+    val logMfn = r.ue()
+    require(logMfn <= 12, s"log2_max_frame_num_minus4 $logMfn > 12 (spec)")
+    require(r.ue() == 2, "pic_order_cnt_type != 2 unsupported")
+    val maxRef = r.ue()
+    r.bit() // gaps_in_frame_num_value_allowed_flag
+    val wMbs = r.ue() + 1
+    val hMbs = r.ue() + 1
+    require(r.bit() == 1, "frame_mbs_only_flag 0 unsupported")
+    val d8 = r.bit()
+    require(r.bit() == 0, "frame_cropping unsupported")
+    require(r.bit() == 0, "VUI unsupported")
+    r.expectTrailing()
+    H264Sps(profile, level, logMfn + 4, maxRef, wMbs, hMbs, d8)
+  }
+
+  /** Build a structurally-genuine Annex-B stream: a 4-byte start code
+    * then the SPS (nal_ref_idc 3, type 7), a 3-byte start code then the
+    * minimal PPS (type 8), then one slice NAL per (refIdc, nalType,
+    * payloadLen) triple behind 3-byte start codes. Slice payloads are
+    * deterministic NONZERO filler (the declared perceptual stub — real
+    * slice data is entropy-coded residuals), so they can never contain
+    * a start code or trigger emulation prevention, and the stream's
+    * byte layout is exactly predictable from the SPS bit arithmetic.
+    */
+  def encodeH264Stream(sps: H264Sps,
+      slices: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def startCode(four: Boolean): Unit = {
+      if (four) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+    }
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Unit = {
+      require(refIdc >= 0 && refIdc <= 3, s"nal_ref_idc $refIdc")
+      out.write((refIdc << 5) | nalType)
+      out.write(escapeRbsp(rbsp))
+    }
+    startCode(four = true)
+    nal(3, 7, writeSpsRbsp(sps))
+    startCode(four = false)
+    nal(3, 8, writePpsRbsp())
+    for ((refIdc, nalType, plen) <- slices) {
+      require(nalType == 1 || nalType == 5,
+        s"slice NAL type $nalType not in {1, 5}")
+      require(nalType != 5 || refIdc > 0,
+        "IDR slices must have nal_ref_idc != 0 (spec §7.4.1)")
+      require(plen >= 1, s"slice payload $plen bytes")
+      startCode(four = false)
+      val payload = new Array[Byte](plen)
+      var j = 0
+      while (j < plen) {
+        payload(j) = (1 + ((j * 131 + plen) % 255)).toByte
+        j += 1
+      }
+      nal(refIdc, nalType, payload)
+    }
+    out.toByteArray
+  }
+
+  /** Walk an Annex-B byte stream structurally: scan start codes (3- and
+    * 4-byte), parse each NAL header (forbidden_zero_bit, nal_ref_idc,
+    * nal_unit_type), unescape the RBSP, and fully parse the SPS's
+    * Exp-Golomb fields. Malformed streams fail loudly: no start code at
+    * offset 0, a set forbidden bit, a reserved/unspecified NAL type, a
+    * ref_idc the spec forbids for the type (0 for SPS/PPS/IDR, nonzero
+    * for SEI/delimiter-class units), an empty NAL, zero or multiple
+    * SPSs, or trailing bytes that never form a start code are all
+    * contract violations, never silent tolerance.
+    */
+  def decodeH264Stream(bytes: Array[Byte]): H264Stream = {
+    // start-code scan: positions p with bytes[p..p+2] = 00 00 01
+    val starts = Vector.newBuilder[Int]
+    var i = 0
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        starts += i
+        i += 3
+      } else i += 1
+    }
+    val ps = starts.result()
+    require(ps.nonEmpty, "no Annex-B start code in stream")
+    require(ps.head == 0 || (ps.head == 1 && bytes(0) == 0),
+      s"stream does not begin with a start code (first at ${ps.head})")
+    val nals = Vector.newBuilder[H264Nal]
+    var sps: Option[H264Sps] = None
+    var k = 0
+    while (k < ps.length) {
+      val p = ps(k)
+      val scl = if (p > 0 && bytes(p - 1) == 0) 4 else 3
+      val dataStart = p + 3
+      // the next start code's 4-byte prefix zero belongs to IT, not us
+      val dataEnd =
+        if (k + 1 < ps.length) {
+          val q = ps(k + 1)
+          if (bytes(q - 1) == 0) q - 1 else q
+        } else bytes.length
+      require(dataEnd > dataStart, s"empty NAL at offset $p")
+      val h = bytes(dataStart) & 0xFF
+      require((h & 0x80) == 0,
+        s"forbidden_zero_bit set at offset $dataStart")
+      val refIdc = (h >> 5) & 3
+      val nalType = h & 0x1F
+      require(nalType >= 1 && nalType <= 12,
+        s"NAL type $nalType reserved/unspecified at offset $p")
+      // spec §7.4.1: SPS/PPS/IDR require ref_idc != 0; SEI, access-unit
+      // delimiter, end-of-seq/stream, filler require ref_idc == 0
+      if (Seq(5, 7, 8).contains(nalType))
+        require(refIdc != 0, s"NAL type $nalType with nal_ref_idc 0")
+      if (Seq(6, 9, 10, 11, 12).contains(nalType))
+        require(refIdc == 0, s"NAL type $nalType with nal_ref_idc $refIdc")
+      val rbsp = unescapeRbsp(
+        java.util.Arrays.copyOfRange(bytes, dataStart + 1, dataEnd))
+      if (nalType == 7) {
+        require(sps.isEmpty, "multiple SPS NALs in subset stream")
+        sps = Some(parseSpsRbsp(rbsp))
+      } else if (nalType == 8) {
+        val r = new GolombReader(rbsp)
+        require(r.ue() == 0 && r.ue() == 0, "PPS ids != 0 unsupported")
+      }
+      nals += H264Nal(p - (scl - 3), scl, refIdc, nalType, rbsp.length)
+      k += 1
+    }
+    H264Stream(nals.result(), sps.getOrElse(
+      throw new IllegalArgumentException("stream carries no SPS")))
+  }
 }

@@ -33,12 +33,18 @@ import org.apache.spark.sql.functions._
   *    genuine MPEG-1 Layer III streams (ID3v2 syncsafe skip, header
   *    table lookups, slot-count frame lengths — q199, oracle-checked),
   *    the audio analogue of the MJPEG marker walk.
-  *  - `decodeStub` for the PERCEPTUAL layers only (MP3's payload —
-  *    Huffman spectral decode + psychoacoustic synthesis filterbank —
-  *    its container walk is now real, q199; H.264's lossy transform +
-  *    motion search — its inter-frame prediction STRUCTURE is covered
-  *    by the FLC tier, what remains out of scope is the
-  *    perceptual/rate-distortion layer): no codec libraries exist in
+  *  - the H.264 CONTAINER layer is real too: [[h264FromText]] /
+  *    [[Codecs.decodeH264Stream]] synthesize and walk genuine Annex-B
+  *    streams (start-code scan, NAL-header validation,
+  *    emulation-prevention escaping, full Exp-Golomb SPS parse —
+  *    q204/q205, oracle-checked), the video analogue of the MP3
+  *    frame-sync walk.
+  *  - `decodeStub` for the PERCEPTUAL payload layers only, for BOTH
+  *    remaining formats (MP3's Huffman spectral decode +
+  *    psychoacoustic synthesis filterbank; H.264's CAVLC/CABAC
+  *    entropy coding, prediction, and loop filter — its inter-frame
+  *    prediction STRUCTURE is covered by the FLC tier): no codec
+  *    libraries exist in
   *    this container and those codecs are out of from-scratch scope,
   *    so their payloads get byte-level metadata only (length, first
   *    byte, digest). Swapping in a real codec replaces only the
@@ -922,6 +928,153 @@ object Multimodal {
       } catch {
         case scala.util.control.NonFatal(_) =>
           TriedMp3Census(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
+  /** Structurally-genuine H.264 Annex-B streams from text: per document
+    * one SPS (every field id-derived — Baseline/Main/Extended profile
+    * by id mod 3, level by id mod 5, log2_max_frame_num 4 + id mod 9,
+    * max_num_ref_frames 1 + id mod 4, picture dimensions (1 + id mod
+    * 20) × (1 + id mod 15) macroblocks), one minimal PPS, then one
+    * slice NAL per 16-code ASCII slice (≥ 1): the first an IDR (type 5,
+    * nal_ref_idc 3 — the spec requires it nonzero), the rest non-IDR
+    * (type 1) with ref_idc (csum + id) mod 4, payload length
+    * 16 + (csum + f) mod 64 — so every NAL boundary is text-coupled.
+    * Start codes, NAL headers, and the Exp-Golomb SPS are real wire
+    * format ([[Codecs.encodeH264Stream]]); only slice payload bytes are
+    * filler — the payload DECODE (CAVLC/CABAC entropy coding,
+    * prediction, loop filter) is the perceptual side that stays
+    * stubbed, exactly like MP3's spectral data.
+    */
+  def h264FromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val profiles = Array(66, 77, 88)
+    val levels = Array(10, 20, 30, 31, 40)
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val codes = asciiBytes(t)
+        val nf = math.max(1, (codes.length + 15) / 16)
+        val slices = (0 until nf).map { f =>
+          var csum = 0L
+          var j = f * 16
+          while (j < math.min((f + 1) * 16, codes.length)) {
+            csum += codes(j); j += 1
+          }
+          if (f == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
+          else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt)
+        }
+        val sps = Codecs.H264Sps(
+          profileIdc = profiles((id % 3).toInt),
+          levelIdc = levels((id % 5).toInt),
+          log2MaxFrameNum = 4 + (id % 9).toInt,
+          maxNumRefFrames = 1 + (id % 4).toInt,
+          widthMbs = 1 + (id % 20).toInt,
+          heightMbs = 1 + (id % 15).toInt,
+          direct8x8 = (id % 2).toInt)
+        MediaRow(id, "video/h264", Codecs.encodeH264Stream(sps, slices))
+      })
+  }
+
+  case class H264Census(media_id: Long, n_nals: Long, n_idr: Long,
+      n_non_idr: Long, sum_ref_idc: Long, profile_idc: Long,
+      level_idc: Long, log2_max_frame_num: Long, width_px: Long,
+      height_px: Long, sps_bytes: Long, total_bytes: Long,
+      last_offset: Long)
+
+  /** The NAL census of REALLY WALKED Annex-B streams
+    * ([[Codecs.decodeH264Stream]] — start-code scan, NAL-header
+    * validation, emulation-prevention unescape, full Exp-Golomb SPS
+    * parse): per stream the unit counts by type, the summed
+    * nal_ref_idc column, every SPS field (dimensions converted to
+    * pixels — frame_mbs_only streams are 16 px per map unit), the
+    * SPS's RBSP byte count (predictable from the ue(v) bit arithmetic
+    * alone), and the byte totals/offsets. A mis-scanned start code, a
+    * wrong Exp-Golomb read, or an off-by-one in the escape handling
+    * shifts a field and hash-mismatches.
+    */
+  def h264NalCensus(media: Dataset[MediaRow]): Dataset[H264Census] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      H264Census(
+        media_id = r.media_id,
+        n_nals = s.nals.size.toLong,
+        n_idr = s.nals.count(_.nalType == 5).toLong,
+        n_non_idr = s.nals.count(_.nalType == 1).toLong,
+        sum_ref_idc = s.nals.map(_.refIdc.toLong).sum,
+        profile_idc = s.sps.profileIdc.toLong,
+        level_idc = s.sps.levelIdc.toLong,
+        log2_max_frame_num = s.sps.log2MaxFrameNum.toLong,
+        width_px = s.sps.widthMbs.toLong * 16L,
+        height_px = s.sps.heightMbs.toLong * 16L,
+        sps_bytes = s.nals.find(_.nalType == 7).map(_.rbspBytes.toLong)
+          .getOrElse(0L),
+        total_bytes = r.content.length.toLong,
+        last_offset = s.nals.last.offset.toLong)
+    })
+  }
+
+  /** H.264's format-specific corruption class (the q184/q200
+    * discipline — every container's planted corruption violates ITS
+    * OWN wire format): for media_id % 13 == 0 the FIRST NAL header's
+    * forbidden_zero_bit is set (the spec's own always-zero bit —
+    * §7.4.1), which [[Codecs.decodeH264Stream]]'s header validation
+    * must reject. The corrupter addresses the header through the
+    * 4-byte start code the encoder leads with — container knowledge,
+    * like corruptMp3's ID3 walk.
+    */
+  def corruptH264(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.media_id % 13 != 0) r
+      else {
+        val b = r.content.clone()
+        if (b.length < 5) throw new IllegalArgumentException(
+          s"media ${r.media_id}: no NAL header to corrupt")
+        b(4) = (b(4) | 0x80).toByte // forbidden_zero_bit -> 1
+        MediaRow(r.media_id, r.media_type, b)
+      }
+    }
+  }
+
+  case class TriedH264Census(media_id: Long, decode_ok: Long,
+      n_nals: Long, n_idr: Long, n_non_idr: Long, sum_ref_idc: Long,
+      profile_idc: Long, level_idc: Long, log2_max_frame_num: Long,
+      width_px: Long, height_px: Long, sps_bytes: Long,
+      total_bytes: Long, last_offset: Long)
+
+  /** The NAL census with quarantine semantics: a stream whose walk
+    * fails (forbidden bit, reserved NAL type, ref_idc the spec forbids,
+    * a bad start code, an SPS parse error) becomes a zeroed
+    * `decode_ok = 0` row — the q178/q184/q200 never-crash production
+    * contract extended to the sixth container.
+    */
+  def tryH264Census(media: Dataset[MediaRow]): Dataset[TriedH264Census] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val c = {
+          val s = Codecs.decodeH264Stream(r.content)
+          TriedH264Census(r.media_id, 1L, s.nals.size.toLong,
+            s.nals.count(_.nalType == 5).toLong,
+            s.nals.count(_.nalType == 1).toLong,
+            s.nals.map(_.refIdc.toLong).sum,
+            s.sps.profileIdc.toLong, s.sps.levelIdc.toLong,
+            s.sps.log2MaxFrameNum.toLong, s.sps.widthMbs.toLong * 16L,
+            s.sps.heightMbs.toLong * 16L,
+            s.nals.find(_.nalType == 7).map(_.rbspBytes.toLong)
+              .getOrElse(0L),
+            r.content.length.toLong, s.nals.last.offset.toLong)
+        }
+        c
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedH264Census(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+            0L, 0L, 0L, 0L, 0L)
       }
     })
   }

@@ -1234,6 +1234,124 @@ object PrepQueries {
       |  CAST(tag_bytes + 2 * flen AS BIGINT) AS total_bytes
       |FROM f ORDER BY media_id""".stripMargin
 
+  /** q204 — H.264 NAL CENSUS, the structural container walk for the
+    * LAST named format: per document a genuine Annex-B stream is
+    * synthesized (real start codes, NAL headers, emulation-prevention
+    * escaping, a fully Exp-Golomb-coded SPS —
+    * [[graft.multimodal.Multimodal.h264FromText]]) and REALLY WALKED
+    * ([[graft.multimodal.Codecs.decodeH264Stream]]): start codes are
+    * scanned (3- and 4-byte), every NAL header validated
+    * (forbidden_zero_bit, the spec's per-type nal_ref_idc rules), and
+    * the SPS's profile/level/frame-num/dimension fields re-derived bit
+    * by bit — what q199's frame walk is for MP3 and
+    * [[graft.multimodal.Codecs.decodeJpegStream]]'s marker walk is for
+    * MJPEG. The oracle predicts every census field from the synthesis
+    * arithmetic, INCLUDING the SPS's RBSP byte count via the ue(v)
+    * bit-length formula (2·⌊log2(k+1)⌋+1 — the `length(bin())` idiom):
+    * a mis-read Exp-Golomb field, a mis-scanned start code, or an
+    * escape slip shifts a size or an offset and hash-mismatches. The
+    * engine's declared perceptual stub now reads "payload decode only"
+    * for EVERY format it names: H.264's container layer is real.
+    */
+  val q204_h264_nal_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264NalCensus(
+        graft.multimodal.Multimodal.h264FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q204Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (
+      |  SELECT media_id, nf, f,
+      |    16 + (csum + f) % 64 AS plen,
+      |    CASE WHEN f = 0 THEN 3 ELSE (csum + media_id) % 4 END AS ref
+      |  FROM fr),
+      |sp AS (
+      |  SELECT media_id,
+      |    (34
+      |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+      |      + 7) // 8 AS sps_bytes
+      |  FROM s)
+      |SELECT media_id,
+      |  CAST(nf + 2 AS BIGINT) AS n_nals,
+      |  CAST(1 AS BIGINT) AS n_idr,
+      |  CAST(nf - 1 AS BIGINT) AS n_non_idr,
+      |  CAST(6 + sum(ref) AS BIGINT) AS sum_ref_idc,
+      |  CAST([66,77,88][CAST(media_id % 3 + 1 AS INTEGER)] AS BIGINT)
+      |    AS profile_idc,
+      |  CAST([10,20,30,31,40][CAST(media_id % 5 + 1 AS INTEGER)] AS BIGINT)
+      |    AS level_idc,
+      |  CAST(4 + media_id % 9 AS BIGINT) AS log2_max_frame_num,
+      |  CAST(16 * (1 + media_id % 20) AS BIGINT) AS width_px,
+      |  CAST(16 * (1 + media_id % 15) AS BIGINT) AS height_px,
+      |  CAST(sps_bytes AS BIGINT) AS sps_bytes,
+      |  CAST(12 + sps_bytes + sum(4 + plen) AS BIGINT) AS total_bytes,
+      |  CAST(12 + sps_bytes + sum(4 + plen)
+      |    - 4 - max(CASE WHEN f = nf - 1 THEN plen END) AS BIGINT)
+      |    AS last_offset
+      |FROM fl JOIN sp USING (media_id)
+      |GROUP BY media_id, nf, sps_bytes ORDER BY media_id""".stripMargin
+
+  /** q205 — H.264 QUARANTINE PARITY, the sixth container under the
+    * q178/q184/q200 production contract: for media_id % 13 == 0 the
+    * FIRST NAL header's forbidden_zero_bit is set (the spec's own
+    * always-zero bit — every container's corruption class violates its
+    * own wire format), the walk is really attempted, and failures
+    * become zeroed `decode_ok = 0` rows — never a stage crash, never a
+    * silently wrong census. The oracle predicts exactly which ids
+    * quarantine and the full q204 census of the rest.
+    */
+  val q205_h264_quarantine: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryH264Census(
+        graft.multimodal.Multimodal.corruptH264(
+          graft.multimodal.Multimodal.h264FromText(
+            s, Tables.documents(s, d), "doc_id", "text")))
+      .toDF().orderBy("media_id")
+
+  val q205Sql: String =
+    s"""WITH census AS ( $q204Sql )
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_nals END AS n_nals,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_idr END AS n_idr,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_non_idr END
+       |    AS n_non_idr,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE sum_ref_idc END
+       |    AS sum_ref_idc,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE profile_idc END
+       |    AS profile_idc,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE level_idc END
+       |    AS level_idc,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE log2_max_frame_num END
+       |    AS log2_max_frame_num,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE width_px END AS width_px,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE height_px END
+       |    AS height_px,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE sps_bytes END
+       |    AS sps_bytes,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE total_bytes END
+       |    AS total_bytes,
+       |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE last_offset END
+       |    AS last_offset
+       |FROM census ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1427,6 +1545,8 @@ object PrepQueries {
     "q199_mp3_frame_census" -> q199_mp3_frame_census,
     "q200_mp3_quarantine" -> q200_mp3_quarantine,
     "q202_mp3_tag_extract" -> q202_mp3_tag_extract,
+    "q204_h264_nal_census" -> q204_h264_nal_census,
+    "q205_h264_quarantine" -> q205_h264_quarantine,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1463,6 +1583,8 @@ object PrepQueries {
     "q199_mp3_frame_census" -> q199Sql,
     "q200_mp3_quarantine" -> q200Sql,
     "q202_mp3_tag_extract" -> q202Sql,
+    "q204_h264_nal_census" -> q204Sql,
+    "q205_h264_quarantine" -> q205Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -1319,6 +1319,75 @@ class CodecSpec extends AnyFunSuite {
     assert(t.head.decode_ok === 1L && t.head.n_frames === 0L)
   }
 
+  test("H.264 NAL walk: encode/walk round-trips start codes, headers, " +
+      "and every Exp-Golomb SPS field — offsets and RBSP sizes " +
+      "hand-checked") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(profileIdc = 77, levelIdc = 31,
+      log2MaxFrameNum = 7, maxNumRefFrames = 4, widthMbs = 16,
+      heightMbs = 12, direct8x8 = 1)
+    val bytes = Codecs.encodeH264Stream(sps,
+      Seq((3, 5, 20), (0, 1, 17), (2, 1, 30)))
+    val s = Codecs.decodeH264Stream(bytes)
+    assert(s.sps === sps)
+    assert(s.nals.map(n => (n.nalType, n.refIdc)) ===
+      Vector((7, 3), (8, 3), (5, 3), (1, 0), (1, 2)))
+    assert(s.nals.map(_.startCodeLen) === Vector(4, 3, 3, 3, 3))
+    // SPS bit count by hand: 24 fixed header bits + ue(0)=1 +
+    // ue(3)=5 + ue(2)=3 + ue(4)=5 + 1 + ue(15)=9 + ue(11)=7 +
+    // 4 flags + stop = 34 + 5 + 5 + 9 + 7 = 60 bits -> 8 bytes
+    assert(s.nals.head.rbspBytes === 8)
+    assert(s.nals.map(_.offset) ===
+      Vector(0, 4 + 1 + 8, 13 + 4 + 3, 20 + 4 + 20, 44 + 4 + 17))
+    assert(bytes.length === 65 + 4 + 30)
+    // slice payload bytes are nonzero by construction (no fake start
+    // codes, no emulation prevention in the stub payload)
+    assert(bytes.drop(20 + 4).take(20).forall(_ != 0))
+  }
+
+  test("H.264 emulation prevention: 00 00 0x sequences escape on the " +
+      "wire and unescape back; a spurious 03 is rejected") {
+    import graft.multimodal.Codecs
+    val hot = Array[Byte](0, 0, 0, 0, 1, 0, 0, 2, 7, 0, 0, 3, 9)
+    val esc = Codecs.escapeRbsp(hot)
+    // escaped: 00 00 03 00 00 03 01 00 00 03 02 07 00 00 03 03 09
+    assert(esc.map(_.toInt) ===
+      Array(0, 0, 3, 0, 0, 3, 1, 0, 0, 3, 2, 7, 0, 0, 3, 3, 9))
+    assert(Codecs.unescapeRbsp(esc) === hot)
+    // no start code survives escaping
+    assert(!esc.sliding(3).exists(w => w(0) == 0 && w(1) == 0 && w(2) == 1))
+    // a 03 after 00 00 must be followed by <= 03 (or end) to be an
+    // escape; anything else is a wire error, not silently passed through
+    intercept[IllegalArgumentException](
+      Codecs.unescapeRbsp(Array[Byte](0, 0, 3, 9)))
+  }
+
+  test("H.264 walk failure modes: forbidden bit, reserved NAL type, " +
+      "ref_idc contract, missing SPS, and no start code all fail " +
+      "loudly") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(66, 10, 4, 1, 1, 1, 0)
+    val ok = Codecs.encodeH264Stream(sps, Seq((3, 5, 16)))
+    assert(Codecs.decodeH264Stream(ok).nals.size === 3)
+    // forbidden_zero_bit on the first header (the q205 corruption)
+    val fb = ok.clone(); fb(4) = (fb(4) | 0x80).toByte
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(fb))
+    // reserved NAL type 14
+    val rt = ok.clone(); rt(4) = ((rt(4) & 0xE0) | 14).toByte
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(rt))
+    // SPS with nal_ref_idc 0 violates §7.4.1
+    val r0 = ok.clone(); r0(4) = (r0(4) & 0x1F).toByte
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(r0))
+    // no start code at offset 0
+    intercept[IllegalArgumentException](
+      Codecs.decodeH264Stream(Array[Byte](9) ++ ok))
+    // a stream whose only NALs are slices carries no SPS (the SPS NAL
+    // is 4-byte SC + header + 5 RBSP bytes = 10; the remainder begins
+    // with the PPS's own 3-byte start code)
+    val spsLess = ok.drop(10)
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(spsLess))
+  }
+
   test("MP3 frame walk failure modes: trailing garbage, lost sync, " +
       "truncated frame, and reserved table indices all fail loudly") {
     import graft.multimodal.Codecs
