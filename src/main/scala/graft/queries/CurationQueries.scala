@@ -1324,10 +1324,12 @@ object CurationQueries {
     * discipline), so a drift in any tier flips a bit and
     * hash-mismatches.
     *
-    * 100 TB: short/rep/pii ride the scan (map-only); pplx adds q187's
-    * model build; cdc adds q194's one rolling-hash pass + key join;
-    * the survivor join serves the memoized cluster relation; one
-    * final per-doc join tree on 8-byte doc_id keys.
+    * 100 TB: short/rep/pii ride the scan (map-only); pplx SERVES the
+    * pinned [[SharedPplx]] memo (built once per session — the matrix
+    * prices its own join, not a second model build); cdc adds q194's
+    * one rolling-hash pass + key join; the survivor join serves the
+    * memoized cluster relation; one final per-doc join tree on 8-byte
+    * doc_id keys.
     */
   val q190_curation_matrix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1341,7 +1343,7 @@ object CurationQueries {
       .withColumn("rk", row_number().over(byLen))
       .filter(col("rk") === 1)
       .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
-    val pplx = FilterQueries.q187_bigram_perplexity(s, d)
+    val pplx = SharedPplx.serve(s, d)
       .select(col("doc_id"), col("avg_q6"))
     // bit 32 — chunk-grained eval contamination (q194's audit): a TRAIN
     // doc sharing ≥ 1 content-defined chunk with the eval split; eval
