@@ -803,13 +803,13 @@ object PrepQueries {
     * decoder that tolerated the truncation would hash-mismatch on the
     * zeroed columns). The production contract for 100 TB lakes, where
     * corrupt files are a certainty; the quarantine relation is the
-    * re-fetch worklist. Map-only.
+    * re-fetch worklist. Map-only. PUBLISHES the per-doc readout into
+    * the [[SharedQuarantine]] memo so the state-served release card
+    * (q206) prices a join, not a re-decoded lake — q178's own number
+    * always bills the full encode→corrupt→decode pipeline.
     */
   val q178_quarantine_decode: Q = (s, d) =>
-    graft.multimodal.Multimodal.tryDecodeImageStats(
-        graft.multimodal.Multimodal.corruptedPngFromText(
-          s, Tables.documents(s, d), "doc_id", "text"))
-      .toDF().orderBy("media_id")
+    SharedQuarantine.publish(s, d).orderBy("media_id")
 
   val q178Sql: String =
     """WITH a AS (

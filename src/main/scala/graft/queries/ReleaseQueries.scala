@@ -131,9 +131,91 @@ object ReleaseQueries {
        |GROUP BY r.source ORDER BY r.source""".stripMargin
   }
 
+  /** q206 — the six-tier release card SERVED FROM STORED STATE and the
+    * pinned memos: q179 re-derives every tier per run; this produces
+    * the IDENTICAL card with zero model building and zero media
+    * decoding at query time — the q196/q197/q198/q203 discipline
+    * applied to the engine's flagship composition:
+    *
+    *  - dedup survivors: the SHARED cluster-label memo (built once per
+    *    session, billed to q56);
+    *  - quality: [[graft.pipeline.CorpusBuild.stateNbScreen]] — the NB
+    *    model derived from the FOLDED (token, class) count deltas
+    *    (counts are additive sufficient statistics, so the state model
+    *    IS q174's model over the folded corpus), scoring every doc
+    *    against the broadcast table with no train aggregate anywhere
+    *    in the plan (PlanSpec pins the absence);
+    *  - DSIR: [[graft.pipeline.CorpusBuild.stateDsirScores]] — the
+    *    folded 256-bucket table, zero model work;
+    *  - media quarantine: the [[SharedQuarantine]] memo (q178's decode
+    *    readout — a join, not a re-decoded lake);
+    *  - PII + domains: map-only planted algebra riding the one
+    *    document scan the card needs anyway.
+    *
+    * Oracle: q179's SQL verbatim — a stale fold, a wrong memo
+    * generation, or a lost batch shifts a per-source count and
+    * hash-mismatches.
+    *
+    * 100 TB: one document scan (PII/URL/NB/DSIR scoring all ride it),
+    * two broadcast model joins from vocab-/bucket-bounded folds, two
+    * doc-count memo joins, one |sources|-row rollup.
+    */
+  val q206_state_release_card: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    val comp = graft.ops.TextDedup.dedupClusterRelationShared(
+      docs, d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    val byLen = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("id"))
+    val kept = comp
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .withColumn("rk", row_number().over(byLen))
+      .filter(col("rk") === 1)
+      .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
+    val screened = PiiQueries.screened(
+      docs.withColumn("aug", PiiQueries.plantedText), "aug")
+    val withUrl = screened
+      .withColumn("u", regexp_extract(UrlQueries.plantedText,
+        UrlQueries.UrlRe, 0))
+      .withColumn("domain", regexp_extract(col("u"), "https?://([^/]+)", 1))
+    // quality tier: every doc scored against the state-derived model —
+    // the fold is the sufficient statistic, no train at query time
+    val qual = graft.pipeline.CorpusBuild.stateNbScreen(s, dir, docs)
+    // data-selection tier: the folded DSIR bucket table
+    val dsir = graft.pipeline.CorpusBuild.stateDsirScores(s, dir, docs)
+      .select(col("doc_id"), col("selected"))
+    // media tier: q178's decode readout served from the pinned memo
+    val quar = SharedQuarantine.serve(s, d)
+      .select(col("media_id").as("doc_id"), col("decode_ok"))
+    withUrl
+      .join(kept, Seq("doc_id"), "left_outer")
+      .join(qual, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"))
+      .join(quar, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(coalesce(col("is_kept"), lit(0L))).as("kept_docs"),
+        sum(when(col("n_emails") + col("n_ipv4") + col("n_phones") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_emails") + col("n_ipv4") + col("n_phones"))
+          .as("pii_total"),
+        countDistinct("domain").as("distinct_domains"),
+        sum(col("predicted")).as("quality_pass"),
+        sum(col("selected")).as("dsir_selected"),
+        sum(when(col("decode_ok") === 0, 1L).otherwise(0L))
+          .as("media_quarantined"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q179_release_card" -> q179_release_card)
+    "q179_release_card" -> q179_release_card,
+    "q206_state_release_card" -> q206_state_release_card)
 
   val oracleSql: Map[String, String] = Map(
-    "q179_release_card" -> q179Sql)
+    "q179_release_card" -> q179Sql,
+    // the state-served card must reproduce q179's in-query composition
+    // EXACTLY — same oracle, so the driver hash-checks every fold and
+    // memo generation behind the six tiers
+    "q206_state_release_card" -> q179Sql)
 }

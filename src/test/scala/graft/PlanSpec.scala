@@ -174,7 +174,11 @@ class PlanSpec extends AnyFunSuite {
       "q201_source_reweight",
       // q203: q201's rollup over the folded state — the same declared
       // scalars (token total, floor, excess total)
-      "q203_state_reweight")
+      "q203_state_reweight",
+      // q206: the state-served card inherits q180's NB-scalar and
+      // q191's DSIR-smoothing-total 1-row broadcasts (both over
+      // bounded fold relations; nothing corpus-scale is crossed)
+      "q206_state_release_card")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
@@ -411,5 +415,42 @@ class PlanSpec extends AnyFunSuite {
     assert(dictPlan.contains("keys=[word"),
       s"contrast lost its teeth — wordDict no longer groups by word:\n" +
         dictPlan)
+  }
+
+  test("q206: the state-served release card carries NO corpus-rescan " +
+      "model tier — no NB train aggregate keyed on (label, tok) and no " +
+      "media-decode object pipeline; the in-query card q179 has both") {
+    // materialize the memos/state first so the served plan is the
+    // steady-state one (not a first-demand build)
+    graft.queries.TokenizerQueries.ensurePostingState(spark, sf)
+    graft.queries.ReleaseQueries.q179_release_card(spark, sf).collect()
+    val served = graft.queries.ReleaseQueries
+      .q206_state_release_card(spark, sf)
+    val servedPlan = served.queryExecution.sparkPlan.toString
+    // NB TRAIN groups the exploded corpus by (label, tok); the served
+    // model derives from the folded (tk, c0, c1) delta table instead
+    assert(!servedPlan.contains("keys=[label"),
+      s"served card still trains the NB model:\n$servedPlan")
+    // the media tier is a memo scan, not an encode->corrupt->decode
+    // object pipeline (MediaRow mapPartitions shows up as obj_to_row
+    // serialization in the physical plan)
+    assert(!servedPlan.contains("SerializeFromObject"),
+      s"served card still decodes the media lake:\n$servedPlan")
+    // contrast: the in-query card's plan DOES train and decode
+    val inQueryPlan = graft.queries.ReleaseQueries
+      .q179_release_card(spark, sf).queryExecution.sparkPlan.toString
+    assert(inQueryPlan.contains("keys=[label"),
+      "contrast lost its teeth — q179 no longer trains NB in-query:\n" +
+        inQueryPlan)
+    assert(inQueryPlan.contains("SerializeFromObject"),
+      "contrast lost its teeth — q179 no longer decodes the lake:\n" +
+        inQueryPlan)
+    // and the two cards agree row for row (the oracle also enforces
+    // this cross-engine; here it is pinned engine-side)
+    val a = graft.queries.ReleaseQueries.q179_release_card(spark, sf)
+      .collect().map(_.toSeq)
+    val b = served.collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq,
+      "state-served card diverged from the in-query card")
   }
 }
