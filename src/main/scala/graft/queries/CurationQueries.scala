@@ -286,11 +286,15 @@ object CurationQueries {
     * membership counts (docs of the source appearing in ≥ 1 text /
     * image / audio near-dup pair — read from the [[SharedPairs]] memo
     * q165 publishes, so the card bills its own |pairs|-sized rollup,
-    * not three re-decoded media corpora) — every figure an exact
+    * not three re-decoded media corpora), and the perplexity-informed
+    * MIXING WEIGHT (q201's DoReMi-family ppm weight per source, the
+    * rollup over the [[SharedPplx]] memo — the card documents the mix
+    * the engine would actually train with) — every figure an exact
     * integer so the card is bit-identical across engines and re-runs.
     * One corpus scan + a digest aggregate + a |sources|-row rollup; at
     * 100 TB this is two shuffles (digest, source) plus a pair-scale
-    * membership join, all map-side combined, output |sources| rows.
+    * membership join plus one broadcast of the |sources|-row weight
+    * relation, all map-side combined, output |sources| rows.
     */
   val q163_dataset_card: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -323,12 +327,14 @@ object CurationQueries {
         sum(col("q_ppm")).as("q_sum"))
       .join(dupDocs, Seq("source"))
       .join(modal, Seq("source"), "left")
+      .join(broadcast(FilterQueries.sourceWeights(s, d)), Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         expr("(1000000 * dup_docs) DIV n_docs").as("dup_ppm"),
         expr("q_sum DIV n_docs").as("mean_quality_ppm"),
         coalesce(col("m_text"), lit(0L)).as("text_neardup_docs"),
         coalesce(col("m_image"), lit(0L)).as("image_neardup_docs"),
-        coalesce(col("m_audio"), lit(0L)).as("audio_neardup_docs"))
+        coalesce(col("m_audio"), lit(0L)).as("audio_neardup_docs"),
+        col("weight_ppm"))
       .orderBy("source")
   }
 
@@ -402,7 +408,8 @@ object CurationQueries {
        |    CAST(SUM(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
        |      AS m_audio
        |  FROM mm JOIN documents d ON mm.doc_id = d.doc_id
-       |  GROUP BY d.source)
+       |  GROUP BY d.source),
+       |w AS ( ${FilterQueries.q201Sql} )
        |SELECT q.source,
        |  count(*) AS n_docs,
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
@@ -415,9 +422,11 @@ object CurationQueries {
        |  CAST(coalesce(any_value(m_image), 0) AS BIGINT)
        |    AS image_neardup_docs,
        |  CAST(coalesce(any_value(m_audio), 0) AS BIGINT)
-       |    AS audio_neardup_docs
+       |    AS audio_neardup_docs,
+       |  CAST(any_value(w.weight_ppm) AS BIGINT) AS weight_ppm
        |FROM q JOIN dup ON q.source = dup.source
        |LEFT JOIN ms ON q.source = ms.source
+       |JOIN w ON q.source = w.source
        |GROUP BY q.source ORDER BY q.source""".stripMargin
   }
 

@@ -452,6 +452,18 @@ object FilterQueries {
       .orderBy("source")
   }
 
+  /** The (source, weight_ppm) readout of q201's rollup, serving the
+    * pinned perplexity memo — |sources|-bounded, so consumers join it
+    * as a broadcast. The q163 dataset card reads this so the release
+    * documentation carries the mixing weights the engine would
+    * actually train with.
+    */
+  private[queries] def sourceWeights(s: SparkSession, d: String): DataFrame =
+    reweightRollup(Tables.documents(s, d),
+      SharedPplx.serve(s, d)
+        .select(col("doc_id"), col("n_pairs"), col("pplx_sum")))
+      .select(col("source"), col("weight_ppm"))
+
   /** q203 — q201's source reweighting served from the STORED bigram-LM
     * state: the per-doc perplexities come from
     * [[graft.pipeline.CorpusBuild.stateBigramScores]] (the q196 fold —

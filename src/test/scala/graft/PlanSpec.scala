@@ -178,7 +178,11 @@ class PlanSpec extends AnyFunSuite {
       // q206: the state-served card inherits q180's NB-scalar and
       // q191's DSIR-smoothing-total 1-row broadcasts (both over
       // bounded fold relations; nothing corpus-scale is crossed)
-      "q206_state_release_card")
+      "q206_state_release_card",
+      // q163: the card's weight_ppm column joins q201's rollup, which
+      // carries its two declared 1-row scalars (easiest-source floor,
+      // excess total) over the |sources|-bounded relation
+      "q163_dataset_card")
     // sparkPlan (pre-AQE) compiles without executing the query; eager
     // shingle materialization is switched off so the dedup queries don't
     // run their pipelines just to be plan-inspected (iterative CC queries
