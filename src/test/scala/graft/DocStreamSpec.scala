@@ -824,4 +824,84 @@ class DocStreamSpec extends AnyFunSuite {
       t.contains("555-000") || t.contains("10.1.2.3")),
       "raw PII leaked into the corpus state")
   }
+
+  test("all seven ingest doors compose on ONE stream: declared per-batch " +
+      "order, correct fire counts (PII every batch, state-gated doors " +
+      "from batch 2), and pre-fold screening semantics survive the " +
+      "composition") {
+    import graft.ops.BigramLm
+    val root = java.nio.file.Files.createTempDirectory("docstream_alldoors")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusBuild.Config(trackFingerprints = true,
+      trackClassifier = true, trackDsir = true, trackBigramLm = true,
+      trackCdc = true)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(lake)
+
+    // one shared event log: every door appends its name when invoked —
+    // the likeliest regression as doors accumulate is an ordering or
+    // gating slip that no single-door test can see
+    val log = new scala.collection.mutable.ArrayBuffer[String]()
+    def door(name: String): org.apache.spark.sql.DataFrame => Unit =
+      df => log.synchronized {
+        df.collect() // force the screen to actually run at door time
+        log += name
+      }
+    val pplxScreens =
+      new scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long)]]()
+    val q = DocStream.ingestToState(
+      DocStream.readDocumentStream(spark, lake), state, ckpt, cfg,
+      onBatchOverlap = door("overlap"),
+      onCrossSplit = door("crossSplit"),
+      onPii = door("pii"),
+      onQuality = door("quality"),
+      onDsir = door("dsir"),
+      onPerplexity = df => log.synchronized {
+        pplxScreens += df.select("doc_id", "pplx_sum", "avg_q6").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        log += "pplx"
+      },
+      onCdc = door("cdc"))
+    q.awaitTermination(180000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // batch 1: only the PII door (no standing state to screen against);
+    // batches 2 and 3: every door, in the ingest's declared order
+    val perBatch = Seq("pii", "overlap", "crossSplit", "quality", "dsir",
+      "pplx", "cdc")
+    assert(log.synchronized(log.toSeq) ===
+      Seq("pii") ++ perBatch ++ perBatch,
+      s"door order/gating drifted: ${log.synchronized(log.toSeq)}")
+
+    // pre-fold semantics under composition: batch 2's perplexity screen
+    // still equals scoring batch 2 against batch 1's standing model —
+    // no other door (nor the fold itself) leaked batch 2 into the
+    // model it is screened against
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val expected = BigramLm.scores(BigramLm.pairs(b2),
+        BigramLm.bigramDelta(b1), BigramLm.unigramDelta(b1))
+      .select("doc_id", "pplx_sum", "avg_q6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pplxScreens.synchronized(pplxScreens.head) === expected,
+      "composed doors changed the pre-fold perplexity screen")
+
+    // and the fold underneath produced the same state a door-less
+    // ingest would: the served card tiers read identical models
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(r.get).toSeq)
+    assert(rows(CorpusBuild.stateBigramScores(spark, state, docs)) ===
+      rows(graft.queries.FilterQueries.q187_bigram_perplexity(spark, sf)),
+      "fold under full door composition diverged from the one-shot model")
+  }
 }
