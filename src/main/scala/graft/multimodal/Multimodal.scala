@@ -937,10 +937,13 @@ object Multimodal {
     * by id mod 3, level by id mod 5, log2_max_frame_num 4 + id mod 9,
     * max_num_ref_frames 1 + id mod 4, picture dimensions (1 + id mod
     * 20) × (1 + id mod 15) macroblocks), one minimal PPS, then one
-    * slice NAL per 16-code ASCII slice (≥ 1): the first an IDR (type 5,
-    * nal_ref_idc 3 — the spec requires it nonzero), the rest non-IDR
-    * (type 1) with ref_idc (csum + id) mod 4, payload length
-    * 16 + (csum + f) mod 64 — so every NAL boundary is text-coupled.
+    * slice NAL per 16-code ASCII slice (≥ 1): every 7th an IDR
+    * (f mod 7 = 0 — type 5, nal_ref_idc 3, the spec requires it
+    * nonzero; periodic keyframes are how real encoders bound seek
+    * latency, and they give [[h264IdrIndex]] a genuine GOP structure),
+    * the rest non-IDR (type 1) with ref_idc (csum + id) mod 4, payload
+    * length 16 + (csum + f) mod 64 — so every NAL boundary is
+    * text-coupled.
     * Start codes, NAL headers, and the Exp-Golomb SPS are real wire
     * format ([[Codecs.encodeH264Stream]]); only slice payload bytes are
     * filler — the payload DECODE (CAVLC/CABAC entropy coding,
@@ -964,7 +967,7 @@ object Multimodal {
           while (j < math.min((f + 1) * 16, codes.length)) {
             csum += codes(j); j += 1
           }
-          if (f == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
+          if (f % 7 == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
           else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt)
         }
         val sps = Codecs.H264Sps(
@@ -1076,6 +1079,35 @@ object Multimodal {
           TriedH264Census(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
             0L, 0L, 0L, 0L, 0L)
       }
+    })
+  }
+
+  case class H264IdrIndex(media_id: Long, n_idr: Long,
+      first_idr_offset: Long, last_idr_offset: Long, max_gop_bytes: Long,
+      tail_bytes: Long)
+
+  /** The IDR SEEK INDEX of really-walked Annex-B streams: the byte
+    * offsets of the keyframe NALs (type 5) are where a video training
+    * pipeline can cut, sample, or resume a clip without decoding
+    * across a prediction chain — the frame-sampling plan of
+    * [[frameOffsets]], but derived from genuine container structure
+    * instead of stub arithmetic. Per stream: the IDR count, the
+    * first/last IDR start-code offsets, the largest byte gap between
+    * consecutive IDRs (the worst-case GOP the seeker must scan), and
+    * the bytes after the last IDR (the unseekable tail). Map-only;
+    * rides the decode scan at 100 TB.
+    */
+  def h264IdrIndex(media: Dataset[MediaRow]): Dataset[H264IdrIndex] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      val idr = s.nals.filter(_.nalType == 5).map(_.offset.toLong)
+      require(idr.nonEmpty,
+        s"media ${r.media_id}: no IDR NAL — stream is unseekable")
+      val gaps = idr.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      H264IdrIndex(r.media_id, idr.size.toLong, idr.head, idr.last,
+        if (gaps.isEmpty) 0L else gaps.max,
+        r.content.length.toLong - idr.last)
     })
   }
 

@@ -1352,15 +1352,27 @@ object CurationQueries {
       .withColumn("rk", row_number().over(byLen))
       .filter(col("rk") === 1)
       .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
-    val pplx = SharedPplx.serve(s, d)
-      .select(col("doc_id"), col("avg_q6"))
     // bit 32 — chunk-grained eval contamination (q194's audit): a TRAIN
     // doc sharing ≥ 1 content-defined chunk with the eval split; eval
     // docs themselves are never flagged (they are not contaminated
     // train data)
-    val cdc = ExtensionQueries.q194_cdc_decontam(s, d)
-      .filter(col("n_eval_shared") > 0L)
-      .select(col("doc_id"), lit(1L).as("cdc_hit"))
+    matrixFromTiers(s, d, kept,
+      ExtensionQueries.q194_cdc_decontam(s, d)
+        .filter(col("n_eval_shared") > 0L)
+        .select(col("doc_id"), lit(1L).as("cdc_hit")))
+  }
+
+  /** The matrix body shared by q190 (in-query CDC audit) and q208
+    * (CDC audit served from the stored chunk index): the map-only
+    * short/rep/pii flags, the memo-served perplexity column, the
+    * survivor join, and the bitmap rollup — only the `cdc` relation
+    * differs between the tiers.
+    */
+  private def matrixFromTiers(s: SparkSession, d: String,
+      kept: DataFrame, cdc: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pplx = SharedPplx.serve(s, d)
+      .select(col("doc_id"), col("avg_q6"))
     val st = TextAnalysis.runStats(
       filter(TextAnalysis.tokens(col("text")), t => length(t) > 0))
     val piiHits =
@@ -1461,6 +1473,36 @@ object CurationQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** q208 — the curation matrix with its CDC tier SERVED FROM STORED
+    * STATE: q190's bit-32 contamination flag re-chunks the eval split
+    * in-query; here the eval side reads from the folded
+    * `cdcevalchunks` index ([[graft.pipeline.CorpusBuild
+    * .stateCdcDecontam]] — q197's tier) while the train side still
+    * chunks in one rolling-hash pass riding the scan. Every other
+    * tier already serves a memo or is map-only, so this completes the
+    * matrix's serve-path story: zero model building, zero eval
+    * re-chunking at query time. Oracle: q190's SQL verbatim — a stale
+    * chunk fold flips a bit and hash-mismatches.
+    */
+  val q208_state_curation_matrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val dir = TokenizerQueries.ensurePostingState(s, d)
+    val comp = graft.ops.TextDedup.dedupClusterRelationShared(
+      docs, d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    val byLen = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("id"))
+    val kept = comp
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .withColumn("rk", row_number().over(byLen))
+      .filter(col("rk") === 1)
+      .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
+    matrixFromTiers(s, d, kept,
+      graft.pipeline.CorpusBuild.stateCdcDecontam(s, dir, docs)
+        .filter(col("n_eval_shared") > 0L)
+        .select(col("doc_id"), lit(1L).as("cdc_hit")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_pii_redact" -> q83_pii_redact,
     "q84_split_assign" -> q84_split_assign,
@@ -1484,7 +1526,8 @@ object CurationQueries {
     "q97_cluster_sizes" -> q97_cluster_sizes,
     "q98_source_quota_agg" -> q98_source_quota_agg,
     "q190_curation_matrix" -> q190_curation_matrix,
-    "q195_epoch_allocation" -> q195_epoch_allocation)
+    "q195_epoch_allocation" -> q195_epoch_allocation,
+    "q208_state_curation_matrix" -> q208_state_curation_matrix)
 
   val oracleSql: Map[String, String] = Map(
     "q83_pii_redact" -> q83Sql,
@@ -1511,5 +1554,8 @@ object CurationQueries {
     // same oracle, so the driver hash-checks the equivalence end-to-end
     "q98_source_quota_agg" -> q92Sql,
     "q190_curation_matrix" -> q190Sql,
-    "q195_epoch_allocation" -> q195Sql)
+    "q195_epoch_allocation" -> q195Sql,
+    // the state-served matrix must reproduce q190's in-query audit
+    // EXACTLY — same oracle, so the driver hash-checks the chunk fold
+    "q208_state_curation_matrix" -> q190Sql)
 }

@@ -1277,7 +1277,7 @@ object PrepQueries {
       |fl AS (
       |  SELECT media_id, nf, f,
       |    16 + (csum + f) % 64 AS plen,
-      |    CASE WHEN f = 0 THEN 3 ELSE (csum + media_id) % 4 END AS ref
+      |    CASE WHEN f % 7 = 0 THEN 3 ELSE (csum + media_id) % 4 END AS ref
       |  FROM fr),
       |sp AS (
       |  SELECT media_id,
@@ -1290,8 +1290,10 @@ object PrepQueries {
       |  FROM s)
       |SELECT media_id,
       |  CAST(nf + 2 AS BIGINT) AS n_nals,
-      |  CAST(1 AS BIGINT) AS n_idr,
-      |  CAST(nf - 1 AS BIGINT) AS n_non_idr,
+      |  CAST(sum(CASE WHEN f % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_idr,
+      |  CAST(nf - sum(CASE WHEN f % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_non_idr,
       |  CAST(6 + sum(ref) AS BIGINT) AS sum_ref_idc,
       |  CAST([66,77,88][CAST(media_id % 3 + 1 AS INTEGER)] AS BIGINT)
       |    AS profile_idc,
@@ -1351,6 +1353,73 @@ object PrepQueries {
        |  CASE WHEN media_id % 13 = 0 THEN 0 ELSE last_offset END
        |    AS last_offset
        |FROM census ORDER BY media_id""".stripMargin
+
+  /** q207 — H.264 IDR SEEK INDEX: the keyframe byte offsets of really
+    * walked Annex-B streams ([[graft.multimodal.Multimodal
+    * .h264IdrIndex]]) — where a video training pipeline cuts, samples,
+    * or resumes a clip without decoding across a prediction chain (the
+    * container-derived version of the frame-sampling plan). Per
+    * stream: IDR count, first/last IDR start-code offsets, the largest
+    * byte gap between consecutive IDRs (the worst-case GOP a seeker
+    * scans), and the unseekable tail after the last IDR. The oracle
+    * re-derives every offset from the synthesis arithmetic by
+    * CUMULATIVE window sums over the per-slice NAL sizes (the q185
+    * sliding-window discipline) — an off-by-one anywhere in the
+    * start-code/header/payload layout shifts an offset and
+    * hash-mismatches.
+    */
+  val q207_h264_idr_index: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264IdrIndex(
+        graft.multimodal.Multimodal.h264FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q207Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (SELECT media_id, nf, f, 16 + (csum + f) % 64 AS plen FROM fr),
+      |sp AS (
+      |  SELECT media_id,
+      |    (34
+      |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+      |      + 7) // 8 AS sps_bytes
+      |  FROM s),
+      |off AS (
+      |  SELECT media_id, f, plen,
+      |    12 + sps_bytes + coalesce(SUM(4 + plen) OVER (
+      |      PARTITION BY media_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      |  FROM fl JOIN sp USING (media_id)),
+      |tot AS (
+      |  SELECT media_id, 12 + any_value(sps_bytes) + SUM(4 + plen) AS total
+      |  FROM fl JOIN sp USING (media_id) GROUP BY media_id),
+      |idr AS (
+      |  SELECT media_id, o,
+      |    o - lag(o) OVER (PARTITION BY media_id ORDER BY f) AS gap
+      |  FROM off WHERE f % 7 = 0)
+      |SELECT media_id,
+      |  CAST(count(*) AS BIGINT) AS n_idr,
+      |  CAST(min(o) AS BIGINT) AS first_idr_offset,
+      |  CAST(max(o) AS BIGINT) AS last_idr_offset,
+      |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gop_bytes,
+      |  CAST(any_value(total) - max(o) AS BIGINT) AS tail_bytes
+      |FROM idr JOIN tot USING (media_id)
+      |GROUP BY media_id ORDER BY media_id""".stripMargin
 
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
@@ -1547,6 +1616,7 @@ object PrepQueries {
     "q202_mp3_tag_extract" -> q202_mp3_tag_extract,
     "q204_h264_nal_census" -> q204_h264_nal_census,
     "q205_h264_quarantine" -> q205_h264_quarantine,
+    "q207_h264_idr_index" -> q207_h264_idr_index,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1585,6 +1655,7 @@ object PrepQueries {
     "q202_mp3_tag_extract" -> q202Sql,
     "q204_h264_nal_census" -> q204Sql,
     "q205_h264_quarantine" -> q205Sql,
+    "q207_h264_idr_index" -> q207Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,
