@@ -2093,6 +2093,15 @@ object Codecs {
       while (nbits != 0) bit(0)
       out.toByteArray
     }
+    /** Pad the current byte with ONE bits (the slice-header case: stub
+      * payload follows, so no trailing-bit semantics — ones guarantee
+      * the final header byte is nonzero and no zero-byte pair can form
+      * against the filler).
+      */
+    def padToByteWithOnes(): Array[Byte] = {
+      while (nbits != 0) bit(1)
+      out.toByteArray
+    }
   }
 
   /** Exp-Golomb/bit reader over an (unescaped) RBSP. */
@@ -2178,10 +2187,15 @@ object Codecs {
 
   /** One walked NAL unit: the start-code byte offset, the start-code
     * length (3 or 4), the header fields, and the payload size in RBSP
-    * bytes (post-unescape, excluding the header byte).
+    * bytes (post-unescape, excluding the header byte). For slice NALs
+    * (types 1/5) the parsed slice-header fields ride along
+    * (slice_type and frame_num; −1 for non-slice units): the slice
+    * HEADER is real Exp-Golomb wire format — only the entropy-coded
+    * macroblock data after it is the declared perceptual stub.
     */
   final case class H264Nal(offset: Int, startCodeLen: Int, refIdc: Int,
-      nalType: Int, rbspBytes: Int)
+      nalType: Int, rbspBytes: Int, sliceType: Int = -1,
+      frameNum: Int = -1)
 
   /** A walked Annex-B stream: every NAL in order plus the parsed SPS
     * (exactly one per stream in this subset).
@@ -2257,11 +2271,25 @@ object Codecs {
   /** Build a structurally-genuine Annex-B stream: a 4-byte start code
     * then the SPS (nal_ref_idc 3, type 7), a 3-byte start code then the
     * minimal PPS (type 8), then one slice NAL per (refIdc, nalType,
-    * payloadLen) triple behind 3-byte start codes. Slice payloads are
-    * deterministic NONZERO filler (the declared perceptual stub — real
-    * slice data is entropy-coded residuals), so they can never contain
-    * a start code or trigger emulation prevention, and the stream's
-    * byte layout is exactly predictable from the SPS bit arithmetic.
+    * payloadLen) triple behind 3-byte start codes.
+    *
+    * Each slice RBSP BEGINS with a REAL Exp-Golomb slice header (spec
+    * §7.3.3 subset): first_mb_in_slice ue(0) (single-slice pictures),
+    * slice_type ue — from the per-type legal sets, chosen by payload
+    * parity (IDR: 2/7, non-IDR: 0/5), pic_parameter_set_id ue(0), and
+    * frame_num as a FIXED-WIDTH read of log2_max_frame_num bits — the
+    * cross-NAL dependency of the real format (the slice header cannot
+    * be parsed without the SPS). IDR slices carry frame_num 0 (spec
+    * §7.4.3); non-IDR slices carry slice-index mod 2^log2. The header
+    * pads its last byte with ONES, then deterministic NONZERO filler
+    * fills the declared payload length — so the stub region (the
+    * entropy-coded macroblock data the header precedes) can never
+    * contain a start code, and the header region provably never forms
+    * two consecutive zero bytes (the ue prefix before frame_num is
+    * always an odd bit count, so frame_num's zero run can fully cover
+    * at most one aligned byte) — emulation prevention never fires and
+    * the stream's byte layout stays exactly predictable from the
+    * declared lengths (the encoder asserts this loudly).
     */
   def encodeH264Stream(sps: H264Sps,
       slices: Seq[(Int, Int, Int)]): Array[Byte] = {
@@ -2279,19 +2307,31 @@ object Codecs {
     nal(3, 7, writeSpsRbsp(sps))
     startCode(four = false)
     nal(3, 8, writePpsRbsp())
-    for ((refIdc, nalType, plen) <- slices) {
+    for (((refIdc, nalType, plen), idx) <- slices.zipWithIndex) {
       require(nalType == 1 || nalType == 5,
         s"slice NAL type $nalType not in {1, 5}")
       require(nalType != 5 || refIdc > 0,
         "IDR slices must have nal_ref_idc != 0 (spec §7.4.1)")
-      require(plen >= 1, s"slice payload $plen bytes")
       startCode(four = false)
+      val w = new GolombWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(if (nalType == 5) { if (plen % 2 == 0) 2 else 7 }
+        else { if (plen % 2 == 0) 0 else 5 })
+      w.ue(0) // pic_parameter_set_id
+      w.bits(if (nalType == 5) 0 // IDR: frame_num shall be 0 (§7.4.3)
+        else idx % (1 << sps.log2MaxFrameNum), sps.log2MaxFrameNum)
+      val header = w.padToByteWithOnes()
+      require(plen >= header.length + 1,
+        s"slice payload $plen bytes cannot hold its ${header.length}-byte header")
       val payload = new Array[Byte](plen)
-      var j = 0
+      System.arraycopy(header, 0, payload, 0, header.length)
+      var j = header.length
       while (j < plen) {
         payload(j) = (1 + ((j * 131 + plen) % 255)).toByte
         j += 1
       }
+      require(escapeRbsp(payload).length == plen,
+        "slice RBSP triggered emulation prevention — synthesis contract broken")
       nal(refIdc, nalType, payload)
     }
     out.toByteArray
@@ -2350,14 +2390,34 @@ object Codecs {
         require(refIdc == 0, s"NAL type $nalType with nal_ref_idc $refIdc")
       val rbsp = unescapeRbsp(
         java.util.Arrays.copyOfRange(bytes, dataStart + 1, dataEnd))
+      var sliceType = -1
+      var frameNum = -1
       if (nalType == 7) {
         require(sps.isEmpty, "multiple SPS NALs in subset stream")
         sps = Some(parseSpsRbsp(rbsp))
       } else if (nalType == 8) {
         val r = new GolombReader(rbsp)
         require(r.ue() == 0 && r.ue() == 0, "PPS ids != 0 unsupported")
+      } else if (nalType == 1 || nalType == 5) {
+        // the slice HEADER is real wire format; frame_num's width comes
+        // from the SPS — the cross-NAL dependency of the real decoder
+        val s = sps.getOrElse(throw new IllegalArgumentException(
+          s"slice at offset $p before any SPS"))
+        val r = new GolombReader(rbsp)
+        require(r.ue() == 0, "first_mb_in_slice != 0 unsupported")
+        sliceType = r.ue()
+        require(sliceType <= 9, s"slice_type $sliceType out of range")
+        if (nalType == 5)
+          require(sliceType % 5 == 2, // I slice (2 or 7)
+            s"IDR with non-I slice_type $sliceType (spec §7.4.3)")
+        require(r.ue() == 0, "pic_parameter_set_id != 0 unsupported")
+        frameNum = r.bits(s.log2MaxFrameNum)
+        if (nalType == 5)
+          require(frameNum == 0,
+            s"IDR frame_num $frameNum != 0 (spec §7.4.3)")
       }
-      nals += H264Nal(p - (scl - 3), scl, refIdc, nalType, rbsp.length)
+      nals += H264Nal(p - (scl - 3), scl, refIdc, nalType, rbsp.length,
+        sliceType, frameNum)
       k += 1
     }
     H264Stream(nals.result(), sps.getOrElse(

@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   *  - the H.264 CONTAINER layer is real too: [[h264FromText]] /
   *    [[Codecs.decodeH264Stream]] synthesize and walk genuine Annex-B
   *    streams (start-code scan, NAL-header validation,
-  *    emulation-prevention escaping, full Exp-Golomb SPS parse —
-  *    q204/q205, oracle-checked), the video analogue of the MP3
-  *    frame-sync walk.
+  *    emulation-prevention escaping, full Exp-Golomb SPS parse, and
+  *    the slice HEADER — slice_type and the SPS-width frame_num —
+  *    q204/q205/q207/q209, oracle-checked), the video analogue of the
+  *    MP3 frame-sync walk.
   *  - `decodeStub` for the PERCEPTUAL payload layers only, for BOTH
   *    remaining formats (MP3's Huffman spectral decode +
   *    psychoacoustic synthesis filterbank; H.264's CAVLC/CABAC
@@ -1079,6 +1080,39 @@ object Multimodal {
           TriedH264Census(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
             0L, 0L, 0L, 0L, 0L)
       }
+    })
+  }
+
+  case class H264SliceCensus(media_id: Long, n_slices: Long, n_i2: Long,
+      n_i7: Long, n_p0: Long, n_p5: Long, sum_frame_num: Long,
+      max_frame_num: Long)
+
+  /** The SLICE-HEADER census of really-walked streams: slice_type and
+    * frame_num are parsed back from each slice NAL's leading
+    * Exp-Golomb header ([[Codecs.decodeH264Stream]] — frame_num's bit
+    * width comes from the SPS, the cross-NAL dependency of the real
+    * format), narrowing the declared stub to the entropy-coded
+    * macroblock DATA alone: every header field before it is genuine
+    * wire format. Per stream: slice count, the per-type-value counts
+    * (I slices 2/7, P slices 0/5 — both members of each legal set are
+    * live via the payload-parity choice), and the frame_num sum/max.
+    * A mis-read ue(v), a wrong frame_num width, or a slipped bit
+    * boundary shifts a count and hash-mismatches. Map-only.
+    */
+  def h264SliceCensus(media: Dataset[MediaRow]): Dataset[H264SliceCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      val sl = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+      H264SliceCensus(
+        media_id = r.media_id,
+        n_slices = sl.size.toLong,
+        n_i2 = sl.count(_.sliceType == 2).toLong,
+        n_i7 = sl.count(_.sliceType == 7).toLong,
+        n_p0 = sl.count(_.sliceType == 0).toLong,
+        n_p5 = sl.count(_.sliceType == 5).toLong,
+        sum_frame_num = sl.map(_.frameNum.toLong).sum,
+        max_frame_num = sl.map(_.frameNum.toLong).max)
     })
   }
 

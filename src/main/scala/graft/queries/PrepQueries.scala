@@ -1421,6 +1421,62 @@ object PrepQueries {
       |FROM idr JOIN tot USING (media_id)
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** q209 — H.264 SLICE-HEADER CENSUS: the layer between q204's NAL
+    * walk and the declared stub is itself real wire format — each
+    * slice RBSP leads with an Exp-Golomb header (first_mb_in_slice,
+    * slice_type from the per-type legal sets, pic_parameter_set_id,
+    * then frame_num read with a BIT WIDTH THE SPS DECLARES — the
+    * cross-NAL dependency of the real format: the header cannot be
+    * parsed without first decoding the SPS). The synthesis exercises
+    * both members of each legal slice_type set (I: 2/7 on IDR, P: 0/5
+    * on non-IDR, chosen by payload parity) and the spec's IDR
+    * frame_num = 0 rule; the stub is now the entropy-coded macroblock
+    * DATA alone. The oracle re-derives every count and the frame_num
+    * arithmetic (slice index mod 2^log2_max_frame_num) from the source
+    * columns — a slipped bit boundary or a wrong width garbles a
+    * value and hash-mismatches.
+    */
+  val q209_h264_slice_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264SliceCensus(
+        graft.multimodal.Multimodal.h264FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q209Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (
+      |  SELECT media_id, nf, f,
+      |    (16 + (csum + f) % 64) % 2 AS pe,
+      |    CASE WHEN f % 7 = 0 THEN 0
+      |      ELSE f % (1 << CAST(4 + media_id % 9 AS INTEGER)) END AS fn
+      |  FROM fr)
+      |SELECT media_id,
+      |  CAST(nf AS BIGINT) AS n_slices,
+      |  CAST(sum(CASE WHEN f % 7 = 0 AND pe = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_i2,
+      |  CAST(sum(CASE WHEN f % 7 = 0 AND pe = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_i7,
+      |  CAST(sum(CASE WHEN f % 7 <> 0 AND pe = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_p0,
+      |  CAST(sum(CASE WHEN f % 7 <> 0 AND pe = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_p5,
+      |  CAST(sum(fn) AS BIGINT) AS sum_frame_num,
+      |  CAST(max(fn) AS BIGINT) AS max_frame_num
+      |FROM fl GROUP BY media_id, nf ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1617,6 +1673,7 @@ object PrepQueries {
     "q204_h264_nal_census" -> q204_h264_nal_census,
     "q205_h264_quarantine" -> q205_h264_quarantine,
     "q207_h264_idr_index" -> q207_h264_idr_index,
+    "q209_h264_slice_census" -> q209_h264_slice_census,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1656,6 +1713,7 @@ object PrepQueries {
     "q204_h264_nal_census" -> q204Sql,
     "q205_h264_quarantine" -> q205Sql,
     "q207_h264_idr_index" -> q207Sql,
+    "q209_h264_slice_census" -> q209Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

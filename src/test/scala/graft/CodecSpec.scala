@@ -1362,6 +1362,40 @@ class CodecSpec extends AnyFunSuite {
       Codecs.unescapeRbsp(Array[Byte](0, 0, 3, 9)))
   }
 
+  test("H.264 slice headers: slice_type and frame_num round-trip " +
+      "through real Exp-Golomb bits with the SPS-declared frame_num " +
+      "width, and the IDR constraints stay loud") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(77, 31, 9, 2, 4, 3, 0) // frame_num: 9 bits
+    // plen parity drives the slice_type choice: 20 even -> I2/P0,
+    // 17 odd -> P5; indices 1, 2 mod 512 are the frame_nums
+    val bytes = Codecs.encodeH264Stream(sps,
+      Seq((3, 5, 20), (0, 1, 17), (2, 1, 30)))
+    val s = Codecs.decodeH264Stream(bytes)
+    val sl = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+    assert(sl.map(n => (n.sliceType, n.frameNum)) ===
+      Vector((2, 0), (5, 1), (0, 2)))
+    // non-slice units carry the -1 sentinels
+    assert(s.nals.take(2).map(_.sliceType) === Vector(-1, -1))
+    // frame_num width really comes from the SPS: with log2 = 16 the
+    // same slice list reads different header bits, still exact
+    val wide = Codecs.H264Sps(77, 31, 16, 2, 4, 3, 0)
+    val s2 = Codecs.decodeH264Stream(Codecs.encodeH264Stream(wide,
+      Seq((3, 5, 20), (0, 1, 17))))
+    assert(s2.nals.drop(2).map(_.frameNum) === Vector(0, 1))
+    // an IDR whose frame_num bits are nonzero is rejected (§7.4.3):
+    // flip the last frame_num bit — header bits are 1|011|1|9 zeros =
+    // 14 bits, so bit 13 (frame_num's LSB) sits in payload byte 1
+    val idrStart = bytes.length - (4 + 20) - (4 + 17) - (4 + 30) + 4
+    val bad = bytes.clone()
+    bad(idrStart + 1) = (bad(idrStart + 1) | 0x04).toByte
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(bad))
+    // a slice arriving before any SPS is a contract error, not a
+    // silent parse with a guessed width
+    val spsLess = bytes.drop(4 + 1 + s.nals.head.rbspBytes)
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(spsLess))
+  }
+
   test("H.264 walk failure modes: forbidden bit, reserved NAL type, " +
       "ref_idc contract, missing SPS, and no start code all fail " +
       "loudly") {
