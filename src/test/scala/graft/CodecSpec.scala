@@ -1422,6 +1422,35 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeH264Stream(spsLess))
   }
 
+  test("H.264 hostile-input pin: seeded byte mutations of a valid " +
+      "stream and raw random bytes either parse or raise the contract " +
+      "error class — no index/arithmetic leak for the quarantine tier " +
+      "to mask") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(88, 40, 11, 3, 16, 9, 1)
+    val base = Codecs.encodeH264Stream(sps,
+      Seq((3, 5, 24), (1, 1, 19), (0, 1, 33), (2, 1, 17)))
+    val rnd = new scala.util.Random(0xC0DEC5L)
+    var parsed = 0; var rejected = 0
+    for (_ <- 1 to 400) {
+      val b = base.clone()
+      // 1-3 random byte stomps anywhere, including headers and sizes
+      for (_ <- 0 to rnd.nextInt(3))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Codecs.decodeH264Stream(b); parsed += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+      // any other exception class fails the test by propagating
+    }
+    // both outcomes occur at this seed: stomps in stub payload bytes
+    // parse fine, stomps in structure get rejected
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try Codecs.decodeH264Stream(junk)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("MP3 frame walk failure modes: trailing garbage, lost sync, " +
       "truncated frame, and reserved table indices all fail loudly") {
     import graft.multimodal.Codecs
