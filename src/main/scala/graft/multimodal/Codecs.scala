@@ -2197,10 +2197,12 @@ object Codecs {
       nalType: Int, rbspBytes: Int, sliceType: Int = -1,
       frameNum: Int = -1)
 
-  /** A walked Annex-B stream: every NAL in order plus the parsed SPS
-    * (exactly one per stream in this subset).
+  /** A walked Annex-B stream: every NAL in order, the parsed SPS
+    * (exactly one per stream in this subset), and any SEI messages as
+    * (payloadType, payloadSize) pairs in wire order.
     */
-  final case class H264Stream(nals: Vector[H264Nal], sps: H264Sps)
+  final case class H264Stream(nals: Vector[H264Nal], sps: H264Sps,
+      sei: Vector[(Int, Int)] = Vector.empty)
 
   private def writeSpsRbsp(sps: H264Sps): Array[Byte] = {
     require(Seq(66, 77, 88).contains(sps.profileIdc),
@@ -2291,8 +2293,8 @@ object Codecs {
     * the stream's byte layout stays exactly predictable from the
     * declared lengths (the encoder asserts this loudly).
     */
-  def encodeH264Stream(sps: H264Sps,
-      slices: Seq[(Int, Int, Int)]): Array[Byte] = {
+  def encodeH264Stream(sps: H264Sps, slices: Seq[(Int, Int, Int)],
+      sei: Seq[(Int, Int)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def startCode(four: Boolean): Unit = {
       if (four) out.write(0)
@@ -2307,6 +2309,28 @@ object Codecs {
     nal(3, 7, writeSpsRbsp(sps))
     startCode(four = false)
     nal(3, 8, writePpsRbsp())
+    for ((seiType, seiSize) <- sei) {
+      // sei_message() (spec §7.3.2.3.1): payload type and size each as
+      // an FF-CASCADE — as many 0xFF bytes as the value holds full 255s,
+      // then the remainder byte — then the payload, then rbsp trailing.
+      // SEI units carry nal_ref_idc 0 (§7.4.1 — the decoder enforces it).
+      require(seiType >= 0 && seiSize >= 1, s"SEI ($seiType, $seiSize)")
+      val o = new java.io.ByteArrayOutputStream()
+      def cascade(v0: Int): Unit = {
+        var v = v0
+        while (v >= 255) { o.write(0xFF); v -= 255 }
+        o.write(v)
+      }
+      cascade(seiType); cascade(seiSize)
+      var j = 0
+      while (j < seiSize) { o.write(1 + ((j * 131 + seiSize) % 255)); j += 1 }
+      o.write(0x80) // rbsp_trailing_bits: stop bit, byte-aligned
+      val rbsp = o.toByteArray
+      require(escapeRbsp(rbsp).length == rbsp.length,
+        "SEI RBSP triggered emulation prevention — synthesis contract broken")
+      startCode(four = false)
+      nal(0, 6, rbsp)
+    }
     for (((refIdc, nalType, plen), idx) <- slices.zipWithIndex) {
       require(nalType == 1 || nalType == 5,
         s"slice NAL type $nalType not in {1, 5}")
@@ -2362,6 +2386,7 @@ object Codecs {
     require(ps.head == 0 || (ps.head == 1 && bytes(0) == 0),
       s"stream does not begin with a start code (first at ${ps.head})")
     val nals = Vector.newBuilder[H264Nal]
+    val seiMsgs = Vector.newBuilder[(Int, Int)]
     var sps: Option[H264Sps] = None
     var k = 0
     while (k < ps.length) {
@@ -2398,6 +2423,27 @@ object Codecs {
       } else if (nalType == 8) {
         val r = new GolombReader(rbsp)
         require(r.ue() == 0 && r.ue() == 0, "PPS ids != 0 unsupported")
+      } else if (nalType == 6) {
+        // sei_message(): payload type + size as FF-cascades (§7.3.2.3.1),
+        // the payload, then the aligned stop-bit byte — one message per
+        // SEI NAL in this subset, every byte accounted for
+        var pos = 0
+        def cascade(what: String): Int = {
+          var v = 0
+          while (pos < rbsp.length && (rbsp(pos) & 0xFF) == 0xFF) {
+            v += 255; pos += 1
+          }
+          require(pos < rbsp.length, s"SEI $what cascade overruns the NAL")
+          v += rbsp(pos) & 0xFF; pos += 1
+          v
+        }
+        val pt = cascade("payload-type")
+        val sz = cascade("payload-size")
+        require(pos + sz + 1 == rbsp.length,
+          s"SEI declares $sz payload bytes, ${rbsp.length - pos - 1} present")
+        require((rbsp(rbsp.length - 1) & 0xFF) == 0x80,
+          "SEI rbsp_trailing_bits missing")
+        seiMsgs += ((pt, sz))
       } else if (nalType == 1 || nalType == 5) {
         // the slice HEADER is real wire format; frame_num's width comes
         // from the SPS — the cross-NAL dependency of the real decoder
@@ -2421,6 +2467,7 @@ object Codecs {
       k += 1
     }
     H264Stream(nals.result(), sps.getOrElse(
-      throw new IllegalArgumentException("stream carries no SPS")))
+      throw new IllegalArgumentException("stream carries no SPS")),
+      seiMsgs.result())
   }
 }

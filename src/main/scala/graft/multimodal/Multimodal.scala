@@ -951,36 +951,95 @@ object Multimodal {
     * prediction, loop filter) is the perceptual side that stays
     * stubbed, exactly like MP3's spectral data.
     */
+  private def h264BytesFor(id: Long, t: String,
+      withSei: Boolean): Array[Byte] = {
+    val profiles = Array(66, 77, 88)
+    val levels = Array(10, 20, 30, 31, 40)
+    val codes = asciiBytes(t)
+    val nf = math.max(1, (codes.length + 15) / 16)
+    val slices = (0 until nf).map { f =>
+      var csum = 0L
+      var j = f * 16
+      while (j < math.min((f + 1) * 16, codes.length)) {
+        csum += codes(j); j += 1
+      }
+      if (f % 7 == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
+      else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt)
+    }
+    val sps = Codecs.H264Sps(
+      profileIdc = profiles((id % 3).toInt),
+      levelIdc = levels((id % 5).toInt),
+      log2MaxFrameNum = 4 + (id % 9).toInt,
+      maxNumRefFrames = 1 + (id % 4).toInt,
+      widthMbs = 1 + (id % 20).toInt,
+      heightMbs = 1 + (id % 15).toInt,
+      direct8x8 = (id % 2).toInt)
+    val sei =
+      if (!withSei) Nil
+      else {
+        // payload type exercises BOTH ff-cascade widths (5 =
+        // user_data_unregistered for even ids; ≥ 256 for odd ids),
+        // and the size range 200..319 crosses the 255 boundary so the
+        // size cascade is text-coupled AND two-width
+        var total = 0L
+        var j = 0
+        while (j < codes.length) { total += codes(j); j += 1 }
+        Seq((if (id % 2 == 0) 5 else 256 + (id % 100).toInt,
+          200 + (total % 120).toInt))
+      }
+    Codecs.encodeH264Stream(sps, slices, sei)
+  }
+
   def h264FromText(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val profiles = Array(66, 77, 88)
-    val levels = Array(10, 20, 30, 31, 40)
     docs.select(col(idCol).cast("long").as("media_id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val codes = asciiBytes(t)
-        val nf = math.max(1, (codes.length + 15) / 16)
-        val slices = (0 until nf).map { f =>
-          var csum = 0L
-          var j = f * 16
-          while (j < math.min((f + 1) * 16, codes.length)) {
-            csum += codes(j); j += 1
-          }
-          if (f % 7 == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
-          else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt)
-        }
-        val sps = Codecs.H264Sps(
-          profileIdc = profiles((id % 3).toInt),
-          levelIdc = levels((id % 5).toInt),
-          log2MaxFrameNum = 4 + (id % 9).toInt,
-          maxNumRefFrames = 1 + (id % 4).toInt,
-          widthMbs = 1 + (id % 20).toInt,
-          heightMbs = 1 + (id % 15).toInt,
-          direct8x8 = (id % 2).toInt)
-        MediaRow(id, "video/h264", Codecs.encodeH264Stream(sps, slices))
+        MediaRow(id, "video/h264", h264BytesFor(id, t, withSei = false))
       })
+  }
+
+  /** [[h264FromText]] with an id-and-text-derived SEI message between
+    * the PPS and the first slice — the supplemental-metadata unit real
+    * encoders emit (timing, user data); its payload type and size are
+    * FF-CASCADE coded, the one variable-length integer coding in the
+    * format that is NOT Exp-Golomb.
+    */
+  def h264SeiFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        MediaRow(id, "video/h264", h264BytesFor(id, t, withSei = true))
+      })
+  }
+
+  case class H264SeiCensus(media_id: Long, n_sei: Long, sei_type: Long,
+      sei_size: Long, sei_rbsp_bytes: Long, n_nals: Long,
+      total_bytes: Long)
+
+  /** The SEI census of really-walked streams: the message's
+    * payload-type and payload-size FF-cascades are parsed back
+    * byte-for-byte ([[Codecs.decodeH264Stream]] — a dropped 0xFF or a
+    * mis-read remainder shifts type, size, AND the declared byte
+    * accounting the decoder enforces against the NAL length). Exact
+    * integers throughout; map-only.
+    */
+  def h264SeiCensus(media: Dataset[MediaRow]): Dataset[H264SeiCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      require(s.sei.size == 1,
+        s"media ${r.media_id}: expected one SEI, got ${s.sei.size}")
+      val (pt, sz) = s.sei.head
+      H264SeiCensus(r.media_id, s.sei.size.toLong, pt.toLong, sz.toLong,
+        s.nals.find(_.nalType == 6).map(_.rbspBytes.toLong).getOrElse(0L),
+        s.nals.size.toLong, r.content.length.toLong)
+    })
   }
 
   case class H264Census(media_id: Long, n_nals: Long, n_idr: Long,

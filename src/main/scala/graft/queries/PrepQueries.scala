@@ -1477,6 +1477,74 @@ object PrepQueries {
       |  CAST(max(fn) AS BIGINT) AS max_frame_num
       |FROM fl GROUP BY media_id, nf ORDER BY media_id""".stripMargin
 
+  /** q210 — H.264 SEI FF-CASCADE CENSUS: the supplemental-metadata
+    * unit's payload type and size use the format's one variable-length
+    * integer coding that is NOT Exp-Golomb — as many 0xFF bytes as the
+    * value holds full 255s, then the remainder (spec §7.3.2.3.1) —
+    * and the synthesis drives BOTH widths of BOTH fields (type 5 on
+    * even ids vs ≥ 256 on odd; size 200..319 crossing the 255
+    * boundary, text-coupled). The decoder re-reads the cascades
+    * byte-for-byte and enforces the declared byte accounting against
+    * the NAL length plus the aligned stop-bit byte
+    * ([[graft.multimodal.Codecs.decodeH264Stream]]); the oracle
+    * predicts type, size, the cascade byte counts, and the whole
+    * stream's byte total from the source columns.
+    */
+  val q210_h264_sei_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264SeiCensus(
+        graft.multimodal.Multimodal.h264SeiFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q210Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf,
+      |    coalesce(list_sum(codes), 0) AS tsum
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (SELECT media_id, nf, f, 16 + (csum + f) % 64 AS plen FROM fr),
+      |sp AS (
+      |  SELECT media_id,
+      |    (34
+      |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+      |      + 7) // 8 AS sps_bytes
+      |  FROM s),
+      |se AS (
+      |  SELECT media_id,
+      |    CASE WHEN media_id % 2 = 0 THEN 5
+      |      ELSE 256 + media_id % 100 END AS sei_type,
+      |    200 + tsum % 120 AS sei_size
+      |  FROM s),
+      |se2 AS (
+      |  SELECT media_id, sei_type, sei_size,
+      |    (sei_type // 255 + 1) + (sei_size // 255 + 1) + sei_size + 1
+      |      AS sei_rbsp
+      |  FROM se)
+      |SELECT media_id,
+      |  CAST(1 AS BIGINT) AS n_sei,
+      |  CAST(sei_type AS BIGINT) AS sei_type,
+      |  CAST(sei_size AS BIGINT) AS sei_size,
+      |  CAST(sei_rbsp AS BIGINT) AS sei_rbsp_bytes,
+      |  CAST(nf + 3 AS BIGINT) AS n_nals,
+      |  CAST(12 + sps_bytes + 4 + sei_rbsp + sum(4 + plen) AS BIGINT)
+      |    AS total_bytes
+      |FROM fl JOIN sp USING (media_id) JOIN se2 USING (media_id)
+      |GROUP BY media_id, nf, sps_bytes, sei_type, sei_size, sei_rbsp
+      |ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1674,6 +1742,7 @@ object PrepQueries {
     "q205_h264_quarantine" -> q205_h264_quarantine,
     "q207_h264_idr_index" -> q207_h264_idr_index,
     "q209_h264_slice_census" -> q209_h264_slice_census,
+    "q210_h264_sei_census" -> q210_h264_sei_census,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1714,6 +1783,7 @@ object PrepQueries {
     "q205_h264_quarantine" -> q205Sql,
     "q207_h264_idr_index" -> q207Sql,
     "q209_h264_slice_census" -> q209Sql,
+    "q210_h264_sei_census" -> q210Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -1422,6 +1422,37 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeH264Stream(spsLess))
   }
 
+  test("H.264 SEI messages: ff-cascade type/size round-trip at both " +
+      "widths and the 255 boundaries; byte accounting and trailing " +
+      "bits stay loud") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(66, 20, 5, 1, 2, 2, 0)
+    // cascade boundaries: 254 (one byte), 255 (FF 00), 256 (FF 01),
+    // 510 (FF FF 00) — for both the type and the size fields
+    for ((pt, sz) <- Seq((5, 254), (254, 255), (255, 256), (510, 300))) {
+      val bytes = Codecs.encodeH264Stream(sps, Seq((3, 5, 16)),
+        sei = Seq((pt, sz)))
+      val s = Codecs.decodeH264Stream(bytes)
+      assert(s.sei === Vector((pt, sz)), s"($pt, $sz)")
+      val seiNal = s.nals.find(_.nalType == 6).get
+      assert(seiNal.refIdc === 0) // §7.4.1: SEI carries nal_ref_idc 0
+      assert(seiNal.rbspBytes ===
+        (pt / 255 + 1) + (sz / 255 + 1) + sz + 1)
+    }
+    // a size over-declaration (payload runs past the NAL) is loud
+    val ok = Codecs.encodeH264Stream(sps, Seq((3, 5, 16)),
+      sei = Seq((5, 40)))
+    val seiStart = 4 + 1 + Codecs.decodeH264Stream(ok).nals.head.rbspBytes +
+      (3 + 1 + 3) + (3 + 1) // SPS NAL + PPS NAL + SEI SC/header
+    val bad = ok.clone()
+    bad(seiStart + 1) = 60.toByte // declared size 40 -> 60
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(bad))
+    // a clobbered trailing byte is a missing rbsp_trailing_bits
+    val bad2 = ok.clone()
+    bad2(seiStart + 2 + 40) = 0x7F.toByte
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(bad2))
+  }
+
   test("H.264 hostile-input pin: seeded byte mutations of a valid " +
       "stream and raw random bytes either parse or raise the contract " +
       "error class — no index/arithmetic leak for the quarantine tier " +
