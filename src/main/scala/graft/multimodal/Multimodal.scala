@@ -1204,6 +1204,39 @@ object Multimodal {
     })
   }
 
+  case class H264Gop(media_id: Long, gop_idx: Long, start_offset: Long,
+      end_offset: Long, gop_bytes: Long, n_slices: Long)
+
+  /** The GOP WORKLIST of really-walked streams — one row per
+    * IDR-delimited group of pictures: [[h264IdrIndex]] reports the
+    * seek statistics; this MATERIALIZES the plan (start/end byte
+    * ranges + slice counts) a clip sampler or distributed transcoder
+    * actually consumes — each row is an independently decodable byte
+    * range (an IDR resets the prediction chain), so the worklist
+    * partitions a video corpus into parallel work units without any
+    * decoder coordination. Map-side fanout riding the decode scan;
+    * output rows ≈ keyframe count, far below byte scale.
+    */
+  def h264GopWorklist(media: Dataset[MediaRow]): Dataset[H264Gop] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      val slices = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+      val idr = slices.zipWithIndex.filter(_._1.nalType == 5)
+      require(idr.nonEmpty,
+        s"media ${r.media_id}: no IDR NAL — stream is unseekable")
+      idr.zipWithIndex.map { case ((nal, sliceIdx), k) =>
+        val endOff =
+          if (k + 1 < idr.size) idr(k + 1)._1.offset.toLong
+          else r.content.length.toLong
+        val endSlice =
+          if (k + 1 < idr.size) idr(k + 1)._2 else slices.size
+        H264Gop(r.media_id, k.toLong, nal.offset.toLong, endOff,
+          endOff - nal.offset, (endSlice - sliceIdx).toLong)
+      }
+    })
+  }
+
   /** Decode IMA ADPCM payloads (REAL nibble reconstruction —
     * [[Codecs.decodeWavAdpcm]]) into the shared container-agnostic
     * audio stats kernel.

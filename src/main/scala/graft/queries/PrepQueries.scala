@@ -1545,6 +1545,72 @@ object PrepQueries {
       |GROUP BY media_id, nf, sps_bytes, sei_type, sei_size, sei_rbsp
       |ORDER BY media_id""".stripMargin
 
+  /** q211 — H.264 GOP WORKLIST: q207 reports the seek statistics;
+    * this MATERIALIZES the plan — one row per IDR-delimited group of
+    * pictures with its byte range and slice count, each row an
+    * independently decodable unit (the IDR resets the prediction
+    * chain), which is exactly how a distributed clip sampler or
+    * transcoder partitions a 100 TB video corpus into parallel work
+    * with no decoder coordination. A FANOUT relation (map-side,
+    * ~keyframe-count rows), not a rollup. The oracle re-derives every
+    * byte range by cumulative window sums + lead() over the IDR rows
+    * and the slice counts from the keyframe cadence — an off-by-one
+    * anywhere in the layout shifts a boundary and hash-mismatches.
+    */
+  val q211_h264_gop_worklist: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264GopWorklist(
+        graft.multimodal.Multimodal.h264FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id", "gop_idx")
+
+  val q211Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |s AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM a),
+      |fr AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM s)),
+      |fl AS (SELECT media_id, nf, f, 16 + (csum + f) % 64 AS plen FROM fr),
+      |sp AS (
+      |  SELECT media_id,
+      |    (34
+      |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+      |      + 7) // 8 AS sps_bytes
+      |  FROM s),
+      |off AS (
+      |  SELECT media_id, nf, f, plen,
+      |    12 + sps_bytes + coalesce(SUM(4 + plen) OVER (
+      |      PARTITION BY media_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      |  FROM fl JOIN sp USING (media_id)),
+      |tot AS (
+      |  SELECT media_id, 12 + any_value(sps_bytes) + SUM(4 + plen) AS total
+      |  FROM fl JOIN sp USING (media_id) GROUP BY media_id),
+      |idr AS (
+      |  SELECT media_id, nf, f, o,
+      |    CAST(f // 7 AS BIGINT) AS gop_idx,
+      |    lead(o) OVER (PARTITION BY media_id ORDER BY f) AS next_o
+      |  FROM off WHERE f % 7 = 0)
+      |SELECT media_id,
+      |  gop_idx,
+      |  CAST(o AS BIGINT) AS start_offset,
+      |  CAST(coalesce(next_o, total) AS BIGINT) AS end_offset,
+      |  CAST(coalesce(next_o, total) - o AS BIGINT) AS gop_bytes,
+      |  CAST(least(7, nf - 7 * gop_idx) AS BIGINT) AS n_slices
+      |FROM idr JOIN tot USING (media_id)
+      |ORDER BY media_id, gop_idx""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1743,6 +1809,7 @@ object PrepQueries {
     "q207_h264_idr_index" -> q207_h264_idr_index,
     "q209_h264_slice_census" -> q209_h264_slice_census,
     "q210_h264_sei_census" -> q210_h264_sei_census,
+    "q211_h264_gop_worklist" -> q211_h264_gop_worklist,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1784,6 +1851,7 @@ object PrepQueries {
     "q207_h264_idr_index" -> q207Sql,
     "q209_h264_slice_census" -> q209Sql,
     "q210_h264_sei_census" -> q210Sql,
+    "q211_h264_gop_worklist" -> q211Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,
