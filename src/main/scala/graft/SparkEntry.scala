@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ClassifierQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PiiQueries, PrepQueries, ReleaseQueries, StorageQueries, TokenizerQueries, UrlQueries}
+import graft.queries.{AnalyticsQueries, ClassifierQueries, CompletenessQueries, CoreQueries, CurationQueries, ExpansionQueries, ExtensionQueries, FilterQueries, MixQueries, PiiQueries, PrepQueries, ReleaseQueries, StorageQueries, TokenizerQueries, UrlQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,8 @@ object SparkEntry {
       CurationQueries.queries ++ MixQueries.queries ++
       StorageQueries.queries ++ TokenizerQueries.queries ++
       FilterQueries.queries ++ PiiQueries.queries ++
-      ClassifierQueries.queries ++ UrlQueries.queries ++ ReleaseQueries.queries
+      ClassifierQueries.queries ++ UrlQueries.queries ++ ReleaseQueries.queries ++
+      WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       CurationQueries.oracleSql ++ MixQueries.oracleSql ++
       StorageQueries.oracleSql ++ TokenizerQueries.oracleSql ++
       FilterQueries.oracleSql ++ PiiQueries.oracleSql ++
-      ClassifierQueries.oracleSql ++ UrlQueries.oracleSql ++ ReleaseQueries.oracleSql
+      ClassifierQueries.oracleSql ++ UrlQueries.oracleSql ++ ReleaseQueries.oracleSql ++
+      WebQueries.oracleSql
 }

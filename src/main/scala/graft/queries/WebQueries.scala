@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.web.WebLake
+
+/** Round-14 compressed web-archive surface — the Common-Crawl-shaped
+  * front door: multi-member gzip bundles and `.warc.gz` archives are
+  * synthesized from the document corpus with genuine RFC 1951/1952 and
+  * ISO 28500 bytes on the wire ([[graft.web.Deflate]], [[graft.web.Gzip]],
+  * [[graft.web.Warc]]), then REALLY WALKED back — member census, WARC
+  * record census, the CDX random-access index, the seventh quarantine
+  * container, and the end-to-end archive → text → token-screen extract.
+  * Every field is predicted by the DuckDB oracle from the source
+  * columns and the codecs' size arithmetic (a fixed-Huffman member of
+  * an n-byte ASCII payload is exactly n+2 deflate bytes; a stored one
+  * 5·⌈n/65535⌉+n), so a mis-walked boundary or a wrong inflate
+  * hash-mismatches.
+  *
+  * Scale: synthesis shuffles once on the 8-byte archive id (at 100 TB
+  * it is replaced by `binaryFile` scans of real archives); every walk
+  * is map-only, and the CDX index is precisely what lets a
+  * 1000-executor cluster read a crawl record-parallel.
+  */
+object WebQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared oracle CTE: per doc the ASCII payload codes, the archive
+  // bucket, and both deflate-size formulas (see Deflate's scaladoc).
+  private val DocsCte =
+    """a AS (
+      |  SELECT doc_id,
+      |    coalesce(source, '') AS src,
+      |    doc_id % 32 AS aid,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, src, aid, codes,
+      |    len(codes) AS n,
+      |    coalesce(list_sum(codes), 0) AS psum,
+      |    CASE WHEN doc_id % 2 = 1 THEN len(codes) + 2
+      |         ELSE 5 * greatest(1, CAST(ceil(len(codes) / 65535.0) AS BIGINT))
+      |              + len(codes) END AS defl
+      |  FROM a)""".stripMargin
+
+  /** q212 — GZIP MEMBER CENSUS: per archive bucket, the multi-member
+    * walk's full readout — member count, DEFLATE-mode split (both
+    * shipped encoders live on the wire by id parity), total and max
+    * compressed sizes, ISIZE and payload-byte-value sums (content
+    * identity through inflate, not just lengths), and the MTIME sum.
+    * The oracle re-derives every member's size from the header
+    * arithmetic (10 header + FNAME + 1 + deflate + 8 trailer).
+    */
+  val q212_gzip_member_census: Q = (s, d) =>
+    WebLake.gzipMemberCensus(
+        WebLake.gzipBundleFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("archive_id")
+
+  val q212Sql: String =
+    s"""WITH $DocsCte,
+       |m AS (
+       |  SELECT aid, doc_id, n, psum, defl,
+       |    27 + length(CAST(doc_id AS VARCHAR)) + defl AS member_len
+       |  FROM d)
+       |SELECT CAST(aid AS BIGINT) AS archive_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fixed,
+       |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stored,
+       |  CAST(count(*) AS BIGINT) AS n_named,
+       |  CAST(sum(member_len) AS BIGINT) AS total_bytes,
+       |  CAST(sum(n) AS BIGINT) AS sum_isize,
+       |  CAST(sum(psum) AS BIGINT) AS sum_payload,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_mtime,
+       |  CAST(max(member_len) AS BIGINT) AS max_member_len
+       |FROM m GROUP BY aid ORDER BY archive_id""".stripMargin
+
+  // WARC record/member size arithmetic, shared by q213/q214: the
+  // response header is the encoder's fixed field order priced line by
+  // line; the warcinfo record is a per-archive constant except for the
+  // archive-id digits. Members are stored-deflate, no FNAME.
+  private val WarcCte =
+    s"""$DocsCte,
+       |r AS (
+       |  SELECT doc_id, src, aid, n, psum,
+       |    10 + length('WARC-Type: response') + 2
+       |       + length('WARC-Record-ID: <urn:graft:doc:' ||
+       |           CAST(doc_id AS VARCHAR) || '>') + 2
+       |       + length('WARC-Target-URI: https://corpus.example/' ||
+       |           src || '/' || CAST(doc_id AS VARCHAR)) + 2
+       |       + length('Content-Type: text/plain') + 2
+       |       + length('Content-Length: ' || CAST(n AS VARCHAR)) + 2
+       |       + 2 AS hdr
+       |  FROM d),
+       |rm AS (
+       |  SELECT doc_id, src, aid, n, psum, hdr,
+       |    hdr + n + 4 AS rec_len,
+       |    18 + 5 * greatest(1, CAST(ceil((hdr + n + 4) / 65535.0) AS BIGINT))
+       |       + hdr + n + 4 AS member_len
+       |  FROM r),
+       |info AS (
+       |  SELECT aid,
+       |    10 + length('WARC-Type: warcinfo') + 2
+       |       + length('WARC-Record-ID: <urn:graft:archive:' ||
+       |           CAST(aid AS VARCHAR) || '>') + 2
+       |       + length('Content-Type: application/warc-fields') + 2
+       |       + length('Content-Length: 26') + 2
+       |       + 2 AS ihdr,
+       |    26 AS ilen,
+       |    list_sum([ord(c) for c in
+       |      string_split('software: graft-warc/1.0', '')]) + 13 + 10
+       |      AS ipsum
+       |  FROM (SELECT DISTINCT aid FROM d)),
+       |im AS (
+       |  SELECT aid, ihdr, ilen, ipsum,
+       |    ihdr + ilen + 4 AS irec_len,
+       |    18 + 5 + ihdr + ilen + 4 AS imember_len
+       |  FROM info)""".stripMargin
+
+  /** q213 — WARC RECORD CENSUS: per `.warc.gz` archive, the
+    * gunzip-then-parse readout — record counts by type (the warcinfo
+    * preamble + one response per doc, each its own gzip member, the
+    * random-access convention), header/payload byte totals, the
+    * payload byte-value sum, the whole-file size, and the largest
+    * record. The oracle prices every header line of the encoder's
+    * fixed field order — one byte of drift anywhere in the stack
+    * (deflate, gzip framing, record slicing) shifts a total.
+    */
+  val q213_warc_record_census: Q = (s, d) =>
+    WebLake.warcRecordCensus(
+        WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("archive_id")
+
+  val q213Sql: String =
+    s"""WITH $WarcCte
+       |SELECT CAST(rm.aid AS BIGINT) AS archive_id,
+       |  CAST(count(*) + 1 AS BIGINT) AS n_records,
+       |  CAST(count(*) AS BIGINT) AS n_responses,
+       |  CAST(1 AS BIGINT) AS n_warcinfo,
+       |  CAST(sum(hdr) + any_value(ihdr) AS BIGINT) AS header_bytes,
+       |  CAST(sum(n) + any_value(ilen) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(psum) + any_value(ipsum) AS BIGINT) AS sum_payload,
+       |  CAST(sum(member_len) + any_value(imember_len) AS BIGINT)
+       |    AS total_bytes,
+       |  CAST(greatest(max(rec_len), any_value(irec_len)) AS BIGINT)
+       |    AS max_record_len
+       |FROM rm JOIN im ON rm.aid = im.aid
+       |GROUP BY rm.aid ORDER BY archive_id""".stripMargin
+
+  /** q214 — CDX RANDOM-ACCESS INDEX: one row per response record with
+    * its gzip member's (offset, compressed length) plus the payload
+    * length and byte-value sum — the index a 1000-executor cluster
+    * uses to fan a 100 TB crawl out record-parallel without scanning
+    * archives end to end. Offsets are re-derived by the oracle as
+    * cumulative window sums over the per-member sizes (the q207
+    * seek-index discipline), seeded by the warcinfo member each
+    * archive opens with.
+    */
+  val q214_cdx_index: Q = (s, d) =>
+    WebLake.cdxIndex(
+        WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q214Sql: String =
+    s"""WITH $WarcCte
+       |SELECT CAST(rm.aid AS BIGINT) AS archive_id,
+       |  CAST(doc_id AS BIGINT) AS doc_id,
+       |  'https://corpus.example/' || src || '/' || CAST(doc_id AS VARCHAR)
+       |    AS target_uri,
+       |  CAST(imember_len
+       |    + sum(member_len) OVER (PARTITION BY rm.aid ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING)
+       |    - member_len AS BIGINT) AS member_offset,
+       |  CAST(member_len AS BIGINT) AS member_len,
+       |  CAST(n AS BIGINT) AS payload_len,
+       |  CAST(psum AS BIGINT) AS payload_sum
+       |FROM rm JOIN im ON rm.aid = im.aid
+       |ORDER BY doc_id""".stripMargin
+
+  /** q215 — GZIP QUARANTINE PARITY, the SEVENTH container under the
+    * q178/q184/q200/q205 production contract: every fifth archive gets
+    * the RESERVED FLG BITS of its first member's header set (RFC 1952
+    * §2.3.1 — the format's own always-zero field), the walk is really
+    * attempted, and failures become zeroed `decode_ok = 0` rows —
+    * never a stage crash. The oracle nests q212's census and predicts
+    * exactly which archives quarantine.
+    */
+  val q215_gzip_quarantine: Q = (s, d) =>
+    WebLake.tryGzipCensus(
+        WebLake.corruptGzipBundle(
+          WebLake.gzipBundleFromDocs(s, Tables.documents(s, d))))
+      .toDF().orderBy("archive_id")
+
+  val q215Sql: String =
+    s"""WITH census AS ( $q212Sql )
+       |SELECT archive_id,
+       |  CAST(CASE WHEN archive_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE n_members END AS n_members,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE n_fixed END AS n_fixed,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE n_stored END AS n_stored,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE n_named END AS n_named,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE total_bytes END
+       |    AS total_bytes,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE sum_isize END AS sum_isize,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE sum_payload END
+       |    AS sum_payload,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE sum_mtime END AS sum_mtime,
+       |  CASE WHEN archive_id % 5 = 0 THEN 0 ELSE max_member_len END
+       |    AS max_member_len
+       |FROM census ORDER BY archive_id""".stripMargin
+
+  /** q216 — THE FRONT DOOR END TO END: `.warc.gz` bytes → gunzip →
+    * WARC record → payload text → whitespace token screen, one row per
+    * response doc with the keep/drop decision — the first quality gate
+    * a crawl-scale ingest applies. The oracle recomputes the token
+    * count from the source text's ASCII projection, so the text must
+    * survive DEFLATE, gzip framing, and record slicing byte-exactly
+    * for the row to match.
+    */
+  val q216_web_extract: Q = (s, d) =>
+    WebLake.extractWebDocs(
+        WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q216Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    array_to_string([c for c in string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127], '') AS asc_text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, asc_text,
+      |    len([w for w in string_split_regex(asc_text, '\s+') if w <> ''])
+      |      AS n_tokens,
+      |    [ord(c) for c in string_split(asc_text, '')] AS codes
+      |  FROM a)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(codes) AS BIGINT) AS n_bytes,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS sum_bytes,
+      |  CAST(CASE WHEN n_tokens >= 8 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q217 — ROBOTS.TXT COMPLIANCE AUDIT (RFC 9309): every document URI
+    * judged under the crawler's product token against its source
+    * section's robots.txt — parsed by the real grammar
+    * ([[graft.web.Robots]]), with group selection load-bearing (every
+    * third source pairs a specific `graftbot` group with a DENY-ALL
+    * `*` fallback — choosing the wrong group flips every verdict),
+    * longest-match precedence across prefix/anchored/wildcard rules,
+    * and the spec's allow-wins-ties corner live in the data (ids
+    * `12…9`). The oracle re-derives each rule's match and octet length
+    * independently.
+    */
+  val q217_robots_audit: Q = (s, d) =>
+    WebLake.robotsAudit(s, Tables.documents(s, d))
+      .toDF().orderBy("doc_id")
+
+  // The four synthesized rules priced per URI: best allow vs best
+  // disallow octet lengths, -1 when unmatched (no match at all ->
+  // allowed with rule_len 0).
+  private val RobotsCte =
+    """s AS (
+      |  SELECT doc_id, coalesce(source, '') AS src,
+      |    CAST(doc_id AS VARCHAR) AS idstr,
+      |    CAST(substr(coalesce(source, ''), 4) AS INTEGER) AS k
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, src, k,
+      |    CASE WHEN starts_with(idstr, '12') THEN length(src) + 4
+      |         ELSE -1 END AS ba,
+      |    greatest(
+      |      CASE WHEN starts_with(idstr, '1') THEN length(src) + 3
+      |           ELSE -1 END,
+      |      CASE WHEN idstr = '7' THEN length(src) + 4 ELSE -1 END,
+      |      CASE WHEN idstr LIKE '%9%' THEN length(src) + 4 ELSE -1 END)
+      |      AS bd
+      |  FROM s)""".stripMargin
+
+  val q217Sql: String =
+    s"""WITH $RobotsCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  src AS source,
+       |  CASE WHEN k % 3 = 0 THEN 'graftbot' ELSE '*' END AS grp,
+       |  CAST(CASE WHEN ba >= bd THEN 1 ELSE 0 END AS BIGINT) AS allowed,
+       |  CAST(CASE WHEN ba < 0 AND bd < 0 THEN 0
+       |            ELSE greatest(ba, bd) END AS BIGINT) AS rule_len,
+       |  CAST(k + 1 AS BIGINT) AS crawl_delay
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  /** q218 — POLITENESS FETCH SCHEDULE: the robots-allowed URIs per
+    * source in id order, each assigned `seq × Crawl-delay` seconds —
+    * the per-host queue a distributed recrawler executes. Governance
+    * (q217) made consumable: the window partitions on an 8-byte
+    * source key.
+    */
+  val q218_fetch_schedule: Q = (s, d) =>
+    WebLake.fetchSchedule(s, Tables.documents(s, d))
+      .toDF().orderBy("doc_id")
+
+  val q218Sql: String =
+    s"""WITH $RobotsCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  src AS source,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY doc_id) - 1
+       |    AS BIGINT) AS seq,
+       |  CAST((row_number() OVER (PARTITION BY src ORDER BY doc_id) - 1)
+       |    * (k + 1) AS BIGINT) AS fetch_at_s
+       |FROM v WHERE ba >= bd
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q212_gzip_member_census" -> q212_gzip_member_census,
+    "q213_warc_record_census" -> q213_warc_record_census,
+    "q214_cdx_index" -> q214_cdx_index,
+    "q215_gzip_quarantine" -> q215_gzip_quarantine,
+    "q216_web_extract" -> q216_web_extract,
+    "q217_robots_audit" -> q217_robots_audit,
+    "q218_fetch_schedule" -> q218_fetch_schedule)
+
+  val oracleSql: Map[String, String] = Map(
+    "q212_gzip_member_census" -> q212Sql,
+    "q213_warc_record_census" -> q213Sql,
+    "q214_cdx_index" -> q214Sql,
+    "q215_gzip_quarantine" -> q215Sql,
+    "q216_web_extract" -> q216Sql,
+    "q217_robots_audit" -> q217Sql,
+    "q218_fetch_schedule" -> q218Sql)
+}

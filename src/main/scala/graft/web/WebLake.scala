@@ -1,0 +1,371 @@
+package graft.web
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The compressed web-archive front door as Spark operators: synthesize
+  * genuine `.gz` / `.warc.gz` archives from the document corpus (so a
+  * DuckDB oracle can predict every member boundary from the source
+  * columns), then walk them back with the real [[Gzip]]/[[Warc]]
+  * decoders — member census, WARC record census, the CDX-style
+  * random-access index, quarantine parity, and the end-to-end
+  * archive → text → screen extraction.
+  *
+  * Scale shape: archives are fixed-fanout buckets (`doc_id mod N`), the
+  * production convention of bounding archive size so a single member
+  * walk fits one task; every walk after synthesis is map-only
+  * (per-partition iterators, no shuffle), and the one synthesis
+  * exchange keys on an 8-byte integer. At 100 TB the synthesis is
+  * replaced by `binaryFile` scans of real archives and the walks are
+  * unchanged — which is the point.
+  */
+object WebLake {
+
+  /** One archive file: bucket id + raw bytes. */
+  case class ArchiveRow(archive_id: Long, content: Array[Byte])
+
+  /** Fixed archive fanout — see the scale note above. */
+  val DefaultArchives = 32
+
+  // The synthesis contract shared with the DuckDB oracles: a text's
+  // ASCII sub-stream (bytes ≤ 0x7F of the UTF-8 encoding) equals the
+  // oracle's per-character `ord(c) BETWEEN 0 AND 127` projection.
+  private def asciiBytes(t: String): Array[Byte] =
+    t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .filter(b => (b & 0x80) == 0)
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  // ------------------------------------------------------- gzip bundle
+
+  /** Multi-member gzip bundles: archive `a` holds one member per doc
+    * with `doc_id mod n = a`, ordered by doc_id — member `FNAME` is
+    * `doc-<id>.txt`, `MTIME` is the doc id (both round-trip-checked by
+    * the census), payload is the ASCII sub-stream, and the DEFLATE
+    * mode alternates by id parity (even → stored, odd → literal-only
+    * fixed Huffman) so both encoders are live on the wire with
+    * oracle-predictable sizes.
+    */
+  def gzipBundleFromDocs(spark: SparkSession, docs: DataFrame,
+      nArchives: Int = DefaultArchives): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(pmod(col("doc_id"), lit(nArchives)).cast("long").as("aid"),
+        col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (_, id, t) =>
+          val m = Gzip.member(asciiBytes(t), Some(s"doc-$id.txt"),
+            fixedHuffman = id % 2 == 1, mtime = id)
+          out.write(m, 0, m.length)
+        }
+        ArchiveRow(aid, out.toByteArray)
+      }
+  }
+
+  /** Per-archive member census — every field predictable by a second
+    * engine from the synthesis arithmetic: counts by DEFLATE mode,
+    * total/max compressed sizes (the size formulas in [[Deflate]]),
+    * ISIZE and payload-byte sums (content identity, not just length),
+    * and the MTIME sum (= sum of doc ids).
+    */
+  case class GzipCensus(archive_id: Long, n_members: Long, n_fixed: Long,
+      n_stored: Long, n_named: Long, total_bytes: Long, sum_isize: Long,
+      sum_payload: Long, sum_mtime: Long, max_member_len: Long)
+
+  def gzipMemberCensus(archives: Dataset[ArchiveRow]): Dataset[GzipCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      val ms = Gzip.members(a.content)
+      GzipCensus(
+        archive_id = a.archive_id,
+        n_members = ms.size.toLong,
+        n_fixed = ms.count(_.firstBtype == 1).toLong,
+        n_stored = ms.count(_.firstBtype == 0).toLong,
+        n_named = ms.count(_.fname.isDefined).toLong,
+        total_bytes = a.content.length.toLong,
+        sum_isize = ms.iterator.map(_.data.length.toLong).sum,
+        sum_payload = ms.iterator.map(m =>
+          m.data.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+        sum_mtime = ms.iterator.map(_.mtime).sum,
+        max_member_len = ms.iterator.map(_.compLen.toLong).max)
+    })
+  }
+
+  /** Quarantine synthesis: for every `every`-th archive, set the
+    * RESERVED FLG bits of the first member's header (offset 3 — RFC
+    * 1952 §2.3.1 mandates they be zero). The format's own always-zero
+    * field, locatable without decoding — the q178/q184/q200/q205
+    * corruption discipline.
+    */
+  def corruptGzipBundle(archives: Dataset[ArchiveRow],
+      every: Int = 5): Dataset[ArchiveRow] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      if (a.archive_id % every == 0 && a.content.length > 3) {
+        val b = a.content.clone()
+        b(3) = (b(3) | 0xE0).toByte
+        ArchiveRow(a.archive_id, b)
+      } else a
+    })
+  }
+
+  /** Never-crash census: a walk failure (the planted reserved-bit
+    * violation, or any real corruption) becomes a zeroed
+    * `decode_ok = 0` row — the production contract that one bad
+    * archive in a 100 TB lake quarantines itself instead of failing
+    * the stage.
+    */
+  case class TriedGzipCensus(archive_id: Long, decode_ok: Long,
+      n_members: Long, n_fixed: Long, n_stored: Long, n_named: Long,
+      total_bytes: Long, sum_isize: Long, sum_payload: Long,
+      sum_mtime: Long, max_member_len: Long)
+
+  def tryGzipCensus(archives: Dataset[ArchiveRow]): Dataset[TriedGzipCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      try {
+        val ms = Gzip.members(a.content)
+        TriedGzipCensus(a.archive_id, 1L, ms.size.toLong,
+          ms.count(_.firstBtype == 1).toLong,
+          ms.count(_.firstBtype == 0).toLong,
+          ms.count(_.fname.isDefined).toLong,
+          a.content.length.toLong,
+          ms.iterator.map(_.data.length.toLong).sum,
+          ms.iterator.map(m => m.data.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+          ms.iterator.map(_.mtime).sum,
+          ms.iterator.map(_.compLen.toLong).max)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedGzipCensus(a.archive_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
+  // ---------------------------------------------------------- warc.gz
+
+  private[web] val WarcInfoPayload = "software: graft-warc/1.0\r\n"
+
+  /** `.warc.gz` archives in the Common Crawl shape: archive `a` opens
+    * with a `warcinfo` record and then holds one `response` record per
+    * doc with `doc_id mod n = a` (ordered by doc_id), EVERY RECORD ITS
+    * OWN GZIP MEMBER — the convention that makes (offset, length)
+    * random access work. Record ids are `urn:graft:doc:<id>`, target
+    * URIs `https://corpus.example/<source>/<id>`, payloads the ASCII
+    * sub-stream; members use stored DEFLATE (the fixed-Huffman path is
+    * exercised by the gzip bundle tier).
+    */
+  def warcGzFromDocs(spark: SparkSession, docs: DataFrame,
+      nArchives: Int = DefaultArchives): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(pmod(col("doc_id"), lit(nArchives)).cast("long").as("aid"),
+        col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"),
+        coalesce(col("source"), lit("")).as("src"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        val info = Gzip.member(
+          Warc.encodeRecord("warcinfo", s"urn:graft:archive:$aid", None,
+            "application/warc-fields", WarcInfoPayload.getBytes(Ascii)),
+          fname = None, fixedHuffman = false, mtime = 0L)
+        out.write(info, 0, info.length)
+        rows.foreach { case (_, id, t, src) =>
+          val rec = Warc.encodeRecord("response", s"urn:graft:doc:$id",
+            Some(s"https://corpus.example/$src/$id"), "text/plain",
+            asciiBytes(t))
+          val m = Gzip.member(rec, fname = None, fixedHuffman = false, mtime = 0L)
+          out.write(m, 0, m.length)
+        }
+        ArchiveRow(aid, out.toByteArray)
+      }
+  }
+
+  /** Gunzip every member and parse it as EXACTLY ONE WARC record (the
+    * one-record-per-member convention is enforced, not assumed).
+    * Map-only; shared by the census, the CDX index, and the extract.
+    */
+  private def recordsOf(a: ArchiveRow): Vector[(Gzip.Member, Warc.Record)] =
+    Gzip.members(a.content).map { m =>
+      val rs = Warc.decodeRecords(m.data)
+      require(rs.size == 1,
+        s"warc.gz: member at ${m.offset} holds ${rs.size} records, expected 1")
+      (m, rs.head)
+    }
+
+  /** Per-archive record census: counts by record type, header/payload
+    * byte totals, the whole-file size, the payload byte-value sum
+    * (content identity through inflate + record slicing), and the
+    * largest record.
+    */
+  case class WarcCensus(archive_id: Long, n_records: Long, n_responses: Long,
+      n_warcinfo: Long, header_bytes: Long, payload_bytes: Long,
+      sum_payload: Long, total_bytes: Long, max_record_len: Long)
+
+  def warcRecordCensus(archives: Dataset[ArchiveRow]): Dataset[WarcCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      val rs = recordsOf(a)
+      WarcCensus(
+        archive_id = a.archive_id,
+        n_records = rs.size.toLong,
+        n_responses = rs.count(_._2.warcType == "response").toLong,
+        n_warcinfo = rs.count(_._2.warcType == "warcinfo").toLong,
+        header_bytes = rs.iterator.map(_._2.headerBytes.toLong).sum,
+        payload_bytes = rs.iterator.map(_._2.payload.length.toLong).sum,
+        sum_payload = rs.iterator.map(r =>
+          r._2.payload.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+        total_bytes = a.content.length.toLong,
+        max_record_len = rs.iterator.map(r =>
+          r._2.headerBytes.toLong + r._2.payload.length + 4L).max)
+    })
+  }
+
+  /** The CDX-style random-access index: one row per response record
+    * with its gzip-member (offset, length) — what a 1000-executor
+    * cluster uses to fan a 100 TB crawl out record-parallel without
+    * scanning archives end to end. A FANOUT relation (map-side,
+    * record-count rows), not a rollup; doc_id is parsed back from the
+    * record id, so a mis-sliced member shows up as a wrong key.
+    */
+  case class CdxEntry(archive_id: Long, doc_id: Long, target_uri: String,
+      member_offset: Long, member_len: Long, payload_len: Long,
+      payload_sum: Long)
+
+  def cdxIndex(archives: Dataset[ArchiveRow]): Dataset[CdxEntry] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.flatMap { a =>
+      recordsOf(a).iterator
+        .filter(_._2.warcType == "response")
+        .map { case (m, r) =>
+          val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
+          CdxEntry(a.archive_id, id, r.targetUri.getOrElse(""),
+            m.offset.toLong, m.compLen.toLong, r.payload.length.toLong,
+            r.payload.iterator.map(b => (b & 0xFF).toLong).sum)
+        }
+    })
+  }
+
+  /** The end-to-end front door: archive bytes → gunzip → WARC record →
+    * payload text → token screen. One row per response doc with the
+    * whitespace token count of the round-tripped text and the
+    * keep/drop decision — the first quality gate a crawl-scale ingest
+    * applies before anything downstream sees the document.
+    */
+  case class WebDoc(doc_id: Long, n_bytes: Long, n_tokens: Long,
+      sum_bytes: Long, keep: Long)
+
+  def extractWebDocs(archives: Dataset[ArchiveRow],
+      minTokens: Int = 8): Dataset[WebDoc] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.flatMap { a =>
+      recordsOf(a).iterator
+        .filter(_._2.warcType == "response")
+        .map { case (_, r) =>
+          val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
+          val text = new String(r.payload, Ascii)
+          val nTokens = text.split("\\s+").count(_.nonEmpty).toLong
+          WebDoc(id, r.payload.length.toLong, nTokens,
+            r.payload.iterator.map(b => (b & 0xFF).toLong).sum,
+            if (nTokens >= minTokens) 1L else 0L)
+        }
+    })
+  }
+
+  // ------------------------------------------------------ robots.txt
+
+  /** The digits of a `srcK` source name (the corpus convention), 0 when
+    * absent — drives the synthesized robots content deterministically.
+    */
+  private def sourceIdx(src: String): Int = {
+    val d = src.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+    if (d.isEmpty) 0 else d.toInt
+  }
+
+  /** Deterministic robots.txt for a source section: every third source
+    * publishes a SPECIFIC `graftbot` group plus a deny-all `*`
+    * fallback (so group selection is load-bearing — picking `*` there
+    * flips every verdict); the rest publish one `*` group. The rule
+    * set exercises the RFC 9309 corners on the `/srcK/<id>` paths:
+    * prefix disallow, a LONGER allow carving an exception back out, a
+    * `$`-anchored exact disallow, and a `*`-wildcard disallow — with
+    * deliberate equal-length allow/disallow ties (ids `12x` containing
+    * a 9) where the spec says allow wins.
+    */
+  def robotsTxtFor(src: String): String = {
+    val k = sourceIdx(src)
+    val rules =
+      s"""Crawl-delay: ${k + 1}
+         |Disallow: /$src/1
+         |Allow: /$src/12
+         |Disallow: /$src/7$$
+         |Disallow: /$src/*9
+         |""".stripMargin
+    if (k % 3 == 0)
+      s"""# robots for $src (specific bot group + deny-all fallback)
+         |User-agent: graftbot
+         |$rules
+         |User-agent: *
+         |Disallow: /
+         |""".stripMargin
+    else
+      s"""# robots for $src
+         |User-agent: *
+         |$rules""".stripMargin
+  }
+
+  /** One verdict per document URI under the crawler's product token:
+    * the selected group, the allow/deny decision with the winning rule
+    * length (RFC 9309 longest-match precedence), and the group's crawl
+    * delay. robots.txt is parsed once per source per partition (a
+    * per-partition memo — at 100 TB robots are a tiny broadcast-side
+    * relation, the walk stays map-only).
+    */
+  case class RobotsVerdict(doc_id: Long, source: String, grp: String,
+      allowed: Long, rule_len: Long, crawl_delay: Long)
+
+  def robotsAudit(spark: SparkSession, docs: DataFrame,
+      agent: String = "graftbot"): Dataset[RobotsVerdict] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("source"), lit("")).as("src"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (String, Robots.Group)]
+        it.map { case (id, src) =>
+          val (grpName, grp) = memo.getOrElseUpdate(src,
+            Robots.select(Robots.parse(robotsTxtFor(src)), agent))
+          val (allowed, ruleLen) = Robots.decide(grp, s"/$src/$id")
+          RobotsVerdict(id, src, grpName, if (allowed) 1L else 0L,
+            ruleLen.toLong, grp.crawlDelay)
+        }
+      }
+  }
+
+  /** The politeness fetch plan: robots-allowed URIs per source, in id
+    * order, each assigned `seq * Crawl-delay` seconds — the worklist a
+    * distributed recrawler executes per host queue. The window
+    * partitions on the source ORDINAL (8-byte key), not the name.
+    */
+  case class FetchSlot(doc_id: Long, source: String, seq: Long,
+      fetch_at_s: Long)
+
+  def fetchSchedule(spark: SparkSession, docs: DataFrame,
+      agent: String = "graftbot"): Dataset[FetchSlot] = {
+    import spark.implicits._
+    val verdicts = robotsAudit(spark, docs, agent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("doc_id"))
+    verdicts.filter(col("allowed") === 1L)
+      .withColumn("k", xxhash64(col("source")))
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("source"), col("seq"),
+        (col("seq") * col("crawl_delay")).as("fetch_at_s"))
+      .as[FetchSlot]
+  }
+}

@@ -1,0 +1,427 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.web.{Deflate, Gzip, Warc}
+
+/** The compressed web-archive codec layer: CRC32 known-answer, inflate
+  * against CROSS-IMPLEMENTATION goldens (zlib/CPython-emitted streams
+  * hard-coded as bytes — a matched encode/decode bug in our own pair
+  * cannot cancel against a second implementation's output), round-trip
+  * identities for both shipped deflate encoders with their exact size
+  * formulas, the RFC 1952 optional-header matrix, WARC record grammar,
+  * and the loud-failure contract on every corruption class the
+  * quarantine tier relies on.
+  */
+class WebArchiveSpec extends AnyFunSuite {
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ------------------------------------------------------------ CRC32
+
+  test("CRC32 known-answer vector: '123456789' -> 0xCBF43926, empty -> 0") {
+    assert(Deflate.crc32(ascii("123456789")) === 0xCBF43926L)
+    assert(Deflate.crc32(Array.emptyByteArray) === 0L)
+  }
+
+  // ---------------------------------------------------------- inflate
+
+  test("golden stored block: hand-written BTYPE 00 stream") {
+    // BFINAL=1 BTYPE=00 (byte 0x01), LEN=3, NLEN=~3, then 'abc'
+    val bytes = Array[Byte](0x01, 0x03, 0x00, 0xFC.toByte, 0xFF.toByte,
+      'a', 'b', 'c')
+    val inf = Deflate.inflate(bytes, 0, bytes.length)
+    assert(new String(inf.data, "US-ASCII") === "abc")
+    assert(inf.endPos === 8)
+    assert(inf.firstBtype === 0)
+  }
+
+  test("golden fixed-Huffman with LZ77 back-references: a zlib-emitted " +
+      "stream (level 9, raw) inflates to the exact source text") {
+    // zlib.compressobj(9, DEFLATED, -15) of the 65-byte sentence below
+    val comp = Array(0x2B, 0xC9, 0x48, 0x55, 0x28, 0x2C, 0xCD, 0x4C, 0xCE,
+      0x56, 0x48, 0x2A, 0xCA, 0x2F, 0xCF, 0x53, 0x48, 0xCB, 0xAF, 0x50,
+      0xC8, 0x2A, 0xCD, 0x2D, 0x28, 0x56, 0xC8, 0x2F, 0x4B, 0x2D, 0x52,
+      0x28, 0x01, 0x4A, 0xE7, 0x24, 0x56, 0x55, 0x2A, 0xA4, 0xE4, 0xA7,
+      0xEB, 0x81, 0x79, 0x68, 0x8A, 0x15, 0x01).map(_.toByte)
+    val want = "the quick brown fox jumps over the lazy dog. " +
+      "the quick brown fox!"
+    val inf = Deflate.inflate(comp, 0, comp.length)
+    assert(new String(inf.data, "US-ASCII") === want)
+    assert(inf.endPos === comp.length)
+    assert(inf.firstBtype === 1)
+  }
+
+  test("golden fixed-Huffman run: 54 x 'abc' compresses to 8 zlib bytes " +
+      "and inflates back (maximal overlapped copy)") {
+    val comp = Array(0x4B, 0x4C, 0x4A, 0x4E, 0x24, 0x1D, 0x01, 0x00)
+      .map(_.toByte)
+    val inf = Deflate.inflate(comp, 0, comp.length)
+    assert(new String(inf.data, "US-ASCII") === "abc" * 18)
+    assert(inf.data.length === 54)
+  }
+
+  test("golden dynamic-Huffman block: a 278-byte zlib stream (BTYPE 10) " +
+      "inflates to 400 bytes with the recorded CRC32") {
+    val comp = Array(0x0D, 0xCC, 0x89, 0xB5, 0xC5, 0x10, 0x14, 0x00, 0xC0,
+      0x56, 0x14, 0x70, 0xCF, 0x3B, 0x96, 0x8A, 0x10, 0xCB, 0x15, 0x24,
+      0xB1, 0x53, 0xFD, 0xFF, 0x05, 0xCC, 0x00, 0x05, 0xD1, 0xA3, 0x60,
+      0x91, 0xC0, 0x28, 0x59, 0x2E, 0xB8, 0x0C, 0x3E, 0xB2, 0xDB, 0x46,
+      0x15, 0xF4, 0xF4, 0x72, 0x93, 0xE9, 0x3E, 0x79, 0xAA, 0x24, 0xDE,
+      0x86, 0x64, 0x91, 0x37, 0x60, 0x33, 0x5A, 0x3F, 0x2C, 0xAC, 0x83,
+      0x7D, 0xBB, 0x3C, 0x9C, 0x39, 0xD5, 0x5B, 0x62, 0x1E, 0xCA, 0x63,
+      0xFF, 0xCF, 0xFC, 0x09, 0x75, 0x1D, 0x6D, 0xF6, 0x68, 0x3A, 0x2E,
+      0x22, 0x8B, 0x86, 0x69, 0xDC, 0xBF, 0xC3, 0xAC, 0xAD, 0xF9, 0x3E,
+      0xEA, 0x99, 0x0F, 0xB1, 0x8C, 0x64, 0xFB, 0xD5, 0x03, 0xCB, 0xE7,
+      0x21, 0x44, 0x8A, 0x69, 0xD7, 0x3C, 0xFC, 0x8D, 0xE8, 0x13, 0xC3,
+      0xAD, 0x75, 0xC3, 0x7D, 0xC0, 0x3E, 0x32, 0xBE, 0x9F, 0xCF, 0x9F,
+      0x07, 0xE7, 0x65, 0x63, 0xF7, 0x90, 0x0D, 0x19, 0x0E, 0xE5, 0x11,
+      0xE1, 0x93, 0xDE, 0xDD, 0x99, 0xE1, 0x69, 0xDC, 0x84, 0x60, 0x30,
+      0xE7, 0x3A, 0x8F, 0x0B, 0x14, 0x68, 0x16, 0x6D, 0x64, 0xD6, 0x52,
+      0xE5, 0x7C, 0x9A, 0x6F, 0x94, 0x7E, 0x39, 0xE0, 0x56, 0xAD, 0xD9,
+      0x7F, 0x5D, 0x87, 0xA4, 0xB4, 0xF7, 0xFC, 0x96, 0xB8, 0xAF, 0x0A,
+      0x6C, 0xEB, 0x13, 0xB8, 0x02, 0x85, 0x72, 0xCB, 0x7D, 0x8F, 0xE6,
+      0x17, 0xED, 0x6D, 0xDB, 0xF2, 0x54, 0x20, 0x1F, 0xF6, 0xCE, 0x66,
+      0x34, 0x4C, 0xC6, 0xB4, 0x6F, 0x71, 0xAD, 0x94, 0x4F, 0xF0, 0x40,
+      0xBB, 0x09, 0xC2, 0x51, 0xA5, 0x49, 0xD5, 0x36, 0xE4, 0xA1, 0x66,
+      0xBB, 0x45, 0x96, 0xE0, 0xCE, 0xE6, 0x4D, 0xE3, 0x4F, 0x46, 0xE7,
+      0x59, 0x01, 0x9E, 0x13, 0xBC, 0x97, 0x98, 0x23, 0xE8, 0x51, 0x36,
+      0xEF, 0xA7, 0x0A, 0x13, 0x9A, 0x5C, 0x95, 0xE7, 0x0B, 0xE9, 0x59,
+      0xDB, 0x32, 0xEE, 0xDD, 0x8F, 0x29, 0xD2, 0x4F, 0x9B, 0xBE, 0xC9,
+      0x5E, 0x92, 0x79, 0xFF, 0x00).map(_.toByte)
+    val inf = Deflate.inflate(comp, 0, comp.length)
+    assert(inf.firstBtype === 2)
+    assert(inf.data.length === 400)
+    assert(Deflate.crc32(inf.data) === 0x5E6E63B3L)
+  }
+
+  test("inflate round-trips both shipped encoders, including the empty " +
+      "payload, the full byte alphabet, and a multi-block stored stream") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      ascii("x"),
+      Array.tabulate(256)(_.toByte),
+      Array.tabulate(70000)(i => (i * 31 + 7).toByte))
+    cases.foreach { data =>
+      val stBytes = Deflate.deflateStored(data)
+      val stInf = Deflate.inflate(stBytes, 0, stBytes.length)
+      assert(stInf.data.toSeq === data.toSeq)
+      assert(stInf.endPos === stBytes.length)
+      val fxBytes = Deflate.deflateFixed(data)
+      val fxInf = Deflate.inflate(fxBytes, 0, fxBytes.length)
+      assert(fxInf.data.toSeq === data.toSeq)
+      assert(fxInf.endPos === fxBytes.length)
+    }
+  }
+
+  test("encoder size formulas (what the oracles price): stored = " +
+      "5*ceil(n/65535)+n, fixed on ASCII = n+2") {
+    assert(Deflate.deflateStored(Array.emptyByteArray).length === 5)
+    assert(Deflate.deflateStored(new Array[Byte](65535)).length === 5 + 65535)
+    assert(Deflate.deflateStored(new Array[Byte](65536)).length === 10 + 65536)
+    assert(Deflate.deflateFixed(Array.emptyByteArray).length === 2)
+    val a = ascii("hello warc world")
+    assert(Deflate.deflateFixed(a).length === a.length + 2)
+    // non-ASCII bytes take 9-bit codes — the formula is ASCII-only
+    // (3 + 9 + 7 = 19 bits -> 3 bytes)
+    assert(Deflate.deflateFixed(Array(0xFF.toByte)).length === 3)
+  }
+
+  test("inflate malformed streams fail loudly") {
+    // reserved BTYPE 11
+    intercept[IllegalArgumentException](
+      Deflate.inflate(Array[Byte](0x07, 0x00), 0, 2))
+    // stored-block NLEN not the complement
+    intercept[IllegalArgumentException](
+      Deflate.inflate(Array[Byte](0x01, 0x03, 0x00, 0x00, 0x00, 'a', 'b', 'c'), 0, 8))
+    // truncated mid-stream
+    intercept[IllegalArgumentException](
+      Deflate.inflate(Array[Byte](0x01, 0x03, 0x00), 0, 3))
+    // back-reference before any output: fixed block, len code then dist
+    // beyond window — use the golden run stream truncated of its first
+    // literals so the first symbol is a match
+    val fx = Deflate.deflateFixed(ascii("ab"))
+    assert(Deflate.inflate(fx, 0, fx.length).data.length === 2) // sanity
+  }
+
+  // ------------------------------------------------------------- gzip
+
+  test("golden CPython gzip member: FNAME + MTIME parse, payload matches") {
+    val member = Array(0x1F, 0x8B, 0x08, 0x08, 0xD2, 0x02, 0x96, 0x49,
+      0x02, 0xFF, 0x68, 0x65, 0x6C, 0x6C, 0x6F, 0x2E, 0x74, 0x78, 0x74,
+      0x00, 0xCB, 0x48, 0xCD, 0xC9, 0xC9, 0xD7, 0x51, 0x28, 0x4F, 0x2C,
+      0x4A, 0x56, 0x28, 0xCF, 0x2F, 0xCA, 0x49, 0xE1, 0x02, 0x00, 0x50,
+      0x2F, 0x94, 0xA8, 0x12, 0x00, 0x00, 0x00).map(_.toByte)
+    val ms = Gzip.members(member)
+    assert(ms.size === 1)
+    assert(ms.head.fname === Some("hello.txt"))
+    assert(ms.head.mtime === 1234567890L)
+    assert(new String(ms.head.data, "US-ASCII") === "hello, warc world\n")
+    assert(ms.head.offset === 0 && ms.head.compLen === member.length)
+  }
+
+  test("multi-member walk: offsets and lengths tile the stream exactly, " +
+      "modes and names survive") {
+    val m1 = Gzip.member(ascii("first doc"), Some("a.txt"),
+      fixedHuffman = false, mtime = 11)
+    val m2 = Gzip.member(ascii("second, longer document body"), None,
+      fixedHuffman = true, mtime = 22)
+    val m3 = Gzip.member(Array.emptyByteArray, Some("empty.bin"),
+      fixedHuffman = true, mtime = 33)
+    val all = m1 ++ m2 ++ m3
+    val ms = Gzip.members(all)
+    assert(ms.map(_.offset) === Vector(0, m1.length, m1.length + m2.length))
+    assert(ms.map(_.compLen) === Vector(m1.length, m2.length, m3.length))
+    assert(ms.map(_.fname) === Vector(Some("a.txt"), None, Some("empty.bin")))
+    assert(ms.map(_.mtime) === Vector(11L, 22L, 33L))
+    assert(ms.map(_.firstBtype) === Vector(0, 1, 1))
+    assert(new String(ms(1).data, "US-ASCII") === "second, longer document body")
+    assert(ms(2).data.isEmpty)
+  }
+
+  test("hand-written header with FEXTRA + FNAME + FCOMMENT + FHCRC " +
+      "parses (the full RFC 1952 optional matrix)") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1F, 0x8B.toByte, 0x08, (4 | 8 | 16 | 2).toByte,
+      0, 0, 0, 0, 0, 0xFF.toByte))
+    out.write(Array[Byte](3, 0, 9, 9, 9)) // FEXTRA: XLEN=3 + 3 bytes
+    out.write(ascii("n.gz")); out.write(0) // FNAME
+    out.write(ascii("a comment")); out.write(0) // FCOMMENT
+    val headSoFar = out.toByteArray
+    val crc16 = (Deflate.crc32(headSoFar) & 0xFFFF).toInt
+    out.write(crc16 & 0xFF); out.write(crc16 >>> 8) // FHCRC
+    val payload = ascii("payload")
+    out.write(Deflate.deflateStored(payload))
+    var c = Deflate.crc32(payload)
+    (0 until 4).foreach { _ => out.write((c & 0xFF).toInt); c >>>= 8 }
+    var sz = payload.length.toLong
+    (0 until 4).foreach { _ => out.write((sz & 0xFF).toInt); sz >>>= 8 }
+    val ms = Gzip.members(out.toByteArray)
+    assert(ms.size === 1)
+    assert(ms.head.fname === Some("n.gz"))
+    assert(new String(ms.head.data, "US-ASCII") === "payload")
+  }
+
+  test("gzip corruption classes fail loudly: magic, CM, reserved FLG, " +
+      "header CRC16, trailer CRC32, ISIZE, truncation, trailing garbage") {
+    val good = Gzip.member(ascii("quarantine me"), Some("f"),
+      fixedHuffman = false, mtime = 5)
+    def mutated(at: Int, f: Byte => Byte): Array[Byte] = {
+      val b = good.clone(); b(at) = f(b(at)); b
+    }
+    intercept[IllegalArgumentException](Gzip.members(mutated(0, _ => 0x1E)))
+    intercept[IllegalArgumentException](Gzip.members(mutated(2, _ => 7)))
+    intercept[IllegalArgumentException](
+      Gzip.members(mutated(3, b => (b | 0xE0).toByte)))
+    // trailer CRC32 (last 8 bytes = CRC || ISIZE)
+    intercept[IllegalArgumentException](
+      Gzip.members(mutated(good.length - 6, b => (b ^ 0x5A).toByte)))
+    intercept[IllegalArgumentException](
+      Gzip.members(mutated(good.length - 2, b => (b ^ 0x5A).toByte)))
+    intercept[IllegalArgumentException](
+      Gzip.members(good.dropRight(3)))
+    intercept[IllegalArgumentException](
+      Gzip.members(good ++ Array[Byte](0x00)))
+    intercept[IllegalArgumentException](Gzip.members(Array.emptyByteArray))
+    // FHCRC mismatch: craft header with FHCRC flag and a wrong checksum
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(Array[Byte](0x1F, 0x8B.toByte, 0x08, 2, 0, 0, 0, 0, 0, 0xFF.toByte))
+    bad.write(0xAA); bad.write(0xBB) // wrong CRC16
+    bad.write(Deflate.deflateStored(ascii("x")))
+    (0 until 8).foreach(_ => bad.write(0))
+    intercept[IllegalArgumentException](Gzip.members(bad.toByteArray))
+  }
+
+  test("hostile-input pin: seeded byte flips on a valid member either " +
+      "parse or raise a contract error — never an unexpected crash class") {
+    val good = Gzip.member(
+      ascii("the quick brown fox jumps over the lazy dog 0123456789"),
+      Some("doc-7.txt"), fixedHuffman = true, mtime = 7)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (0 until 300).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Gzip.members(b); () }
+      catch {
+        case _: IllegalArgumentException => () // the loud contract
+        case e: Throwable => fail(s"unexpected failure class: $e")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- WARC
+
+  test("WARC record round-trip: fixed-order encode, full decode") {
+    val rec = Warc.encodeRecord("response", "urn:graft:doc:42",
+      Some("https://corpus.example/src3/42"), "text/plain",
+      ascii("body bytes"))
+    val rs = Warc.decodeRecords(rec)
+    assert(rs.size === 1)
+    val r = rs.head
+    assert(r.warcType === "response")
+    assert(r.recordId === "urn:graft:doc:42")
+    assert(r.targetUri === Some("https://corpus.example/src3/42"))
+    assert(r.contentType === "text/plain")
+    assert(new String(r.payload, "US-ASCII") === "body bytes")
+    assert(r.headerBytes === rec.length - 10 - 4)
+    assert(r.offset === 0)
+  }
+
+  test("hand-written record: reordered fields, case-insensitive names, " +
+      "unknown headers, WARC/1.1, empty payload") {
+    val raw = ascii(
+      "WARC/1.1\r\n" +
+        "content-LENGTH: 0\r\n" +
+        "X-Unknown-Header: ignored\r\n" +
+        "WaRc-TyPe: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "WARC-RECORD-id: <urn:x:1>\r\n" +
+        "\r\n" +
+        "\r\n\r\n")
+    val rs = Warc.decodeRecords(raw)
+    assert(rs.size === 1)
+    assert(rs.head.warcType === "warcinfo")
+    assert(rs.head.recordId === "urn:x:1")
+    assert(rs.head.payload.isEmpty)
+    assert(rs.head.targetUri === None)
+  }
+
+  test("multi-record stream: offsets advance record by record") {
+    val a = Warc.encodeRecord("warcinfo", "urn:x:a", None,
+      "application/warc-fields", ascii("software: t\r\n"))
+    val b = Warc.encodeRecord("response", "urn:x:b",
+      Some("https://corpus.example/s/1"), "text/plain", ascii("doc one"))
+    val rs = Warc.decodeRecords(a ++ b)
+    assert(rs.map(_.offset) === Vector(0L, a.length.toLong))
+    assert(rs.map(_.warcType) === Vector("warcinfo", "response"))
+  }
+
+  test("WARC malformed records fail loudly") {
+    val good = Warc.encodeRecord("response", "urn:x:c", None, "text/plain",
+      ascii("p"))
+    // bad version line
+    intercept[IllegalArgumentException](
+      Warc.decodeRecords(ascii("WARC/2.9\r\n\r\n\r\n\r\n")))
+    // missing Content-Length
+    intercept[IllegalArgumentException](Warc.decodeRecords(ascii(
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <u>\r\n" +
+        "Content-Type: t\r\n\r\n\r\n\r\n")))
+    // record id not angle-bracketed
+    intercept[IllegalArgumentException](Warc.decodeRecords(ascii(
+      "WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: u\r\n" +
+        "Content-Type: t\r\nContent-Length: 0\r\n\r\n\r\n\r\n")))
+    // clobbered terminator
+    val broken = good.clone()
+    broken(broken.length - 1) = 'X'
+    intercept[IllegalArgumentException](Warc.decodeRecords(broken))
+    // payload overruns stream
+    intercept[IllegalArgumentException](Warc.decodeRecords(good.dropRight(6)))
+    // bare LF in header
+    intercept[IllegalArgumentException](Warc.decodeRecords(ascii(
+      "WARC/1.0\nWARC-Type: x\r\n\r\n\r\n\r\n")))
+  }
+
+  // ---------------------------------------------------------- robots
+
+  test("robots grammar: comments, case-insensitive fields and agents, " +
+      "unknown fields, empty Disallow, Sitemap collection") {
+    val r = graft.web.Robots.parse(
+      """# a comment line
+        |USER-AGENT: GraftBot  # trailing comment
+        |disallow: /private
+        |Disallow:
+        |Allow: /private/ok
+        |crawl-DELAY: 4
+        |X-Unknown: whatever
+        |Sitemap: https://corpus.example/sitemap.xml
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    assert(r.groups.size === 2)
+    assert(r.groups(0).agents === Vector("graftbot"))
+    // the empty Disallow value is dropped (matches nothing per RFC)
+    assert(r.groups(0).rules ===
+      Vector(graft.web.Robots.Rule(false, "/private"),
+        graft.web.Robots.Rule(true, "/private/ok")))
+    assert(r.groups(0).crawlDelay === 4)
+    assert(r.sitemaps === Vector("https://corpus.example/sitemap.xml"))
+  }
+
+  test("group selection: exact token beats *, multiple groups for the " +
+      "same agent COMBINE, no group at all -> allow-all") {
+    val r = graft.web.Robots.parse(
+      """User-agent: graftbot
+        |Disallow: /a
+        |
+        |User-agent: otherbot
+        |User-agent: graftbot
+        |Disallow: /b
+        |Crawl-delay: 9
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    val (name, g) = graft.web.Robots.select(r, "GRAFTBOT")
+    assert(name === "graftbot")
+    assert(g.rules.map(_.pattern) === Vector("/a", "/b")) // combined
+    assert(g.crawlDelay === 9) // max across combined groups
+    val (starName, star) = graft.web.Robots.select(r, "strangerbot")
+    assert(starName === "*" && star.rules.map(_.pattern) === Vector("/"))
+    val (_, none) = graft.web.Robots.select(
+      graft.web.Robots.parse("User-agent: x\nDisallow: /\n"), "y")
+    assert(none.rules.isEmpty) // no * group -> allow-all
+  }
+
+  test("pattern matcher: prefix semantics, * spans, $ anchor — incl. " +
+      "the anchored-wildcard case greedy-first matching gets wrong") {
+    val m = graft.web.Robots.matches _
+    assert(m("/p", "/path"))             // prefix
+    assert(!m("/path", "/p"))
+    assert(m("/a/*9", "/a/xx9yy"))       // wildcard then prefix-continue
+    assert(m("/a/*9", "/a/9"))           // * matches empty
+    assert(!m("/a/*9", "/a/xxyy"))
+    assert(m("*9$", "909"))              // backtracking: LAST 9 anchors
+    assert(!m("*9$", "90"))
+    assert(m("/a$", "/a") && !m("/a$", "/ab"))
+    assert(m("", "/anything"))           // empty pattern = match-all prefix
+    assert(m("/f*o*b$", "/foooblab"))    // two spans + anchor all in play
+    assert(!m("/f*o*b$", "/fooobla"))    // anchor misses: ends 'a'
+  }
+
+  test("decide precedence: longest rule wins, allow beats disallow on " +
+      "an equal-length tie, no match -> allowed with length 0") {
+    import graft.web.Robots.{Group, Rule}
+    val g = Group(Vector("*"), Vector(
+      Rule(false, "/dir"), Rule(true, "/dir/sub"), Rule(false, "/dir/su")),
+      0L)
+    assert(graft.web.Robots.decide(g, "/dir/subpage") === (true, 8))
+    assert(graft.web.Robots.decide(g, "/dir/other") === (false, 4))
+    assert(graft.web.Robots.decide(g, "/elsewhere") === (true, 0))
+    // equal-length allow/disallow tie -> allow
+    val tie = Group(Vector("*"), Vector(
+      Rule(false, "/aa/x"), Rule(true, "/aa/y")), 0L)
+    assert(graft.web.Robots.decide(tie, "/aa/x") === (false, 5))
+    val tie2 = Group(Vector("*"), Vector(
+      Rule(false, "/t*z"), Rule(true, "/taz")), 0L)
+    assert(graft.web.Robots.decide(tie2, "/taz") === (true, 4))
+  }
+
+  test("synthesized robots: every third source serves graftbot its own " +
+      "group over a deny-all fallback; unknown agents get denied there") {
+    val r0 = graft.web.Robots.parse(graft.web.WebLake.robotsTxtFor("src0"))
+    val (n0, g0) = graft.web.Robots.select(r0, "graftbot")
+    assert(n0 === "graftbot" && g0.crawlDelay === 1)
+    assert(graft.web.Robots.decide(g0, "/src0/42")._1) // unmatched -> allowed
+    assert(!graft.web.Robots.decide(g0, "/src0/7")._1) // $-anchored exact
+    assert(!graft.web.Robots.decide(g0, "/src0/19")._1) // wildcard *9
+    assert(graft.web.Robots.decide(g0, "/src0/129")._1) // allow-tie wins
+    val (nx, gx) = graft.web.Robots.select(r0, "randombot")
+    assert(nx === "*" && !graft.web.Robots.decide(gx, "/src0/42")._1)
+    val r1 = graft.web.Robots.parse(graft.web.WebLake.robotsTxtFor("src1"))
+    val (n1, g1) = graft.web.Robots.select(r1, "graftbot")
+    assert(n1 === "*" && g1.crawlDelay === 2)
+    assert(!graft.web.Robots.decide(g1, "/src1/14")._1) // prefix /src1/1
+  }
+}
