@@ -313,6 +313,128 @@ object WebQueries {
        |FROM v WHERE ba >= bd
        |ORDER BY doc_id""".stripMargin
 
+  /** q219 — HTTP-IN-WARC CENSUS (RFC 9112): the response records now
+    * carry FULL HTTP messages (`application/http;msgtype=response`,
+    * the Common Crawl convention — q213's tier stores bare bodies), a
+    * third framing layer the ingest must walk: status line, header
+    * block, then Content-Length OR chunked transfer coding (hex-sized
+    * CRLF-delimited chunks, zero-chunk close). Every 17th id is a 404
+    * with an empty body, every 3rd is chunked — status and framing
+    * splits both live. The oracle prices the status lines, each header
+    * line, and the full chunk framing arithmetic (⌊n/100⌋ full chunks
+    * of 106 wire bytes + the hex-width-dependent remainder + the
+    * 5-byte close).
+    */
+  val q219_http_census: Q = (s, d) =>
+    WebLake.httpResponseCensus(
+        WebLake.warcHttpFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("archive_id")
+
+  // The HTTP message priced per doc: 404/chunked splits, header bytes
+  // by line, body-framing wire bytes (chunk arithmetic), message total.
+  private val HttpCte =
+    """a2 AS (
+      |  SELECT doc_id,
+      |    doc_id % 32 AS aid,
+      |    doc_id % 17 = 0 AS nf,
+      |    doc_id % 3 = 0 AS ch,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, aid, nf, ch,
+      |    CASE WHEN nf THEN 0 ELSE len(codes) END AS n,
+      |    CASE WHEN nf THEN 0 ELSE coalesce(list_sum(codes), 0) END AS ps,
+      |    len(codes) AS rawn
+      |  FROM a2),
+      |hm AS (
+      |  SELECT doc_id, aid, nf, ch, n, ps, rawn,
+      |    CASE WHEN nf THEN 24 ELSE 17 END + 19 + 26
+      |      + CASE WHEN ch THEN 28
+      |             ELSE 18 + length(CAST(n AS VARCHAR)) END + 2 AS hdr,
+      |    CASE WHEN ch THEN (n // 100) * 106
+      |        + CASE WHEN n % 100 > 0
+      |               THEN length(to_hex(n % 100)) + 4 + (n % 100)
+      |               ELSE 0 END + 5
+      |      ELSE n END AS wire
+      |  FROM h)""".stripMargin
+
+  val q219Sql: String =
+    s"""WITH $HttpCte
+       |SELECT CAST(aid AS BIGINT) AS archive_id,
+       |  CAST(count(*) AS BIGINT) AS n_responses,
+       |  CAST(sum(CASE WHEN nf THEN 0 ELSE 1 END) AS BIGINT) AS n_200,
+       |  CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+       |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
+       |  CAST(sum(hdr) AS BIGINT) AS http_header_bytes,
+       |  CAST(sum(n) AS BIGINT) AS body_bytes,
+       |  CAST(sum(ps) AS BIGINT) AS sum_body,
+       |  CAST(sum(wire) AS BIGINT) AS wire_bytes,
+       |  CAST(max(hdr + wire) AS BIGINT) AS max_msg_len
+       |FROM hm GROUP BY aid ORDER BY archive_id""".stripMargin
+
+  /** q220 — HTTP FRAMING QUARANTINE, record-level (the EIGHTH
+    * container class): every 23rd id's first chunk-size line gets a
+    * non-hex byte — a garbled capture whose gzip CRC and WARC framing
+    * are PRISTINE, detectable only by the HTTP walk (the layer-three
+    * analogue of q215's layer-one reserved-bit plant). The bad record
+    * quarantines alone; the rest of its archive keeps flowing — and
+    * byte totals cover the parseable records only.
+    */
+  val q220_http_quarantine: Q = (s, d) =>
+    WebLake.tryHttpCensus(
+        WebLake.warcHttpFromDocs(s, Tables.documents(s, d),
+          corruptEvery = 23L))
+      .toDF().orderBy("archive_id")
+
+  val q220Sql: String =
+    s"""WITH $HttpCte,
+       |t AS (
+       |  SELECT aid, n, ps,
+       |    (doc_id % 23 = 0 AND ch AND NOT nf AND rawn >= 16) AS bad
+       |  FROM hm)
+       |SELECT CAST(aid AS BIGINT) AS archive_id,
+       |  CAST(count(*) AS BIGINT) AS n_responses,
+       |  CAST(sum(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_http_ok,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_http_bad,
+       |  CAST(sum(CASE WHEN bad THEN 0 ELSE n END) AS BIGINT) AS body_bytes,
+       |  CAST(sum(CASE WHEN bad THEN 0 ELSE ps END) AS BIGINT) AS sum_body
+       |FROM t GROUP BY aid ORDER BY archive_id""".stripMargin
+
+  /** q221 — THE FULL-STACK EXTRACT: gzip member → WARC record → HTTP
+    * message → de-framed body → token screen, one row per fetched URI
+    * with the keep/drop decision; 404s surface as empty kept-out rows
+    * (the ingest ledger records every fetch, not just the successes).
+    * q216's byte-exactness contract extended through the third layer —
+    * chunk re-assembly must splice the body back byte-perfectly.
+    */
+  val q221_http_extract: Q = (s, d) =>
+    WebLake.extractHttpDocs(
+        WebLake.warcHttpFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q221Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    doc_id % 17 = 0 AS nf,
+      |    array_to_string([c for c in string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127], '') AS asc_text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, nf,
+      |    CASE WHEN nf THEN 0
+      |      ELSE len([w for w in string_split_regex(asc_text, '\s+')
+      |                if w <> '']) END AS n_tokens,
+      |    CASE WHEN nf THEN [] ELSE
+      |      [ord(c) for c in string_split(asc_text, '')] END AS codes
+      |  FROM a)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(codes) AS BIGINT) AS n_bytes,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS sum_bytes,
+      |  CAST(CASE WHEN n_tokens >= 8 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -320,7 +442,10 @@ object WebQueries {
     "q215_gzip_quarantine" -> q215_gzip_quarantine,
     "q216_web_extract" -> q216_web_extract,
     "q217_robots_audit" -> q217_robots_audit,
-    "q218_fetch_schedule" -> q218_fetch_schedule)
+    "q218_fetch_schedule" -> q218_fetch_schedule,
+    "q219_http_census" -> q219_http_census,
+    "q220_http_quarantine" -> q220_http_quarantine,
+    "q221_http_extract" -> q221_http_extract)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -329,5 +454,8 @@ object WebQueries {
     "q215_gzip_quarantine" -> q215Sql,
     "q216_web_extract" -> q216Sql,
     "q217_robots_audit" -> q217Sql,
-    "q218_fetch_schedule" -> q218Sql)
+    "q218_fetch_schedule" -> q218Sql,
+    "q219_http_census" -> q219Sql,
+    "q220_http_quarantine" -> q220Sql,
+    "q221_http_extract" -> q221Sql)
 }

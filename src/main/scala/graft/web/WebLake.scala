@@ -277,6 +277,160 @@ object WebLake {
     })
   }
 
+  // ------------------------------------------------- HTTP-in-WARC tier
+
+  /** The HTTP message a response record carries for doc `id`: status
+    * 404 with an empty body every 17th id (dead links are a real crawl
+    * fraction), 200 otherwise; chunked transfer framing every 3rd id
+    * (100-byte chunks), `Content-Length` framing for the rest — both
+    * wire forms live, both oracle-priceable. When `corruptChunk` is
+    * set, the FIRST chunk-size line's second hex digit becomes a
+    * non-hex byte — a garbled capture whose gzip and WARC layers are
+    * pristine, detectable only by the HTTP framing walk.
+    */
+  private def httpMessageFor(id: Long, body: Array[Byte],
+      corruptChunk: Boolean): Array[Byte] = {
+    val notFound = id % 17 == 0
+    val chunked = id % 3 == 0
+    val msg = Http.encodeResponse(
+      status = if (notFound) 404 else 200,
+      reason = if (notFound) "Not Found" else "OK",
+      headers = Seq("Server" -> "graft/1.0", "Content-Type" -> "text/plain"),
+      body = if (notFound) Array.emptyByteArray else body,
+      chunked = chunked, chunkSize = 100)
+    if (corruptChunk && chunked && !notFound && body.length >= 16) {
+      // first chunk-size line sits right after the blank header line;
+      // the >= 16 guard keeps the size at 2 hex digits so the patch
+      // lands on the second digit (the oracle mirrors the guard)
+      var i = 0
+      while (!(msg(i) == '\r' && msg(i + 1) == '\n' &&
+        msg(i + 2) == '\r' && msg(i + 3) == '\n')) i += 1
+      msg(i + 5) = 'z'.toByte
+    }
+    msg
+  }
+
+  /** `.warc.gz` archives whose response records carry FULL HTTP
+    * messages (`application/http;msgtype=response` — the Common Crawl
+    * convention; q213's tier stores bare bodies). `corruptEvery` > 0
+    * garbles the chunk framing of ids divisible by it (where chunked
+    * 200s exist) for the record-level quarantine tier.
+    */
+  def warcHttpFromDocs(spark: SparkSession, docs: DataFrame,
+      nArchives: Int = DefaultArchives,
+      corruptEvery: Long = 0L): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(pmod(col("doc_id"), lit(nArchives)).cast("long").as("aid"),
+        col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"),
+        coalesce(col("source"), lit("")).as("src"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        val info = Gzip.member(
+          Warc.encodeRecord("warcinfo", s"urn:graft:archive:$aid", None,
+            "application/warc-fields", WarcInfoPayload.getBytes(Ascii)),
+          fname = None, fixedHuffman = false, mtime = 0L)
+        out.write(info, 0, info.length)
+        rows.foreach { case (_, id, t, src) =>
+          val corrupt = corruptEvery > 0 && id % corruptEvery == 0
+          val msg = httpMessageFor(id, asciiBytes(t), corrupt)
+          val rec = Warc.encodeRecord("response", s"urn:graft:doc:$id",
+            Some(s"https://corpus.example/$src/$id"),
+            "application/http;msgtype=response", msg)
+          val m = Gzip.member(rec, fname = None, fixedHuffman = false, mtime = 0L)
+          out.write(m, 0, m.length)
+        }
+        ArchiveRow(aid, out.toByteArray)
+      }
+  }
+
+  /** Per-archive census of the HTTP layer: response count, status and
+    * framing splits, header/body/wire byte totals, the body byte-value
+    * sum, and the largest message — every field priced by the oracle
+    * from the status-line/header/chunk arithmetic alone (no WARC or
+    * gzip sizes involved, those are q213's contract).
+    */
+  case class HttpCensus(archive_id: Long, n_responses: Long, n_200: Long,
+      n_404: Long, n_chunked: Long, http_header_bytes: Long,
+      body_bytes: Long, sum_body: Long, wire_bytes: Long,
+      max_msg_len: Long)
+
+  def httpResponseCensus(archives: Dataset[ArchiveRow]): Dataset[HttpCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      // (message length on the wire, parsed response) — msgLen is the
+      // WARC payload length, header + framed body
+      val rs = recordsOf(a).filter(_._2.warcType == "response")
+        .map(r => (r._2.payload.length, Http.parseResponse(r._2.payload)))
+      HttpCensus(
+        archive_id = a.archive_id,
+        n_responses = rs.size.toLong,
+        n_200 = rs.count(_._2.status == 200).toLong,
+        n_404 = rs.count(_._2.status == 404).toLong,
+        n_chunked = rs.count(_._2.chunked).toLong,
+        http_header_bytes = rs.iterator.map(_._2.headerBytes.toLong).sum,
+        body_bytes = rs.iterator.map(_._2.body.length.toLong).sum,
+        sum_body = rs.iterator.map(r =>
+          r._2.body.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+        wire_bytes = rs.iterator.map(r =>
+          (r._1 - r._2.headerBytes).toLong).sum,
+        max_msg_len = rs.iterator.map(_._1.toLong).max)
+    })
+  }
+
+  /** RECORD-level quarantine: a garbled HTTP framing quarantines THAT
+    * record (its gzip and WARC layers verified fine — the other
+    * records in the archive keep flowing), never the stage. Byte
+    * totals cover the parseable records only.
+    */
+  case class TriedHttpCensus(archive_id: Long, n_responses: Long,
+      n_http_ok: Long, n_http_bad: Long, body_bytes: Long, sum_body: Long)
+
+  def tryHttpCensus(archives: Dataset[ArchiveRow]): Dataset[TriedHttpCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      val rs = recordsOf(a).filter(_._2.warcType == "response")
+      var ok = 0L; var bad = 0L; var bodyBytes = 0L; var sumBody = 0L
+      rs.foreach { case (_, r) =>
+        try {
+          val m = Http.parseResponse(r.payload)
+          ok += 1
+          bodyBytes += m.body.length
+          sumBody += m.body.iterator.map(b => (b & 0xFF).toLong).sum
+        } catch {
+          case scala.util.control.NonFatal(_) => bad += 1
+        }
+      }
+      TriedHttpCensus(a.archive_id, rs.size.toLong, ok, bad, bodyBytes, sumBody)
+    })
+  }
+
+  /** The full-stack extract: gzip member → WARC record → HTTP message
+    * → de-framed body → token screen. 404s surface as empty kept-out
+    * rows rather than vanishing — the ingest ledger records every
+    * fetched URI.
+    */
+  def extractHttpDocs(archives: Dataset[ArchiveRow],
+      minTokens: Int = 8): Dataset[WebDoc] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.flatMap { a =>
+      recordsOf(a).iterator
+        .filter(_._2.warcType == "response")
+        .map { case (_, r) =>
+          val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
+          val m = Http.parseResponse(r.payload)
+          val text = new String(m.body, Ascii)
+          val nTokens = text.split("\\s+").count(_.nonEmpty).toLong
+          WebDoc(id, m.body.length.toLong, nTokens,
+            m.body.iterator.map(b => (b & 0xFF).toLong).sum,
+            if (nTokens >= minTokens) 1L else 0L)
+        }
+    })
+  }
+
   // ------------------------------------------------------ robots.txt
 
   /** The digits of a `srcK` source name (the corpus convention), 0 when

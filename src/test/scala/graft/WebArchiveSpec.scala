@@ -322,6 +322,76 @@ class WebArchiveSpec extends AnyFunSuite {
       "WARC/1.0\nWARC-Type: x\r\n\r\n\r\n\r\n")))
   }
 
+  // ------------------------------------------------------------ http
+
+  test("HTTP golden: hand-written chunked message de-frames to the " +
+      "exact body with the declared framing bytes") {
+    val raw = ascii(
+      "HTTP/1.1 200 OK\r\n" +
+        "Server: t/1\r\n" +
+        "Transfer-Encoding: chunked\r\n" +
+        "\r\n" +
+        "5\r\nhello\r\n" +
+        "1\r\n \r\n" +
+        "a\r\nwarc world\r\n" +
+        "0\r\n\r\n")
+    val r = graft.web.Http.parseResponse(raw)
+    assert(r.status === 200 && r.reason === "OK" && r.chunked)
+    assert(new String(r.body, "US-ASCII") === "hello warc world")
+    assert(r.headerBytes === "HTTP/1.1 200 OK\r\nServer: t/1\r\n".length +
+      "Transfer-Encoding: chunked\r\n\r\n".length)
+  }
+
+  test("HTTP round-trips: Content-Length and chunked framing, empty " +
+      "bodies, multi-chunk splits at the declared chunk size") {
+    val body = ascii("the quick brown fox jumps over the lazy dog " * 6)
+    Seq(true, false).foreach { chunked =>
+      val raw = graft.web.Http.encodeResponse(200, "OK",
+        Seq("Server" -> "graft/1.0"), body, chunked, chunkSize = 50)
+      val r = graft.web.Http.parseResponse(raw)
+      assert(r.body.toSeq === body.toSeq)
+      assert(r.chunked === chunked)
+    }
+    val empty404 = graft.web.Http.parseResponse(
+      graft.web.Http.encodeResponse(404, "Not Found", Seq(),
+        Array.emptyByteArray, chunked = true))
+    assert(empty404.status === 404 && empty404.body.isEmpty)
+    val emptyCl = graft.web.Http.parseResponse(
+      graft.web.Http.encodeResponse(404, "Not Found", Seq(),
+        Array.emptyByteArray, chunked = false))
+    assert(emptyCl.body.isEmpty)
+  }
+
+  test("HTTP malformed messages fail loudly: status line, chunk-size " +
+      "hex, over-declared chunk, trailing bytes, missing chunk CRLF") {
+    import graft.web.Http
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/2 200 OK\r\n\r\n")))
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 2x0 OK\r\nContent-Length: 0\r\n\r\n")))
+    // non-hex chunk size (the quarantine plant)
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "6z\r\nhello\r\n0\r\n\r\n")))
+    // over-declared chunk size over-runs the message
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "ff\r\nhello\r\n0\r\n\r\n")))
+    // chunk data not followed by CRLF
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "5\r\nhelloXX0\r\n\r\n")))
+    // trailing bytes after the framed body
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nokEXTRA")))
+    // body over-runs message
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nok")))
+    // neither framing header
+    intercept[IllegalArgumentException](Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
+  }
+
   // ---------------------------------------------------------- robots
 
   test("robots grammar: comments, case-insensitive fields and agents, " +
