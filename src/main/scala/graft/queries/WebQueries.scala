@@ -435,6 +435,74 @@ object WebQueries {
       |  CAST(CASE WHEN n_tokens >= 8 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q222 — BOILERPLATE REMOVAL (the CCNet/RefinedWeb extraction
+    * tier): synthesized crawl pages with real chrome (`nav`/`footer`/
+    * raw-text `style`) around the content paragraph, a link-farm
+    * `div` on even ids that NO TAG RULE catches — only the 75%
+    * link-density heuristic drops it — and a second content block on
+    * every 5th id so block joining is live. The surviving main TEXT
+    * itself is emitted and hash-compared: a mis-parsed entity, a
+    * leaked menu, or a wrong join byte mismatches.
+    */
+  val q222_boilerplate_extract: Q = (s, d) =>
+    WebLake.extractMainText(s, Tables.documents(s, d))
+      .toDF().orderBy("doc_id")
+
+  val q222Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    array_to_string([c for c in string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127 AND c NOT IN ('<', '>', '&')], '')
+      |      AS asc_text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    asc_text || CASE WHEN doc_id % 5 = 0
+      |      THEN chr(10) || 'extra ' || CAST(doc_id AS VARCHAR)
+      |      ELSE '' END AS main_text
+      |  FROM a)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  main_text,
+      |  CAST(length(main_text) AS BIGINT) AS main_len,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS n_kept,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_dropped_dense
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q223 — RECRAWL DELTA: two crawl generations' `.warc.gz` archives
+    * REALLY rebuilt and re-walked to CDX entries (every 4th doc grew a
+    * suffix between captures), joined per URI on the 8-byte doc key;
+    * changed = the (length, byte-sum) payload digest pair differs.
+    * Per source: URI counts, the change split, and the byte growth a
+    * recrawl scheduler budgets from.
+    */
+  val q223_recrawl_delta: Q = (s, d) =>
+    WebLake.recrawlDelta(s, Tables.documents(s, d))
+      .toDF().orderBy("source")
+
+  val q223Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, coalesce(source, '') AS src,
+      |    len([ord(c) for c in string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127]) AS n1
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, src, n1,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN n1 + length(' u' || CAST(doc_id AS VARCHAR))
+      |      ELSE n1 END AS n2,
+      |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS chg
+      |  FROM a)
+      |SELECT src AS source,
+      |  CAST(count(*) AS BIGINT) AS n_uris,
+      |  CAST(sum(chg) AS BIGINT) AS n_changed,
+      |  CAST(count(*) - sum(chg) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(n1) AS BIGINT) AS bytes_old,
+      |  CAST(sum(n2) AS BIGINT) AS bytes_new,
+      |  CAST(sum(n2 - n1) AS BIGINT) AS bytes_added
+      |FROM b GROUP BY src ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -445,7 +513,9 @@ object WebQueries {
     "q218_fetch_schedule" -> q218_fetch_schedule,
     "q219_http_census" -> q219_http_census,
     "q220_http_quarantine" -> q220_http_quarantine,
-    "q221_http_extract" -> q221_http_extract)
+    "q221_http_extract" -> q221_http_extract,
+    "q222_boilerplate_extract" -> q222_boilerplate_extract,
+    "q223_recrawl_delta" -> q223_recrawl_delta)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -457,5 +527,7 @@ object WebQueries {
     "q218_fetch_schedule" -> q218Sql,
     "q219_http_census" -> q219Sql,
     "q220_http_quarantine" -> q220Sql,
-    "q221_http_extract" -> q221Sql)
+    "q221_http_extract" -> q221Sql,
+    "q222_boilerplate_extract" -> q222Sql,
+    "q223_recrawl_delta" -> q223Sql)
 }

@@ -431,6 +431,108 @@ object WebLake {
     })
   }
 
+  // --------------------------------------------- boilerplate removal
+
+  // HTML-safe ASCII sub-stream: the shared synthesis contract minus
+  // the three markup metacharacters, so the payload embeds in element
+  // text without entity escaping and the oracle mirrors the filter
+  // verbatim (`ord(c) BETWEEN 0 AND 127 AND c NOT IN ('<','>','&')`).
+  private def htmlSafeAscii(t: String): String =
+    new String(asciiBytes(t).filter(b =>
+      b != '<'.toByte && b != '>'.toByte && b != '&'.toByte), Ascii)
+
+  /** Synthesized crawl pages: real chrome (`<nav>`, `<footer>`, a
+    * `<style>` raw-text block) around the content paragraph, a
+    * link-farm `<div>` on even ids (75% link density — only the
+    * density rule removes it, it carries no chrome tag), and a second
+    * content block on every 5th id (so block joining is exercised).
+    * Blocks sit back-to-back (no inter-block whitespace text nodes),
+    * keeping the top-level child walk element-only.
+    */
+  def htmlPageFor(id: Long, text: String): String = {
+    val menu =
+      if (id % 2 == 0)
+        "<div class=\"menu\"><a href=\"/a\">AA</a><a href=\"/b\">BB</a>" +
+          "<a href=\"/c\">CC</a> x</div>"
+      else ""
+    val extra = if (id % 5 == 0) s"""<div class="more">extra $id</div>""" else ""
+    s"""<html><head><title>doc $id</title><style>p{color:#000}</style></head>""" +
+      "<body>" +
+      "<nav><a href=\"/\">home</a><a href=\"/all\">index</a></nav>" +
+      menu +
+      s"<p>${htmlSafeAscii(text)}</p>" +
+      extra +
+      "<footer>(c) corpus.example</footer>" +
+      "</body></html>"
+  }
+
+  /** One extraction row per page: the surviving main text (the value a
+    * training corpus keeps), its length, and the block keep/drop
+    * counts. Map-only over the page column.
+    */
+  case class MainText(doc_id: Long, main_text: String, main_len: Long,
+      n_kept: Long, n_dropped_dense: Long)
+
+  def extractMainText(spark: SparkSession, docs: DataFrame): Dataset[MainText] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ex = Boilerplate.extractMain(htmlPageFor(id, t))
+        MainText(id, ex.mainText, ex.mainText.length.toLong,
+          ex.kept.toLong, ex.droppedDense.toLong)
+      })
+  }
+
+  // ------------------------------------------------- recrawl delta
+
+  /** The second crawl's view of the corpus: every 4th document changed
+    * since the first capture (a deterministic ASCII suffix — appending
+    * commutes with the ASCII projection, so the oracle prices the
+    * delta exactly).
+    */
+  def recrawlDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(coalesce(col("text"), lit("")), lit(" u"),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** Crawl-over-crawl change census: both generations' `.warc.gz`
+    * archives REALLY rebuilt and re-walked to CDX entries, joined per
+    * URI on the 8-byte doc key, changed = the (length, byte-sum)
+    * payload digest pair differs — per source the URI counts, change
+    * split, and byte growth a recrawl scheduler budgets from.
+    */
+  case class RecrawlDelta(source: String, n_uris: Long, n_changed: Long,
+      n_unchanged: Long, bytes_old: Long, bytes_new: Long,
+      bytes_added: Long)
+
+  def recrawlDelta(spark: SparkSession, docs: DataFrame): Dataset[RecrawlDelta] = {
+    import spark.implicits._
+    val cdx1 = cdxIndex(warcGzFromDocs(spark, docs))
+      .select(col("doc_id"), col("target_uri"),
+        col("payload_len").as("len1"), col("payload_sum").as("sum1"))
+    val cdx2 = cdxIndex(warcGzFromDocs(spark, recrawlDocs(docs)))
+      .select(col("doc_id"),
+        col("payload_len").as("len2"), col("payload_sum").as("sum2"))
+    cdx1.join(cdx2, Seq("doc_id"))
+      .withColumn("source",
+        regexp_extract(col("target_uri"), "https://corpus\\.example/([^/]*)/", 1))
+      .withColumn("changed",
+        when(col("len1") =!= col("len2") || col("sum1") =!= col("sum2"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uris"),
+        sum(col("changed")).as("n_changed"),
+        (count(lit(1)) - sum(col("changed"))).as("n_unchanged"),
+        sum(col("len1")).as("bytes_old"),
+        sum(col("len2")).as("bytes_new"),
+        sum(col("len2") - col("len1")).as("bytes_added"))
+      .as[RecrawlDelta]
+  }
+
   // ------------------------------------------------------ robots.txt
 
   /** The digits of a `srcK` source name (the corpus convention), 0 when

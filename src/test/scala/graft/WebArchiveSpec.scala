@@ -392,6 +392,42 @@ class WebArchiveSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
   }
 
+  // ----------------------------------------------------- boilerplate
+
+  test("boilerplate: chrome dropped by tag, link-farm dropped by " +
+      "density, content joined with newline") {
+    val ex = graft.web.Boilerplate.extractMain(
+      "<html><head><style>p{}</style></head><body>" +
+        "<nav><a href=\"/\">home</a></nav>" +
+        "<div><a href=\"/a\">AA</a><a href=\"/b\">BB</a><a>CC</a> x</div>" +
+        "<p>real content</p>" +
+        "<div class=\"more\">second block</div>" +
+        "<footer>(c)</footer>" +
+        "</body></html>")
+    assert(ex.mainText === "real content\nsecond block")
+    assert(ex.kept === 2 && ex.droppedDense === 1)
+  }
+
+  test("boilerplate corners: density EXACTLY 0.5 is kept (rule is " +
+      "strict >), empty block kept, chrome nested INSIDE a block is " +
+      "excluded from both its text and its density") {
+    // linked 3 of 6 chars -> exactly half -> kept
+    val half = graft.web.Boilerplate.extractMain(
+      "<html><body><div><a>abc</a>def</div></body></html>")
+    assert(half.mainText === "abcdef" && half.kept === 1 &&
+      half.droppedDense === 0)
+    val empty = graft.web.Boilerplate.extractMain(
+      "<html><body><p></p></body></html>")
+    assert(empty.mainText === "" && empty.kept === 1)
+    // a nav inside a content div: its link chars must not count toward
+    // the div's density, and its text must not leak into the output
+    val nested = graft.web.Boilerplate.extractMain(
+      "<html><body><div><nav><a>AAAAAAAAAA</a></nav>body text</div>" +
+        "</body></html>")
+    assert(nested.mainText === "body text")
+    assert(nested.kept === 1 && nested.droppedDense === 0)
+  }
+
   // ---------------------------------------------------------- robots
 
   test("robots grammar: comments, case-insensitive fields and agents, " +
