@@ -457,4 +457,41 @@ class PlanSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq,
       "state-served card diverged from the in-query card")
   }
+
+  test("web-archive tier plans: every walk is map-only past the ONE " +
+      "long-keyed synthesis exchange; robots audit and boilerplate " +
+      "extract are pure map; no string-keyed shuffle anywhere") {
+    // At 100 TB the synthesis exchange is replaced by binaryFile scans
+    // of real archives — the walks must add NO shuffle of their own.
+    // (The output orderBy's rangepartitioning is the harness's oracle
+    // sort, not an operator property.)
+    val oneExchange = Seq("q212_gzip_member_census",
+      "q213_warc_record_census", "q214_cdx_index", "q215_gzip_quarantine",
+      "q216_web_extract", "q219_http_census", "q220_http_quarantine",
+      "q221_http_extract",
+      // q218: no synthesis, but the schedule's window partitions on the
+      // 8-byte source hash — its one exchange
+      "q218_fetch_schedule")
+    // executedPlan prints the AQE final plan AND the initial plan —
+    // count exchanges in the final section only
+    def finalSection(plan: String): String =
+      plan.split("== Initial Plan ==").head
+    for (name <- oneExchange) {
+      val plan = finalSection(
+        executedPlan(graft.SparkEntry.queries(name)(spark, sf)))
+      val hashEx = plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx === 1,
+        s"$name: expected exactly one hash exchange, found $hashEx:\n$plan")
+      assert(!plan.contains("hashpartitioning(src") &&
+        !plan.contains("hashpartitioning(source"),
+        s"$name shuffles on a string key:\n$plan")
+    }
+    for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract")) {
+      val plan = finalSection(
+        executedPlan(graft.SparkEntry.queries(name)(spark, sf)))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must be map-only:\n$plan")
+    }
+  }
 }
