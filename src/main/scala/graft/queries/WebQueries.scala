@@ -503,6 +503,41 @@ object WebQueries {
       |  CAST(sum(n2 - n1) AS BIGINT) AS bytes_added
       |FROM b GROUP BY src ORDER BY source""".stripMargin
 
+  /** q224 — SELECTIVE REFETCH WORKLIST, three tiers composed into the
+    * recrawl pipeline's actionable output: URIs whose content CHANGED
+    * between captures (both generations' archives really re-walked to
+    * CDX digests), that robots STILL ALLOWS under the crawler's token
+    * (q217's full precedence machinery), laid out per source at
+    * `Crawl-delay` spacing (q218's politeness discipline) with the
+    * old/new byte sizes a bandwidth budgeter reads. Every join is
+    * doc-keyed; the window partitions on the source hash.
+    */
+  val q224_refetch_worklist: Q = (s, d) =>
+    WebLake.refetchWorklist(s, Tables.documents(s, d))
+      .toDF().orderBy("doc_id")
+
+  val q224Sql: String =
+    s"""WITH $RobotsCte,
+       |n AS (
+       |  SELECT doc_id,
+       |    len([ord(c) for c in string_split(coalesce(text, ''), '')
+       |      if ord(c) BETWEEN 0 AND 127]) AS n1
+       |  FROM documents),
+       |sel AS (
+       |  SELECT v.doc_id, v.src, v.k, n.n1,
+       |    n.n1 + length(' u' || CAST(v.doc_id AS VARCHAR)) AS n2
+       |  FROM v JOIN n ON v.doc_id = n.doc_id
+       |  WHERE v.doc_id % 4 = 0 AND v.ba >= v.bd)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  src AS source,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY doc_id) - 1
+       |    AS BIGINT) AS seq,
+       |  CAST((row_number() OVER (PARTITION BY src ORDER BY doc_id) - 1)
+       |    * (k + 1) AS BIGINT) AS fetch_at_s,
+       |  CAST(n1 AS BIGINT) AS bytes_then,
+       |  CAST(n2 AS BIGINT) AS bytes_now
+       |FROM sel ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -515,7 +550,8 @@ object WebQueries {
     "q220_http_quarantine" -> q220_http_quarantine,
     "q221_http_extract" -> q221_http_extract,
     "q222_boilerplate_extract" -> q222_boilerplate_extract,
-    "q223_recrawl_delta" -> q223_recrawl_delta)
+    "q223_recrawl_delta" -> q223_recrawl_delta,
+    "q224_refetch_worklist" -> q224_refetch_worklist)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -529,5 +565,6 @@ object WebQueries {
     "q220_http_quarantine" -> q220Sql,
     "q221_http_extract" -> q221Sql,
     "q222_boilerplate_extract" -> q222Sql,
-    "q223_recrawl_delta" -> q223Sql)
+    "q223_recrawl_delta" -> q223Sql,
+    "q224_refetch_worklist" -> q224Sql)
 }

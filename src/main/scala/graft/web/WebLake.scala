@@ -431,6 +431,36 @@ object WebLake {
     })
   }
 
+  /** The bridge from the front door to the corpus state machinery: a
+    * documents-shaped relation recovered ENTIRELY from archive bytes —
+    * text from the de-framed HTTP body, source from the target URI,
+    * `lang` re-identified from the recovered text (a crawl ships no
+    * lang column; language ID is the front door's job —
+    * [[graft.functions.TextAnalysis.langId]]), `n_chars` from the
+    * text. Exactly what [[graft.pipeline.CorpusBuild.ingestBatch]]
+    * consumes: the archive tier plugs into the standing state build
+    * with no adaptation (404s arrive as empty-text rows and the
+    * build's own quality floor screens them).
+    */
+  def warcToDocs(spark: SparkSession, archives: Dataset[ArchiveRow]): DataFrame = {
+    import spark.implicits._
+    archives.mapPartitions(_.flatMap { a =>
+      recordsOf(a).iterator
+        .filter(_._2.warcType == "response")
+        .map { case (_, r) =>
+          val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
+          val body = Http.parseResponse(r.payload).body
+          (id, new String(body, Ascii), r.targetUri.getOrElse(""))
+        }
+    }).toDF("doc_id", "text", "uri")
+      .select(col("doc_id"),
+        col("text"),
+        graft.functions.TextAnalysis.langId(col("text")).as("lang"),
+        regexp_extract(col("uri"),
+          "https://corpus\\.example/([^/]*)/", 1).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   // --------------------------------------------- boilerplate removal
 
   // HTML-safe ASCII sub-stream: the shared synthesis contract minus
@@ -509,8 +539,12 @@ object WebLake {
       n_unchanged: Long, bytes_old: Long, bytes_new: Long,
       bytes_added: Long)
 
-  def recrawlDelta(spark: SparkSession, docs: DataFrame): Dataset[RecrawlDelta] = {
-    import spark.implicits._
+  /** Per-URI change relation both crawl generations agree on: CDX
+    * entries of the old and new captures joined on the 8-byte doc key,
+    * changed = the (length, byte-sum) digest pair differs. Feeds the
+    * per-source rollup (q223) and the refetch worklist (q224).
+    */
+  private def recrawlChanges(spark: SparkSession, docs: DataFrame): DataFrame = {
     val cdx1 = cdxIndex(warcGzFromDocs(spark, docs))
       .select(col("doc_id"), col("target_uri"),
         col("payload_len").as("len1"), col("payload_sum").as("sum1"))
@@ -523,6 +557,11 @@ object WebLake {
       .withColumn("changed",
         when(col("len1") =!= col("len2") || col("sum1") =!= col("sum2"), 1L)
           .otherwise(0L))
+  }
+
+  def recrawlDelta(spark: SparkSession, docs: DataFrame): Dataset[RecrawlDelta] = {
+    import spark.implicits._
+    recrawlChanges(spark, docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_uris"),
         sum(col("changed")).as("n_changed"),
@@ -531,6 +570,36 @@ object WebLake {
         sum(col("len2")).as("bytes_new"),
         sum(col("len2") - col("len1")).as("bytes_added"))
       .as[RecrawlDelta]
+  }
+
+  /** The recrawl pipeline's ACTIONABLE output — three tiers composed:
+    * URIs whose content changed between captures (the CDX digest
+    * delta), that robots still allows under the crawler's token, laid
+    * out per source at `Crawl-delay` spacing. This is the worklist a
+    * distributed refetcher executes; everything it joins is
+    * doc-keyed (8-byte) and the window partitions on the source hash.
+    */
+  case class RefetchSlot(doc_id: Long, source: String, seq: Long,
+      fetch_at_s: Long, bytes_then: Long, bytes_now: Long)
+
+  def refetchWorklist(spark: SparkSession, docs: DataFrame,
+      agent: String = "graftbot"): Dataset[RefetchSlot] = {
+    import spark.implicits._
+    val changed = recrawlChanges(spark, docs)
+      .filter(col("changed") === 1L)
+      .select(col("doc_id"), col("source"), col("len1"), col("len2"))
+    val allowed = robotsAudit(spark, docs, agent)
+      .filter(col("allowed") === 1L)
+      .select(col("doc_id"), col("crawl_delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("doc_id"))
+    changed.join(allowed, Seq("doc_id"))
+      .withColumn("k", xxhash64(col("source")))
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("source"), col("seq"),
+        (col("seq") * col("crawl_delay")).as("fetch_at_s"),
+        col("len1").as("bytes_then"), col("len2").as("bytes_now"))
+      .as[RefetchSlot]
   }
 
   // ------------------------------------------------------ robots.txt

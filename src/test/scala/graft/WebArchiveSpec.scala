@@ -392,6 +392,55 @@ class WebArchiveSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
   }
 
+  // ----------------------------------------- front door → state build
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("WebArchiveSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("warcToDocs: the documents relation recovered from archive " +
+      "bytes alone equals the source projection, and feeds " +
+      "CorpusBuild.ingestBatch with no adaptation") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val archives = graft.web.WebLake.warcHttpFromDocs(spark, docs)
+    val fromWarc = graft.web.WebLake.warcToDocs(spark, archives)
+
+    // what the crawl SHOULD recover: the ASCII sub-stream (the wire
+    // payload), empty for the synthesized 404s, source from the URI —
+    // computed here in plain test code, independent of WebLake's
+    // synthesis helpers; lang applies the same q23-tested langId to
+    // the recovered text (the extraction is under test, not langId)
+    import spark.implicits._
+    val expected = docs.select("doc_id", "text", "source").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val t = Option(r.getString(1)).getOrElse("")
+        val asciiStream = new String(
+          t.getBytes("UTF-8").filter(b => (b & 0x80) == 0), "US-ASCII")
+        (id, if (id % 17 == 0) "" else asciiStream, r.getString(2))
+      }.toSeq.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextAnalysis.langId(col("text")).as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+
+    val got = fromWarc.orderBy("doc_id").collect().map(_.toSeq)
+    val want = expected.orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+
+    // and the recovered relation drives the standing state build
+    val dir = java.nio.file.Files
+      .createTempDirectory("webstate").toString
+    graft.pipeline.CorpusBuild.ingestBatch(dir, fromWarc)
+    val manifest = graft.pipeline.CorpusBuild.stateManifest(spark, dir)
+      .collect()
+    assert(manifest.nonEmpty, "state manifest empty after warc ingest")
+  }
+
   // ----------------------------------------------------- boilerplate
 
   test("boilerplate: chrome dropped by tag, link-farm dropped by " +
