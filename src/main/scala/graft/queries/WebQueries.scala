@@ -538,6 +538,87 @@ object WebQueries {
        |  CAST(n2 AS BIGINT) AS bytes_now
        |FROM sel ORDER BY doc_id""".stripMargin
 
+  /** q225 — ZSTD STRUCTURAL FRAME CENSUS (RFC 8878): the other
+    * compression format web corpora ship in, walked for real — frame
+    * magic + descriptor (FCS width live at both 1 and 2 bytes via the
+    * content size), raw blocks of ≤128 bytes, an RLE pad block, a
+    * 16-byte SKIPPABLE frame carrying the record id (read back — a
+    * mis-skipped frame surfaces as a wrong key), and the XXH64
+    * content checksum verified against the reference algorithm.
+    * Entropy-coded block payloads are the declared stub, exactly the
+    * MP3/H.264 narrowing. The oracle prices every block header and
+    * the FCS-width branch.
+    */
+  val q225_zstd_frame_census: Q = (s, d) =>
+    WebLake.zstdFrameCensus(
+        WebLake.zstFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  // Per doc: n raw chunks of 128, one RLE(32) pad, FCS 1 byte under
+  // 256 else 2, object = 16B skippable + frame.
+  private val ZstdCte =
+    """z AS (
+      |  SELECT doc_id,
+      |    len([ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127]) AS n,
+      |    coalesce(list_sum([ord(c) for c in
+      |      string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127]), 0) AS psum
+      |  FROM documents),
+      |zm AS (
+      |  SELECT doc_id, n, psum,
+      |    CAST(ceil(n / 128.0) AS BIGINT) AS nraw,
+      |    CASE WHEN n + 32 < 256 THEN 1 ELSE 2 END AS fcs
+      |  FROM z)""".stripMargin
+
+  val q225Sql: String =
+    s"""WITH $ZstdCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(1 AS BIGINT) AS n_skippable,
+       |  CAST(1 AS BIGINT) AS n_frames,
+       |  CAST(nraw + 1 AS BIGINT) AS n_blocks,
+       |  CAST(nraw AS BIGINT) AS n_raw,
+       |  CAST(1 AS BIGINT) AS n_rle,
+       |  CAST(n + 32 AS BIGINT) AS content_len,
+       |  CAST(psum + 32 * 126 AS BIGINT) AS content_sum,
+       |  CAST(16 + 5 + fcs + 3 * (nraw + 1) + n + 1 + 4 AS BIGINT)
+       |    AS total_bytes,
+       |  CAST(doc_id AS BIGINT) AS seek_id
+       |FROM zm ORDER BY doc_id""".stripMargin
+
+  /** q226 — ZSTD QUARANTINE PARITY, the NINTH container: the plant is
+    * the frame-header descriptor's RESERVED BIT (§3.1.1.1 mandates
+    * zero) at a byte offset locatable without decoding; the walk is
+    * really attempted and failures become zeroed `decode_ok = 0`
+    * rows. The never-crash contract now covers PNG, GIF, JPEG, FLAC,
+    * MP3, H.264, gzip, HTTP-chunked, and zstd.
+    */
+  val q226_zstd_quarantine: Q = (s, d) =>
+    WebLake.tryZstdCensus(
+        WebLake.corruptZst(
+          WebLake.zstFromDocs(s, Tables.documents(s, d))))
+      .toDF().orderBy("doc_id")
+
+  val q226Sql: String =
+    s"""WITH census AS ( $q225Sql )
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_skippable END
+       |    AS n_skippable,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_frames END AS n_frames,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_blocks END AS n_blocks,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_raw END AS n_raw,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_rle END AS n_rle,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE content_len END
+       |    AS content_len,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE content_sum END
+       |    AS content_sum,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE total_bytes END
+       |    AS total_bytes,
+       |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE seek_id END AS seek_id
+       |FROM census ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -551,7 +632,9 @@ object WebQueries {
     "q221_http_extract" -> q221_http_extract,
     "q222_boilerplate_extract" -> q222_boilerplate_extract,
     "q223_recrawl_delta" -> q223_recrawl_delta,
-    "q224_refetch_worklist" -> q224_refetch_worklist)
+    "q224_refetch_worklist" -> q224_refetch_worklist,
+    "q225_zstd_frame_census" -> q225_zstd_frame_census,
+    "q226_zstd_quarantine" -> q226_zstd_quarantine)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -566,5 +649,7 @@ object WebQueries {
     "q221_http_extract" -> q221Sql,
     "q222_boilerplate_extract" -> q222Sql,
     "q223_recrawl_delta" -> q223Sql,
-    "q224_refetch_worklist" -> q224Sql)
+    "q224_refetch_worklist" -> q224Sql,
+    "q225_zstd_frame_census" -> q225Sql,
+    "q226_zstd_quarantine" -> q226Sql)
 }

@@ -431,6 +431,23 @@ object WebLake {
     })
   }
 
+  /** Streaming reader over an archive lake (one parquet row per
+    * `.warc.gz` object, the binaryFile shape): crawl segments arrive
+    * as files, each micro-batch is a segment. Compose with
+    * [[warcToDocs]] — map-only, so it lifts to streaming unchanged —
+    * and the result feeds [[graft.streaming.DocStream.ingestToState]]
+    * with every ingest door intact: the archive tier IS a streaming
+    * front door, not just a batch one.
+    */
+  def readArchiveStream(spark: SparkSession, lake: String): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("archive_id LONG, content BINARY")
+      .option("maxFilesPerTrigger", 1) // one crawl segment per micro-batch
+      .parquet(lake)
+      .as[ArchiveRow]
+  }
+
   /** The bridge from the front door to the corpus state machinery: a
     * documents-shaped relation recovered ENTIRELY from archive bytes —
     * text from the de-framed HTTP body, source from the target URI,
@@ -459,6 +476,114 @@ object WebLake {
         regexp_extract(col("uri"),
           "https://corpus\\.example/([^/]*)/", 1).as("source"),
         length(col("text")).cast("long").as("n_chars"))
+  }
+
+  // ------------------------------------------------------- zstd tier
+
+  /** One `.zst` object per doc: a 16-byte SKIPPABLE frame carrying the
+    * record id (the seek-table convention) followed by a checksummed
+    * data frame — raw blocks of the ASCII payload plus one RLE pad
+    * block (32 × `~`), so raw, RLE, skippable, FCS-width, and checksum
+    * paths are ALL live on the wire with oracle-priceable sizes.
+    */
+  def zstFromDocs(spark: SparkSession, docs: DataFrame): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val seekId = new Array[Byte](8)
+        var v = id; var i = 0
+        while (i < 8) { seekId(i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
+        val bytes = Zstd.encodeSkippable(seekId) ++
+          Zstd.encodeFrame(asciiBytes(t), rleLen = 32, rleByte = '~')
+        ArchiveRow(id, bytes)
+      })
+  }
+
+  /** Per-object structural census — every field from the real walk:
+    * block counts by type, the re-assembled (checksum-verified)
+    * content length and byte sum, the whole-object size, and the
+    * record id READ BACK from the skippable frame (a mis-skipped
+    * frame surfaces as a wrong key, the q214 discipline).
+    */
+  case class ZstdCensus(doc_id: Long, n_skippable: Long, n_frames: Long,
+      n_blocks: Long, n_raw: Long, n_rle: Long, content_len: Long,
+      content_sum: Long, total_bytes: Long, seek_id: Long)
+
+  def zstdFrameCensus(objects: Dataset[ArchiveRow]): Dataset[ZstdCensus] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      val s = Zstd.decodeStream(a.content)
+      require(s.skippablePayloads.size == 1 && s.skippablePayloads.head.length == 8,
+        s"zstd object ${a.archive_id}: expected one 8-byte seek frame")
+      var seekId = 0L; var i = 0
+      val p = s.skippablePayloads.head
+      while (i < 8) { seekId |= (p(i) & 0xFFL) << (8 * i); i += 1 }
+      ZstdCensus(
+        doc_id = a.archive_id,
+        n_skippable = s.skippablePayloads.size.toLong,
+        n_frames = s.frames.size.toLong,
+        n_blocks = s.frames.iterator.map(_.nBlocks.toLong).sum,
+        n_raw = s.frames.iterator.map(_.nRaw.toLong).sum,
+        n_rle = s.frames.iterator.map(_.nRle.toLong).sum,
+        content_len = s.frames.iterator.map(_.contentSize).sum,
+        content_sum = s.frames.iterator.map(f =>
+          f.content.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+        total_bytes = a.content.length.toLong,
+        seek_id = seekId)
+    })
+  }
+
+  /** NINTH quarantine container: the plant is the frame-header
+    * descriptor's RESERVED BIT (RFC 8878 §3.1.1.1 mandates zero) —
+    * offset 20 of the object (16-byte skippable + 4-byte magic),
+    * locatable without decoding. Failures become zeroed
+    * `decode_ok = 0` rows, never a stage crash.
+    */
+  def corruptZst(objects: Dataset[ArchiveRow],
+      every: Int = 11): Dataset[ArchiveRow] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      if (a.archive_id % every == 0 && a.content.length > 20) {
+        val b = a.content.clone()
+        b(20) = (b(20) | 0x08).toByte
+        ArchiveRow(a.archive_id, b)
+      } else a
+    })
+  }
+
+  case class TriedZstdCensus(doc_id: Long, decode_ok: Long,
+      n_skippable: Long, n_frames: Long, n_blocks: Long, n_raw: Long,
+      n_rle: Long, content_len: Long, content_sum: Long,
+      total_bytes: Long, seek_id: Long)
+
+  def tryZstdCensus(objects: Dataset[ArchiveRow]): Dataset[TriedZstdCensus] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      try {
+        val s = Zstd.decodeStream(a.content)
+        require(s.skippablePayloads.size == 1 &&
+          s.skippablePayloads.head.length == 8,
+          "zstd object: expected one 8-byte seek frame")
+        var seekId = 0L; var i = 0
+        val p = s.skippablePayloads.head
+        while (i < 8) { seekId |= (p(i) & 0xFFL) << (8 * i); i += 1 }
+        TriedZstdCensus(a.archive_id, 1L,
+          s.skippablePayloads.size.toLong,
+          s.frames.size.toLong,
+          s.frames.iterator.map(_.nBlocks.toLong).sum,
+          s.frames.iterator.map(_.nRaw.toLong).sum,
+          s.frames.iterator.map(_.nRle.toLong).sum,
+          s.frames.iterator.map(_.contentSize).sum,
+          s.frames.iterator.map(f =>
+            f.content.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+          a.content.length.toLong, seekId)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedZstdCensus(a.archive_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
   }
 
   // --------------------------------------------- boilerplate removal

@@ -904,4 +904,48 @@ class DocStreamSpec extends AnyFunSuite {
       rows(graft.queries.FilterQueries.q187_bigram_perplexity(spark, sf)),
       "fold under full door composition diverged from the one-shot model")
   }
+
+  test("the web-archive tier is a STREAMING front door: .warc.gz " +
+      "segments arriving as micro-batches fold to the same state as a " +
+      "one-shot build over the recovered documents") {
+    val root = java.nio.file.Files.createTempDirectory("warcstream")
+    val lake = root.resolve("lake").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.documents(spark, sf)
+
+    // two crawl segments, id-monotone (dated crawl segments in arrival
+    // order — the append-only contract the doc stream already pins)
+    graft.web.WebLake.warcHttpFromDocs(spark, docs.filter(col("doc_id") < 250))
+      .toDF().coalesce(1).write.mode("append").parquet(lake)
+    Thread.sleep(1200)
+    graft.web.WebLake.warcHttpFromDocs(spark,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400))
+      .toDF().coalesce(1).write.mode("append").parquet(lake)
+
+    // archive stream → warcToDocs (map-only, lifts to streaming
+    // unchanged) → the SAME ingestToState as the document stream
+    val q = DocStream.ingestToState(
+      graft.web.WebLake.warcToDocs(spark,
+        graft.web.WebLake.readArchiveStream(spark, lake)),
+      state, ckpt)
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow stream failed to drain")
+    q.exception.foreach(e => fail(s"stream failed: $e"))
+
+    // reference: one-shot build over the docs recovered from ONE
+    // archive fleet spanning the same corpus (recovery is
+    // bucket-independent — same records either way)
+    val recovered = graft.web.WebLake.warcToDocs(spark,
+      graft.web.WebLake.warcHttpFromDocs(spark,
+        docs.filter(col("doc_id") < 400)))
+    val streamedKeep = CorpusBuild.stateSurvivors(spark, state)
+      .collect().map(_.getLong(0)).toSet
+    val fullKeep = CorpusBuild.survivors(recovered)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedKeep === fullKeep,
+      s"archive-streamed state diverged: " +
+        s"only-stream=${streamedKeep -- fullKeep} " +
+        s"only-batch=${fullKeep -- streamedKeep}")
+  }
 }

@@ -392,6 +392,78 @@ class WebArchiveSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
   }
 
+  // ------------------------------------------------------------ zstd
+
+  test("zstd golden: a REAL zstd-CLI frame (raw block, no checksum) " +
+      "walks to the exact content") {
+    // zstd --no-check of the 26-byte sentence below
+    val obj = Array(0x28, 0xB5, 0x2F, 0xFD, 0x20, 0x1A, 0xD1, 0x00, 0x00)
+      .map(_.toByte) ++ ascii("hello zstd structural walk")
+    val s = graft.web.Zstd.decodeStream(obj)
+    assert(s.frames.size === 1 && s.skippablePayloads.isEmpty)
+    val f = s.frames.head
+    assert(f.nBlocks === 1 && f.nRaw === 1 && f.nRle === 0)
+    assert(new String(f.content, "US-ASCII") === "hello zstd structural walk")
+  }
+
+  test("zstd golden: a checksummed zstd-CLI frame verifies via XXH64 " +
+      "(Spark's implementation == the reference xxHash64 zstd names)") {
+    val obj = Array(0x28, 0xB5, 0x2F, 0xFD, 0x24, 0x1A, 0xD1, 0x00, 0x00)
+      .map(_.toByte) ++ ascii("hello zstd structural walk") ++
+      Array(0xFB, 0xF8, 0xCA, 0xEC).map(_.toByte)
+    val s = graft.web.Zstd.decodeStream(obj)
+    assert(s.frames.head.contentSize === 26)
+    // flip one checksum byte -> loud
+    val bad = obj.clone(); bad(bad.length - 1) = 0x00
+    intercept[IllegalArgumentException](graft.web.Zstd.decodeStream(bad))
+  }
+
+  test("zstd: a real entropy-coded frame hits the DECLARED STUB error, " +
+      "not a crash or a wrong answer") {
+    // zstd -19 of 40 x 'a': window descriptor present, compressed block
+    val obj = Array(0x28, 0xB5, 0x2F, 0xFD, 0x24, 0x28, 0x45, 0x00, 0x00,
+      0x10, 0x61, 0x61, 0x01, 0x00, 0x1F, 0x80, 0x05, 0x03,
+      0xEF, 0x11, 0x31).map(_.toByte)
+    val e = intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(obj))
+    assert(e.getMessage.contains("declared stub"))
+  }
+
+  test("zstd round-trip: skippable + raw/RLE frame, multi-chunk, both " +
+      "FCS widths, empty payload") {
+    Seq(0, 1, 100, 250, 500).foreach { n =>
+      val data = Array.tabulate(n)(i => ((i % 90) + 33).toByte)
+      val obj = graft.web.Zstd.encodeSkippable(Array[Byte](1, 2, 3)) ++
+        graft.web.Zstd.encodeFrame(data, rleLen = 32, rleByte = '~')
+      val s = graft.web.Zstd.decodeStream(obj)
+      assert(s.skippablePayloads.map(_.toSeq) === Vector(Seq[Byte](1, 2, 3)))
+      val f = s.frames.head
+      assert(f.nRaw === (n + 127) / 128 && f.nRle === 1)
+      assert(f.content.toSeq === (data ++ Array.fill(32)('~'.toByte)).toSeq)
+    }
+  }
+
+  test("zstd malformed objects fail loudly: magic, reserved descriptor " +
+      "bit, reserved block type, truncation, trailing garbage") {
+    val good = graft.web.Zstd.encodeFrame(ascii("payload"), 4, '~')
+    def mut(at: Int, f: Byte => Byte): Array[Byte] = {
+      val b = good.clone(); b(at) = f(b(at)); b
+    }
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(mut(0, _ => 0x29)))
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(mut(4, b => (b | 0x08).toByte)))
+    // block type 3: descriptor ok, block header bits 1-2 -> 11
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(mut(6, b => (b | 0x06).toByte)))
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(good.dropRight(3)))
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(good ++ Array[Byte](0)))
+    intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(Array.emptyByteArray))
+  }
+
   // ----------------------------------------- front door → state build
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
