@@ -619,6 +619,86 @@ object WebQueries {
        |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE seek_id END AS seek_id
        |FROM census ORDER BY doc_id""".stripMargin
 
+  /** q227 — SEEKABLE `.warc.zst` INDEX: the zstd counterpart of q214 —
+    * one checksummed frame per response record, a TRAILING SEEK TABLE
+    * in the public seekable-zstd convention, and the index rows a
+    * record-parallel reader consumes. The walk VERIFIES the table
+    * against the frames it actually stepped (count and every size
+    * pair) before emitting a single row. The oracle prices every
+    * frame (header + FCS width + 3-byte block headers + checksum) and
+    * re-derives the offsets as window sums.
+    */
+  val q227_warczst_index: Q = (s, d) =>
+    WebLake.warcZstIndex(
+        WebLake.warcZstFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  // Frame arithmetic for the warc.zst tier: the record bytes (same
+  // header pricing as the gzip tier) wrapped in a single-segment
+  // checksummed frame of 128-byte raw blocks, no pad.
+  private val WarcZstCte =
+    s"""$DocsCte,
+       |r AS (
+       |  SELECT doc_id, src, aid, n, psum,
+       |    10 + length('WARC-Type: response') + 2
+       |       + length('WARC-Record-ID: <urn:graft:doc:' ||
+       |           CAST(doc_id AS VARCHAR) || '>') + 2
+       |       + length('WARC-Target-URI: https://corpus.example/' ||
+       |           src || '/' || CAST(doc_id AS VARCHAR)) + 2
+       |       + length('Content-Type: text/plain') + 2
+       |       + length('Content-Length: ' || CAST(n AS VARCHAR)) + 2
+       |       + 2 + n + 4 AS rec_len
+       |  FROM d),
+       |zf AS (
+       |  SELECT doc_id, src, aid, n, psum, rec_len,
+       |    4 + 1 + CASE WHEN rec_len < 256 THEN 1 ELSE 2 END
+       |      + 3 * greatest(1, CAST(ceil(rec_len / 128.0) AS BIGINT))
+       |      + rec_len + 4 AS frame_len
+       |  FROM r)""".stripMargin
+
+  val q227Sql: String =
+    s"""WITH $WarcZstCte
+       |SELECT CAST(aid AS BIGINT) AS archive_id,
+       |  CAST(doc_id AS BIGINT) AS doc_id,
+       |  'https://corpus.example/' || src || '/' || CAST(doc_id AS VARCHAR)
+       |    AS target_uri,
+       |  CAST(sum(frame_len) OVER (PARTITION BY aid ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - frame_len AS BIGINT)
+       |    AS member_offset,
+       |  CAST(frame_len AS BIGINT) AS member_len,
+       |  CAST(n AS BIGINT) AS payload_len,
+       |  CAST(psum AS BIGINT) AS payload_sum
+       |FROM zf ORDER BY doc_id""".stripMargin
+
+  /** q228 — LYING-SEEK-TABLE QUARANTINE, the TENTH container class and
+    * a new KIND: the corruption is in the INDEX layer, not the data —
+    * every frame still decodes perfectly, only the random-access
+    * metadata lies (the failure a seek-based reader cannot survive,
+    * and exactly what the verify-before-serve discipline exists for).
+    * Every 6th archive's last seek entry gets a flipped size byte;
+    * verification refuses, the archive quarantines as a zeroed row.
+    */
+  val q228_warczst_quarantine: Q = (s, d) =>
+    WebLake.tryWarcZstCensus(
+        WebLake.corruptSeekTable(
+          WebLake.warcZstFromDocs(s, Tables.documents(s, d))))
+      .toDF().orderBy("archive_id")
+
+  val q228Sql: String =
+    s"""WITH $WarcZstCte
+       |SELECT CAST(aid AS BIGINT) AS archive_id,
+       |  CAST(CASE WHEN aid % 6 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CAST(CASE WHEN aid % 6 = 0 THEN 0 ELSE count(*) END AS BIGINT)
+       |    AS n_records,
+       |  CAST(CASE WHEN aid % 6 = 0 THEN 0 ELSE sum(frame_len) END
+       |    AS BIGINT) AS frame_bytes,
+       |  CAST(CASE WHEN aid % 6 = 0 THEN 0 ELSE sum(n) END AS BIGINT)
+       |    AS payload_bytes,
+       |  CAST(CASE WHEN aid % 6 = 0 THEN 0 ELSE sum(psum) END AS BIGINT)
+       |    AS payload_sum
+       |FROM zf GROUP BY aid ORDER BY archive_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -634,7 +714,9 @@ object WebQueries {
     "q223_recrawl_delta" -> q223_recrawl_delta,
     "q224_refetch_worklist" -> q224_refetch_worklist,
     "q225_zstd_frame_census" -> q225_zstd_frame_census,
-    "q226_zstd_quarantine" -> q226_zstd_quarantine)
+    "q226_zstd_quarantine" -> q226_zstd_quarantine,
+    "q227_warczst_index" -> q227_warczst_index,
+    "q228_warczst_quarantine" -> q228_warczst_quarantine)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -651,5 +733,7 @@ object WebQueries {
     "q223_recrawl_delta" -> q223Sql,
     "q224_refetch_worklist" -> q224Sql,
     "q225_zstd_frame_census" -> q225Sql,
-    "q226_zstd_quarantine" -> q226Sql)
+    "q226_zstd_quarantine" -> q226Sql,
+    "q227_warczst_index" -> q227Sql,
+    "q228_warczst_quarantine" -> q228Sql)
 }

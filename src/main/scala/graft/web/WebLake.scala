@@ -586,6 +586,116 @@ object WebLake {
     })
   }
 
+  // -------------------------------------------------- seekable warc.zst
+
+  /** `.warc.zst` archives under the seekable convention: one
+    * checksummed zstd frame per response record (raw blocks, no pad —
+    * the frame content IS the record) and a TRAILING SEEK TABLE
+    * ([[Zstd.encodeSeekTable]]) whose entries a reader uses for
+    * random access. Responses only — this tier's subject is the frame
+    * index, q213's is the record taxonomy.
+    */
+  def warcZstFromDocs(spark: SparkSession, docs: DataFrame,
+      nArchives: Int = DefaultArchives): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(pmod(col("doc_id"), lit(nArchives)).cast("long").as("aid"),
+        col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"),
+        coalesce(col("source"), lit("")).as("src"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        val sizes = Vector.newBuilder[(Int, Long)]
+        rows.foreach { case (_, id, t, src) =>
+          val rec = Warc.encodeRecord("response", s"urn:graft:doc:$id",
+            Some(s"https://corpus.example/$src/$id"), "text/plain",
+            asciiBytes(t))
+          val frame = Zstd.encodeFrame(rec, rleLen = 0, rleByte = 0)
+          sizes += ((frame.length, rec.length.toLong))
+          out.write(frame, 0, frame.length)
+        }
+        val table = Zstd.encodeSeekTable(sizes.result())
+        out.write(table, 0, table.length)
+        ArchiveRow(aid, out.toByteArray)
+      }
+  }
+
+  /** The `.warc.zst` random-access index — [[CdxEntry]] rows with the
+    * FRAME (offset, compressed length) as the seek coordinates. The
+    * trailing seek table is VERIFIED against the walked frames first
+    * (a lying index is a loud error, never a silent mis-slice).
+    */
+  def warcZstIndex(archives: Dataset[ArchiveRow]): Dataset[CdxEntry] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.flatMap { a =>
+      val s = Zstd.decodeStream(a.content)
+      Zstd.verifySeekTable(s)
+      s.frames.iterator.map { f =>
+        val rs = Warc.decodeRecords(f.content)
+        require(rs.size == 1,
+          s"warc.zst: frame at ${f.offset} holds ${rs.size} records")
+        val r = rs.head
+        val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
+        CdxEntry(a.archive_id, id, r.targetUri.getOrElse(""),
+          f.offset.toLong, f.compressedSize.toLong,
+          r.payload.length.toLong,
+          r.payload.iterator.map(b => (b & 0xFF).toLong).sum)
+      }
+    })
+  }
+
+  /** TENTH quarantine class — a LYING SEEK TABLE: the index layer's
+    * own integrity, distinct from payload corruption (every frame
+    * still decodes perfectly; only the random-access metadata is
+    * wrong, exactly the failure a seek-based reader cannot survive).
+    * The plant flips a byte inside the last entry's declared size,
+    * locatable from the stream tail without decoding.
+    */
+  def corruptSeekTable(archives: Dataset[ArchiveRow],
+      every: Int = 6): Dataset[ArchiveRow] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      if (a.archive_id % every == 0 && a.content.length > 12) {
+        val b = a.content.clone()
+        b(b.length - 5) = (b(b.length - 5) ^ 0x5A).toByte
+        ArchiveRow(a.archive_id, b)
+      } else a
+    })
+  }
+
+  /** Never-crash census over the verified index: a failed seek-table
+    * verification (or any walk failure) quarantines the archive as a
+    * zeroed row; byte totals come from the verified walk.
+    */
+  case class TriedWarcZstCensus(archive_id: Long, decode_ok: Long,
+      n_records: Long, frame_bytes: Long, payload_bytes: Long,
+      payload_sum: Long)
+
+  def tryWarcZstCensus(archives: Dataset[ArchiveRow]): Dataset[TriedWarcZstCensus] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.map { a =>
+      try {
+        val s = Zstd.decodeStream(a.content)
+        Zstd.verifySeekTable(s)
+        var payloadBytes = 0L; var payloadSum = 0L
+        s.frames.foreach { f =>
+          val rs = Warc.decodeRecords(f.content)
+          require(rs.size == 1, "warc.zst: frame holds != 1 record")
+          payloadBytes += rs.head.payload.length
+          payloadSum += rs.head.payload.iterator.map(b => (b & 0xFF).toLong).sum
+        }
+        TriedWarcZstCensus(a.archive_id, 1L, s.frames.size.toLong,
+          s.frames.iterator.map(_.compressedSize.toLong).sum,
+          payloadBytes, payloadSum)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedWarcZstCensus(a.archive_id, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   // --------------------------------------------- boilerplate removal
 
   // HTML-safe ASCII sub-stream: the shared synthesis contract minus

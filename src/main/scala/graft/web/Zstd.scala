@@ -33,11 +33,13 @@ object Zstd {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 0L)
 
-  /** One walked data frame: block structure counts + the re-assembled
-    * content (checksum-verified when present).
+  /** One walked data frame: where it sits in the stream (`offset`,
+    * `compressedSize` — the seek-table coordinates), block structure
+    * counts, and the re-assembled content (checksum-verified when
+    * present).
     */
-  final case class Frame(nBlocks: Int, nRaw: Int, nRle: Int,
-      contentSize: Long, content: Array[Byte])
+  final case class Frame(offset: Int, compressedSize: Int, nBlocks: Int,
+      nRaw: Int, nRle: Int, contentSize: Long, content: Array[Byte])
 
   /** A walked stream: data frames + how many skippable frames were
     * stepped over (their payloads surfaced for the seek-table reader).
@@ -58,7 +60,7 @@ object Zstd {
     */
   def encodeFrame(data: Array[Byte], rleLen: Int, rleByte: Byte,
       rawChunk: Int = 128): Array[Byte] = {
-    require(rleLen > 0 && rleLen < (1 << 21), s"zstd: bad RLE length $rleLen")
+    require(rleLen >= 0 && rleLen < (1 << 21), s"zstd: bad RLE length $rleLen")
     require(rawChunk > 0 && rawChunk < (1 << 21), s"zstd: bad chunk $rawChunk")
     val contentSize = data.length.toLong + rleLen
     val out = new java.io.ByteArrayOutputStream()
@@ -85,12 +87,18 @@ object Zstd {
     var off = 0
     while (off < data.length) {
       val n = math.min(rawChunk, data.length - off)
-      blockHeader(last = false, btype = 0, size = n)
+      // with no RLE pad, the final raw chunk carries the last flag
+      blockHeader(last = rleLen == 0 && off + n == data.length,
+        btype = 0, size = n)
       out.write(data, off, n)
       off += n
     }
-    blockHeader(last = true, btype = 1, size = rleLen) // RLE: size = regenerated
-    out.write(rleByte & 0xFF)
+    if (rleLen > 0) {
+      blockHeader(last = true, btype = 1, size = rleLen) // size = regenerated
+      out.write(rleByte & 0xFF)
+    } else if (data.isEmpty) {
+      blockHeader(last = true, btype = 0, size = 0) // empty frame: one raw block
+    }
     val full = new Array[Byte](contentSize.toInt)
     System.arraycopy(data, 0, full, 0, data.length)
     java.util.Arrays.fill(full, data.length, full.length, rleByte)
@@ -114,6 +122,56 @@ object Zstd {
     out.toByteArray
   }
 
+  /** Seek table for a multi-frame stream — the declared subset of the
+    * public seekable-zstd convention: one (compressed size LE32,
+    * decompressed size LE32) entry per data frame plus an LE32 frame
+    * count, shipped in a TRAILING skippable frame under the
+    * convention's 0xE nibble. What turns a `.warc.zst` into a
+    * random-access archive.
+    */
+  def encodeSeekTable(frames: Seq[(Int, Long)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      var t = v; var i = 0
+      while (i < 4) { out.write((t & 0xFF).toInt); t >>>= 8; i += 1 }
+    }
+    frames.foreach { case (c, d) => u32(c.toLong); u32(d) }
+    u32(frames.size.toLong)
+    encodeSkippable(out.toByteArray, nibble = 0xE)
+  }
+
+  /** Verify a walked stream's trailing seek table against the frames
+    * actually walked — entry count and every (compressed,
+    * decompressed) size pair must match exactly. A lying index is how
+    * a seek-based reader silently mis-slices; here it is a loud
+    * contract error. Returns the frame count.
+    */
+  def verifySeekTable(s: Stream): Int = {
+    require(s.skippablePayloads.nonEmpty, "zstd: no seek table frame")
+    val t = s.skippablePayloads.last
+    require(t.length >= 4 && t.length % 4 == 0,
+      s"zstd: malformed seek table (${t.length} bytes)")
+    def u32(pos: Int): Long =
+      ((t(pos) & 0xFFL)) | ((t(pos + 1) & 0xFFL) << 8) |
+        ((t(pos + 2) & 0xFFL) << 16) | ((t(pos + 3) & 0xFFL) << 24)
+    val n = u32(t.length - 4)
+    require(n == s.frames.size,
+      s"zstd: seek table declares $n frames, walked ${s.frames.size}")
+    require(t.length == 4 + 8 * n,
+      s"zstd: seek table ${t.length} bytes != ${4 + 8 * n} for $n entries")
+    var i = 0
+    while (i < n) {
+      val c = u32(8 * i)
+      val d = u32(8 * i + 4)
+      val f = s.frames(i.toInt)
+      require(c == f.compressedSize && d == f.contentSize,
+        s"zstd: seek entry $i ($c, $d) != walked " +
+          s"(${f.compressedSize}, ${f.contentSize})")
+      i += 1
+    }
+    n.toInt
+  }
+
   /** Walk a concatenation of zstd frames (data + skippable). */
   def decodeStream(bytes: Array[Byte]): Stream = {
     require(bytes.length > 0, "zstd: empty input")
@@ -131,6 +189,7 @@ object Zstd {
         skips += java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
         pos += size.toInt
       } else {
+        val frameStart = pos - 4
         require(magic == (Magic.toLong & 0xFFFFFFFFL),
           f"zstd: bad magic $magic%08x at ${pos - 4}")
         require(pos < bytes.length, "zstd: truncated frame header")
@@ -210,7 +269,8 @@ object Zstd {
           require(got == want,
             f"zstd: content checksum mismatch (stored $want%08x, computed $got%08x)")
         }
-        frames += Frame(nBlocks, nRaw, nRle, data.length.toLong, data)
+        frames += Frame(frameStart, pos - frameStart, nBlocks, nRaw, nRle,
+          data.length.toLong, data)
       }
     }
     Stream(frames.result(), skips.result())

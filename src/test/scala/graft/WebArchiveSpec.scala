@@ -464,6 +464,28 @@ class WebArchiveSpec extends AnyFunSuite {
       graft.web.Zstd.decodeStream(Array.emptyByteArray))
   }
 
+  test("zstd seek table: verifies against the walked frames; a LYING " +
+      "entry (count, csize, or dsize) is a loud error") {
+    import graft.web.Zstd
+    val f1 = Zstd.encodeFrame(ascii("first record"), 0, 0)
+    val f2 = Zstd.encodeFrame(ascii("second, rather longer record body"), 0, 0)
+    val table = Zstd.encodeSeekTable(
+      Seq((f1.length, 12L), (f2.length, 33L)))
+    val good = f1 ++ f2 ++ table
+    val s = Zstd.decodeStream(good)
+    assert(Zstd.verifySeekTable(s) === 2)
+    assert(s.frames.map(_.offset) === Vector(0, f1.length))
+    // lie about a size
+    val lied = f1 ++ f2 ++ Zstd.encodeSeekTable(
+      Seq((f1.length, 12L), (f2.length + 1, 33L)))
+    intercept[IllegalArgumentException](
+      Zstd.verifySeekTable(Zstd.decodeStream(lied)))
+    // lie about the count
+    val miscount = f1 ++ f2 ++ Zstd.encodeSeekTable(Seq((f1.length, 12L)))
+    intercept[IllegalArgumentException](
+      Zstd.verifySeekTable(Zstd.decodeStream(miscount)))
+  }
+
   // ----------------------------------------- front door → state build
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
