@@ -699,6 +699,70 @@ object WebQueries {
        |    AS payload_sum
        |FROM zf GROUP BY aid ORDER BY archive_id""".stripMargin
 
+  /** q229 — `.jsonl.zst` DATASET EXCHANGE, the shape modern corpus
+    * releases actually ship: one JSON document per line (written by
+    * the engine's own RFC 8259 serializer — quote/backslash/control
+    * escapes live whenever the text contains them), one checksummed
+    * zstd frame per line, a verified trailing seek table; read back
+    * by SPARK'S NATIVE `from_json` in FAILFAST mode (codegen'd, no
+    * UDF in the parse path). The emitted relation IS the documents
+    * table — text strings hash-compared, so one wrong escape anywhere
+    * in serialize → compress → frame → parse mismatches.
+    */
+  val q229_jsonl_roundtrip: Q = (s, d) =>
+    WebLake.readJsonlZst(s,
+        WebLake.jsonlZstFromDocs(s, Tables.documents(s, d)))
+      .orderBy("doc_id")
+
+  val q229Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  array_to_string([c for c in string_split(coalesce(text, ''), '')
+      |    if ord(c) BETWEEN 0 AND 127], '') AS text,
+      |  coalesce(lang, '') AS lang,
+      |  coalesce(source, '') AS source,
+      |  CAST(length(array_to_string([c for c in
+      |    string_split(coalesce(text, ''), '')
+      |    if ord(c) BETWEEN 0 AND 127], '')) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q230 — COMPRESSION DISPATCH CENSUS: a mixed lake (gzip member /
+    * zstd object / plain bytes by id residue — nobody labels real
+    * objects, the magic bytes are the label) routed by magic-byte
+    * sniffing to the REAL walker, with the de-framed payload censused
+    * — a mis-route shows up as a wrong byte sum, not just a wrong
+    * label. ASCII payloads cannot collide with either magic (both
+    * need a byte ≥ 0x80 in the first pair), so the dispatch is total.
+    */
+  val q230_compression_sniff: Q = (s, d) =>
+    WebLake.sniffCompression(
+        WebLake.mixedCompressionLake(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q230Sql: String =
+    """WITH z AS (
+      |  SELECT doc_id,
+      |    len([ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127]) AS n,
+      |    coalesce(list_sum([ord(c) for c in
+      |      string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127]), 0) AS psum
+      |  FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' ELSE 'plain' END AS format,
+      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 1 THEN n + 32 ELSE n END AS BIGINT) AS payload_len,
+      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 1 THEN psum + 32 * 126 ELSE psum END AS BIGINT)
+      |    AS payload_sum,
+      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN 18 + 5 * greatest(1,
+      |        CAST(ceil(n / 65535.0) AS BIGINT)) + n
+      |    WHEN 1 THEN 16 + 5 + CASE WHEN n + 32 < 256 THEN 1 ELSE 2 END
+      |        + 3 * (CAST(ceil(n / 128.0) AS BIGINT) + 1) + n + 1 + 4
+      |    ELSE n END AS BIGINT) AS object_len
+      |FROM z ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -716,7 +780,9 @@ object WebQueries {
     "q225_zstd_frame_census" -> q225_zstd_frame_census,
     "q226_zstd_quarantine" -> q226_zstd_quarantine,
     "q227_warczst_index" -> q227_warczst_index,
-    "q228_warczst_quarantine" -> q228_warczst_quarantine)
+    "q228_warczst_quarantine" -> q228_warczst_quarantine,
+    "q229_jsonl_roundtrip" -> q229_jsonl_roundtrip,
+    "q230_compression_sniff" -> q230_compression_sniff)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -735,5 +801,7 @@ object WebQueries {
     "q225_zstd_frame_census" -> q225Sql,
     "q226_zstd_quarantine" -> q226Sql,
     "q227_warczst_index" -> q227Sql,
-    "q228_warczst_quarantine" -> q228Sql)
+    "q228_warczst_quarantine" -> q228Sql,
+    "q229_jsonl_roundtrip" -> q229Sql,
+    "q230_compression_sniff" -> q230Sql)
 }

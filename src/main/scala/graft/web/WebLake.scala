@@ -696,6 +696,153 @@ object WebLake {
     })
   }
 
+  // ------------------------------------------------- jsonl.zst tier
+
+  /** RFC 8259 string escape for the JSONL writer: the two mandatory
+    * escapes plus control characters (the short forms where they
+    * exist, `\u00XX` otherwise). ASCII payloads in, ASCII JSON out.
+    */
+  private[web] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** `.jsonl.zst` dataset objects — the shape modern corpus releases
+    * actually ship: one JSON document per line, one checksummed zstd
+    * frame PER LINE (the seekable convention applied to records), a
+    * verified trailing seek table. The JSON itself is written by the
+    * engine's own RFC 8259 serializer, so quote/backslash/control
+    * escapes are live on the wire whenever the text contains them.
+    */
+  def jsonlZstFromDocs(spark: SparkSession, docs: DataFrame,
+      nArchives: Int = DefaultArchives): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(pmod(col("doc_id"), lit(nArchives)).cast("long").as("aid"),
+        col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"),
+        coalesce(col("lang"), lit("")).as("lg"),
+        coalesce(col("source"), lit("")).as("src"))
+      .as[(Long, Long, String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        val sizes = Vector.newBuilder[(Int, Long)]
+        rows.foreach { case (_, id, t, lg, src) =>
+          val ascii = new String(asciiBytes(t), Ascii)
+          val line = s"""{"id":$id,"text":"${jsonEscape(ascii)}",""" +
+            s""""lang":"${jsonEscape(lg)}","source":"${jsonEscape(src)}"}""" +
+            "\n"
+          val bytes = line.getBytes(Ascii)
+          val frame = Zstd.encodeFrame(bytes, rleLen = 0, rleByte = 0)
+          sizes += ((frame.length, bytes.length.toLong))
+          out.write(frame, 0, frame.length)
+        }
+        val table = Zstd.encodeSeekTable(sizes.result())
+        out.write(table, 0, table.length)
+        ArchiveRow(aid, out.toByteArray)
+      }
+  }
+
+  /** Read a `.jsonl.zst` release back to documents: frames walked
+    * (seek table verified), lines parsed by SPARK'S NATIVE `from_json`
+    * in FAILFAST mode (codegen'd — no UDF in the parse path; a
+    * malformed line is a loud error, not a null row). Returns the
+    * documents-shaped relation with the parsed fields.
+    */
+  def readJsonlZst(spark: SparkSession, archives: Dataset[ArchiveRow]): DataFrame = {
+    import spark.implicits._
+    val lines = archives.mapPartitions(_.flatMap { a =>
+      val s = Zstd.decodeStream(a.content)
+      Zstd.verifySeekTable(s)
+      s.frames.iterator.map(f => new String(f.content, Ascii).stripLineEnd)
+    })
+    lines.toDF("line")
+      .select(from_json(col("line"), org.apache.spark.sql.types.DataType
+          .fromDDL("id BIGINT, text STRING, lang STRING, source STRING")
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        Map("mode" -> "FAILFAST")).as("j"))
+      .select(col("j.id").as("doc_id"), col("j.text").as("text"),
+        col("j.lang").as("lang"), col("j.source").as("source"),
+        length(col("j.text")).cast("long").as("n_chars"))
+  }
+
+  // ------------------------------------------- compression dispatcher
+
+  /** A mixed compression lake: per doc one object — gzip member, zstd
+    * object (seek frame + data frame, the q225 shape), or plain bytes
+    * — by id residue. What a real ingest actually faces: nobody
+    * labels the objects; the magic bytes are the label.
+    */
+  def mixedCompressionLake(spark: SparkSession, docs: DataFrame): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val payload = asciiBytes(t)
+        val bytes = (id % 3) match {
+          case 0 => Gzip.member(payload, fname = None, fixedHuffman = false,
+            mtime = id)
+          case 1 =>
+            val seekId = new Array[Byte](8)
+            var v = id; var i = 0
+            while (i < 8) { seekId(i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
+            Zstd.encodeSkippable(seekId) ++
+              Zstd.encodeFrame(payload, rleLen = 32, rleByte = '~')
+          case _ => payload // uncompressed
+        }
+        ArchiveRow(id, bytes)
+      })
+  }
+
+  /** Magic-byte dispatch census — the router every mixed lake needs
+    * before any walker runs: `1f 8b` → gzip, `28 b5 2f fd` /
+    * `18 4d 2a 5x` → zstd, anything else → plain (ASCII payloads
+    * cannot collide with either magic: both need a byte ≥ 0x80 in the
+    * first pair). The detected format drives the REAL walker and the
+    * de-framed payload is censused — a mis-route shows up as a wrong
+    * byte sum, not just a wrong label.
+    */
+  case class SniffedObject(doc_id: Long, format: String, payload_len: Long,
+      payload_sum: Long, object_len: Long)
+
+  def sniffCompression(objects: Dataset[ArchiveRow]): Dataset[SniffedObject] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      val b = a.content
+      def sum(bytes: Array[Byte]): Long =
+        bytes.iterator.map(x => (x & 0xFF).toLong).sum
+      val (fmt, data) =
+        if (b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) {
+          val ms = Gzip.members(b)
+          ("gzip", ms.iterator.map(m => (m.data.length.toLong, sum(m.data)))
+            .reduce((x, y) => (x._1 + y._1, x._2 + y._2)))
+        } else if (b.length >= 4 && (b(0) & 0xFF) == 0x28 &&
+            (b(1) & 0xFF) == 0xB5 && (b(2) & 0xFF) == 0x2F &&
+            (b(3) & 0xFF) == 0xFD ||
+          b.length >= 4 && (b(0) & 0xF0) == 0x50 && (b(1) & 0xFF) == 0x2A &&
+            (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18) {
+          val s = Zstd.decodeStream(b)
+          ("zstd", s.frames.iterator
+            .map(f => (f.contentSize, sum(f.content)))
+            .foldLeft((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2)))
+        } else ("plain", (b.length.toLong, sum(b)))
+      SniffedObject(a.archive_id, fmt, data._1, data._2, b.length.toLong)
+    })
+  }
+
   // --------------------------------------------- boilerplate removal
 
   // HTML-safe ASCII sub-stream: the shared synthesis contract minus

@@ -469,6 +469,10 @@ class PlanSpec extends AnyFunSuite {
       "q213_warc_record_census", "q214_cdx_index", "q215_gzip_quarantine",
       "q216_web_extract", "q219_http_census", "q220_http_quarantine",
       "q221_http_extract",
+      // q227/q228: the warc.zst tier has the same one-synthesis shape
+      "q227_warczst_index", "q228_warczst_quarantine",
+      // q229: jsonl.zst synthesis groups once; from_json is map-side
+      "q229_jsonl_roundtrip",
       // q218: no synthesis, but the schedule's window partitions on the
       // 8-byte source hash — its one exchange
       "q218_fetch_schedule")
@@ -487,7 +491,10 @@ class PlanSpec extends AnyFunSuite {
         !plan.contains("hashpartitioning(source"),
         s"$name shuffles on a string key:\n$plan")
     }
-    for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract")) {
+    // the per-doc tiers (no archive grouping at all): pure map
+    for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract",
+        "q225_zstd_frame_census", "q226_zstd_quarantine",
+        "q230_compression_sniff")) {
       val plan = finalSection(
         executedPlan(graft.SparkEntry.queries(name)(spark, sf)))
       assert(!plan.contains("Exchange hashpartitioning"),

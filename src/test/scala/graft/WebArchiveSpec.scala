@@ -535,6 +535,31 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(manifest.nonEmpty, "state manifest empty after warc ingest")
   }
 
+  test("jsonl.zst round-trip with HOSTILE text: quotes, backslashes, " +
+      "and control characters survive serialize → frame → from_json " +
+      "(the corpus may never exercise the escapes; this pins them)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en", "src1"),
+      (2L, "quote \" backslash \\ slash / done", "de", "src2"),
+      (3L, "newline\nand\ttab and\rcr", "fr", "src3"),
+      (4L, "ctrl \u0001\u001f bytes", "es", "src4"),
+      (5L, "", "zh", "src5"))
+      .toDF("doc_id", "text", "lang", "source")
+    val back = graft.web.WebLake.readJsonlZst(spark,
+        graft.web.WebLake.jsonlZstFromDocs(spark, docs))
+      .orderBy("doc_id").collect()
+    val want = docs.orderBy("doc_id").collect()
+    assert(back.length === want.length)
+    back.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getString(1) === w.getString(1),
+        s"text mismatch for doc ${w.getLong(0)}")
+      assert(g.getString(2) === w.getString(2))
+      assert(g.getString(3) === w.getString(3))
+    }
+  }
+
   // ----------------------------------------------------- boilerplate
 
   test("boilerplate: chrome dropped by tag, link-farm dropped by " +
