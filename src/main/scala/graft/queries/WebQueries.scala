@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.web.WebLake
 
@@ -763,6 +764,73 @@ object WebQueries {
       |    ELSE n END AS BIGINT) AS object_len
       |FROM z ORDER BY doc_id""".stripMargin
 
+  /** q231 — DOOR LANGUAGE-ID AGREEMENT: the QA readout a crawl team
+    * actually watches — per source, how often the front door's
+    * language ID (run on the RECOVERED text: ASCII wire payload, 404s
+    * empty — [[graft.web.WebLake.warcToDocs]]) agrees with the
+    * upstream label, and how much arrives undetermined. Disagreement
+    * is REAL here: `zh` documents lose their text to the ASCII
+    * projection and land in `und` — exactly the signal this census
+    * exists to surface. The oracle re-runs q23's stopword-ratio
+    * argmax over the same projected text.
+    */
+  val q231_door_langid: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val rec = WebLake.warcToDocs(s, WebLake.warcHttpFromDocs(s, docs))
+      .select(col("doc_id"), col("lang").as("detected"))
+    docs.select(col("doc_id"),
+        coalesce(col("source"), org.apache.spark.sql.functions.lit(""))
+          .as("source"),
+        coalesce(col("lang"), org.apache.spark.sql.functions.lit(""))
+          .as("label"))
+      .join(rec, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("detected") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("detected") === "und", 1L).otherwise(0L)).as("n_und"))
+      .orderBy("source")
+  }
+
+  val q231Sql: String = {
+    def lst(l: String) = graft.functions.TextAnalysis.stopwords(l)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    def ratio(langList: String) =
+      s"""CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |  x -> list_contains($langList, x))) AS DOUBLE)
+         |  / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS INTEGER), 1)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, coalesce(source, '') AS src,
+       |    coalesce(lang, '') AS label,
+       |    CASE WHEN doc_id % 17 = 0 THEN ''
+       |      ELSE array_to_string([c for c in
+       |        string_split(coalesce(text, ''), '')
+       |        if ord(c) BETWEEN 0 AND 127], '') END AS text
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, src, label,
+       |    ${ratio(lst("en"))} AS r_en, ${ratio(lst("de"))} AS r_de,
+       |    ${ratio(lst("fr"))} AS r_fr, ${ratio(lst("es"))} AS r_es
+       |  FROM t),
+       |v AS (
+       |  SELECT src, label,
+       |    CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+       |         WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+       |         WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+       |         WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+       |         WHEN r_es = greatest(r_en, r_de, r_fr, r_es) THEN 'es'
+       |         ELSE 'und' END AS detected
+       |  FROM r)
+       |SELECT src AS source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN detected = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(sum(CASE WHEN detected = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_und
+       |FROM v GROUP BY src ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
@@ -782,7 +850,8 @@ object WebQueries {
     "q227_warczst_index" -> q227_warczst_index,
     "q228_warczst_quarantine" -> q228_warczst_quarantine,
     "q229_jsonl_roundtrip" -> q229_jsonl_roundtrip,
-    "q230_compression_sniff" -> q230_compression_sniff)
+    "q230_compression_sniff" -> q230_compression_sniff,
+    "q231_door_langid" -> q231_door_langid)
 
   val oracleSql: Map[String, String] = Map(
     "q212_gzip_member_census" -> q212Sql,
@@ -803,5 +872,6 @@ object WebQueries {
     "q227_warczst_index" -> q227Sql,
     "q228_warczst_quarantine" -> q228Sql,
     "q229_jsonl_roundtrip" -> q229Sql,
-    "q230_compression_sniff" -> q230Sql)
+    "q230_compression_sniff" -> q230Sql,
+    "q231_door_langid" -> q231Sql)
 }
