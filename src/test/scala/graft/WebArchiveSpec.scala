@@ -392,6 +392,27 @@ class WebArchiveSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
   }
 
+  test("hostile-input pin: seeded byte flips on a valid WARC record " +
+      "either parse or raise a contract error — never an unexpected " +
+      "crash class, never a wrong-type record") {
+    val good = Warc.encodeRecord("response", "urn:graft:doc:99",
+      Some("https://corpus.example/src9/99"), "text/plain",
+      ascii("the record body under mutation"))
+    val rnd = new scala.util.Random(0xBADC0DE)
+    (0 until 300).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try {
+        val rs = Warc.decodeRecords(b)
+        // if it parsed, the grammar held: exactly the framed shape
+        rs.foreach(r => assert(r.payload.length >= 0))
+      } catch {
+        case _: IllegalArgumentException => () // the loud contract
+        case e: Throwable => fail(s"unexpected failure class: $e")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ zstd
 
   test("zstd golden: a REAL zstd-CLI frame (raw block, no checksum) " +
@@ -462,6 +483,26 @@ class WebArchiveSpec extends AnyFunSuite {
       graft.web.Zstd.decodeStream(good ++ Array[Byte](0)))
     intercept[IllegalArgumentException](
       graft.web.Zstd.decodeStream(Array.emptyByteArray))
+  }
+
+  test("hostile-input pin: seeded byte flips on a valid zstd object " +
+      "either walk or raise a contract error — never an unexpected " +
+      "crash class") {
+    val good = graft.web.Zstd.encodeSkippable(Array[Byte](9, 9, 9, 9)) ++
+      graft.web.Zstd.encodeFrame(
+        ascii("zstd object under seeded mutation 0123456789"), 16, '~')
+    val rnd = new scala.util.Random(0x5EED)
+    (0 until 300).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { graft.web.Zstd.decodeStream(b); () }
+      catch {
+        case _: IllegalArgumentException => () // the loud contract
+        case _: NegativeArraySizeException =>
+          fail("size field accepted unvalidated")
+        case e: Throwable => fail(s"unexpected failure class: $e")
+      }
+    }
   }
 
   test("zstd seek table: verifies against the walked frames; a LYING " +
