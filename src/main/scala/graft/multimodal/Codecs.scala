@@ -242,8 +242,9 @@ object Codecs {
     * (corruption fails loudly, never decodes silently wrong), require
     * IHDR first, concatenate all IDAT bodies in order, stop at IEND,
     * skip unknown ancillary chunks by their declared length. The
-    * concatenated stream is zlib-inflated (`java.util.zip.Inflater`)
-    * and must yield exactly height·(1+width·3) bytes; scanlines are
+    * concatenated stream is zlib-inflated by the engine's OWN RFC
+    * 1950/1951 decoder ([[graft.web.Deflate.zlibInflate]] — Adler-32
+    * verified) and must yield exactly height·(1+width·3) bytes; scanlines are
     * then un-filtered per the five spec filter types. Returns the
     * image as a [[PpmImage]] (maxVal 255) so every downstream pixel
     * consumer — stats, dHash, resample — is container-agnostic.
@@ -300,20 +301,12 @@ object Codecs {
     val bpp = 3
     val stride = width * bpp
     val rawLen = height * (1 + stride)
-    val raw = new Array[Byte](rawLen)
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
-    var got = 0
-    while (got < rawLen && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, rawLen - got)
-      require(n > 0 || inflater.finished(),
-        "truncated or non-zlib IDAT stream")
-      got += n
-    }
-    val leftover = inflater.inflate(new Array[Byte](1))
-    inflater.end()
-    require(got == rawLen && leftover == 0,
-      s"IDAT inflates to wrong size (got $got, want $rawLen)")
+    // the engine's own RFC 1950/1951 decoder (graft.web.Deflate) — the
+    // same proven inflate the gzip front door runs, plus the Adler-32
+    // verification java.util.zip.Inflater skips
+    val raw = graft.web.Deflate.zlibInflate(idat.toByteArray)
+    require(raw.length == rawLen,
+      s"IDAT inflates to wrong size (got ${raw.length}, want $rawLen)")
     // un-filter scanlines in place into the output plane
     val pixels = new Array[Byte](height * stride)
     var r = 0

@@ -511,7 +511,8 @@ object WebQueries {
     * (q217's full precedence machinery), laid out per source at
     * `Crawl-delay` spacing (q218's politeness discipline) with the
     * old/new byte sizes a bandwidth budgeter reads. Every join is
-    * doc-keyed; the window partitions on the source hash.
+    * doc-keyed; the per-host window partitions on the source string
+    * (collision-free, low-cardinality — see q218).
     */
   val q224_refetch_worklist: Q = (s, d) =>
     WebLake.refetchWorklist(s, Tables.documents(s, d))
@@ -569,7 +570,8 @@ object WebQueries {
       |zm AS (
       |  SELECT doc_id, n, psum,
       |    CAST(ceil(n / 128.0) AS BIGINT) AS nraw,
-      |    CASE WHEN n + 32 < 256 THEN 1 ELSE 2 END AS fcs
+      |    CASE WHEN n + 32 < 256 THEN 1
+      |         WHEN n + 32 < 65792 THEN 2 ELSE 4 END AS fcs
       |  FROM z)""".stripMargin
 
   val q225Sql: String =
@@ -652,7 +654,8 @@ object WebQueries {
        |  FROM d),
        |zf AS (
        |  SELECT doc_id, src, aid, n, psum, rec_len,
-       |    4 + 1 + CASE WHEN rec_len < 256 THEN 1 ELSE 2 END
+       |    4 + 1 + CASE WHEN rec_len < 256 THEN 1
+       |             WHEN rec_len < 65792 THEN 2 ELSE 4 END
        |      + 3 * greatest(1, CAST(ceil(rec_len / 128.0) AS BIGINT))
        |      + rec_len + 4 AS frame_len
        |  FROM r)""".stripMargin
@@ -727,12 +730,16 @@ object WebQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q230 — COMPRESSION DISPATCH CENSUS: a mixed lake (gzip member /
-    * zstd object / plain bytes by id residue — nobody labels real
-    * objects, the magic bytes are the label) routed by magic-byte
-    * sniffing to the REAL walker, with the de-framed payload censused
-    * — a mis-route shows up as a wrong byte sum, not just a wrong
-    * label. ASCII payloads cannot collide with either magic (both
-    * need a byte ≥ 0x80 in the first pair), so the dispatch is total.
+    * zstd object / draft-framed brotli / plain bytes by id residue —
+    * nobody labels real objects, the magic bytes are the label)
+    * routed by magic-byte sniffing to the REAL walker, with the
+    * de-framed payload censused — a mis-route shows up as a wrong
+    * byte sum, not just a wrong label. Brotli is RECOGNIZED (the
+    * draft `.br` magic `ce b2 cf 81`; raw brotli has no magic — the
+    * honest limit of sniffing) and routed to a NAMED
+    * `brotli-unsupported` quarantine rather than mislabeled; and
+    * since zstd's skippable magic is all-ASCII-range, a colliding
+    * plain prefix falls back to `plain` instead of failing the stage.
     */
   val q230_compression_sniff: Q = (s, d) =>
     WebLake.sniffCompression(
@@ -749,18 +756,22 @@ object WebQueries {
       |      if ord(c) BETWEEN 0 AND 127]), 0) AS psum
       |  FROM documents)
       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' ELSE 'plain' END AS format,
-      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 1 THEN n + 32 ELSE n END AS BIGINT) AS payload_len,
-      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 1 THEN psum + 32 * 126 ELSE psum END AS BIGINT)
-      |    AS payload_sum,
-      |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      |  CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+      |    WHEN 2 THEN 'brotli-unsupported' ELSE 'plain' END AS format,
+      |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 1 THEN n + 32 WHEN 2 THEN 0 ELSE n END AS BIGINT)
+      |    AS payload_len,
+      |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 1 THEN psum + 32 * 126 WHEN 2 THEN 0 ELSE psum END
+      |    AS BIGINT) AS payload_sum,
+      |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
       |    WHEN 0 THEN 18 + 5 * greatest(1,
       |        CAST(ceil(n / 65535.0) AS BIGINT)) + n
-      |    WHEN 1 THEN 16 + 5 + CASE WHEN n + 32 < 256 THEN 1 ELSE 2 END
+      |    WHEN 1 THEN 16 + 5 + CASE WHEN n + 32 < 256 THEN 1
+      |          WHEN n + 32 < 65792 THEN 2 ELSE 4 END
       |        + 3 * (CAST(ceil(n / 128.0) AS BIGINT) + 1) + n + 1 + 4
+      |    WHEN 2 THEN n + 4
       |    ELSE n END AS BIGINT) AS object_len
       |FROM z ORDER BY doc_id""".stripMargin
 

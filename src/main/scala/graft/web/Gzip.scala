@@ -313,6 +313,47 @@ object Deflate {
       firstBtype)
   }
 
+  /** Adler-32 (RFC 1950 §8) — the zlib stream checksum. */
+  def adler32(bytes: Array[Byte]): Long = {
+    var a = 1L; var b = 0L
+    var i = 0
+    while (i < bytes.length) {
+      a += bytes(i) & 0xFF
+      b += a
+      // mod rarely enough to stay cheap, often enough to avoid overflow
+      if ((i & 0xFFF) == 0xFFF) { a %= 65521L; b %= 65521L }
+      i += 1
+    }
+    ((b % 65521L) << 16) | (a % 65521L)
+  }
+
+  /** RFC 1950 zlib wrapper over [[inflate]]: the 2-byte header
+    * (CM = 8, FCHECK divisibility, no preset dictionary), the DEFLATE
+    * stream, and the big-endian Adler-32 trailer — VERIFIED, plus a
+    * no-trailing-garbage contract. Replaces `java.util.zip.Inflater`
+    * in the PNG IDAT path so one proven inflate serves every zlib
+    * consumer in the engine.
+    */
+  def zlibInflate(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 6, s"zlib: ${bytes.length} bytes is too short")
+    val cmf = bytes(0) & 0xFF
+    val flg = bytes(1) & 0xFF
+    require((cmf & 0x0F) == 8, s"zlib: CM ${cmf & 0x0F} is not deflate")
+    require(((cmf << 8) | flg) % 31 == 0, "zlib: FCHECK failure")
+    require((flg & 0x20) == 0, "zlib: preset dictionary unsupported")
+    val inf = inflate(bytes, 2, bytes.length)
+    require(inf.endPos + 4 == bytes.length,
+      s"zlib: ${bytes.length - inf.endPos - 4} trailing bytes after Adler-32")
+    val stored = ((bytes(inf.endPos) & 0xFFL) << 24) |
+      ((bytes(inf.endPos + 1) & 0xFFL) << 16) |
+      ((bytes(inf.endPos + 2) & 0xFFL) << 8) |
+      (bytes(inf.endPos + 3) & 0xFFL)
+    val got = adler32(inf.data)
+    require(got == stored,
+      f"zlib: Adler-32 mismatch (stored $stored%08x, computed $got%08x)")
+    inf.data
+  }
+
   // --------------------------------------------------------- bit writer
   private final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()

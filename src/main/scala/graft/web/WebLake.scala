@@ -781,9 +781,12 @@ object WebLake {
   // ------------------------------------------- compression dispatcher
 
   /** A mixed compression lake: per doc one object — gzip member, zstd
-    * object (seek frame + data frame, the q225 shape), or plain bytes
-    * — by id residue. What a real ingest actually faces: nobody
-    * labels the objects; the magic bytes are the label.
+    * object (seek frame + data frame, the q225 shape), a draft-framed
+    * brotli object (`ce b2 cf 81` + an opaque body the engine does
+    * not decode — real crawls ship brotli and the dispatcher must
+    * NAME it, not mislabel it), or plain bytes — by id residue. What
+    * a real ingest actually faces: nobody labels the objects; the
+    * magic bytes are the label.
     */
   def mixedCompressionLake(spark: SparkSession, docs: DataFrame): Dataset[ArchiveRow] = {
     import spark.implicits._
@@ -792,7 +795,7 @@ object WebLake {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val payload = asciiBytes(t)
-        val bytes = (id % 3) match {
+        val bytes = (id % 4) match {
           case 0 => Gzip.member(payload, fname = None, fixedHuffman = false,
             mtime = id)
           case 1 =>
@@ -801,6 +804,8 @@ object WebLake {
             while (i < 8) { seekId(i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
             Zstd.encodeSkippable(seekId) ++
               Zstd.encodeFrame(payload, rleLen = 32, rleByte = '~')
+          case 2 =>
+            Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++ payload
           case _ => payload // uncompressed
         }
         ArchiveRow(id, bytes)
@@ -809,11 +814,17 @@ object WebLake {
 
   /** Magic-byte dispatch census — the router every mixed lake needs
     * before any walker runs: `1f 8b` → gzip, `28 b5 2f fd` /
-    * `18 4d 2a 5x` → zstd, anything else → plain (ASCII payloads
-    * cannot collide with either magic: both need a byte ≥ 0x80 in the
-    * first pair). The detected format drives the REAL walker and the
-    * de-framed payload is censused — a mis-route shows up as a wrong
-    * byte sum, not just a wrong label.
+    * `18 4d 2a 5x` → zstd, `ce b2 cf 81` (the draft `.br` framing
+    * magic — RAW brotli has no magic at all, the honest limit of
+    * sniffing) → quarantined `brotli-unsupported`, anything else →
+    * plain. The gzip magic needs a byte ≥ 0x80 so ASCII payloads
+    * cannot collide with it, but the zstd SKIPPABLE magic is all
+    * ≤ 0x7F (`P*M` + 0x18 — a control byte that survives the ASCII
+    * projection), so a colliding prefix is possible: a sniff route
+    * whose walk fails contract-checks FALLS BACK to `plain` rather
+    * than failing the stage. The detected format drives the REAL
+    * walker and the de-framed payload is censused — a mis-route shows
+    * up as a wrong byte sum, not just a wrong label.
     */
   case class SniffedObject(doc_id: Long, format: String, payload_len: Long,
       payload_sum: Long, object_len: Long)
@@ -824,21 +835,37 @@ object WebLake {
       val b = a.content
       def sum(bytes: Array[Byte]): Long =
         bytes.iterator.map(x => (x & 0xFF).toLong).sum
+      def plain = ("plain", (b.length.toLong, sum(b)))
       val (fmt, data) =
         if (b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) {
+          // gzip magic has a byte >= 0x80: no ASCII collision, a failed
+          // walk here is real corruption and stays loud
           val ms = Gzip.members(b)
           ("gzip", ms.iterator.map(m => (m.data.length.toLong, sum(m.data)))
             .reduce((x, y) => (x._1 + y._1, x._2 + y._2)))
+        } else if (b.length >= 4 && (b(0) & 0xFF) == 0xCE &&
+            (b(1) & 0xFF) == 0xB2 && (b(2) & 0xFF) == 0xCF &&
+            (b(3) & 0xFF) == 0x81) {
+          // recognized but undecodable: the dispatcher's job is to
+          // route it to quarantine with a NAME, not mislabel it plain
+          ("brotli-unsupported", (0L, 0L))
         } else if (b.length >= 4 && (b(0) & 0xFF) == 0x28 &&
             (b(1) & 0xFF) == 0xB5 && (b(2) & 0xFF) == 0x2F &&
             (b(3) & 0xFF) == 0xFD ||
           b.length >= 4 && (b(0) & 0xF0) == 0x50 && (b(1) & 0xFF) == 0x2A &&
             (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18) {
-          val s = Zstd.decodeStream(b)
-          ("zstd", s.frames.iterator
-            .map(f => (f.contentSize, sum(f.content)))
-            .foldLeft((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2)))
-        } else ("plain", (b.length.toLong, sum(b)))
+          // the skippable magic is ASCII-colliding (see scaladoc): a
+          // plain payload starting 'P*M'+0x18 reaches here and must
+          // fall back, not crash the stage
+          try {
+            val s = Zstd.decodeStream(b)
+            ("zstd", s.frames.iterator
+              .map(f => (f.contentSize, sum(f.content)))
+              .foldLeft((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2)))
+          } catch {
+            case scala.util.control.NonFatal(_) => plain
+          }
+        } else plain
       SniffedObject(a.archive_id, fmt, data._1, data._2, b.length.toLong)
     })
   }
@@ -959,7 +986,9 @@ object WebLake {
     * delta), that robots still allows under the crawler's token, laid
     * out per source at `Crawl-delay` spacing. This is the worklist a
     * distributed refetcher executes; everything it joins is
-    * doc-keyed (8-byte) and the window partitions on the source hash.
+    * doc-keyed (8-byte) and the window partitions on the source
+    * string itself (an xxhash64 key could let two colliding sources
+    * silently interleave their seq numbering).
     */
   case class RefetchSlot(doc_id: Long, source: String, seq: Long,
       fetch_at_s: Long, bytes_then: Long, bytes_now: Long)
@@ -974,9 +1003,8 @@ object WebLake {
       .filter(col("allowed") === 1L)
       .select(col("doc_id"), col("crawl_delay"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("doc_id"))
+      .partitionBy(col("source")).orderBy(col("doc_id"))
     changed.join(allowed, Seq("doc_id"))
-      .withColumn("k", xxhash64(col("source")))
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .select(col("doc_id"), col("source"), col("seq"),
         (col("seq") * col("crawl_delay")).as("fetch_at_s"),
@@ -1057,7 +1085,10 @@ object WebLake {
   /** The politeness fetch plan: robots-allowed URIs per source, in id
     * order, each assigned `seq * Crawl-delay` seconds — the worklist a
     * distributed recrawler executes per host queue. The window
-    * partitions on the source ORDINAL (8-byte key), not the name.
+    * partitions on the SOURCE STRING itself (Spark hashes the key
+    * internally): an xxhash64-derived key here would make two sources
+    * colliding on 64 bits interleave their seq numbering — a silent
+    * divergence the string key cannot have.
     */
   case class FetchSlot(doc_id: Long, source: String, seq: Long,
       fetch_at_s: Long)
@@ -1067,9 +1098,8 @@ object WebLake {
     import spark.implicits._
     val verdicts = robotsAudit(spark, docs, agent)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("doc_id"))
+      .partitionBy(col("source")).orderBy(col("doc_id"))
     verdicts.filter(col("allowed") === 1L)
-      .withColumn("k", xxhash64(col("source")))
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .select(col("doc_id"), col("source"), col("seq"),
         (col("seq") * col("crawl_delay")).as("fetch_at_s"))

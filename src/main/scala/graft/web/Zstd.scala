@@ -41,11 +41,17 @@ object Zstd {
   final case class Frame(offset: Int, compressedSize: Int, nBlocks: Int,
       nRaw: Int, nRle: Int, contentSize: Long, content: Array[Byte])
 
-  /** A walked stream: data frames + how many skippable frames were
-    * stepped over (their payloads surfaced for the seek-table reader).
+  /** A walked stream: data frames + the skippable frames stepped over
+    * — payloads surfaced for the seek-table reader, with each frame's
+    * magic NIBBLE and stream offset retained so a seek-table consumer
+    * can verify it is reading the 0xE-tagged TRAILING frame the
+    * seekable convention mandates, not whatever skippable happened
+    * to come last.
     */
   final case class Stream(frames: Vector[Frame],
-      skippablePayloads: Vector[Array[Byte]])
+      skippablePayloads: Vector[Array[Byte]],
+      skippableNibbles: Vector[Int],
+      skippableOffsets: Vector[Int])
 
   private def le32(bytes: Array[Byte], pos: Int): Long = {
     require(pos + 4 <= bytes.length, s"zstd: truncated u32 at $pos")
@@ -71,13 +77,19 @@ object Zstd {
     u32(Magic & 0xFFFFFFFFL)
     // descriptor: FCS_flag (bits 7-6), single_segment (bit 5),
     // checksum (bit 2); reserved bit 3 and dict bits zero
-    val fcsFlag = if (contentSize < 256) 0 else 1
-    require(contentSize < 65792, s"zstd: content $contentSize needs FCS > 2B")
+    val fcsFlag =
+      if (contentSize < 256) 0 else if (contentSize < 65792) 1 else 2
+    require(contentSize < (1L << 32),
+      s"zstd: content $contentSize needs the 8-byte FCS (unimplemented)")
     out.write((fcsFlag << 6) | 0x20 | 0x04)
     if (fcsFlag == 0) out.write(contentSize.toInt)
-    else { // 2-byte FCS stores size - 256 (§3.1.1.1.4)
+    else if (fcsFlag == 1) { // 2-byte FCS stores size - 256 (§3.1.1.1.4)
       val v = (contentSize - 256).toInt
       out.write(v & 0xFF); out.write(v >>> 8)
+    } else { // 4-byte FCS stores the raw size — the ~64 KB record cliff
+      // the 2-byte-only encoder had is gone (decoder always handled it)
+      var v = contentSize; var i = 0
+      while (i < 4) { out.write((v & 0xFF).toInt); v >>>= 8; i += 1 }
     }
     def blockHeader(last: Boolean, btype: Int, size: Int): Unit = {
       val hdr = (if (last) 1 else 0) | (btype << 1) | (size << 3)
@@ -147,8 +159,19 @@ object Zstd {
     * contract error. Returns the frame count.
     */
   def verifySeekTable(s: Stream): Int = {
-    require(s.skippablePayloads.nonEmpty, "zstd: no seek table frame")
-    val t = s.skippablePayloads.last
+    // the table is the skippable frame under the convention's 0xE
+    // nibble — any other skippable (metadata, padding) is not a table,
+    // and a table that does not TRAIL the data frames would let a
+    // stale mid-stream index masquerade as the live one
+    val tables = s.skippableNibbles.zipWithIndex.filter(_._1 == 0xE)
+    require(tables.nonEmpty, "zstd: no seek table frame (nibble 0xE)")
+    val ti = tables.last._2
+    val t = s.skippablePayloads(ti)
+    require(s.frames.nonEmpty, "zstd: seek table over zero data frames")
+    val lastFrame = s.frames.last
+    require(s.skippableOffsets(ti) >= lastFrame.offset + lastFrame.compressedSize,
+      s"zstd: seek table at ${s.skippableOffsets(ti)} does not trail the " +
+        s"data frames (last ends at ${lastFrame.offset + lastFrame.compressedSize})")
     require(t.length >= 4 && t.length % 4 == 0,
       s"zstd: malformed seek table (${t.length} bytes)")
     def u32(pos: Int): Long =
@@ -177,8 +200,11 @@ object Zstd {
     require(bytes.length > 0, "zstd: empty input")
     val frames = Vector.newBuilder[Frame]
     val skips = Vector.newBuilder[Array[Byte]]
+    val skipNibbles = Vector.newBuilder[Int]
+    val skipOffsets = Vector.newBuilder[Int]
     var pos = 0
     while (pos < bytes.length) {
+      val skipStart = pos
       val magic = le32(bytes, pos)
       pos += 4
       if ((magic & 0xFFFFFFF0L) == (SkippableBase.toLong & 0xFFFFFFF0L)) {
@@ -187,6 +213,8 @@ object Zstd {
         require(pos + size <= bytes.length,
           s"zstd: skippable frame of $size over-runs stream at $pos")
         skips += java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
+        skipNibbles += (magic & 0xF).toInt
+        skipOffsets += skipStart
         pos += size.toInt
       } else {
         val frameStart = pos - 4
@@ -273,6 +301,7 @@ object Zstd {
           data.length.toLong, data)
       }
     }
-    Stream(frames.result(), skips.result())
+    Stream(frames.result(), skips.result(), skipNibbles.result(),
+      skipOffsets.result())
   }
 }

@@ -473,9 +473,14 @@ class PlanSpec extends AnyFunSuite {
       "q227_warczst_index", "q228_warczst_quarantine",
       // q229: jsonl.zst synthesis groups once; from_json is map-side
       "q229_jsonl_roundtrip",
-      // q218: no synthesis, but the schedule's window partitions on the
-      // 8-byte source hash — its one exchange
+      // q218: no synthesis, but the schedule's window partitions per
+      // host queue — its one exchange. The per-host window keys on the
+      // SOURCE STRING deliberately: hosts are low-cardinality dimension
+      // keys (the 8-byte discipline is for corpus-scale keys), and a
+      // hash-derived key would let two colliding hosts silently
+      // interleave their politeness numbering.
       "q218_fetch_schedule")
+    val stringKeyedWindows = Set("q218_fetch_schedule")
     // executedPlan prints the AQE final plan AND the initial plan —
     // count exchanges in the final section only
     def finalSection(plan: String): String =
@@ -487,9 +492,10 @@ class PlanSpec extends AnyFunSuite {
         .count(_.contains("Exchange hashpartitioning"))
       assert(hashEx === 1,
         s"$name: expected exactly one hash exchange, found $hashEx:\n$plan")
-      assert(!plan.contains("hashpartitioning(src") &&
-        !plan.contains("hashpartitioning(source"),
-        s"$name shuffles on a string key:\n$plan")
+      if (!stringKeyedWindows(name))
+        assert(!plan.contains("hashpartitioning(src") &&
+          !plan.contains("hashpartitioning(source"),
+          s"$name shuffles on a string key:\n$plan")
     }
     // the per-doc tiers (no archive grouping at all): pure map
     for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract",

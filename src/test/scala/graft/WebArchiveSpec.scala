@@ -527,6 +527,59 @@ class WebArchiveSpec extends AnyFunSuite {
       Zstd.verifySeekTable(Zstd.decodeStream(miscount)))
   }
 
+  test("zstd seek table: only the 0xE-nibble TRAILING skippable is the " +
+      "table — a non-table skippable after it is ignored, a wrong " +
+      "nibble or a mid-stream table is a loud error") {
+    import graft.web.Zstd
+    val f1 = Zstd.encodeFrame(ascii("first record"), 0, 0)
+    val f2 = Zstd.encodeFrame(ascii("second, rather longer record body"), 0, 0)
+    val table = Zstd.encodeSeekTable(
+      Seq((f1.length, 12L), (f2.length, 33L)))
+    // a metadata skippable (nibble 3) AFTER the table must not be
+    // mistaken for it — pre-fix this verified the wrong payload
+    val trailingMeta = f1 ++ f2 ++ table ++
+      Zstd.encodeSkippable(ascii("opaque metadata"), nibble = 3)
+    assert(Zstd.verifySeekTable(Zstd.decodeStream(trailingMeta)) === 2)
+    // the right bytes under the WRONG nibble are not a seek table
+    val wrongNibble = f1 ++ f2 ++ Zstd.encodeSkippable(
+      table.drop(8), nibble = 7)
+    intercept[IllegalArgumentException](
+      Zstd.verifySeekTable(Zstd.decodeStream(wrongNibble)))
+    // a stale table BEFORE the data frames must not verify
+    val midStream = table ++ f1 ++ f2
+    intercept[IllegalArgumentException](
+      Zstd.verifySeekTable(Zstd.decodeStream(midStream)))
+  }
+
+  test("zstd 4-byte FCS: a frame over the 2-byte limit (>= 65792 bytes " +
+      "of content) round-trips — the old encoder cliff is gone") {
+    import graft.web.Zstd
+    val big = Array.tabulate(70000)(i => ((i % 90) + 33).toByte)
+    val s = Zstd.decodeStream(Zstd.encodeFrame(big, 0, 0))
+    assert(s.frames.size === 1)
+    assert(s.frames.head.contentSize === 70000L)
+    assert(java.util.Arrays.equals(s.frames.head.content, big))
+  }
+
+  test("zlib wrapper: inflates a JVM-Deflater stream with Adler-32 " +
+      "verification; a flipped trailer byte or bad FCHECK is loud") {
+    import graft.web.Deflate
+    val data = ascii("the quick brown fox jumps over the lazy dog, " * 40)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(data); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = out.toByteArray
+    assert(java.util.Arrays.equals(Deflate.zlibInflate(z), data))
+    val badAdler = z.clone(); badAdler(z.length - 1) = (badAdler(z.length - 1) ^ 1).toByte
+    val e1 = intercept[IllegalArgumentException](Deflate.zlibInflate(badAdler))
+    assert(e1.getMessage.contains("Adler-32"))
+    val badHdr = z.clone(); badHdr(1) = (badHdr(1) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Deflate.zlibInflate(badHdr))
+  }
+
   // ----------------------------------------- front door → state build
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
@@ -738,5 +791,31 @@ class WebArchiveSpec extends AnyFunSuite {
     val (n1, g1) = graft.web.Robots.select(r1, "graftbot")
     assert(n1 === "*" && g1.crawlDelay === 2)
     assert(!graft.web.Robots.decide(g1, "/src1/14")._1) // prefix /src1/1
+  }
+
+  // ---------------------------------------------- compression sniffing
+
+  test("sniff dispatch corners: an ASCII payload colliding with the " +
+      "zstd SKIPPABLE magic ('P*M'+0x18) falls back to plain instead " +
+      "of failing the stage; the draft brotli magic routes to a NAMED " +
+      "brotli-unsupported quarantine, not 'plain'") {
+    import spark.implicits._
+    import graft.web.WebLake
+    // all four bytes of the skippable magic are <= 0x7F — a plain
+    // payload CAN start with them (0x18 is an ASCII control byte)
+    val collide = (Array('P', '*', 'M').map(_.toByte) :+ 0x18.toByte) ++
+      ascii(" just text that resembles a zstd skippable frame header")
+    val brotli = Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++
+      ascii("opaque brotli body the engine does not decode")
+    val rows = Seq(WebLake.ArchiveRow(1L, collide),
+      WebLake.ArchiveRow(2L, brotli)).toDS()
+    val got = WebLake.sniffCompression(rows).collect().sortBy(_.doc_id)
+    assert(got(0).format === "plain")
+    assert(got(0).payload_len === collide.length.toLong)
+    assert(got(0).payload_sum ===
+      collide.iterator.map(b => (b & 0xFF).toLong).sum)
+    assert(got(1).format === "brotli-unsupported")
+    assert(got(1).payload_len === 0L && got(1).payload_sum === 0L)
+    assert(got(1).object_len === brotli.length.toLong)
   }
 }
