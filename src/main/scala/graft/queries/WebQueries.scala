@@ -842,7 +842,51 @@ object WebQueries {
        |FROM v GROUP BY src ORDER BY source""".stripMargin
   }
 
+  /** q232 — ZSTD ENTROPY-CODED CENSUS, the round-15 frontier: the r14
+    * declared stub is GONE — compressed-block payloads really decode
+    * (FSE table descriptions, Huffman literals in both tree
+    * representations and both stream counts, sequences with the
+    * repeat-offset registers; [[graft.web.ZstdEntropy]]). The wire
+    * here is the engine's own entropy encoder — Huffman literals +
+    * one RLE-table-mode sequence + an RLE pad block — every object of
+    * which round-trips under the REFERENCE zstd CLI (conformance
+    * pinned in WebArchiveSpec alongside CLI-generated goldens the
+    * decoder must read back, including all-FSE-table frames). The
+    * XXH64 verification inside the walk means a row existing at all
+    * proves byte-exact entropy decode; the oracle re-prices the
+    * regenerated content (payload + 32×last-byte via the sequence +
+    * the 16-byte pad) and the block-type counts.
+    */
+  val q232_zstd_entropy_census: Q = (s, d) =>
+    WebLake.zstdEntropyCensus(
+        WebLake.zstEntropyFromDocs(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q232Sql: String =
+    s"""WITH $ZstdCte
+       |SELECT CAST(z2.doc_id AS BIGINT) AS doc_id,
+       |  CAST(1 AS BIGINT) AS n_skippable,
+       |  CAST(1 AS BIGINT) AS n_frames,
+       |  CAST(2 AS BIGINT) AS n_blocks,
+       |  CAST(0 AS BIGINT) AS n_raw,
+       |  CAST(1 AS BIGINT) AS n_rle,
+       |  CAST(1 AS BIGINT) AS n_compressed,
+       |  CAST(CASE WHEN zm.n >= 1 THEN zm.n + 48 ELSE 16 END AS BIGINT)
+       |    AS content_len,
+       |  CAST(zm.psum + CASE WHEN zm.n >= 1 THEN 32 * z2.lastc ELSE 0 END
+       |    + 16 * 126 AS BIGINT) AS content_sum,
+       |  CAST(z2.doc_id AS BIGINT) AS seek_id
+       |FROM zm
+       |JOIN (SELECT doc_id,
+       |        coalesce(list_extract(codes, len(codes)), 0) AS lastc
+       |      FROM (SELECT doc_id,
+       |              [ord(c) for c in string_split(coalesce(text, ''), '')
+       |               if ord(c) BETWEEN 0 AND 127] AS codes
+       |            FROM documents)) z2 ON zm.doc_id = z2.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q232_zstd_entropy_census" -> q232_zstd_entropy_census,
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
     "q214_cdx_index" -> q214_cdx_index,
@@ -865,6 +909,7 @@ object WebQueries {
     "q231_door_langid" -> q231_door_langid)
 
   val oracleSql: Map[String, String] = Map(
+    "q232_zstd_entropy_census" -> q232Sql,
     "q212_gzip_member_census" -> q212Sql,
     "q213_warc_record_census" -> q213Sql,
     "q214_cdx_index" -> q214Sql,

@@ -535,6 +535,69 @@ object WebLake {
     })
   }
 
+  /** The ENTROPY-CODED flavor of the zstd tier: per doc one object —
+    * the 16-byte skippable seek frame plus a checksummed frame whose
+    * payload ships in a real COMPRESSED block (Huffman-coded literals
+    * under a direct-weight tree, single stream to 1023 literals and
+    * 4-stream with a jump table above, plus one RLE-table-mode
+    * sequence appending 32 copies of the final byte through
+    * repeat-offset register 1), then an RLE pad block. Every object
+    * round-trips under the REFERENCE zstd CLI (conformance pinned in
+    * WebArchiveSpec), and the walk's XXH64 verification means a
+    * census row existing AT ALL proves the FSE/Huffman decode was
+    * byte-exact.
+    */
+  def zstEntropyFromDocs(spark: SparkSession, docs: DataFrame): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val seekId = new Array[Byte](8)
+        var v = id; var i = 0
+        while (i < 8) { seekId(i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
+        val bytes = Zstd.encodeSkippable(seekId) ++
+          Zstd.encodeEntropyFrame(asciiBytes(t))
+        ArchiveRow(id, bytes)
+      })
+  }
+
+  /** q232's census over the entropy tier — the q225 readout plus the
+    * compressed-block count. `content_len`/`content_sum` price the
+    * REGENERATED bytes (payload + 32×last through the sequence + the
+    * 16×`~` RLE pad), so a mis-executed sequence or a wrong Huffman
+    * table shifts a total even before the checksum catches it.
+    */
+  case class ZstdEntropyCensus(doc_id: Long, n_skippable: Long,
+      n_frames: Long, n_blocks: Long, n_raw: Long, n_rle: Long,
+      n_compressed: Long, content_len: Long, content_sum: Long,
+      seek_id: Long)
+
+  def zstdEntropyCensus(objects: Dataset[ArchiveRow]): Dataset[ZstdEntropyCensus] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      val s = Zstd.decodeStream(a.content)
+      require(s.skippablePayloads.size == 1 &&
+        s.skippablePayloads.head.length == 8,
+        s"zstd object ${a.archive_id}: expected one 8-byte seek frame")
+      var seekId = 0L; var i = 0
+      val p = s.skippablePayloads.head
+      while (i < 8) { seekId |= (p(i) & 0xFFL) << (8 * i); i += 1 }
+      ZstdEntropyCensus(
+        doc_id = a.archive_id,
+        n_skippable = s.skippablePayloads.size.toLong,
+        n_frames = s.frames.size.toLong,
+        n_blocks = s.frames.iterator.map(_.nBlocks.toLong).sum,
+        n_raw = s.frames.iterator.map(_.nRaw.toLong).sum,
+        n_rle = s.frames.iterator.map(_.nRle.toLong).sum,
+        n_compressed = s.frames.iterator.map(_.nCompressed.toLong).sum,
+        content_len = s.frames.iterator.map(_.contentSize).sum,
+        content_sum = s.frames.iterator.map(f =>
+          f.content.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+        seek_id = seekId)
+    })
+  }
+
   /** NINTH quarantine container: the plant is the frame-header
     * descriptor's RESERVED BIT (RFC 8878 §3.1.1.1 mandates zero) —
     * offset 20 of the object (16-byte skippable + 4-byte magic),

@@ -1,28 +1,31 @@
 package graft.web
 
-/** Zstandard frame/block STRUCTURE (RFC 8878) — the other compression
-  * format large web corpora ship in (`.warc.zst` / `.jsonl.zst`). The
-  * walkable layer is deterministic integer work: frame magic and
-  * header (descriptor flags, frame content size), the 3-byte block
-  * headers (Last_Block / Block_Type / Block_Size), RAW and RLE block
-  * payloads (both fully conformant, self-describing, and decodable
-  * without entropy tables), SKIPPABLE frames (the spec's side-channel,
-  * used in the wild for seek tables), and the XXH64 content checksum
-  * (verified against the reference xxHash64 — Spark's own
-  * `XXH64.hashUnsafeBytes`, the algorithm zstd names normatively).
-  * Entropy-coded (`Compressed`) block payloads are the DECLARED STUB
-  * here — exactly the MP3-spectral/H.264-macroblock narrowing: the
-  * container layer is real, the arithmetic coder is not reimplemented.
+/** Zstandard frame/block layer (RFC 8878) — the other compression
+  * format large web corpora ship in (`.warc.zst` / `.jsonl.zst`):
+  * frame magic and header (descriptor flags, frame content size), the
+  * 3-byte block headers (Last_Block / Block_Type / Block_Size), RAW
+  * and RLE block payloads, COMPRESSED block payloads via the real
+  * entropy layer ([[ZstdEntropy]] — FSE table descriptions, Huffman
+  * literals in both tree representations and both stream counts,
+  * sequences with the three-register repeat-offset history; the r14
+  * declared stub, now decoded for real), SKIPPABLE frames (the spec's
+  * side-channel, used in the wild for seek tables), and the XXH64
+  * content checksum (verified against the reference xxHash64 —
+  * Spark's own `XXH64.hashUnsafeBytes`, the algorithm zstd names
+  * normatively).
   *
   * Encoder subset (the oracle-priceable wire): one frame per payload —
-  * single-segment descriptor, 1-or-2-byte frame content size, raw
+  * single-segment descriptor, 1/2/4-byte frame content size, raw
   * blocks of ≤ 128 bytes plus one RLE pad block, checksum present;
   * preceded by a 16-byte skippable frame carrying an 8-byte record id
-  * (a miniature seek-table convention). Decoder handles the general
-  * grammar (any dict-id width, windowed frames, any block split) and
-  * fails loudly on: bad magic, the RESERVED descriptor bit (§3.1.1.1
-  * mandates zero — the quarantine plant), reserved block type 3,
-  * truncation anywhere, checksum mismatch, trailing garbage.
+  * (a miniature seek-table convention). [[encodeEntropyFrame]] emits
+  * the COMPRESSED-block flavor: Huffman-coded literals plus one
+  * RLE-table-mode sequence with oracle-predictable regenerated
+  * content. Decoder handles the general grammar (any dict-id width,
+  * windowed frames, any block split) and fails loudly on: bad magic,
+  * the RESERVED descriptor bit (§3.1.1.1 mandates zero — the
+  * quarantine plant), reserved block type 3, truncation anywhere,
+  * checksum mismatch, trailing garbage.
   */
 object Zstd {
 
@@ -39,7 +42,8 @@ object Zstd {
     * present).
     */
   final case class Frame(offset: Int, compressedSize: Int, nBlocks: Int,
-      nRaw: Int, nRle: Int, contentSize: Long, content: Array[Byte])
+      nRaw: Int, nRle: Int, nCompressed: Int, contentSize: Long,
+      content: Array[Byte])
 
   /** A walked stream: data frames + the skippable frames stepped over
     * — payloads surfaced for the seek-table reader, with each frame's
@@ -114,6 +118,79 @@ object Zstd {
     val full = new Array[Byte](contentSize.toInt)
     System.arraycopy(data, 0, full, 0, data.length)
     java.util.Arrays.fill(full, data.length, full.length, rleByte)
+    u32(xxh64(full, full.length) & 0xFFFFFFFFL)
+    out.toByteArray
+  }
+
+  /** Encode one ENTROPY-CODED data frame: single-segment and
+    * checksummed like [[encodeFrame]], but the payload ships in a
+    * COMPRESSED block — Huffman-coded literals (direct-weight tree,
+    * single stream to 1023 literals, 4-stream with jump table above)
+    * plus ONE RLE-table-mode sequence appending `matchPad` copies of
+    * the final payload byte through repeat-offset register 1 — then a
+    * plain RLE pad block, so raw-FSE-free entropy decode, sequence
+    * execution, and the block-type mix are all live on the wire.
+    * Regenerated content = `data ++ last*matchPad ++ rleByte*rleLen`
+    * (just `rleByte*rleLen` for an empty payload) — every byte of it
+    * oracle-priceable from the source text.
+    */
+  def encodeEntropyFrame(data: Array[Byte], matchPad: Int = 32,
+      rleLen: Int = 16, rleByte: Byte = '~'): Array[Byte] = {
+    require(rleLen >= 0 && rleLen < (1 << 21), s"zstd: bad RLE length $rleLen")
+    val padded = data.length + (if (data.isEmpty) 0 else matchPad)
+    val contentSize = padded.toLong + rleLen
+    val block = ZstdEntropy.encodeCompressedBlock(data,
+      if (data.isEmpty) 0 else matchPad)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      var t = v; var i = 0
+      while (i < 4) { out.write((t & 0xFF).toInt); t >>>= 8; i += 1 }
+    }
+    u32(Magic & 0xFFFFFFFFL)
+    require(contentSize < (1L << 32), "zstd: content needs 8-byte FCS")
+    if (block.length <= contentSize) {
+      // single-segment: window = content, which covers the block
+      val fcsFlag =
+        if (contentSize < 256) 0 else if (contentSize < 65792) 1 else 2
+      out.write((fcsFlag << 6) | 0x20 | 0x04)
+      if (fcsFlag == 0) out.write(contentSize.toInt)
+      else if (fcsFlag == 1) {
+        val v = (contentSize - 256).toInt
+        out.write(v & 0xFF); out.write(v >>> 8)
+      } else {
+        var v = contentSize; var i = 0
+        while (i < 4) { out.write((v & 0xFF).toInt); v >>>= 8; i += 1 }
+      }
+    } else {
+      // the block (weight description + streams) outgrows the tiny
+      // content: Block_Maximum_Size = min(window, 128 KB) would be
+      // violated under single-segment framing, so declare an explicit
+      // window instead — smallest 2^(10+e) covering the block — and a
+      // 4-byte FCS (the 2-byte form cannot hold sizes < 256)
+      var e = 0
+      while ((1L << (10 + e)) < block.length) e += 1
+      require(10 + e <= 17, "zstd: compressed block exceeds 128 KB")
+      out.write((2 << 6) | 0x04) // FCS 4 bytes, window descriptor, checksum
+      out.write(e << 3) // mantissa 0
+      var v = contentSize; var i = 0
+      while (i < 4) { out.write((v & 0xFF).toInt); v >>>= 8; i += 1 }
+    }
+    def blockHeader(last: Boolean, btype: Int, size: Int): Unit = {
+      val hdr = (if (last) 1 else 0) | (btype << 1) | (size << 3)
+      out.write(hdr & 0xFF); out.write((hdr >>> 8) & 0xFF)
+      out.write((hdr >>> 16) & 0xFF)
+    }
+    blockHeader(last = rleLen == 0, btype = 2, size = block.length)
+    out.write(block, 0, block.length)
+    if (rleLen > 0) {
+      blockHeader(last = true, btype = 1, size = rleLen)
+      out.write(rleByte & 0xFF)
+    }
+    val full = new Array[Byte](contentSize.toInt)
+    System.arraycopy(data, 0, full, 0, data.length)
+    if (data.nonEmpty)
+      java.util.Arrays.fill(full, data.length, padded, data(data.length - 1))
+    java.util.Arrays.fill(full, padded, full.length, rleByte)
     u32(xxh64(full, full.length) & 0xFFFFFFFFL)
     out.toByteArray
   }
@@ -229,8 +306,13 @@ object Zstd {
         val checksum = (fhd & 0x04) != 0
         val dictFlag = fhd & 0x03
         val fcsFlag = fhd >>> 6
+        var windowSize = -1L // single-segment: the FCS is the window
         if (!singleSegment) {
           require(pos < bytes.length, "zstd: truncated window descriptor")
+          val wd = bytes(pos) & 0xFF
+          val windowLog = 10 + (wd >> 3)
+          val base = 1L << windowLog
+          windowSize = base + (base >> 3) * (wd & 7)
           pos += 1
         }
         val dictBytes = dictFlag match {
@@ -253,8 +335,14 @@ object Zstd {
           declared = if (fcsBytes == 2) v + 256 else v
           pos += fcsBytes
         }
-        val content = new java.io.ByteArrayOutputStream()
-        var nBlocks = 0; var nRaw = 0; var nRle = 0
+        if (singleSegment) windowSize = declared
+        // Block_Maximum_Size (§3.1.1.2.4): min(window, 128 KB) bounds
+        // BOTH the on-wire and regenerated size of every block — the
+        // reference decoder rejects violators with srcSize_wrong
+        val blockMax = math.min(windowSize, 1L << 17)
+        val content = new ZstdEntropy.OutBuf
+        val ctx = new ZstdEntropy.FrameCtx
+        var nBlocks = 0; var nRaw = 0; var nRle = 0; var nCompressed = 0
         var last = false
         while (!last) {
           require(pos + 3 <= bytes.length, "zstd: truncated block header")
@@ -264,6 +352,8 @@ object Zstd {
           last = (hdr & 1) != 0
           val btype = (hdr >>> 1) & 3
           val size = hdr >>> 3
+          require(size <= blockMax,
+            s"zstd: block size $size exceeds Block_Maximum_Size $blockMax")
           nBlocks += 1
           btype match {
             case 0 =>
@@ -276,17 +366,24 @@ object Zstd {
               require(pos < bytes.length, "zstd: truncated RLE byte")
               val b = bytes(pos)
               pos += 1
-              var i = 0
-              while (i < size) { content.write(b & 0xFF); i += 1 }
+              content.fill(b, size)
               nRle += 1
             case 2 =>
-              throw new IllegalArgumentException(
-                "zstd: entropy-coded block — payload decode is the declared stub")
+              require(size > 0, "zstd: empty compressed block")
+              require(pos + size <= bytes.length,
+                s"zstd: compressed block of $size over-runs stream at $pos")
+              val lenBefore = content.len
+              ZstdEntropy.decodeCompressedBlock(bytes, pos, size, ctx, content)
+              require(content.len - lenBefore <= blockMax,
+                s"zstd: block regenerates ${content.len - lenBefore} " +
+                  s"bytes, over Block_Maximum_Size $blockMax")
+              pos += size
+              nCompressed += 1
             case _ =>
               throw new IllegalArgumentException("zstd: reserved block type 3")
           }
         }
-        val data = content.toByteArray
+        val data = content.toArray
         if (declared >= 0)
           require(data.length.toLong == declared,
             s"zstd: content ${data.length} != declared FCS $declared")
@@ -298,7 +395,7 @@ object Zstd {
             f"zstd: content checksum mismatch (stored $want%08x, computed $got%08x)")
         }
         frames += Frame(frameStart, pos - frameStart, nBlocks, nRaw, nRle,
-          data.length.toLong, data)
+          nCompressed, data.length.toLong, data)
       }
     }
     Stream(frames.result(), skips.result(), skipNibbles.result(),

@@ -500,7 +500,7 @@ class PlanSpec extends AnyFunSuite {
     // the per-doc tiers (no archive grouping at all): pure map
     for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract",
         "q225_zstd_frame_census", "q226_zstd_quarantine",
-        "q230_compression_sniff")) {
+        "q230_compression_sniff", "q232_zstd_entropy_census")) {
       val plan = finalSection(
         executedPlan(graft.SparkEntry.queries(name)(spark, sf)))
       assert(!plan.contains("Exchange hashpartitioning"),

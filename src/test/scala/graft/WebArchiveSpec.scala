@@ -439,15 +439,201 @@ class WebArchiveSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.web.Zstd.decodeStream(bad))
   }
 
-  test("zstd: a real entropy-coded frame hits the DECLARED STUB error, " +
-      "not a crash or a wrong answer") {
+  test("zstd entropy golden 1: the zstd-CLI -19 frame of 40 x 'a' " +
+      "(raw literals in a compressed block + one predefined-table " +
+      "sequence) DECODES — the r14 declared stub is gone") {
     // zstd -19 of 40 x 'a': window descriptor present, compressed block
     val obj = Array(0x28, 0xB5, 0x2F, 0xFD, 0x24, 0x28, 0x45, 0x00, 0x00,
       0x10, 0x61, 0x61, 0x01, 0x00, 0x1F, 0x80, 0x05, 0x03,
       0xEF, 0x11, 0x31).map(_.toByte)
+    val s = graft.web.Zstd.decodeStream(obj)
+    assert(s.frames.size === 1)
+    val f = s.frames.head
+    assert(f.nBlocks === 1 && f.nCompressed === 1 && f.nRaw === 0)
+    assert(new String(f.content, "US-ASCII") === "a" * 40)
+  }
+
+  test("zstd entropy golden 2: a zstd-CLI -19 frame with " +
+      "FSE-COMPRESSED Huffman weights, single-stream literals, and " +
+      "predefined sequence tables decodes to the exact text") {
+    val payload = ("the corpus archive record walks the entropy layer " +
+      "back to text, and the entropy layer walks it back again; ") * 3
+    val obj = Array(0x28, 0xB5, 0x2F, 0xFD, 0x64, 0x41, 0x00, 0x65, 0x02,
+      0x00, 0xC2, 0xC4, 0x0E, 0x11, 0xB0, 0xEB, 0x24, 0xA1, 0x14, 0x6D,
+      0x58, 0xB6, 0x29, 0x2B, 0xA1, 0x04, 0xFB, 0xC5, 0x8C, 0x59, 0x04,
+      0x0F, 0xC9, 0x24, 0xC9, 0x36, 0x23, 0xE5, 0x41, 0xC3, 0xED, 0xAB,
+      0xFE, 0xD1, 0x14, 0xE7, 0x8D, 0x89, 0x1E, 0x97, 0xE2, 0x4E, 0xFB,
+      0x2D, 0x7D, 0x76, 0x50, 0xBE, 0x0F, 0x56, 0xBA, 0xFC, 0x75, 0xA6,
+      0x28, 0xE7, 0x59, 0x5B, 0xAC, 0xF4, 0x5B, 0x3A, 0x04, 0x00, 0x53,
+      0x37, 0x50, 0x03, 0xD5, 0xC0, 0xAF, 0xB2, 0x18, 0x8E, 0xA7, 0xCC,
+      0xE3, 0x02, 0xA6, 0x01).map(_.toByte)
+    val s = graft.web.Zstd.decodeStream(obj)
+    assert(s.frames.head.contentSize === 321L)
+    assert(new String(s.frames.head.content, "US-ASCII") === payload)
+  }
+
+  test("zstd entropy golden 3: a zstd-CLI -19 frame whose LL/OF/ML " +
+      "tables are ALL FSE_Compressed (modes 0xA8, 128 sequences) " +
+      "decodes to the LCG-generated text") {
+    // payload rebuilt here with the same LCG the golden was made from
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    var seed = 12345L
+    val payload = (0 until 700).map { _ =>
+      seed = (1103515245L * seed + 12345L) % (1L << 31)
+      words((seed % 10).toInt)
+    }.mkString(" ")
+    val obj = java.util.Base64.getDecoder.decode(
+      "KLUv/WSGDoUPAIKEDA/A68ajpFxa93bkqppUZwb236z230XD3PfmmnBRXCGNYSje" +
+      "kRSNRtGloA4qI12L7otugOSokZud/TMgQmKQQXYeESgUIqSIgFiBJSK0FBYsNQZB" +
+      "f9kErFs/Ja8haCIiobOervlMhWphC02uYVzLXk/rpSZ942QnqoLq0QcXkJ2ZpfAM" +
+      "04nEcLSn7Or/HCT5WKYTXDdbd3c+e5w7cZq8MuAPa1a7JG8pxLJ06pO8ATAOe2rM" +
+      "6ewdUy39aKLhb8BK8R01ksSTkwlsbg1sk6fVmbttisu6CkatJbRklzuqDpGREnRK" +
+      "w+/CTxjtgkD8rdrG9UUmy0R2sSDfM2x0BRSKSa/UzGGld+L7C3PAG0PbVQfYLTAj" +
+      "3uzehBSsfpu8ugKtgZd4YH8/Wd9c6/Fq8jsQLXLWiTU5+QSRA7MCVie20gzyHtFZ" +
+      "4mWR3AZFpYhdgRJMcyExEqFGWHmYiQsN3yuUU4OdUIhI67MNyvaFCoC/SL/7Ev9f" +
+      "ITyolgb2tC2cNVk1OlTg/a12Ld8cO7aRel+dIQz6QG96d6dDwqMLbyK4ut9LTT7H" +
+      "6KFfOsxpGVjDK+KcukTp2t+h3HprL71LTzk8nfNz7kddwyFjVCTSioZYWfO7jrc4" +
+      "6RpLwPgdbtsclxlku9DsL5vYCvNQdvW6uioqJzx4")
+    val s = graft.web.Zstd.decodeStream(obj)
+    assert(s.frames.head.contentSize === payload.length.toLong)
+    assert(new String(s.frames.head.content, "US-ASCII") === payload)
+  }
+
+  test("zstd entropy encoder round-trip: Huffman/RLE/raw literals, " +
+      "single- and 4-stream, sequence execution and the RLE pad — " +
+      "across payload shapes incl. empty, 1-symbol, and > 1023 chars") {
+    val cases = Seq("", "a", "ab", "aab", "a" * 500,
+      "the quick brown fox jumps over the lazy dog",
+      ("lorem ipsum dolor sit amet " * 60).trim, // 4-stream
+      (33 to 126).map(_.toChar).mkString * 3,
+      "x" + ("yz" * 700)) // 4-stream, 3 symbols
+    cases.foreach { t =>
+      val data = t.getBytes("US-ASCII")
+      val s = graft.web.Zstd.decodeStream(
+        graft.web.Zstd.encodeEntropyFrame(data))
+      val want = (if (data.isEmpty) Array.emptyByteArray
+        else data ++ Array.fill(32)(data.last)) ++
+        Array.fill(16)('~'.toByte)
+      assert(s.frames.size === 1)
+      val f = s.frames.head
+      assert(f.nCompressed === 1 && f.nRle === 1,
+        s"block mix wrong for ${t.take(20)}")
+      assert(java.util.Arrays.equals(f.content, want),
+        s"content mismatch for payload '${t.take(30)}...' (${data.length})")
+    }
+  }
+
+  test("zstd entropy: TREELESS literals and REPEAT table modes across " +
+      "blocks in one frame (CLI-conformance of this exact construction " +
+      "verified against zstd v1.5.7 at authoring time)") {
+    import graft.web.ZstdEntropy
+    val p1 = "entropy tier literal block one, ".getBytes("US-ASCII")
+    val p2 = p1.reverse
+    val b1 = ZstdEntropy.encodeCompressedBlock(p1, 32)
+    // block 2: type-3 literals reusing block 1's Huffman table, and a
+    // sequence section in Repeat mode reusing its RLE-built tables
+    val (weights, maxBits) = ZstdEntropy.encoderWeights(p1)
+    val stream2 = ZstdEntropy.huffEncodeStream(p2, weights, maxBits)
+    val out2 = new java.io.ByteArrayOutputStream()
+    val v = 0x03L | (p2.length.toLong << 4) | (stream2.length.toLong << 14)
+    out2.write((v & 0xFF).toInt); out2.write(((v >> 8) & 0xFF).toInt)
+    out2.write(((v >> 16) & 0xFF).toInt)
+    out2.write(stream2, 0, stream2.length)
+    out2.write(1); out2.write(0xFC) // one sequence, LL/OF/ML all Repeat
+    val bw = new ZstdEntropy.BackWriter
+    bw.push(0L, ZstdEntropy.LlBits(ZstdEntropy.llCodeFor(p2.length)))
+    val st = bw.toBytes
+    out2.write(st, 0, st.length)
+    val b2 = out2.toByteArray
+    val content = p1 ++ Array.fill(32)(p1.last) ++
+      p2 ++ Array.fill(32)(p2.last)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(x: Long): Unit = {
+      var t = x; var i = 0
+      while (i < 4) { out.write((t & 0xFF).toInt); t >>>= 8; i += 1 }
+    }
+    u32(0xFD2FB528L & 0xFFFFFFFFL)
+    out.write((2 << 6) | 0x04); out.write(0) // window 1 KB, FCS 4 bytes
+    u32(content.length.toLong)
+    def bh(last: Boolean, size: Int): Unit = {
+      val h = (if (last) 1 else 0) | (2 << 1) | (size << 3)
+      out.write(h & 0xFF); out.write((h >>> 8) & 0xFF)
+      out.write((h >>> 16) & 0xFF)
+    }
+    bh(last = false, b1.length); out.write(b1, 0, b1.length)
+    bh(last = true, b2.length); out.write(b2, 0, b2.length)
+    u32(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      content, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      content.length, 0L) & 0xFFFFFFFFL)
+    val s = graft.web.Zstd.decodeStream(out.toByteArray)
+    assert(s.frames.head.nCompressed === 2)
+    assert(java.util.Arrays.equals(s.frames.head.content, content))
+    // treeless with NO previous table is a loud error: a frame whose
+    // FIRST block is block 2 (header rebuilt with the last flag)
+    val broken = new java.io.ByteArrayOutputStream()
+    broken.write(out.toByteArray, 0, 10) // magic + FHD + window + FCS
+    val h2 = 1 | (2 << 1) | (b2.length << 3)
+    broken.write(h2 & 0xFF); broken.write((h2 >>> 8) & 0xFF)
+    broken.write((h2 >>> 16) & 0xFF)
+    broken.write(b2, 0, b2.length)
+    broken.write(Array.fill[Byte](4)(0), 0, 4) // (unreached) checksum
     val e = intercept[IllegalArgumentException](
-      graft.web.Zstd.decodeStream(obj))
-    assert(e.getMessage.contains("declared stub"))
+      graft.web.Zstd.decodeStream(broken.toByteArray))
+    assert(e.getMessage.contains("treeless") ||
+      e.getMessage.contains("Repeat"))
+  }
+
+  test("zstd Block_Maximum_Size: a compressed block whose wire size " +
+      "exceeds min(window, 128 KB) is a loud error — the reference " +
+      "decoder rejects these with srcSize_wrong") {
+    import graft.web.ZstdEntropy
+    // literals-only compressed block of 'ab'*8: the 50-byte direct
+    // weight description dwarfs the 16-byte single-segment window
+    val d = ("ab" * 8).getBytes("US-ASCII")
+    val block = ZstdEntropy.encodeLiteralsSection(d) :+ 0.toByte
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(x: Long): Unit = {
+      var t = x; var i = 0
+      while (i < 4) { out.write((t & 0xFF).toInt); t >>>= 8; i += 1 }
+    }
+    u32(0xFD2FB528L & 0xFFFFFFFFL)
+    out.write(0x20); out.write(d.length) // single-segment, no checksum
+    val h = 1 | (2 << 1) | (block.length << 3)
+    out.write(h & 0xFF); out.write((h >>> 8) & 0xFF)
+    out.write((h >>> 16) & 0xFF)
+    out.write(block, 0, block.length)
+    val e = intercept[IllegalArgumentException](
+      graft.web.Zstd.decodeStream(out.toByteArray))
+    assert(e.getMessage.contains("Block_Maximum_Size"))
+    // and the ENCODER avoids the trap: payloads whose block outgrows
+    // the content get an explicit window descriptor instead of
+    // single-segment framing ('ab': 50-byte content, ~60-byte block)
+    val enc = graft.web.Zstd.encodeEntropyFrame("ab".getBytes("US-ASCII"))
+    assert((enc(4) & 0x20) === 0, "tiny entropy frame must not be " +
+      "single-segment (its block outgrows the content window)")
+    assert(graft.web.Zstd.decodeStream(enc).frames.head.contentSize === 50L)
+  }
+
+  test("zstd entropy hostile-input pin: seeded byte flips on an " +
+      "entropy-coded frame either decode or raise the loud contract " +
+      "error — never an index/arithmetic crash, never silent wrong " +
+      "content (the checksum seals it)") {
+    val good = graft.web.Zstd.encodeEntropyFrame(
+      ("the record body under mutation, with enough text to carry a " +
+        "real huffman table and a sequence").getBytes("US-ASCII"))
+    val rnd = new scala.util.Random(0x5EED15)
+    var decoded = 0; var rejected = 0
+    (0 until 400).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { graft.web.Zstd.decodeStream(b); decoded += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case e: Throwable => fail(s"unexpected failure class: $e")
+      }
+    }
+    assert(rejected > 0, "no mutation was caught — pin is vacuous")
   }
 
   test("zstd round-trip: skippable + raw/RLE frame, multi-chunk, both " +
