@@ -319,46 +319,65 @@ object WebQueries {
     * the Common Crawl convention — q213's tier stores bare bodies), a
     * third framing layer the ingest must walk: status line, header
     * block, then Content-Length OR chunked transfer coding (hex-sized
-    * CRLF-delimited chunks, zero-chunk close). Every 17th id is a 404
-    * with an empty body, every 3rd is chunked — status and framing
-    * splits both live. The oracle prices the status lines, each header
-    * line, and the full chunk framing arithmetic (⌊n/100⌋ full chunks
-    * of 106 wire bytes + the hex-width-dependent remainder + the
-    * 5-byte close).
+    * CRLF-delimited chunks, zero-chunk close) — and NOW a fourth, the
+    * CONTENT coding: every odd id ships `Content-Encoding: gzip`
+    * (real crawls are mostly compressed on the wire), inflated by the
+    * engine's own RFC 1952 walk AFTER chunk de-framing, the RFC 9110
+    * §8.4 order — both codings compose on ids that are odd multiples
+    * of 3. Every 17th id is a 404 with an empty body, every 3rd is
+    * chunked — status, transfer, and content splits all live. The
+    * oracle prices the status lines, each header line, the gzip
+    * member arithmetic (18 + 5·⌈n/65535⌉ + n), and the chunk framing
+    * over the ENCODED body (⌊wb/100⌋ full chunks of 106 wire bytes +
+    * the hex-width remainder + the 5-byte close), while body/sum
+    * fields price the DECODED bytes — content identity through both
+    * codings.
     */
   val q219_http_census: Q = (s, d) =>
     WebLake.httpResponseCensus(
         WebLake.warcHttpFromDocs(s, Tables.documents(s, d)))
       .toDF().orderBy("archive_id")
 
-  // The HTTP message priced per doc: 404/chunked splits, header bytes
-  // by line, body-framing wire bytes (chunk arithmetic), message total.
+  // The HTTP message priced per doc: 404/chunked/gzip splits, header
+  // bytes by line, the gzip member arithmetic for odd ids (stored
+  // deflate, no FNAME: 18 + 5*ceil(n/65535) + n), chunk framing over
+  // the ENCODED body, and the message total. Content-Length counts
+  // the wire body; body/sum fields price the DECODED bytes.
   private val HttpCte =
     """a2 AS (
       |  SELECT doc_id,
       |    doc_id % 32 AS aid,
       |    doc_id % 17 = 0 AS nf,
       |    doc_id % 3 = 0 AS ch,
+      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AS gz,
       |    [ord(c) for c in string_split(coalesce(text, ''), '')
       |     if ord(c) BETWEEN 0 AND 127] AS codes
       |  FROM documents),
       |h AS (
-      |  SELECT doc_id, aid, nf, ch,
+      |  SELECT doc_id, aid, nf, ch, gz,
       |    CASE WHEN nf THEN 0 ELSE len(codes) END AS n,
       |    CASE WHEN nf THEN 0 ELSE coalesce(list_sum(codes), 0) END AS ps,
       |    len(codes) AS rawn
       |  FROM a2),
+      |hw AS (
+      |  SELECT doc_id, aid, nf, ch, gz, n, ps, rawn,
+      |    CASE WHEN nf THEN 0
+      |         WHEN gz THEN 18 + 5 * greatest(1,
+      |             CAST(ceil(n / 65535.0) AS BIGINT)) + n
+      |         ELSE n END AS wb
+      |  FROM h),
       |hm AS (
-      |  SELECT doc_id, aid, nf, ch, n, ps, rawn,
+      |  SELECT doc_id, aid, nf, ch, gz, n, ps, rawn, wb,
       |    CASE WHEN nf THEN 24 ELSE 17 END + 19 + 26
+      |      + CASE WHEN gz THEN 24 ELSE 0 END
       |      + CASE WHEN ch THEN 28
-      |             ELSE 18 + length(CAST(n AS VARCHAR)) END + 2 AS hdr,
-      |    CASE WHEN ch THEN (n // 100) * 106
-      |        + CASE WHEN n % 100 > 0
-      |               THEN length(to_hex(n % 100)) + 4 + (n % 100)
+      |             ELSE 18 + length(CAST(wb AS VARCHAR)) END + 2 AS hdr,
+      |    CASE WHEN ch THEN (wb // 100) * 106
+      |        + CASE WHEN wb % 100 > 0
+      |               THEN length(to_hex(wb % 100)) + 4 + (wb % 100)
       |               ELSE 0 END + 5
-      |      ELSE n END AS wire
-      |  FROM h)""".stripMargin
+      |      ELSE wb END AS wire
+      |  FROM hw)""".stripMargin
 
   val q219Sql: String =
     s"""WITH $HttpCte
@@ -367,6 +386,7 @@ object WebQueries {
        |  CAST(sum(CASE WHEN nf THEN 0 ELSE 1 END) AS BIGINT) AS n_200,
        |  CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
        |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
+       |  CAST(sum(CASE WHEN gz THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip,
        |  CAST(sum(hdr) AS BIGINT) AS http_header_bytes,
        |  CAST(sum(n) AS BIGINT) AS body_bytes,
        |  CAST(sum(ps) AS BIGINT) AS sum_body,
@@ -392,7 +412,8 @@ object WebQueries {
     s"""WITH $HttpCte,
        |t AS (
        |  SELECT aid, n, ps,
-       |    (doc_id % 23 = 0 AND ch AND NOT nf AND rawn >= 16) AS bad
+       |    (doc_id % 23 = 0 AND ch AND NOT nf
+       |     AND (gz OR rawn >= 16)) AS bad
        |  FROM hm)
        |SELECT CAST(aid AS BIGINT) AS archive_id,
        |  CAST(count(*) AS BIGINT) AS n_responses,
@@ -406,8 +427,10 @@ object WebQueries {
     * message → de-framed body → token screen, one row per fetched URI
     * with the keep/drop decision; 404s surface as empty kept-out rows
     * (the ingest ledger records every fetch, not just the successes).
-    * q216's byte-exactness contract extended through the third layer —
-    * chunk re-assembly must splice the body back byte-perfectly.
+    * q216's byte-exactness contract extended through the third AND
+    * fourth layers — chunk re-assembly must splice the gzip member
+    * back byte-perfectly and the inflate must recover the text, or
+    * the token counts shift.
     */
   val q221_http_extract: Q = (s, d) =>
     WebLake.extractHttpDocs(

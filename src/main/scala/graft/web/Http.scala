@@ -7,6 +7,11 @@ package graft.web
   * the message before any text processing: status line, header block,
   * then EITHER a `Content-Length` body or `Transfer-Encoding: chunked`
   * — hex-sized chunks each CRLF-delimited, closed by a zero chunk.
+  * On top of the transfer coding sits the CONTENT coding (RFC 9110
+  * §8.4): real crawls are mostly `Content-Encoding: gzip` on the
+  * wire, so [[decodedBody]] composes the message framing with the
+  * engine's own RFC 1952 inflate — applied in the spec's order
+  * (transfer de-framing first, then content decoding).
   *
   * The decoder enforces the wire grammar loudly (malformed status
   * line, non-numeric length, hex chunk-size garbage, a chunk
@@ -20,13 +25,34 @@ object Http {
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
   /** A parsed response: status code + reason, the header list in wire
-    * order, whether the body was chunked, the header block's byte
-    * count (status line through the blank line), and the de-framed
-    * body.
+    * order, whether the body was chunked, the declared content coding
+    * (empty = identity), the header block's byte count (status line
+    * through the blank line), and the TRANSFER-decoded body (chunk
+    * de-framing applied; content coding NOT yet applied — that is
+    * [[decodedBody]]'s job, mirroring the spec's layering).
     */
   final case class Response(status: Int, reason: String,
       headers: Vector[(String, String)], chunked: Boolean,
-      headerBytes: Int, body: Array[Byte])
+      contentEncoding: String, headerBytes: Int, body: Array[Byte])
+
+  /** The representation bytes: apply the declared Content-Encoding to
+    * the transfer-decoded body. `gzip` runs the engine's own RFC 1952
+    * walk (CRC32 + ISIZE verified; the body must be exactly one
+    * member); identity passes through; anything else is a loud
+    * contract error — a crawl record claiming brotli or deflate needs
+    * a decoder, not a silent pass-through.
+    */
+  def decodedBody(r: Response): Array[Byte] = r.contentEncoding match {
+    case "" | "identity" => r.body
+    case "gzip" =>
+      val ms = Gzip.members(r.body)
+      require(ms.size == 1,
+        s"http: gzip body with ${ms.size} members (expected 1)")
+      ms.head.data
+    case other =>
+      throw new IllegalArgumentException(
+        s"http: unsupported Content-Encoding '$other'")
+  }
 
   /** Encode a response. `chunkSize` > 0 with `chunked = true` frames
     * the body as fixed-size chunks (last one short); otherwise a
@@ -98,6 +124,7 @@ object Http {
     val headers = Vector.newBuilder[(String, String)]
     var contentLength = -1L
     var chunked = false
+    var contentEncoding = ""
     var blank = false
     while (!blank) {
       val l = line()
@@ -117,6 +144,8 @@ object Http {
             require(value.equalsIgnoreCase("chunked"),
               s"http: unsupported Transfer-Encoding '$value'")
             chunked = true
+          case "content-encoding" =>
+            contentEncoding = value.toLowerCase
           case _ => ()
         }
       }
@@ -159,6 +188,7 @@ object Http {
       }
     require(pos == bytes.length,
       s"http: ${bytes.length - pos} trailing bytes after the framed body")
-    Response(code, reason, headers.result(), chunked, headerBytes, body)
+    Response(code, reason, headers.result(), chunked, contentEncoding,
+      headerBytes, body)
   }
 }

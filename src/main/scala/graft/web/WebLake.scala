@@ -292,16 +292,30 @@ object WebLake {
       corruptChunk: Boolean): Array[Byte] = {
     val notFound = id % 17 == 0
     val chunked = id % 3 == 0
+    // odd ids ship Content-Encoding: gzip — real crawls are mostly
+    // compressed on the wire; the engine owns both halves (its own
+    // RFC 1952 member + inflate), so the coding layers COMPOSE:
+    // content coding first, then chunked transfer framing over the
+    // gzip bytes, exactly the RFC 9110 §8.4 order
+    val gz = id % 2 == 1 && !notFound
+    val wireBody =
+      if (notFound) Array.emptyByteArray
+      else if (gz) Gzip.member(body, fname = None, fixedHuffman = false,
+        mtime = 0L)
+      else body
     val msg = Http.encodeResponse(
       status = if (notFound) 404 else 200,
       reason = if (notFound) "Not Found" else "OK",
-      headers = Seq("Server" -> "graft/1.0", "Content-Type" -> "text/plain"),
-      body = if (notFound) Array.emptyByteArray else body,
+      headers = Seq("Server" -> "graft/1.0",
+        "Content-Type" -> "text/plain") ++
+        (if (gz) Seq("Content-Encoding" -> "gzip") else Nil),
+      body = wireBody,
       chunked = chunked, chunkSize = 100)
-    if (corruptChunk && chunked && !notFound && body.length >= 16) {
+    if (corruptChunk && chunked && !notFound && wireBody.length >= 16) {
       // first chunk-size line sits right after the blank header line;
       // the >= 16 guard keeps the size at 2 hex digits so the patch
-      // lands on the second digit (the oracle mirrors the guard)
+      // lands on the second digit (the oracle mirrors the guard; gzip
+      // bodies are always >= 23 wire bytes, so gz rows always qualify)
       var i = 0
       while (!(msg(i) == '\r' && msg(i + 1) == '\n' &&
         msg(i + 2) == '\r' && msg(i + 3) == '\n')) i += 1
@@ -347,34 +361,40 @@ object WebLake {
       }
   }
 
-  /** Per-archive census of the HTTP layer: response count, status and
-    * framing splits, header/body/wire byte totals, the body byte-value
-    * sum, and the largest message — every field priced by the oracle
-    * from the status-line/header/chunk arithmetic alone (no WARC or
-    * gzip sizes involved, those are q213's contract).
+  /** Per-archive census of the HTTP layer: response count, status /
+    * transfer-framing / content-coding splits, header/body/wire byte
+    * totals, the DECODED body byte-value sum (content identity
+    * through chunk de-framing AND gzip inflate), and the largest
+    * message — every field priced by the oracle from the status-line/
+    * header/gzip-member/chunk arithmetic alone (no WARC or outer-gzip
+    * sizes involved, those are q213's contract).
     */
   case class HttpCensus(archive_id: Long, n_responses: Long, n_200: Long,
-      n_404: Long, n_chunked: Long, http_header_bytes: Long,
+      n_404: Long, n_chunked: Long, n_gzip: Long, http_header_bytes: Long,
       body_bytes: Long, sum_body: Long, wire_bytes: Long,
       max_msg_len: Long)
 
   def httpResponseCensus(archives: Dataset[ArchiveRow]): Dataset[HttpCensus] = {
     import archives.sparkSession.implicits._
     archives.mapPartitions(_.map { a =>
-      // (message length on the wire, parsed response) — msgLen is the
-      // WARC payload length, header + framed body
+      // (message length on the wire, parsed response, decoded body) —
+      // msgLen is the WARC payload length, header + framed body
       val rs = recordsOf(a).filter(_._2.warcType == "response")
-        .map(r => (r._2.payload.length, Http.parseResponse(r._2.payload)))
+        .map { r =>
+          val m = Http.parseResponse(r._2.payload)
+          (r._2.payload.length, m, Http.decodedBody(m))
+        }
       HttpCensus(
         archive_id = a.archive_id,
         n_responses = rs.size.toLong,
         n_200 = rs.count(_._2.status == 200).toLong,
         n_404 = rs.count(_._2.status == 404).toLong,
         n_chunked = rs.count(_._2.chunked).toLong,
+        n_gzip = rs.count(_._2.contentEncoding == "gzip").toLong,
         http_header_bytes = rs.iterator.map(_._2.headerBytes.toLong).sum,
-        body_bytes = rs.iterator.map(_._2.body.length.toLong).sum,
+        body_bytes = rs.iterator.map(_._3.length.toLong).sum,
         sum_body = rs.iterator.map(r =>
-          r._2.body.iterator.map(b => (b & 0xFF).toLong).sum).sum,
+          r._3.iterator.map(b => (b & 0xFF).toLong).sum).sum,
         wire_bytes = rs.iterator.map(r =>
           (r._1 - r._2.headerBytes).toLong).sum,
         max_msg_len = rs.iterator.map(_._1.toLong).max)
@@ -397,9 +417,10 @@ object WebLake {
       rs.foreach { case (_, r) =>
         try {
           val m = Http.parseResponse(r.payload)
+          val body = Http.decodedBody(m)
           ok += 1
-          bodyBytes += m.body.length
-          sumBody += m.body.iterator.map(b => (b & 0xFF).toLong).sum
+          bodyBytes += body.length
+          sumBody += body.iterator.map(b => (b & 0xFF).toLong).sum
         } catch {
           case scala.util.control.NonFatal(_) => bad += 1
         }
@@ -421,11 +442,11 @@ object WebLake {
         .filter(_._2.warcType == "response")
         .map { case (_, r) =>
           val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
-          val m = Http.parseResponse(r.payload)
-          val text = new String(m.body, Ascii)
+          val body = Http.decodedBody(Http.parseResponse(r.payload))
+          val text = new String(body, Ascii)
           val nTokens = text.split("\\s+").count(_.nonEmpty).toLong
-          WebDoc(id, m.body.length.toLong, nTokens,
-            m.body.iterator.map(b => (b & 0xFF).toLong).sum,
+          WebDoc(id, body.length.toLong, nTokens,
+            body.iterator.map(b => (b & 0xFF).toLong).sum,
             if (nTokens >= minTokens) 1L else 0L)
         }
     })
@@ -466,7 +487,7 @@ object WebLake {
         .filter(_._2.warcType == "response")
         .map { case (_, r) =>
           val id = r.recordId.substring(r.recordId.lastIndexOf(':') + 1).toLong
-          val body = Http.parseResponse(r.payload).body
+          val body = Http.decodedBody(Http.parseResponse(r.payload))
           (id, new String(body, Ascii), r.targetUri.getOrElse(""))
         }
     }).toDF("doc_id", "text", "uri")

@@ -392,6 +392,43 @@ class WebArchiveSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nok")))
   }
 
+  test("HTTP Content-Encoding: gzip bodies inflate through the " +
+      "engine's own RFC 1952 walk AFTER chunk de-framing (the RFC " +
+      "9110 layering); unsupported codings are loud; identity passes") {
+    import graft.web.{Gzip, Http}
+    val text = ascii("compressed on the wire, like a real crawl body " * 4)
+    val member = Gzip.member(text, fname = None, fixedHuffman = false)
+    // content coding + chunked transfer coding COMPOSED
+    val msg = Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), member,
+      chunked = true, chunkSize = 48)
+    val r = Http.parseResponse(msg)
+    assert(r.chunked && r.contentEncoding === "gzip")
+    assert(java.util.Arrays.equals(r.body, member),
+      "transfer decode must yield the ENCODED body")
+    assert(java.util.Arrays.equals(Http.decodedBody(r), text))
+    // content coding under Content-Length framing
+    val msg2 = Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), member, chunked = false)
+    assert(java.util.Arrays.equals(
+      Http.decodedBody(Http.parseResponse(msg2)), text))
+    // identity: decodedBody is the transfer-decoded body
+    val plain = Http.parseResponse(Http.encodeResponse(200, "OK",
+      Seq.empty, text, chunked = false))
+    assert(Http.decodedBody(plain) eq plain.body)
+    // a coding the engine does not own is a loud error, not a pass-through
+    val br = Http.parseResponse(Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "br"), text, chunked = false))
+    val e = intercept[IllegalArgumentException](Http.decodedBody(br))
+    assert(e.getMessage.contains("Content-Encoding"))
+    // a CORRUPT gzip body (CRC flip) is caught by the inflate layer
+    val badMember = member.clone()
+    badMember(badMember.length - 5) = (badMember(badMember.length - 5) ^ 1).toByte
+    val badMsg = Http.parseResponse(Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), badMember, chunked = true))
+    intercept[IllegalArgumentException](Http.decodedBody(badMsg))
+  }
+
   test("hostile-input pin: seeded byte flips on a valid WARC record " +
       "either parse or raise a contract error — never an unexpected " +
       "crash class, never a wrong-type record") {
