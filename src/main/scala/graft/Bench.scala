@@ -76,6 +76,20 @@ object Bench {
 
     execOnce("q13_star_join") // warm-up: JIT + codegen + parquet footer cache
 
+    // Designated BUILDER entry: the shared posting/pack/model/CC state
+    // build (ensurePostingState — idempotent per process) is paid HERE,
+    // once, as its own visible number — the SharedAnn publish/serve
+    // discipline applied to the ensure. Without this, the build landed
+    // on whichever state consumer ran first in sorted order (r14
+    // verdict: q128_state_drift read as a 1.71x regression with
+    // UNCHANGED code); with it, every stateXxx query below measures
+    // exactly its serve path, and the amortized per-ingest cost has a
+    // name readers can track round-over-round.
+    val tState0 = System.nanoTime()
+    graft.queries.TokenizerQueries.ensurePostingState(spark, sfDir)
+    val stateBuild = (System.nanoTime() - tState0) / 1e9
+    graft.ops.Materialize.releaseAll(spark)
+
     // Local perf-iteration filter (the driver never sets it — its runs
     // are full; same contract as Verify's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
@@ -95,8 +109,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // state_build is reported as its own TOP-LEVEL field, not a queries
+    // entry: under min-of-N the first-demand ensure never reached the
+    // committed per-query numbers (attempt 1 paid it, the min discarded
+    // it), so folding it into "value" now would make totals incomparable
+    // round-over-round — visible and separate is the honest shape.
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"state_build_sec":${ms(stateBuild)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
 
     val outPath = java.nio.file.Paths.get(
@@ -110,6 +129,7 @@ object Bench {
          |  "value": $total,
          |  "unit": "sec",
          |  "runs": $runs,
+         |  "state_build_sec": $stateBuild,
          |  "errors": $errs,
          |  "sf": "$sfDir",
          |  "queries": {

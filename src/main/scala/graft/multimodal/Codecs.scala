@@ -2076,6 +2076,11 @@ object Codecs {
       while (i < nb) { bit(0); i += 1 }
       bits(k, nb + 1)
     }
+    /** se(v) (spec §9.1.1 table 9-3): signed Exp-Golomb — codeNum =
+      * 2·|v|−1 for v > 0, 2·|v| for v ≤ 0 (positives get the shorter
+      * odd codes).
+      */
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** rbsp_trailing_bits: the stop bit, then zero-pad to a byte — the
       * byte holding the stop bit is therefore never 0x00, so a zero
       * byte immediately before a start code can only be the 4-byte
@@ -2116,6 +2121,11 @@ object Codecs {
       var v = 1; var i = 0
       while (i < nb) { v = (v << 1) | bit(); i += 1 }
       v - 1
+    }
+    /** se() (spec §9.1.1 table 9-3): odd codeNums are positive. */
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
     /** Verify rbsp_trailing_bits: a stop bit, then zeros to the end. */
     def expectTrailing(): Unit = {
@@ -2188,14 +2198,16 @@ object Codecs {
     */
   final case class H264Nal(offset: Int, startCodeLen: Int, refIdc: Int,
       nalType: Int, rbspBytes: Int, sliceType: Int = -1,
-      frameNum: Int = -1)
+      frameNum: Int = -1, ppsId: Int = -1)
 
   /** A walked Annex-B stream: every NAL in order, the parsed SPS
-    * (exactly one per stream in this subset), and any SEI messages as
-    * (payloadType, payloadSize) pairs in wire order.
+    * (exactly one per stream in this subset), the parsed PPSs in wire
+    * order (slice headers resolve against them by id), and any SEI
+    * messages as (payloadType, payloadSize) pairs in wire order.
     */
   final case class H264Stream(nals: Vector[H264Nal], sps: H264Sps,
-      sei: Vector[(Int, Int)] = Vector.empty)
+      sei: Vector[(Int, Int)] = Vector.empty,
+      ppss: Vector[H264Pps] = Vector.empty)
 
   private def writeSpsRbsp(sps: H264Sps): Array[Byte] = {
     require(Seq(66, 77, 88).contains(sps.profileIdc),
@@ -2225,19 +2237,68 @@ object Codecs {
     w.rbspTrailing()
   }
 
-  /** The minimal PPS this subset writes: both ids 0, every optional
-    * mode off, all three QP offsets 0 — 18 bits, 3 RBSP bytes.
+  /** The PPS fields this subset carries (spec §7.3.2.2, the
+    * single-slice-group / unweighted branch — each restriction checked
+    * loudly at parse). `entropyCodingMode` is the CAVLC(0)/CABAC(1)
+    * switch: the field that makes the declared entropy stub boundary
+    * explicit PER STREAM — every slice inherits the mode of the PPS its
+    * header references, so the walk knows which decoder the skipped
+    * macroblock data would need. `initQpMinus26` is the format's one
+    * se(v)-coded field this subset exercises (signed Exp-Golomb).
     */
-  private def writePpsRbsp(): Array[Byte] = {
+  final case class H264Pps(ppsId: Int, spsId: Int, entropyCodingMode: Int,
+      numRefIdxL0: Int, numRefIdxL1: Int, initQpMinus26: Int)
+
+  /** The default PPS the single-PPS encode path writes: both ids 0,
+    * every optional mode off, all QP offsets 0 — 18 bits, 3 RBSP bytes.
+    */
+  private[graft] val DefaultPps = H264Pps(0, 0, 0, 0, 0, 0)
+
+  private def writePpsRbsp(pps: H264Pps): Array[Byte] = {
+    require(pps.ppsId >= 0 && pps.ppsId <= 255, s"pic_parameter_set_id ${pps.ppsId}")
+    require(pps.spsId >= 0 && pps.spsId <= 31, s"seq_parameter_set_id ${pps.spsId}")
+    require(pps.entropyCodingMode == 0 || pps.entropyCodingMode == 1,
+      s"entropy_coding_mode ${pps.entropyCodingMode}")
+    require(pps.numRefIdxL0 >= 0 && pps.numRefIdxL0 <= 31 &&
+      pps.numRefIdxL1 >= 0 && pps.numRefIdxL1 <= 31,
+      s"num_ref_idx defaults ${pps.numRefIdxL0}/${pps.numRefIdxL1}")
+    require(pps.initQpMinus26 >= -26 && pps.initQpMinus26 <= 25,
+      s"pic_init_qp_minus26 ${pps.initQpMinus26} outside [-26, 25] (spec §7.4.2.2)")
     val w = new GolombWriter
-    w.ue(0); w.ue(0) // pic_parameter_set_id, seq_parameter_set_id
-    w.bit(0); w.bit(0) // entropy_coding_mode, bottom_field_poc_present
+    w.ue(pps.ppsId); w.ue(pps.spsId)
+    w.bit(pps.entropyCodingMode)
+    w.bit(0) // bottom_field_pic_order_in_frame_present_flag
     w.ue(0) // num_slice_groups_minus1
-    w.ue(0); w.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    w.ue(pps.numRefIdxL0); w.ue(pps.numRefIdxL1)
     w.bit(0); w.bits(0, 2) // weighted_pred_flag, weighted_bipred_idc
-    w.ue(0); w.ue(0); w.ue(0) // init_qp, init_qs, chroma_qp_offset (se(0))
+    w.se(pps.initQpMinus26)
+    w.se(0); w.se(0) // pic_init_qs_minus26, chroma_qp_index_offset
     w.bit(0); w.bit(0); w.bit(0) // deblock_ctrl, constrained_intra, redundant
     w.rbspTrailing()
+  }
+
+  private def parsePpsRbsp(rbsp: Array[Byte]): H264Pps = {
+    val r = new GolombReader(rbsp)
+    val ppsId = r.ue()
+    val spsId = r.ue()
+    val entropy = r.bit()
+    require(r.bit() == 0, "bottom_field_pic_order flag unsupported")
+    require(r.ue() == 0, "slice groups unsupported (FMO)")
+    val nL0 = r.ue()
+    val nL1 = r.ue()
+    require(nL0 <= 31 && nL1 <= 31, s"num_ref_idx defaults $nL0/$nL1 > 31")
+    require(r.bit() == 0, "weighted_pred unsupported")
+    require(r.bits(2) == 0, "weighted_bipred unsupported")
+    val initQp = r.se()
+    require(initQp >= -26 && initQp <= 25,
+      s"pic_init_qp_minus26 $initQp outside [-26, 25] (spec §7.4.2.2)")
+    require(r.se() == 0, "pic_init_qs_minus26 != 0 unsupported")
+    require(r.se() == 0, "chroma_qp_index_offset != 0 unsupported")
+    require(r.bit() == 0, "deblocking_filter_control unsupported")
+    r.bit() // constrained_intra_pred_flag
+    require(r.bit() == 0, "redundant_pic_cnt_present unsupported")
+    r.expectTrailing()
+    H264Pps(ppsId, spsId, entropy, nL0, nL1, initQp)
   }
 
   private def parseSpsRbsp(rbsp: Array[Byte]): H264Sps = {
@@ -2287,6 +2348,21 @@ object Codecs {
     * declared lengths (the encoder asserts this loudly).
     */
   def encodeH264Stream(sps: H264Sps, slices: Seq[(Int, Int, Int)],
+      sei: Seq[(Int, Int)] = Nil): Array[Byte] =
+    encodeH264StreamMultiPps(sps, Seq(DefaultPps),
+      slices.map { case (r, t, p) => (r, t, p, 0) }, sei)
+
+  /** The multi-parameter-set form: one PPS NAL per entry of `ppss` (in
+    * order, after the SPS), and each slice carries the
+    * pic_parameter_set_id it references as its 4th element — the
+    * ENCODER writes whatever id it is told (a mux cannot know which
+    * parameter sets a demuxer will have seen), so a slice naming an
+    * absent PPS or a PPS naming an absent SPS is expressible here and
+    * MUST be caught by [[decodeH264Stream]]'s reference checks, never
+    * by synthesis-side validation.
+    */
+  def encodeH264StreamMultiPps(sps: H264Sps, ppss: Seq[H264Pps],
+      slices: Seq[(Int, Int, Int, Int)],
       sei: Seq[(Int, Int)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def startCode(four: Boolean): Unit = {
@@ -2300,8 +2376,11 @@ object Codecs {
     }
     startCode(four = true)
     nal(3, 7, writeSpsRbsp(sps))
-    startCode(four = false)
-    nal(3, 8, writePpsRbsp())
+    require(ppss.nonEmpty, "stream needs at least one PPS")
+    for (pps <- ppss) {
+      startCode(four = false)
+      nal(3, 8, writePpsRbsp(pps))
+    }
     for ((seiType, seiSize) <- sei) {
       // sei_message() (spec §7.3.2.3.1): payload type and size each as
       // an FF-CASCADE — as many 0xFF bytes as the value holds full 255s,
@@ -2324,7 +2403,7 @@ object Codecs {
       startCode(four = false)
       nal(0, 6, rbsp)
     }
-    for (((refIdc, nalType, plen), idx) <- slices.zipWithIndex) {
+    for (((refIdc, nalType, plen, ppsId), idx) <- slices.zipWithIndex) {
       require(nalType == 1 || nalType == 5,
         s"slice NAL type $nalType not in {1, 5}")
       require(nalType != 5 || refIdc > 0,
@@ -2334,7 +2413,7 @@ object Codecs {
       w.ue(0) // first_mb_in_slice
       w.ue(if (nalType == 5) { if (plen % 2 == 0) 2 else 7 }
         else { if (plen % 2 == 0) 0 else 5 })
-      w.ue(0) // pic_parameter_set_id
+      w.ue(ppsId) // pic_parameter_set_id — NOT validated here, see doc
       w.bits(if (nalType == 5) 0 // IDR: frame_num shall be 0 (§7.4.3)
         else idx % (1 << sps.log2MaxFrameNum), sps.log2MaxFrameNum)
       val header = w.padToByteWithOnes()
@@ -2381,6 +2460,8 @@ object Codecs {
     val nals = Vector.newBuilder[H264Nal]
     val seiMsgs = Vector.newBuilder[(Int, Int)]
     var sps: Option[H264Sps] = None
+    val ppsList = Vector.newBuilder[H264Pps]
+    var ppsById = Map.empty[Int, H264Pps]
     var k = 0
     while (k < ps.length) {
       val p = ps(k)
@@ -2410,12 +2491,25 @@ object Codecs {
         java.util.Arrays.copyOfRange(bytes, dataStart + 1, dataEnd))
       var sliceType = -1
       var frameNum = -1
+      var ppsId = -1
       if (nalType == 7) {
         require(sps.isEmpty, "multiple SPS NALs in subset stream")
         sps = Some(parseSpsRbsp(rbsp))
       } else if (nalType == 8) {
-        val r = new GolombReader(rbsp)
-        require(r.ue() == 0 && r.ue() == 0, "PPS ids != 0 unsupported")
+        // full pic_parameter_set_rbsp parse (§7.3.2.2) — and the
+        // parameter-set reference graph's FIRST edge: the PPS must name
+        // a SEQUENCE parameter set this stream carries (subset: one SPS,
+        // id 0). A PPS pointing at an absent SPS is a lost-NAL/bad-mux
+        // corruption a real demuxer hits, caught HERE, not at slice time.
+        val pps = parsePpsRbsp(rbsp)
+        require(sps.isDefined, s"PPS at offset $p before any SPS")
+        require(pps.spsId == 0,
+          s"PPS ${pps.ppsId} references SPS ${pps.spsId}; " +
+            "stream carries only SPS 0 (dangling SPS reference)")
+        require(!ppsById.contains(pps.ppsId),
+          s"duplicate PPS id ${pps.ppsId}")
+        ppsList += pps
+        ppsById += pps.ppsId -> pps
       } else if (nalType == 6) {
         // sei_message(): payload type + size as FF-cascades (§7.3.2.3.1),
         // the payload, then the aligned stop-bit byte — one message per
@@ -2439,7 +2533,12 @@ object Codecs {
         seiMsgs += ((pt, sz))
       } else if (nalType == 1 || nalType == 5) {
         // the slice HEADER is real wire format; frame_num's width comes
-        // from the SPS — the cross-NAL dependency of the real decoder
+        // from the SPS — the cross-NAL dependency of the real decoder —
+        // and pic_parameter_set_id must resolve against a PPS the
+        // stream has actually carried (the reference graph's second
+        // edge: a slice naming a lost/absent PPS is undecodable and
+        // must fail HERE, never be walked as if its entropy mode or
+        // ref-list defaults were known)
         val s = sps.getOrElse(throw new IllegalArgumentException(
           s"slice at offset $p before any SPS"))
         val r = new GolombReader(rbsp)
@@ -2449,18 +2548,22 @@ object Codecs {
         if (nalType == 5)
           require(sliceType % 5 == 2, // I slice (2 or 7)
             s"IDR with non-I slice_type $sliceType (spec §7.4.3)")
-        require(r.ue() == 0, "pic_parameter_set_id != 0 unsupported")
+        ppsId = r.ue()
+        require(ppsById.contains(ppsId),
+          s"slice at offset $p references PPS $ppsId; stream carries " +
+            s"only {${ppsById.keys.toSeq.sorted.mkString(",")}} " +
+            "(dangling PPS reference)")
         frameNum = r.bits(s.log2MaxFrameNum)
         if (nalType == 5)
           require(frameNum == 0,
             s"IDR frame_num $frameNum != 0 (spec §7.4.3)")
       }
       nals += H264Nal(p - (scl - 3), scl, refIdc, nalType, rbsp.length,
-        sliceType, frameNum)
+        sliceType, frameNum, ppsId)
       k += 1
     }
     H264Stream(nals.result(), sps.getOrElse(
       throw new IllegalArgumentException("stream carries no SPS")),
-      seiMsgs.result())
+      seiMsgs.result(), ppsList.result())
   }
 }

@@ -951,22 +951,28 @@ object Multimodal {
     * prediction, loop filter) is the perceptual side that stays
     * stubbed, exactly like MP3's spectral data.
     */
-  private def h264BytesFor(id: Long, t: String,
-      withSei: Boolean): Array[Byte] = {
-    val profiles = Array(66, 77, 88)
-    val levels = Array(10, 20, 30, 31, 40)
-    val codes = asciiBytes(t)
+  /** Per-frame slice parameters shared by every H.264 synthesis tier:
+    * (nal_ref_idc, nal_unit_type, payload bytes, the frame's text
+    * checksum — the value later tiers derive per-frame choices from).
+    */
+  private def h264FrameParams(id: Long,
+      codes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
     val nf = math.max(1, (codes.length + 15) / 16)
-    val slices = (0 until nf).map { f =>
+    (0 until nf).map { f =>
       var csum = 0L
       var j = f * 16
       while (j < math.min((f + 1) * 16, codes.length)) {
         csum += codes(j); j += 1
       }
-      if (f % 7 == 0) (3, 5, 16 + ((csum + f) % 64).toInt)
-      else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt)
+      if (f % 7 == 0) (3, 5, 16 + ((csum + f) % 64).toInt, csum)
+      else (((csum + id) % 4).toInt, 1, 16 + ((csum + f) % 64).toInt, csum)
     }
-    val sps = Codecs.H264Sps(
+  }
+
+  private def h264SpsFor(id: Long): Codecs.H264Sps = {
+    val profiles = Array(66, 77, 88)
+    val levels = Array(10, 20, 30, 31, 40)
+    Codecs.H264Sps(
       profileIdc = profiles((id % 3).toInt),
       levelIdc = levels((id % 5).toInt),
       log2MaxFrameNum = 4 + (id % 9).toInt,
@@ -974,6 +980,14 @@ object Multimodal {
       widthMbs = 1 + (id % 20).toInt,
       heightMbs = 1 + (id % 15).toInt,
       direct8x8 = (id % 2).toInt)
+  }
+
+  private def h264BytesFor(id: Long, t: String,
+      withSei: Boolean): Array[Byte] = {
+    val codes = asciiBytes(t)
+    val slices = h264FrameParams(id, codes)
+      .map { case (r, ty, p, _) => (r, ty, p) }
+    val sps = h264SpsFor(id)
     val sei =
       if (!withSei) Nil
       else {
@@ -1233,6 +1247,126 @@ object Multimodal {
           if (k + 1 < idr.size) idr(k + 1)._2 else slices.size
         H264Gop(r.media_id, k.toLong, nal.offset.toLong, endOff,
           endOff - nal.offset, (endSlice - sliceIdx).toLong)
+      }
+    })
+  }
+
+  /** The id-derived PPS list of the multi-parameter-set tier: 1–3 PPSs
+    * per stream, ids 0..n−1, each with its own entropy-coding mode
+    * (CAVLC/CABAC — both live across the corpus AND within multi-PPS
+    * streams), ref-list defaults, and a SIGNED se(v)-coded
+    * pic_init_qp_minus26 spanning both signs.
+    */
+  private def h264PpsListFor(id: Long): Seq[Codecs.H264Pps] = {
+    val nPps = 1 + (id % 3).toInt
+    (0 until nPps).map { k =>
+      Codecs.H264Pps(ppsId = k, spsId = 0,
+        entropyCodingMode = ((id + k) % 2).toInt,
+        numRefIdxL0 = ((id + 2 * k) % 5).toInt,
+        numRefIdxL1 = k % 2,
+        initQpMinus26 = ((id + 3 * k) % 26).toInt - 13)
+    }
+  }
+
+  /** Multi-PPS Annex-B synthesis: the [[h264FromText]] stream shape
+    * with the id-derived PPS LIST and every slice header naming the
+    * PPS its frame checksum selects — real streams switch parameter
+    * sets mid-stream (rate-control re-tunes QP, an encoder toggles
+    * CABAC per profile), and the per-slice reference is the wire
+    * mechanism. `breakRefs` (the quarantine tier's knob) muxes
+    * STRUCTURALLY VALID NALs whose reference graph is broken — for
+    * media_id % 13 == 0 the last slice names an absent PPS, else for
+    * media_id % 11 == 0 the last PPS names an absent SPS — the
+    * lost-parameter-set corruption a real demuxer hits (a dropped NAL
+    * is not a flipped bit: every surviving unit still parses).
+    */
+  def h264PpsFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, breakRefs: Boolean = false): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val codes = asciiBytes(t)
+        val nPps = 1 + (id % 3).toInt
+        var ppss = h264PpsListFor(id)
+        var slices = h264FrameParams(id, codes).map { case (r, ty, p, csum) =>
+          (r, ty, p, ((csum + ty + p) % nPps).toInt)
+        }
+        if (breakRefs && id % 13 == 0)
+          slices = slices.init :+ slices.last.copy(_4 = nPps)
+        else if (breakRefs && id % 11 == 0)
+          ppss = ppss.init :+ ppss.last.copy(spsId = 1)
+        MediaRow(id, "video/h264",
+          Codecs.encodeH264StreamMultiPps(h264SpsFor(id), ppss, slices))
+      })
+  }
+
+  case class H264PpsCensus(media_id: Long, n_pps: Long, pps_bytes: Long,
+      n_cabac_pps: Long, n_cabac_slices: Long, n_cavlc_slices: Long,
+      sum_slice_init_qp: Long, max_ref_idx_l0: Long, total_bytes: Long)
+
+  /** The PPS census of really-walked streams: every
+    * pic_parameter_set_rbsp is parsed field by field (ue + SIGNED se
+    * Exp-Golomb — [[Codecs.decodeH264Stream]]), and the per-slice
+    * columns price the CROSS-NAL WIRING: each slice header's
+    * pic_parameter_set_id resolves against the stream's PPS map, and
+    * the slice inherits THAT PPS's entropy mode and init QP — so
+    * `n_cabac_slices` / `sum_slice_init_qp` are wrong unless the
+    * resolution is (a mis-read id, a mis-parsed se(v), or a dropped
+    * PPS shifts them). `pps_bytes` re-prices the ue/se bit arithmetic
+    * the way q204 prices the SPS's. Map-only.
+    */
+  def h264PpsCensus(media: Dataset[MediaRow]): Dataset[H264PpsCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = Codecs.decodeH264Stream(r.content)
+      val byId = s.ppss.map(p => p.ppsId -> p).toMap
+      val slices = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+      val refd = slices.map(n => byId(n.ppsId))
+      H264PpsCensus(r.media_id, s.ppss.size.toLong,
+        s.nals.filter(_.nalType == 8).map(_.rbspBytes.toLong).sum,
+        s.ppss.count(_.entropyCodingMode == 1).toLong,
+        refd.count(_.entropyCodingMode == 1).toLong,
+        refd.count(_.entropyCodingMode == 0).toLong,
+        refd.map(_.initQpMinus26.toLong).sum,
+        s.ppss.map(_.numRefIdxL0.toLong).max,
+        r.content.length.toLong)
+    })
+  }
+
+  case class TriedH264PpsCensus(media_id: Long, decode_ok: Long,
+      n_pps: Long, pps_bytes: Long, n_cabac_pps: Long,
+      n_cabac_slices: Long, n_cavlc_slices: Long,
+      sum_slice_init_qp: Long, max_ref_idx_l0: Long, total_bytes: Long)
+
+  /** The PPS census with quarantine semantics: a stream whose
+    * parameter-set REFERENCE GRAPH is broken (a slice naming an absent
+    * PPS, a PPS naming an absent SPS) becomes a zeroed `decode_ok = 0`
+    * row — the q205 never-crash contract extended to dangling
+    * references, the corruption class that arrives through NAL LOSS
+    * rather than bit damage.
+    */
+  def tryH264PpsCensus(media: Dataset[MediaRow]): Dataset[TriedH264PpsCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val s = Codecs.decodeH264Stream(r.content)
+        val byId = s.ppss.map(p => p.ppsId -> p).toMap
+        val refd = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+          .map(n => byId(n.ppsId))
+        TriedH264PpsCensus(r.media_id, 1L, s.ppss.size.toLong,
+          s.nals.filter(_.nalType == 8).map(_.rbspBytes.toLong).sum,
+          s.ppss.count(_.entropyCodingMode == 1).toLong,
+          refd.count(_.entropyCodingMode == 1).toLong,
+          refd.count(_.entropyCodingMode == 0).toLong,
+          refd.map(_.initQpMinus26.toLong).sum,
+          s.ppss.map(_.numRefIdxL0.toLong).max,
+          r.content.length.toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedH264PpsCensus(r.media_id, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+            0L, 0L)
       }
     })
   }

@@ -150,13 +150,39 @@ object TextDedup {
 
   /** The prefix-filtered exact tier over a prebuilt [[shingleRelation]]. */
   def ngramJaccardPairsFromShingles(sh: DataFrame,
-      threshold: Double): DataFrame = {
-    // global shingle document-frequency = the rarity order; nsz rides along
-    // from the array size (shingles are distinct by construction) — no
-    // count-over-partition window needed
-    val exploded = sh.select(col("id"), col("block"),
-      size(col("sh")).as("nsz"), explode(col("sh")).as("s"))
-    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+      threshold: Double): DataFrame =
+    ngramJaccardPairsImpl(sh.withColumn("fresh", lit(true)), threshold,
+      touchingFreshOnly = false)
+
+  /** The INCREMENTAL exact tier: pairs with at least one endpoint in
+    * `shNew`, over the union rarity order — the stored-CC fold's pair
+    * source. Standing×standing pairs are never candidates (their
+    * closure already lives in the stored labels), so per-batch work is
+    * sized by the batch's candidates, not the corpus's. The prefix
+    * recall proof is pair-wise over a shared total order, which the
+    * union df provides, so recall stays exactly 1.
+    */
+  def ngramJaccardPairsTouching(shNew: DataFrame, shStand: DataFrame,
+      threshold: Double): DataFrame =
+    ngramJaccardPairsImpl(
+      shNew.withColumn("fresh", lit(true))
+        .unionByName(shStand.withColumn("fresh", lit(false))),
+      threshold, touchingFreshOnly = true)
+
+  private def ngramJaccardPairsImpl(sh: DataFrame, threshold: Double,
+      touchingFreshOnly: Boolean): DataFrame = {
+    // global shingle document-frequency = the rarity order, computed over
+    // the 8-byte xxhash64 of the shingle rather than the string: the df
+    // shuffle and the rank join then move long keys, not n-gram text. A
+    // hash collision only MERGES two shingles' df (a different — still
+    // shared — total order) and can only ADD candidates, both of which
+    // the exact-Jaccard verify absorbs; recall needs just a deterministic
+    // order common to both endpoints, which (df, hash) is. nsz rides
+    // along from the array size (shingles are distinct by construction).
+    val exploded = sh.select(col("id"), col("block"), col("fresh"),
+      size(col("sh")).as("nsz"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("p"))
+    val freq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
 
     // the rarity prefix directly from a per-doc rank — no collect/sort/
     // re-explode array round-trip; one shuffle on the doc id either way.
@@ -164,16 +190,13 @@ object TextDedup {
     // an integer but computed as x.000000001) err toward a LONGER prefix —
     // never a shorter one, so the recall guarantee survives rounding.
     val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("df", "s")
-    val prefixRowsRaw = exploded.join(freq, "s")
+      .partitionBy("id").orderBy("df", "p")
+    val prefixRowsRaw = exploded.join(freq, "p")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <=
         (col("nsz") - ceil(col("nsz") * threshold - 1e-9) + 1).cast("int"))
-      // candidates only need EQUALITY on the prefix shingle — a 64-bit hash
-      // shuffles and compares cheaper than the string; a collision can only
-      // ADD a candidate, which the exact-Jaccard verify removes
-      .select(col("id"), col("block"), col("nsz"), col("rn"),
-        xxhash64(col("s")).as("p"))
+      .select(col("id"), col("block"), col("fresh"), col("nsz"), col("rn"),
+        col("p"))
     // NOT materialized: both sides of the candidate self-join are this
     // same plan, so Spark's ReuseExchange serves the second side from the
     // first's shuffle files — measured FASTER than an eager checkpoint,
@@ -200,8 +223,11 @@ object TextDedup {
     // keeps recall at exactly 1.
     val a = prefixRows.as("a")
     val b = prefixRows.as("b")
+    val touching =
+      if (touchingFreshOnly) col("a.fresh") || col("b.fresh") else lit(true)
     val candidates = a.join(b,
-        col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
+        touching &&
+          col("a.p") === col("b.p") && col("a.block") === col("b.block") &&
           col("a.id") < col("b.id") &&
           // same 1e-9 slack: a boundary-exact size ratio must not be pruned
           col("a.nsz") * threshold <= col("b.nsz") + 1e-9 &&

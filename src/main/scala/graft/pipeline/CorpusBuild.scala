@@ -74,6 +74,19 @@ object CorpusBuild {
       // elsewhere) — every exact-dedup survivor then forms its own
       // component, and ingest cost is scan-shaped
       nearDupTier: Boolean = true,
+      // when true, each generation also folds the RELEASE-CARD cluster
+      // labeling — q74's semantics exactly: lang-blocked EXACT 3-gram
+      // Jaccard >= 0.5 over EVERY ingested doc (no quality floor, no
+      // exact-dedup collapse; null-lang docs stay singletons, matching
+      // the block-equality join). Stored as `/ccdocs` (the slim doc
+      // columns the pair tier needs) + `/cclabels` deltas via the
+      // quotient-graph merge; pairs per batch come from the
+      // prefix-filtered exact tier restricted to candidates TOUCHING the
+      // batch ([[TextDedup.ngramJaccardPairsTouching]] — recall exactly
+      // 1, standing×standing closure already in the stored labels). The
+      // release card's kept tier then serves from the fold with zero
+      // pair generation at query time. Whole-life-of-the-dir contract.
+      trackReleaseCc: Boolean = false,
       // when true, each generation also packs the RAW batch incrementally
       // (Packing.packSequencesIncremental against the stored per-source
       // totals) and stores the batch's PLACEMENT delta + the updated
@@ -515,12 +528,18 @@ object CorpusBuild {
       // rescan; readers take the latest generation's file, no fold —
       // the packtotals discipline): the trained tokenizer stays in
       // lockstep with the corpus statistics that justify it
-      val dict = spark.read.parquet(
+      val dict = TextDedup.maybeMaterialize(spark.read.parquet(
           (base to gen).map(g => s"$stateDir/gen=$g/worddict"): _*)
-        .groupBy("word").agg(sum(col("n")).as("n"))
+        .groupBy("word").agg(sum(col("n")).as("n")))
       graft.ops.Bpe.learnMerges(dict, "word", "n", cfg.bpeMerges)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/merges")
+      // the unigram-LM piece table rides the same folded dict, same
+      // snapshot discipline: re-learned per ingest at dict scale, served
+      // by stateUnigramTokenize without any seed/EM work at query time
+      graft.ops.UnigramLm.learn(dict)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/unigram")
     }
     if (cfg.trackClassifier) {
       // classifier count deltas over the RAW batch's train split
@@ -564,10 +583,71 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/cdcevalchunks")
     }
+    if (cfg.trackReleaseCc) {
+      // release-card cluster labeling over the RAW batch (q74's input
+      // contract is the full documents relation — no quality floor, no
+      // exact-dedup collapse): the batch's TOUCHING exact-Jaccard pairs
+      // (recall exactly 1 over the union rarity order —
+      // [[graft.ops.TextDedup.ngramJaccardPairsTouching]]) fold into the
+      // standing labels through the quotient-graph merge, and only the
+      // CHANGED label rows are written (min-fold on read, the core-label
+      // discipline). Per-batch candidate work is batch-touching only;
+      // the rarity/prefix recompute is one linear scan over the stored
+      // slim docs — never a pair-quadratic term in the standing corpus.
+      val shNew = TextDedup.maybeMaterialize(TextDedup.shingleRelation(
+        newDocs, "doc_id", "text", col("lang"), cfg.shingleN))
+      val (ccStanding, shStand) = state.gen match {
+        case Some(g) =>
+          val standDocs = spark.read.parquet(
+            (base to g).map(x => s"$stateDir/gen=$x/ccdocs"): _*)
+          val standLabels = spark.read.parquet(
+              (base to g).map(x => s"$stateDir/gen=$x/cclabels"): _*)
+            .groupBy("id").agg(min(col("component")).as("component"))
+          (standLabels, TextDedup.maybeMaterialize(TextDedup
+            .shingleRelation(standDocs, "doc_id", "text", col("lang"),
+              cfg.shingleN)))
+        case None =>
+          val emptyLabels = newDocs.select(col("doc_id").as("id"),
+            col("doc_id").as("component")).limit(0)
+          (emptyLabels, shNew.limit(0))
+      }
+      // materialized: the quotient merge references its edge input ~4x
+      // (symmetrization + node derivation) — without this the whole
+      // prefix-filter + verify pipeline re-executes per reference
+      // (measured 152 s vs 36 s for the 3-batch sf0.1 build)
+      val ccPairs = TextDedup.maybeMaterialize(
+        TextDedup.ngramJaccardPairsTouching(
+            shNew, shStand, cfg.jaccardThreshold)
+          .select("id_a", "id_b"))
+      val ccDelta = Components.mergeIncrementalDelta(ccStanding,
+        newDocs.select(col("doc_id").as("id")), ccPairs, cfg.ccMaxIter)
+      ccDelta.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/cclabels")
+      // the slim doc columns the NEXT ingest's pair tier needs (shingle
+      // source + lang block) — written after the labels are derived so
+      // this generation's pair pass never reads its own delta
+      newDocs.select(col("doc_id"), col("lang"), col("text"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/ccdocs")
+    }
     if (cfg.trackCentroids)
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
+  }
+
+  /** Folded release-card cluster labeling (cfg.trackReleaseCc): ("id",
+    * "component") over EVERY ingested doc — q74's labeling exactly
+    * (lang-blocked exact n-gram Jaccard, min-member component ids),
+    * served with ZERO pair generation: one scan of the label deltas and
+    * a map-side-combining min on the 8-byte id.
+    */
+  def stateReleaseCc(spark: SparkSession, stateDir: String): DataFrame = {
+    val (gen, _, base) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    spark.read.parquet(
+        (base to gen).map(g => s"$stateDir/gen=$g/cclabels"): _*)
+      .groupBy("id").agg(min(col("component")).as("component"))
   }
 
   // ---------------------------------------------------------------------
@@ -1093,6 +1173,26 @@ object CorpusBuild {
     graft.ops.Bpe.tokenizeDocs(docs, ms)
   }
 
+  /** q236's unigram-LM tokenization served from the STORED piece table
+    * (the trackMerges snapshot — re-learned per generation over the
+    * folded dict, so it always equals learn-on-the-folded-corpus): the
+    * table is LOADED (bounded model state), add-one-smoothed costs are
+    * derived, and `docs` is segmented at dict scale + joined — the
+    * seed/EM learning never runs at query time.
+    */
+  def stateUnigramTokenize(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    val (gen, _, _) = readPointer(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus state at $stateDir"))
+    val learned = spark.read.parquet(s"$stateDir/gen=$gen/unigram")
+      .select("piece", "em_n").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    graft.ops.UnigramLm.tokenizeStats(docs,
+      graft.ops.UnigramLm.wordFertility(
+        docs.select(col("doc_id"), col("text"))
+          .transform(d => graft.ops.Bpe.wordDict(d, "text")), learned))
+  }
+
   /** The folded winnowing-fingerprint table (cfg.trackFingerprints) —
     * batch-disjoint docs, per-row selection → union over generations IS
     * the table (the positions contract). Rows are (doc_id, fpk) with
@@ -1510,6 +1610,11 @@ object CorpusBuild {
       spark.read.parquet(s"$stateDir/gen=${state.gen.get}/merges")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/merges")
+      // unigram piece table: snapshot — carry the latest forward (it
+      // was already learned on the full folded dict)
+      spark.read.parquet(s"$stateDir/gen=${state.gen.get}/unigram")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/unigram")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/clfcounts"))) {
@@ -1530,6 +1635,18 @@ object CorpusBuild {
       // the chunk index folds by union — rewrite as one table
       stateCdcEvalChunks(spark, stateDir).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/cdcevalchunks")
+    }
+    if (f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/gen=${state.base.get}/ccdocs"))) {
+      // slim docs fold by union (batch-disjoint appends); labels fold by
+      // min per id — both rewritten as one table at the new base
+      spark.read.parquet(
+          (state.base.get to state.gen.get)
+            .map(g => s"$stateDir/gen=$g/ccdocs"): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/ccdocs")
+      stateReleaseCc(spark, stateDir).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/gen=$gen/cclabels")
     }
     if (f.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/gen=${state.base.get}/lmbigrams"))) {

@@ -1611,6 +1611,137 @@ object PrepQueries {
       |FROM idr JOIN tot USING (media_id)
       |ORDER BY media_id, gop_idx""".stripMargin
 
+  // DuckDB bit-length of an Exp-Golomb code: ue(v) costs
+  // 2·⌊log2(v+1)⌋+1 bits (the length(bin()) idiom q204 established);
+  // se(v) maps through codeNum = 2v−1 (v>0) / −2v (v≤0) — spec §9.1.1.
+  private def uel(e: String): String =
+    s"(2 * (length(bin(($e) + 1)) - 1) + 1)"
+  private def sel(e: String): String =
+    uel(s"CASE WHEN ($e) > 0 THEN 2 * ($e) - 1 ELSE -2 * ($e) END")
+
+  /** q233 — H.264 PPS CENSUS + SLICE-TO-PPS WIRING: the one structural
+    * NAL between the SPS and the entropy stub. Streams now carry 1–3
+    * fully Exp-Golomb-coded picture parameter sets (ue ids/ref-list
+    * defaults plus the format's SIGNED se(v) pic_init_qp_minus26 —
+    * both signs live), and every slice header's pic_parameter_set_id
+    * resolves against the stream's PPS map
+    * ([[graft.multimodal.Codecs.decodeH264Stream]]): the per-slice
+    * columns (CABAC vs CAVLC counts, summed init QP) are priced
+    * through the REFERENCED PPS, so a mis-read id, a mis-parsed se(v),
+    * or a dropped parameter set shifts them — the q209 cross-NAL
+    * discipline extended from SPS→slice to SPS→PPS→slice. The
+    * entropy_coding_mode column also makes the declared CABAC/CAVLC
+    * stub boundary explicit per stream. The oracle re-prices every
+    * PPS's RBSP byte count from the ue/se bit arithmetic and re-derives
+    * the per-slice wiring from the synthesis recurrence. Map-only.
+    */
+  val q233_h264_pps_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264PpsCensus(
+        graft.multimodal.Multimodal.h264PpsFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q233Sql: String = {
+    val ppsBits =
+      s"${uel("k")} + ${uel("nl0")} + ${uel("nl1")} + ${sel("qp")} + 12"
+    s"""WITH a AS (
+       |  SELECT doc_id AS media_id,
+       |    [ord(c) for c in string_split(coalesce(text, ''), '')
+       |     if ord(c) BETWEEN 0 AND 127] AS codes
+       |  FROM documents),
+       |s AS (SELECT media_id, codes,
+       |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf,
+       |    1 + media_id % 3 AS np
+       |  FROM a),
+       |fr AS (
+       |  SELECT media_id, np, f,
+       |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+       |  FROM (SELECT media_id, np, codes,
+       |      unnest(generate_series(0, nf - 1)) AS f
+       |    FROM s)),
+       |sl AS (
+       |  SELECT media_id, f, 16 + (csum + f) % 64 AS plen,
+       |    (csum + CASE WHEN f % 7 = 0 THEN 5 ELSE 1 END
+       |      + 16 + (csum + f) % 64) % np AS pk
+       |  FROM fr),
+       |slr AS (
+       |  SELECT media_id,
+       |    CAST(sum((media_id + pk) % 2) AS BIGINT) AS n_cabac_slices,
+       |    CAST(sum(1 - (media_id + pk) % 2) AS BIGINT) AS n_cavlc_slices,
+       |    CAST(sum((media_id + 3 * pk) % 26 - 13) AS BIGINT)
+       |      AS sum_slice_init_qp,
+       |    CAST(sum(4 + plen) AS BIGINT) AS slice_bytes
+       |  FROM sl GROUP BY media_id),
+       |pp AS (
+       |  SELECT media_id, k,
+       |    (media_id + k) % 2 AS mode,
+       |    (media_id + 2 * k) % 5 AS nl0,
+       |    k % 2 AS nl1,
+       |    (media_id + 3 * k) % 26 - 13 AS qp
+       |  FROM (SELECT media_id,
+       |      unnest(generate_series(0, np - 1)) AS k
+       |    FROM s)),
+       |ppr AS (
+       |  SELECT media_id,
+       |    CAST(count(*) AS BIGINT) AS n_pps,
+       |    CAST(sum(($ppsBits + 8) // 8) AS BIGINT) AS pps_bytes,
+       |    CAST(sum(mode) AS BIGINT) AS n_cabac_pps,
+       |    CAST(max(nl0) AS BIGINT) AS max_ref_idx_l0,
+       |    CAST(sum(4 + ($ppsBits + 8) // 8) AS BIGINT) AS pps_wire
+       |  FROM pp GROUP BY media_id),
+       |sp AS (
+       |  SELECT media_id,
+       |    (34
+       |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+       |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+       |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+       |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+       |      + 7) // 8 AS sps_bytes
+       |  FROM s)
+       |SELECT media_id, n_pps, pps_bytes, n_cabac_pps, n_cabac_slices,
+       |  n_cavlc_slices, sum_slice_init_qp, max_ref_idx_l0,
+       |  CAST(5 + sps_bytes + pps_wire + slice_bytes AS BIGINT)
+       |    AS total_bytes
+       |FROM ppr JOIN slr USING (media_id) JOIN sp USING (media_id)
+       |ORDER BY media_id""".stripMargin
+  }
+
+  /** q234 — H.264 DANGLING-REFERENCE QUARANTINE: the parameter-set
+    * corruption class that arrives through NAL LOSS rather than bit
+    * damage — every surviving unit still parses, but the reference
+    * graph is broken. For media_id % 13 == 0 the last slice names an
+    * absent PPS; else for media_id % 11 == 0 the last PPS names an
+    * absent SPS ([[graft.multimodal.Multimodal.h264PpsFromText]] with
+    * breakRefs — the mux writes what it is told, the DECODER owns the
+    * reference checks). The walk is really attempted and failures
+    * become zeroed `decode_ok = 0` rows (the q205 never-crash
+    * contract); the oracle predicts exactly which ids quarantine and
+    * the full q233 census of the rest.
+    */
+  val q234_h264_pps_quarantine: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryH264PpsCensus(
+        graft.multimodal.Multimodal.h264PpsFromText(
+          s, Tables.documents(s, d), "doc_id", "text", breakRefs = true))
+      .toDF().orderBy("media_id")
+
+  val q234Sql: String = {
+    def z(c: String) =
+      s"CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0 THEN 0 ELSE $c END AS $c"
+    s"""WITH census AS ( $q233Sql )
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0
+       |    THEN 0 ELSE 1 END AS BIGINT) AS decode_ok,
+       |  ${z("n_pps")},
+       |  ${z("pps_bytes")},
+       |  ${z("n_cabac_pps")},
+       |  ${z("n_cabac_slices")},
+       |  ${z("n_cavlc_slices")},
+       |  ${z("sum_slice_init_qp")},
+       |  ${z("max_ref_idx_l0")},
+       |  ${z("total_bytes")}
+       |FROM census ORDER BY media_id""".stripMargin
+  }
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1810,6 +1941,8 @@ object PrepQueries {
     "q209_h264_slice_census" -> q209_h264_slice_census,
     "q210_h264_sei_census" -> q210_h264_sei_census,
     "q211_h264_gop_worklist" -> q211_h264_gop_worklist,
+    "q233_h264_pps_census" -> q233_h264_pps_census,
+    "q234_h264_pps_quarantine" -> q234_h264_pps_quarantine,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1852,6 +1985,8 @@ object PrepQueries {
     "q209_h264_slice_census" -> q209Sql,
     "q210_h264_sei_census" -> q210Sql,
     "q211_h264_gop_worklist" -> q211Sql,
+    "q233_h264_pps_census" -> q233Sql,
+    "q234_h264_pps_quarantine" -> q234Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -137,8 +137,12 @@ object ReleaseQueries {
     * decoding at query time — the q196/q197/q198/q203 discipline
     * applied to the engine's flagship composition:
     *
-    *  - dedup survivors: the SHARED cluster-label memo (built once per
-    *    session, billed to q56);
+    *  - dedup survivors: the STORED incremental-CC labeling
+    *    ([[graft.pipeline.CorpusBuild.stateReleaseCc]],
+    *    cfg.trackReleaseCc — q74's labeling folded per ingest through
+    *    the quotient-graph merge), so even a COLD session serves the
+    *    kept tier as one delta scan + min-combine with no pair
+    *    generation anywhere in the plan;
     *  - quality: [[graft.pipeline.CorpusBuild.stateNbScreen]] — the NB
     *    model derived from the FOLDED (token, class) count deltas
     *    (counts are additive sufficient statistics, so the state model
@@ -163,8 +167,11 @@ object ReleaseQueries {
   val q206_state_release_card: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val dir = TokenizerQueries.ensurePostingState(s, d)
-    val comp = graft.ops.TextDedup.dedupClusterRelationShared(
-      docs, d, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+    // kept tier: the STORED incremental-CC labeling (q103's fold family,
+    // cfg.trackReleaseCc) — q74's labeling served as one delta scan +
+    // min-combine, zero pair generation even on a COLD session (the
+    // shared memo q56 publishes would rebuild pair+CC when cold)
+    val comp = graft.pipeline.CorpusBuild.stateReleaseCc(s, dir)
     val byLen = Window.partitionBy("component")
       .orderBy(col("n_chars").desc, col("id"))
     val kept = comp

@@ -464,7 +464,7 @@ object TokenizerQueries {
         trackPositions = true, trackMerges = true,
         trackFingerprints = true, trackCentroids = true,
         trackClassifier = true, trackDsir = true, trackBigramLm = true,
-        trackCdc = true, nearDupTier = false)
+        trackCdc = true, trackReleaseCc = true, nearDupTier = false)
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -951,6 +951,257 @@ object TokenizerQueries {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-shape) tokenizer tier — q235/q236/q237/q238.
+  // The oracle replays the ENTIRE pipeline in SQL: substring seeding,
+  // deterministic pruning, the exact fixed-point log2 (the same 16-step
+  // integer squaring recurrence graft.ops.UnigramLm.log2Fix runs — the
+  // truncation behavior IS the definition, so equality is structural),
+  // the Viterbi DP as an unrolled position chain with the identical
+  // (cost, piece-count, last-piece-length) tie-break, the hard-EM
+  // recount from the reconstructed piece paths, and the add-one-smoothed
+  // final segmentation. MATERIALIZED CTEs keep the DP chain's double
+  // self-reference from inlining exponentially.
+  // ---------------------------------------------------------------------
+
+  private def l2fChain(xsCte: String, pfx: String): String = {
+    val head = s"${pfx}0 AS MATERIALIZED (SELECT x, " +
+      s"(x * (1::BIGINT << 30)) >> (length(bin(x)) - 1) AS y, " +
+      s"0::BIGINT AS b FROM $xsCte)"
+    val steps = (1 to graft.ops.UnigramLm.LogFracBits).map { i =>
+      s"""$pfx$i AS (SELECT x,
+         |  CASE WHEN ((y*y) >> 30) >= (1::BIGINT << 31)
+         |    THEN (y*y) >> 31 ELSE (y*y) >> 30 END AS y,
+         |  CASE WHEN ((y*y) >> 30) >= (1::BIGINT << 31)
+         |    THEN b*2 + 1 ELSE b*2 END AS b
+         | FROM $pfx${i - 1})""".stripMargin
+    }
+    val out = s"${pfx}v AS (SELECT x, ((length(bin(x)) - 1)::BIGINT " +
+      s"<< ${graft.ops.UnigramLm.LogFracBits}) + b AS v " +
+      s"FROM $pfx${graft.ops.UnigramLm.LogFracBits})"
+    (head +: steps :+ out).mkString(",\n")
+  }
+
+  private def dpChain(costCte: String, wordsCte: String, pfx: String,
+      withCuts: Boolean): String = {
+    val cuts0 = if (withCuts) ", CAST([] AS INTEGER[]) AS cuts" else ""
+    val head = s"${pfx}0 AS MATERIALIZED (SELECT word, n, 0 AS j, " +
+      s"0::BIGINT AS cost, 0::BIGINT AS k$cuts0 FROM $wordsCte)"
+    val steps = (1 to graft.ops.UnigramLm.MaxWordLen).map { j =>
+      val cutsSel = if (withCuts) ", cuts" else ""
+      val cutsIn =
+        if (withCuts) ",\n      list_append(d.cuts, ls.l) AS cuts" else ""
+      s"""$pfx$j AS MATERIALIZED (
+         |  SELECT * FROM $pfx${j - 1}
+         |  UNION ALL
+         |  SELECT word, n, j, cost, k$cutsSel FROM (
+         |    SELECT d.word AS word, d.n AS n, $j AS j,
+         |      d.cost + c.cost AS cost, d.k + 1 AS k$cutsIn,
+         |      row_number() OVER (PARTITION BY d.word
+         |        ORDER BY d.cost + c.cost, d.k + 1, ls.l DESC) AS rn
+         |    FROM $pfx${j - 1} d
+         |    JOIN (SELECT unnest([1,2,3,4]) AS l) ls ON d.j = $j - ls.l
+         |    JOIN $costCte c ON c.piece = d.word[$j - ls.l + 1 : $j]
+         |    WHERE len(d.word) >= $j
+         |  ) WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Shared train pipeline (dict → seed → prune → fixed-point costs →
+    * Viterbi DP with cut lists → hard-EM recount) as a WITH body.
+    */
+  private lazy val unigramTrainHead: String = {
+    val maxP = graft.ops.UnigramLm.MaxPieceLen
+    val vocab = graft.ops.UnigramLm.VocabMulti
+    val maxW = graft.ops.UnigramLm.MaxWordLen
+    s"""WITH ugdict AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |ugsub AS (
+       |  SELECT piece, CAST(SUM(n) AS BIGINT) AS n FROM (
+       |    SELECT n, unnest(flatten([[word[i:i+l-1]
+       |        for l in generate_series(1, least($maxP, len(word) - i + 1))]
+       |        for i in generate_series(1, len(word))])) AS piece
+       |    FROM ugdict)
+       |  GROUP BY piece),
+       |ugkept AS MATERIALIZED (
+       |  SELECT piece, n FROM (
+       |    SELECT piece, n FROM ugsub WHERE len(piece) > 1
+       |    ORDER BY n DESC, piece LIMIT $vocab)
+       |  UNION ALL
+       |  SELECT piece, n FROM ugsub WHERE len(piece) = 1),
+       |ugtot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ugkept),
+       |ugxs AS (SELECT DISTINCT x FROM
+       |  (SELECT n AS x FROM ugkept UNION ALL SELECT nn AS x FROM ugtot)),
+       |${l2fChain("ugxs", "ugf")},
+       |ugcost AS MATERIALIZED (
+       |  SELECT k.piece, (SELECT v FROM ugfv JOIN ugtot ON ugfv.x = ugtot.nn)
+       |    - l.v AS cost
+       |  FROM ugkept k JOIN ugfv l ON l.x = k.n),
+       |${dpChain("ugcost", "ugdict", "ugd", withCuts = true)},
+       |ugseg AS (SELECT word, n, cuts FROM ugd$maxW WHERE j = len(word)),
+       |ugep AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(n) AS BIGINT) AS em_n FROM (
+       |    SELECT n,
+       |      unnest([word[CAST(coalesce(list_sum(cuts[1:i-1]), 0)
+       |                     AS INTEGER) + 1
+       |                   : CAST(list_sum(cuts[1:i]) AS INTEGER)]
+       |              for i in generate_series(1, len(cuts))]) AS piece
+       |    FROM ugseg)
+       |  GROUP BY piece)""".stripMargin
+  }
+
+  /** The tokenize tail: add-one-smoothed final table, second cost
+    * derivation and DP (score-only), per-word piece counts, per-doc
+    * rollup.
+    */
+  private lazy val unigramTokenizeBody: String = {
+    val maxW = graft.ops.UnigramLm.MaxWordLen
+    s"""$unigramTrainHead,
+       |ugkept2 AS MATERIALIZED (
+       |  SELECT k.piece, CAST(coalesce(e.em_n, 0) + 1 AS BIGINT) AS n
+       |  FROM ugkept k LEFT JOIN ugep e ON e.piece = k.piece),
+       |ugtot2 AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ugkept2),
+       |ugxs2 AS (SELECT DISTINCT x FROM
+       |  (SELECT n AS x FROM ugkept2 UNION ALL SELECT nn AS x FROM ugtot2)),
+       |${l2fChain("ugxs2", "ugg")},
+       |ugcost2 AS MATERIALIZED (
+       |  SELECT k.piece, (SELECT v FROM uggv JOIN ugtot2 ON uggv.x = ugtot2.nn)
+       |    - l.v AS cost
+       |  FROM ugkept2 k JOIN uggv l ON l.x = k.n),
+       |${dpChain("ugcost2", "ugdict", "uge", withCuts = false)},
+       |ugwordk AS MATERIALIZED (
+       |  SELECT word, k FROM uge$maxW WHERE j = len(word)),
+       |ugdocw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |ugpd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(k) AS BIGINT) AS n_pieces
+       |  FROM (SELECT doc_id, word FROM ugdocw WHERE len(word) > 0) w
+       |  JOIN ugwordk USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q235 — UNIGRAM-LM TOKENIZER TRAINING: the other trained tokenizer
+    * family at pretraining scale next to BPE (q105) — SentencePiece's
+    * shape: seed a candidate vocabulary from occurrence-weighted
+    * substring counts over the word dict, prune to a budget under a
+    * deterministic (count desc, piece asc) order plus the single-char
+    * coverage floor, then ONE hard-EM round — Viterbi E-step over the
+    * dict under exact FIXED-POINT integer −log2 costs
+    * ([[graft.ops.UnigramLm.log2Fix]] — a 16-step integer squaring
+    * recurrence both engines run bit-for-bit, so no float ever crosses
+    * the oracle boundary), count M-step weighted by word frequency.
+    * Output: the learned piece table (piece, seed_n, em_n). The oracle
+    * replays seeding, pruning, the log recurrence, the DP (unrolled to
+    * MaxWordLen positions with the identical tie-break), and the path
+    * reconstruction — a one-bit disagreement anywhere in the EM shifts
+    * a count and hash-mismatches.
+    *
+    * 100 TB: trains on the word DICT (one corpus aggregate — the BPE
+    * discipline), everything after is dict-scale; the learned table is
+    * bounded model state (VocabMulti + alphabet rows).
+    */
+  val q235_unigram_train: Q = (s, d) =>
+    graft.ops.UnigramLm.learn(graft.ops.TextDedup.maybeMaterialize(
+        Bpe.wordDict(Tables.documents(s, d), "text")))
+      .orderBy("piece")
+
+  val q235Sql: String =
+    s"""$unigramTrainHead
+       |SELECT k.piece, k.n AS seed_n,
+       |  CAST(coalesce(e.em_n, 0) AS BIGINT) AS em_n
+       |FROM ugkept k LEFT JOIN ugep e ON e.piece = k.piece
+       |ORDER BY k.piece""".stripMargin
+
+  /** q236 — UNIGRAM-LM CORPUS TOKENIZATION: Viterbi-segment every
+    * document under the q235-learned table with add-one smoothing (EM
+    * zeros stay reachable; the cost domain stays ≥ 1) and read out
+    * per-doc word/piece counts and the exact integer fertility ppm.
+    *
+    * 100 TB: the DP runs per word TYPE (dict-scale, broadcast cost
+    * map); the corpus is touched once to explode words and joins the
+    * per-word counts back — never re-segmented row by row.
+    */
+  val q236_unigram_tokenize: Q = (s, d) =>
+    graft.ops.UnigramLm.tokenizeCorpus(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  val q236Sql: String =
+    s"""$unigramTokenizeBody
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST((1000000 * coalesce(n_pieces, 0))
+       |    // greatest(coalesce(n_words, 0), 1) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM documents d LEFT JOIN ugpd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q237 — q236 SERVED FROM THE STORED PIECE TABLE
+    * (`CorpusBuild.trackMerges` now snapshots the unigram table next to
+    * the BPE merges — re-learned per generation over the folded dict,
+    * the packtotals snapshot discipline): the tokenizer is LOADED, the
+    * seed/EM learning drops out of the query entirely. Oracle: q236's
+    * SQL verbatim — a stale or mis-folded stored table hash-mismatches
+    * against the from-scratch retrain.
+    */
+  val q237_state_unigram_tokenize: Q = (s, d) =>
+    graft.pipeline.CorpusBuild.stateUnigramTokenize(
+        s, ensurePostingState(s, d), Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  /** q238 — TOKENIZER FERTILITY COMPARISON, BPE vs unigram-LM on the
+    * SAME corpus and the SAME word denominator — the dataset-card
+    * readout that justifies a tokenizer choice (fertility = pieces per
+    * word; lower is cheaper to train on). Both tokenizers are learned
+    * in-query from the same dict; the per-language rollup reports both
+    * exact ppm quotients side by side.
+    */
+  val q238_fertility_compare: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.learnMerges(Bpe.wordDict(docs, "text"),
+        "word", "n", NumMerges)
+      .orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bpe = fertilityRollup(
+        Bpe.tokenizeDocs(docs, merges.toIndexedSeq), docs)
+      .select(coalesce(col("lang"), lit("")).as("lang"),
+        col("n_words"), col("n_bpe"), col("fertility_q6")
+          .as("bpe_fertility_q6"))
+    val ug = graft.ops.UnigramLm.tokenizeCorpus(docs)
+      .join(docs.select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang")), "doc_id")
+      .groupBy("lang").agg(sum(col("n_pieces")).as("n_unigram"))
+    bpe.join(ug, "lang")
+      .select(col("lang"), col("n_words"), col("n_bpe"), col("n_unigram"),
+        col("bpe_fertility_q6"),
+        TextAnalysis.intDiv(col("n_unigram") * 1000000L,
+          greatest(col("n_words"), lit(1L))).as("unigram_fertility_q6"))
+      .orderBy("lang")
+  }
+
+  val q238Sql: String =
+    s"""$unigramTokenizeBody,
+       |uglang AS (
+       |  SELECT coalesce(d.lang, '') AS lang,
+       |    CAST(SUM(coalesce(ugpd.n_pieces, 0)) AS BIGINT) AS n_unigram
+       |  FROM documents d LEFT JOIN ugpd USING (doc_id)
+       |  GROUP BY coalesce(d.lang, '')),
+       |bpe AS ( $q192Sql )
+       |SELECT coalesce(b.lang, '') AS lang, b.n_words, b.n_bpe,
+       |  u.n_unigram,
+       |  b.fertility_q6 AS bpe_fertility_q6,
+       |  CAST((u.n_unigram * 1000000)
+       |    // greatest(b.n_words, 1) AS BIGINT) AS unigram_fertility_q6
+       |FROM bpe b JOIN uglang u ON coalesce(b.lang, '') = u.lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q105_bpe_merges" -> q105_bpe_merges,
     "q107_ngram_lm_score" -> q107_ngram_lm_score,
@@ -970,7 +1221,11 @@ object TokenizerQueries {
     "q145_vocab_growth" -> q145_vocab_growth,
     "q189_rrf_hybrid" -> q189_rrf_hybrid,
     "q192_tokenizer_fertility" -> q192_tokenizer_fertility,
-    "q198_state_fertility" -> q198_state_fertility)
+    "q198_state_fertility" -> q198_state_fertility,
+    "q235_unigram_train" -> q235_unigram_train,
+    "q236_unigram_tokenize" -> q236_unigram_tokenize,
+    "q237_state_unigram_tokenize" -> q237_state_unigram_tokenize,
+    "q238_fertility_compare" -> q238_fertility_compare)
 
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_merges" -> q105Sql,
@@ -995,5 +1250,12 @@ object TokenizerQueries {
     // the state-served fertility must reproduce q192's learn+apply
     // rollup exactly — same oracle, so the driver hash-checks the
     // stored merge table against a from-scratch retrain
-    "q198_state_fertility" -> q192Sql)
+    "q198_state_fertility" -> q192Sql,
+    "q235_unigram_train" -> q235Sql,
+    "q236_unigram_tokenize" -> q236Sql,
+    // the state-served unigram tokenizer must reproduce q236's
+    // learn+apply exactly — same oracle, so the driver hash-checks the
+    // stored piece table against a from-scratch retrain
+    "q237_state_unigram_tokenize" -> q236Sql,
+    "q238_fertility_compare" -> q238Sql)
 }

@@ -1396,6 +1396,57 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeH264Stream(spsLess))
   }
 
+  test("H.264 PPS: multi-parameter-set round-trip with signed se(v) QP, " +
+      "slice-to-PPS resolution, and loud dangling-reference checks") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(77, 31, 7, 4, 16, 12, 1)
+    val ppss = Seq(
+      Codecs.H264Pps(0, 0, entropyCodingMode = 0, numRefIdxL0 = 2,
+        numRefIdxL1 = 1, initQpMinus26 = -13),
+      Codecs.H264Pps(1, 0, entropyCodingMode = 1, numRefIdxL0 = 0,
+        numRefIdxL1 = 0, initQpMinus26 = 12))
+    // slices name their PPS: IDR -> 0, the P slices -> 1 then 0
+    val bytes = Codecs.encodeH264StreamMultiPps(sps, ppss,
+      Seq((3, 5, 20, 0), (0, 1, 17, 1), (2, 1, 30, 0)))
+    val s = Codecs.decodeH264Stream(bytes)
+    assert(s.ppss === ppss.toVector)
+    assert(s.nals.count(_.nalType == 8) === 2)
+    val sl = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+    assert(sl.map(_.ppsId) === Vector(0, 1, 0))
+    // non-slice units carry the -1 sentinel
+    assert(s.nals.filter(_.nalType != 1).filter(_.nalType != 5)
+      .forall(_.ppsId === -1))
+    // PPS 0's RBSP by hand: ue(0)=1 + ue(0)=1 + 1 + 1 + ue(0)=1 +
+    // ue(2)=3 + ue(1)=3 + 1 + 2 + se(-13)=ue(26)=9 + 1 + 1 + 3 bits
+    // = 28 bits + stop -> 4 bytes; PPS 1: ue(1)=3 + 1+1+1+1+1+1+1+2
+    // + se(12)=ue(23)=9 + 1+1+3 = 26 + stop -> 4 bytes (23 = 2*12-1)
+    assert(s.nals.filter(_.nalType == 8).map(_.rbspBytes) ===
+      Vector(4, 4))
+    // a slice naming an ABSENT PPS is a dangling reference, loudly
+    val dangling = Codecs.encodeH264StreamMultiPps(sps, ppss,
+      Seq((3, 5, 20, 0), (0, 1, 17, 2)))
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeH264Stream(dangling))
+    assert(e1.getMessage.contains("dangling PPS reference"))
+    // a PPS naming an absent SPS likewise — caught at the PPS, not
+    // deferred to slice time
+    val badSps = Codecs.encodeH264StreamMultiPps(sps,
+      Seq(ppss.head.copy(spsId = 1)), Seq((3, 5, 20, 0)))
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeH264Stream(badSps))
+    assert(e2.getMessage.contains("dangling SPS reference"))
+    // duplicate PPS ids are a mux error, never a silent overwrite
+    intercept[IllegalArgumentException](Codecs.decodeH264Stream(
+      Codecs.encodeH264StreamMultiPps(sps, Seq(ppss.head, ppss.head),
+        Seq((3, 5, 20, 0)))))
+    // out-of-range pic_init_qp is rejected by BOTH sides: the writer
+    // refuses to code it, and a parsed value outside [-26, 25] (spec
+    // §7.4.2.2) is a contract error
+    intercept[IllegalArgumentException](
+      Codecs.encodeH264StreamMultiPps(sps,
+        Seq(ppss.head.copy(initQpMinus26 = 26)), Seq((3, 5, 20, 0))))
+  }
+
   test("H.264 walk failure modes: forbidden bit, reserved NAL type, " +
       "ref_idc contract, missing SPS, and no start code all fail " +
       "loudly") {

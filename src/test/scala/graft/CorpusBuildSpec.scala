@@ -348,4 +348,42 @@ class CorpusBuildSpec extends AnyFunSuite {
         s"smaller source (n=$nA) got a lower rate than larger (n=$nB)")
     }
   }
+
+  test("trackReleaseCc: the folded labeling == a full exact-Jaccard CC " +
+      "recompute over every ingested doc; later batches merge standing " +
+      "components; compaction preserves it; the serve plan has no pair " +
+      "generation") {
+    val stateDir = java.nio.file.Files.createTempDirectory("corpus_relcc")
+      .resolve("state").toString
+    val cfg = CorpusBuild.Config(nearDupTier = false, trackReleaseCc = true)
+    val cuts = Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+    cuts.foreach { case (lo, hi) =>
+      CorpusBuild.ingestBatch(stateDir,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), cfg)
+    }
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = labelSet(CorpusBuild.stateReleaseCc(spark, stateDir))
+    val full = labelSet(graft.ops.TextDedup.dedupClusterRelation(
+      docs, "doc_id", "text", "lang", 3, 0.5))
+    assert(served === full,
+      s"incremental release-CC diverged from full recompute: " +
+        s"only-inc=${(served -- full).take(5)} " +
+        s"only-full=${(full -- served).take(5)}")
+    // the equivalence must be non-trivial: at least one component spans
+    // an ingest cut (a later batch's doc labeled by an earlier batch's
+    // min member), so the quotient merge actually fired
+    assert(served.exists { case (id, comp) => id >= 170L && comp < 170L },
+      "no cross-batch component — the merge path was never exercised")
+    // the serve path is a delta scan + min-combine: no exact-Jaccard
+    // verify (and hence no candidate join) anywhere in the plan
+    val plan = CorpusBuild.stateReleaseCc(spark, stateDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("sortedoverlapcount"),
+      s"stateReleaseCc plan still verifies pairs:\n$plan")
+    // compaction folds the chain into one base without changing labels
+    CorpusBuild.compact(spark, stateDir)
+    assert(labelSet(CorpusBuild.stateReleaseCc(spark, stateDir)) === full,
+      "compaction changed the release-CC labeling")
+  }
 }

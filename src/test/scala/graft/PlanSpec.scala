@@ -440,6 +440,14 @@ class PlanSpec extends AnyFunSuite {
     // serialization in the physical plan)
     assert(!servedPlan.contains("SerializeFromObject"),
       s"served card still decodes the media lake:\n$servedPlan")
+    // the kept tier serves the STORED incremental-CC fold (r14 verdict
+    // item: the last cold-session recompute) — no exact-Jaccard verify
+    // (and hence no pair-generation candidate join) in the served plan,
+    // which instead scans the cclabels delta chain
+    assert(!servedPlan.contains("sortedoverlapcount"),
+      s"served card still generates dedup pairs:\n$servedPlan")
+    assert(servedPlan.contains("cclabels"),
+      s"served card does not scan the stored CC labels:\n$servedPlan")
     // contrast: the in-query card's plan DOES train and decode
     val inQueryPlan = graft.queries.ReleaseQueries
       .q179_release_card(spark, sf).queryExecution.sparkPlan.toString
