@@ -338,38 +338,43 @@ object WebQueries {
         WebLake.warcHttpFromDocs(s, Tables.documents(s, d)))
       .toDF().orderBy("archive_id")
 
-  // The HTTP message priced per doc: 404/chunked/gzip splits, header
-  // bytes by line, the gzip member arithmetic for odd ids (stored
-  // deflate, no FNAME: 18 + 5*ceil(n/65535) + n), chunk framing over
-  // the ENCODED body, and the message total. Content-Length counts
-  // the wire body; body/sum fields price the DECODED bytes.
+  // The HTTP message priced per doc: 404/chunked/content-coding splits,
+  // header bytes by line, the gzip member arithmetic (stored deflate,
+  // no FNAME: 18 + 5*ceil(n/65535) + n) and the zlib `deflate`
+  // arithmetic (2-byte header + stored blocks + Adler-32:
+  // 6 + 5*ceil(n/65535) + n) for the encoded shares, chunk framing
+  // over the ENCODED body, and the message total. Content-Length
+  // counts the wire body; body/sum fields price the DECODED bytes.
   private val HttpCte =
     """a2 AS (
       |  SELECT doc_id,
       |    doc_id % 32 AS aid,
       |    doc_id % 17 = 0 AS nf,
       |    doc_id % 3 = 0 AS ch,
-      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AS gz,
+      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 <> 0 AS gz,
+      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 = 0 AS df,
       |    [ord(c) for c in string_split(coalesce(text, ''), '')
       |     if ord(c) BETWEEN 0 AND 127] AS codes
       |  FROM documents),
       |h AS (
-      |  SELECT doc_id, aid, nf, ch, gz,
+      |  SELECT doc_id, aid, nf, ch, gz, df,
       |    CASE WHEN nf THEN 0 ELSE len(codes) END AS n,
       |    CASE WHEN nf THEN 0 ELSE coalesce(list_sum(codes), 0) END AS ps,
       |    len(codes) AS rawn
       |  FROM a2),
       |hw AS (
-      |  SELECT doc_id, aid, nf, ch, gz, n, ps, rawn,
+      |  SELECT doc_id, aid, nf, ch, gz, df, n, ps, rawn,
       |    CASE WHEN nf THEN 0
       |         WHEN gz THEN 18 + 5 * greatest(1,
+      |             CAST(ceil(n / 65535.0) AS BIGINT)) + n
+      |         WHEN df THEN 6 + 5 * greatest(1,
       |             CAST(ceil(n / 65535.0) AS BIGINT)) + n
       |         ELSE n END AS wb
       |  FROM h),
       |hm AS (
-      |  SELECT doc_id, aid, nf, ch, gz, n, ps, rawn, wb,
+      |  SELECT doc_id, aid, nf, ch, gz, df, n, ps, rawn, wb,
       |    CASE WHEN nf THEN 24 ELSE 17 END + 19 + 26
-      |      + CASE WHEN gz THEN 24 ELSE 0 END
+      |      + CASE WHEN gz THEN 24 WHEN df THEN 27 ELSE 0 END
       |      + CASE WHEN ch THEN 28
       |             ELSE 18 + length(CAST(wb AS VARCHAR)) END + 2 AS hdr,
       |    CASE WHEN ch THEN (wb // 100) * 106
@@ -387,6 +392,7 @@ object WebQueries {
        |  CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
        |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
        |  CAST(sum(CASE WHEN gz THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip,
+       |  CAST(sum(CASE WHEN df THEN 1 ELSE 0 END) AS BIGINT) AS n_deflate,
        |  CAST(sum(hdr) AS BIGINT) AS http_header_bytes,
        |  CAST(sum(n) AS BIGINT) AS body_bytes,
        |  CAST(sum(ps) AS BIGINT) AS sum_body,
@@ -412,8 +418,7 @@ object WebQueries {
     s"""WITH $HttpCte,
        |t AS (
        |  SELECT aid, n, ps,
-       |    (doc_id % 23 = 0 AND ch AND NOT nf
-       |     AND (gz OR rawn >= 16)) AS bad
+       |    (doc_id % 23 = 0 AND ch AND NOT nf AND wb >= 16) AS bad
        |  FROM hm)
        |SELECT CAST(aid AS BIGINT) AS archive_id,
        |  CAST(count(*) AS BIGINT) AS n_responses,

@@ -354,6 +354,25 @@ object Deflate {
     inf.data
   }
 
+  /** RFC 1950 zlib ENCODE over [[deflateStored]]: header `78 01`
+    * (CM = 8, CINFO = 7, FLEVEL = 0, no dictionary; 0x7801 is divisible
+    * by 31), the stored-block stream, the big-endian Adler-32 —
+    * `6 + 5·max(1, ⌈len/65535⌉) + len` bytes on the wire. This is what
+    * HTTP's `deflate` content coding actually means (RFC 9110 §8.4.1.2:
+    * the zlib container, NOT a bare DEFLATE stream — the classic
+    * interop trap this encoder refuses to reproduce).
+    */
+  def zlibWrap(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    out.write(0x78); out.write(0x01)
+    val d = deflateStored(data)
+    out.write(d, 0, d.length)
+    val a = adler32(data)
+    out.write(((a >>> 24) & 0xFF).toInt); out.write(((a >>> 16) & 0xFF).toInt)
+    out.write(((a >>> 8) & 0xFF).toInt); out.write((a & 0xFF).toInt)
+    out.toByteArray
+  }
+
   // --------------------------------------------------------- bit writer
   private final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()

@@ -38,9 +38,10 @@ object Http {
   /** The representation bytes: apply the declared Content-Encoding to
     * the transfer-decoded body. `gzip` runs the engine's own RFC 1952
     * walk (CRC32 + ISIZE verified; the body must be exactly one
-    * member); identity passes through; anything else is a loud
-    * contract error — a crawl record claiming brotli or deflate needs
-    * a decoder, not a silent pass-through.
+    * member); `deflate` inflates through the engine's own RFC 1950
+    * zlib walk (header + Adler-32 verified); identity passes through;
+    * anything else is a loud contract error — a crawl record claiming
+    * brotli needs a decoder, not a silent pass-through.
     */
   def decodedBody(r: Response): Array[Byte] = r.contentEncoding match {
     case "" | "identity" => r.body
@@ -49,6 +50,10 @@ object Http {
       require(ms.size == 1,
         s"http: gzip body with ${ms.size} members (expected 1)")
       ms.head.data
+    case "deflate" =>
+      // RFC 9110 §8.4.1.2: the zlib container (header + Adler-32), not
+      // a bare DEFLATE stream — Deflate.zlibInflate verifies both
+      Deflate.zlibInflate(r.body)
     case other =>
       throw new IllegalArgumentException(
         s"http: unsupported Content-Encoding '$other'")

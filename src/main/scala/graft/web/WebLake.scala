@@ -292,15 +292,19 @@ object WebLake {
       corruptChunk: Boolean): Array[Byte] = {
     val notFound = id % 17 == 0
     val chunked = id % 3 == 0
-    // odd ids ship Content-Encoding: gzip — real crawls are mostly
-    // compressed on the wire; the engine owns both halves (its own
-    // RFC 1952 member + inflate), so the coding layers COMPOSE:
-    // content coding first, then chunked transfer framing over the
-    // gzip bytes, exactly the RFC 9110 §8.4 order
-    val gz = id % 2 == 1 && !notFound
+    // odd ids ship compressed bodies — real crawls are mostly
+    // compressed on the wire; every 5th of those uses the zlib
+    // `deflate` coding (the other coding real servers actually send),
+    // the rest gzip. The engine owns both containers (its own RFC
+    // 1952/1950 walks), so the coding layers COMPOSE: content coding
+    // first, then chunked transfer framing over the encoded bytes,
+    // exactly the RFC 9110 §8.4 order
+    val enc = id % 2 == 1 && !notFound
+    val defl = enc && id % 5 == 0
     val wireBody =
       if (notFound) Array.emptyByteArray
-      else if (gz) Gzip.member(body, fname = None, fixedHuffman = false,
+      else if (defl) Deflate.zlibWrap(body)
+      else if (enc) Gzip.member(body, fname = None, fixedHuffman = false,
         mtime = 0L)
       else body
     val msg = Http.encodeResponse(
@@ -308,14 +312,16 @@ object WebLake {
       reason = if (notFound) "Not Found" else "OK",
       headers = Seq("Server" -> "graft/1.0",
         "Content-Type" -> "text/plain") ++
-        (if (gz) Seq("Content-Encoding" -> "gzip") else Nil),
+        (if (defl) Seq("Content-Encoding" -> "deflate")
+         else if (enc) Seq("Content-Encoding" -> "gzip") else Nil),
       body = wireBody,
       chunked = chunked, chunkSize = 100)
     if (corruptChunk && chunked && !notFound && wireBody.length >= 16) {
       // first chunk-size line sits right after the blank header line;
       // the >= 16 guard keeps the size at 2 hex digits so the patch
-      // lands on the second digit (the oracle mirrors the guard; gzip
-      // bodies are always >= 23 wire bytes, so gz rows always qualify)
+      // lands on the second digit (the oracle mirrors the guard on the
+      // WIRE body length: gzip bodies are always >= 23 bytes, zlib
+      // bodies n+11, identity bodies n)
       var i = 0
       while (!(msg(i) == '\r' && msg(i + 1) == '\n' &&
         msg(i + 2) == '\r' && msg(i + 3) == '\n')) i += 1
@@ -370,7 +376,8 @@ object WebLake {
     * sizes involved, those are q213's contract).
     */
   case class HttpCensus(archive_id: Long, n_responses: Long, n_200: Long,
-      n_404: Long, n_chunked: Long, n_gzip: Long, http_header_bytes: Long,
+      n_404: Long, n_chunked: Long, n_gzip: Long, n_deflate: Long,
+      http_header_bytes: Long,
       body_bytes: Long, sum_body: Long, wire_bytes: Long,
       max_msg_len: Long)
 
@@ -391,6 +398,7 @@ object WebLake {
         n_404 = rs.count(_._2.status == 404).toLong,
         n_chunked = rs.count(_._2.chunked).toLong,
         n_gzip = rs.count(_._2.contentEncoding == "gzip").toLong,
+        n_deflate = rs.count(_._2.contentEncoding == "deflate").toLong,
         http_header_bytes = rs.iterator.map(_._2.headerBytes.toLong).sum,
         body_bytes = rs.iterator.map(_._3.length.toLong).sum,
         sum_body = rs.iterator.map(r =>

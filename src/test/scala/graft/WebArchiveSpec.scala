@@ -429,6 +429,43 @@ class WebArchiveSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Http.decodedBody(badMsg))
   }
 
+  test("HTTP Content-Encoding: deflate means the ZLIB container (RFC " +
+      "9110 §8.4.1.2) — round-trips through the engine's RFC 1950 " +
+      "walk under both transfer framings; Adler-32 corruption is loud; " +
+      "wire size is the oracle's 6 + 5·blocks + n") {
+    import graft.web.{Deflate, Http}
+    val text = ascii("zlib-wrapped on the wire " * 7)
+    val z = Deflate.zlibWrap(text)
+    // the exact byte arithmetic the q219 oracle prices
+    assert(z.length ===
+      6 + 5 * math.max(1, (text.length + 65534) / 65535) + text.length)
+    assert((z(0) & 0xFF) === 0x78 && (((z(0) & 0xFF) << 8 | (z(1) & 0xFF)) % 31) === 0)
+    assert(java.util.Arrays.equals(Deflate.zlibInflate(z), text))
+    // composed with chunked transfer framing, spec order
+    val msg = Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "deflate"), z, chunked = true, chunkSize = 32)
+    val r = Http.parseResponse(msg)
+    assert(r.contentEncoding === "deflate")
+    assert(java.util.Arrays.equals(Http.decodedBody(r), text))
+    // under Content-Length framing too
+    val msg2 = Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "deflate"), z, chunked = false)
+    assert(java.util.Arrays.equals(
+      Http.decodedBody(Http.parseResponse(msg2)), text))
+    // a flipped Adler-32 byte is caught by the zlib layer
+    val bad = z.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    val badMsg = Http.parseResponse(Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "deflate"), bad, chunked = false))
+    val e2 = intercept[IllegalArgumentException](Http.decodedBody(badMsg))
+    assert(e2.getMessage.contains("Adler-32"))
+    // an EMPTY representation still frames legally (one empty stored
+    // block): 11 wire bytes, inflates to zero
+    val z0 = Deflate.zlibWrap(Array.emptyByteArray)
+    assert(z0.length === 11)
+    assert(Deflate.zlibInflate(z0).length === 0)
+  }
+
   test("hostile-input pin: seeded byte flips on a valid WARC record " +
       "either parse or raise a contract error — never an unexpected " +
       "crash class, never a wrong-type record") {
