@@ -1742,6 +1742,155 @@ object PrepQueries {
        |FROM census ORDER BY media_id""".stripMargin
   }
 
+  // The PDF synthesis priced per doc: the escaped content stream, the
+  // zlib wire size for even (FlateDecode) ids, every object's byte
+  // length from its rendered string, the xref offset as their running
+  // sum, and the file total. Literal lengths are written as
+  // length('…') so the oracle self-verifies against the strings the
+  // encoder actually writes (newlines counted as explicit +1s).
+  private val PdfCte =
+    """p0 AS (
+      |  SELECT doc_id AS media_id, doc_id % 2 = 0 AS fl,
+      |    400 + (doc_id % 5) * 50 AS w,
+      |    500 + (doc_id % 4) * 70 AS h,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT media_id, fl, w, h,
+      |    len(codes) AS n,
+      |    coalesce(list_sum(codes), 0) AS ps,
+      |    len([c for c in codes if c IN (40, 41, 92)]) AS nesc
+      |  FROM p0),
+      |p2 AS (
+      |  SELECT media_id, fl, w, h, n, ps, nesc,
+      |    length('BT /F1 12 Tf (') + n + nesc + length(') Tj ET')
+      |      AS clen,
+      |    list_sum([ord(c) for c in string_split('BT /F1 12 Tf (', '')])
+      |      + ps + 92 * nesc
+      |      + list_sum([ord(c) for c in string_split(') Tj ET', '')])
+      |      AS csum
+      |  FROM p1),
+      |p3 AS (
+      |  SELECT media_id, fl, w, h, n, ps, clen, csum,
+      |    CASE WHEN fl THEN 6 + 5 * greatest(1,
+      |        CAST(ceil(clen / 65535.0) AS BIGINT)) + clen
+      |      ELSE clen END AS wire
+      |  FROM p2),
+      |p4 AS (
+      |  SELECT media_id, fl, w, h, n, ps, clen, csum, wire,
+      |    length('%PDF-1.4') + 1
+      |      + length('1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj')
+      |      + 1
+      |      + length('2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 ')
+      |        + length('>> endobj') + 1
+      |      + length('3 0 obj << /Type /Page /Parent 2 0 R /MediaBox ')
+      |        + length('[0 0 ') + length(CAST(w AS VARCHAR)) + 1
+      |        + length(CAST(h AS VARCHAR))
+      |        + length('] /Contents 4 0 R >> endobj') + 1
+      |      + length('4 0 obj << /Length ')
+      |        + length(CAST(wire AS VARCHAR))
+      |        + CASE WHEN fl THEN length(' /Filter /FlateDecode')
+      |               ELSE 0 END
+      |        + length(' >> stream') + 1 + wire
+      |        + 1 + length('endstream endobj') + 1 AS xoff
+      |  FROM p3),
+      |p5 AS (
+      |  SELECT media_id, fl, w, h, n, ps, clen, csum, wire, xoff,
+      |    xoff + length('xref') + 1 + length('0 5') + 1 + 5 * 20
+      |      + length('trailer << /Size 5 /Root 1 0 R >>') + 1
+      |      + length('startxref') + 1 + length(CAST(xoff AS VARCHAR))
+      |      + 1 + length('%%EOF') + 1 AS total
+      |  FROM p4)""".stripMargin
+
+  /** q239 — PDF STRUCTURAL CENSUS: the document container of a real
+    * multimodal crawl, walked the way a reader actually reads it —
+    * `startxref` from the end, the cross-reference table's exact
+    * 20-byte entries, every in-use object resolved AT ITS DECLARED
+    * OFFSET, the content stream sliced by `/Length` and inflated
+    * through the engine's own RFC 1950 zlib walk for the
+    * `/FlateDecode` half of the corpus ([[graft.multimodal.Pdf]]).
+    * The oracle re-prices every object's byte length from the strings
+    * the encoder writes, so the xref offset — the running sum of all
+    * of them — and the file total are single numbers that are wrong
+    * unless every layer above them is exact.
+    */
+  val q239_pdf_census: Q = (s, d) =>
+    graft.multimodal.Pdf.pdfCensus(
+        graft.multimodal.Pdf.pdfFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q239Sql: String =
+    s"""WITH $PdfCte
+       |SELECT media_id,
+       |  CAST(4 AS BIGINT) AS n_objects,
+       |  CAST(CASE WHEN fl THEN 1 ELSE 0 END AS BIGINT) AS has_flate,
+       |  CAST(w AS BIGINT) AS page_w,
+       |  CAST(h AS BIGINT) AS page_h,
+       |  CAST(wire AS BIGINT) AS stream_wire_bytes,
+       |  CAST(clen AS BIGINT) AS content_bytes,
+       |  CAST(csum AS BIGINT) AS content_sum,
+       |  CAST(xoff AS BIGINT) AS xref_offset,
+       |  CAST(total AS BIGINT) AS total_bytes
+       |FROM p5 ORDER BY media_id""".stripMargin
+
+  /** q240 — PDF QUARANTINE, structural-lie class: for media_id % 13 == 0
+    * the xref entry for object 3 is off by one (the walk's
+    * resolve-at-declared-offset contract catches it at the object
+    * header); else for media_id % 11 == 0 the stream's `/Length` is
+    * short by one (the declared slice must land exactly on
+    * `endstream`). Both are damage a BYTE FLIP cannot express — the
+    * mux wrote lies, every token still parses — and both become zeroed
+    * `decode_ok = 0` rows, never a mis-resolved object or mis-sliced
+    * stream.
+    */
+  val q240_pdf_quarantine: Q = (s, d) =>
+    graft.multimodal.Pdf.tryPdfCensus(
+        graft.multimodal.Pdf.pdfFromText(
+          s, Tables.documents(s, d), "doc_id", "text", breakRefs = true))
+      .toDF().orderBy("media_id")
+
+  val q240Sql: String = {
+    def z(c: String) =
+      s"CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0 THEN 0 ELSE $c END AS $c"
+    s"""WITH census AS ( $q239Sql )
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0
+       |    THEN 0 ELSE 1 END AS BIGINT) AS decode_ok,
+       |  ${z("n_objects")},
+       |  ${z("has_flate")},
+       |  ${z("page_w")},
+       |  ${z("page_h")},
+       |  ${z("stream_wire_bytes")},
+       |  ${z("content_bytes")},
+       |  ${z("content_sum")},
+       |  ${z("xref_offset")},
+       |  ${z("total_bytes")}
+       |FROM census ORDER BY media_id""".stripMargin
+  }
+
+  /** q241 — PDF TEXT EXTRACTION, the full stack: xref → object →
+    * `/Length` slice → zlib inflate → literal-string unescape, priced
+    * against the SOURCE text (length and byte-value sum) — the q221
+    * byte-exactness contract for the document container: a slipped
+    * offset, a bad Adler-32, or a mangled §7.3.4.2 escape shifts a
+    * sum and hash-mismatches.
+    */
+  val q241_pdf_extract: Q = (s, d) =>
+    graft.multimodal.Pdf.extractPdfDocs(
+        graft.multimodal.Pdf.pdfFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("doc_id")
+
+  val q241Sql: String =
+    s"""WITH $PdfCte
+       |SELECT media_id AS doc_id,
+       |  CAST(total AS BIGINT) AS pdf_bytes,
+       |  CAST(n AS BIGINT) AS n_chars,
+       |  CAST(ps AS BIGINT) AS sum_chars
+       |FROM p5 ORDER BY doc_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -1943,6 +2092,9 @@ object PrepQueries {
     "q211_h264_gop_worklist" -> q211_h264_gop_worklist,
     "q233_h264_pps_census" -> q233_h264_pps_census,
     "q234_h264_pps_quarantine" -> q234_h264_pps_quarantine,
+    "q239_pdf_census" -> q239_pdf_census,
+    "q240_pdf_quarantine" -> q240_pdf_quarantine,
+    "q241_pdf_extract" -> q241_pdf_extract,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -1987,6 +2139,9 @@ object PrepQueries {
     "q211_h264_gop_worklist" -> q211Sql,
     "q233_h264_pps_census" -> q233Sql,
     "q234_h264_pps_quarantine" -> q234Sql,
+    "q239_pdf_census" -> q239Sql,
+    "q240_pdf_quarantine" -> q240Sql,
+    "q241_pdf_extract" -> q241Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,

@@ -837,7 +837,7 @@ class DocStreamSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val cfg = CorpusBuild.Config(trackFingerprints = true,
       trackClassifier = true, trackDsir = true, trackBigramLm = true,
-      trackCdc = true)
+      trackCdc = true, trackReleaseCc = true)
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.mode("append").parquet(lake)
     Thread.sleep(1200)
@@ -903,6 +903,15 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rows(CorpusBuild.stateBigramScores(spark, state, docs)) ===
       rows(graft.queries.FilterQueries.q187_bigram_perplexity(spark, sf)),
       "fold under full door composition diverged from the one-shot model")
+    // the release-card CC fold streamed in micro-batches equals the
+    // full exact-Jaccard recompute (q206's kept tier arriving through
+    // the streaming door instead of three manual ingests)
+    def labelSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelSet(CorpusBuild.stateReleaseCc(spark, state)) ===
+      labelSet(graft.ops.TextDedup.dedupClusterRelation(
+        docs, "doc_id", "text", "lang", 3, 0.5)),
+      "streamed release-CC labeling diverged from the full recompute")
   }
 
   test("the web-archive tier is a STREAMING front door: .warc.gz " +
