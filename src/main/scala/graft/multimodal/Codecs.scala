@@ -2277,7 +2277,7 @@ object Codecs {
     w.rbspTrailing()
   }
 
-  private def parsePpsRbsp(rbsp: Array[Byte]): H264Pps = {
+  private[multimodal] def parsePpsRbsp(rbsp: Array[Byte]): H264Pps = {
     val r = new GolombReader(rbsp)
     val ppsId = r.ue()
     val spsId = r.ue()
@@ -2301,7 +2301,7 @@ object Codecs {
     H264Pps(ppsId, spsId, entropy, nL0, nL1, initQp)
   }
 
-  private def parseSpsRbsp(rbsp: Array[Byte]): H264Sps = {
+  private[multimodal] def parseSpsRbsp(rbsp: Array[Byte]): H264Sps = {
     val r = new GolombReader(rbsp)
     val profile = r.bits(8)
     require(Seq(66, 77, 88).contains(profile),
@@ -2364,23 +2364,39 @@ object Codecs {
   def encodeH264StreamMultiPps(sps: H264Sps, ppss: Seq[H264Pps],
       slices: Seq[(Int, Int, Int, Int)],
       sei: Seq[(Int, Int)] = Nil): Array[Byte] = {
+    val units = h264NalUnitsMultiPps(sps, ppss, slices, sei)
     val out = new java.io.ByteArrayOutputStream()
-    def startCode(four: Boolean): Unit = {
-      if (four) out.write(0)
+    units.zipWithIndex.foreach { case (u, i) =>
+      if (i == 0) out.write(0) // 4-byte start code on the first NAL
       out.write(0); out.write(0); out.write(1)
+      out.write(u, 0, u.length)
     }
+    out.toByteArray
+  }
+
+  /** The stream's NAL UNITS as raw byte arrays (header byte + escaped
+    * RBSP), WITHOUT start codes — the transport-agnostic form (H.264
+    * §7.3.1: a NAL unit includes its emulation-prevention bytes in any
+    * transport): an ISO-BMFF muxer stores exactly these, length-prefixed
+    * in `mdat` samples and verbatim in `avcC`'s parameter-set arrays,
+    * while [[encodeH264StreamMultiPps]] joins them with Annex-B start
+    * codes. Unit order: SPS, PPSs, SEIs, slices.
+    */
+  def h264NalUnitsMultiPps(sps: H264Sps, ppss: Seq[H264Pps],
+      slices: Seq[(Int, Int, Int, Int)],
+      sei: Seq[(Int, Int)] = Nil): Vector[Array[Byte]] = {
+    val units = Vector.newBuilder[Array[Byte]]
     def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Unit = {
       require(refIdc >= 0 && refIdc <= 3, s"nal_ref_idc $refIdc")
-      out.write((refIdc << 5) | nalType)
-      out.write(escapeRbsp(rbsp))
+      val o = new java.io.ByteArrayOutputStream(rbsp.length + 1)
+      o.write((refIdc << 5) | nalType)
+      val esc = escapeRbsp(rbsp)
+      o.write(esc, 0, esc.length)
+      units += o.toByteArray
     }
-    startCode(four = true)
     nal(3, 7, writeSpsRbsp(sps))
     require(ppss.nonEmpty, "stream needs at least one PPS")
-    for (pps <- ppss) {
-      startCode(four = false)
-      nal(3, 8, writePpsRbsp(pps))
-    }
+    for (pps <- ppss) nal(3, 8, writePpsRbsp(pps))
     for ((seiType, seiSize) <- sei) {
       // sei_message() (spec §7.3.2.3.1): payload type and size each as
       // an FF-CASCADE — as many 0xFF bytes as the value holds full 255s,
@@ -2400,7 +2416,6 @@ object Codecs {
       val rbsp = o.toByteArray
       require(escapeRbsp(rbsp).length == rbsp.length,
         "SEI RBSP triggered emulation prevention — synthesis contract broken")
-      startCode(four = false)
       nal(0, 6, rbsp)
     }
     for (((refIdc, nalType, plen, ppsId), idx) <- slices.zipWithIndex) {
@@ -2408,7 +2423,6 @@ object Codecs {
         s"slice NAL type $nalType not in {1, 5}")
       require(nalType != 5 || refIdc > 0,
         "IDR slices must have nal_ref_idc != 0 (spec §7.4.1)")
-      startCode(four = false)
       val w = new GolombWriter
       w.ue(0) // first_mb_in_slice
       w.ue(if (nalType == 5) { if (plen % 2 == 0) 2 else 7 }
@@ -2430,7 +2444,7 @@ object Codecs {
         "slice RBSP triggered emulation prevention — synthesis contract broken")
       nal(refIdc, nalType, payload)
     }
-    out.toByteArray
+    units.result()
   }
 
   /** Walk an Annex-B byte stream structurally: scan start codes (3- and

@@ -141,7 +141,7 @@ object Multimodal {
   // ≤ 0x7F are exactly the ASCII characters' code points in order
   // (multi-byte sequences only use bytes ≥ 0x80), so the byte filter
   // here equals the oracle's per-character `ord(c) BETWEEN 0 AND 127`.
-  private def asciiBytes(t: String): Array[Byte] =
+  private[multimodal] def asciiBytes(t: String): Array[Byte] =
     t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .filter(b => (b & 0x80) == 0)
 
@@ -955,7 +955,7 @@ object Multimodal {
     * (nal_ref_idc, nal_unit_type, payload bytes, the frame's text
     * checksum — the value later tiers derive per-frame choices from).
     */
-  private def h264FrameParams(id: Long,
+  private[multimodal] def h264FrameParams(id: Long,
       codes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
     val nf = math.max(1, (codes.length + 15) / 16)
     (0 until nf).map { f =>
@@ -969,7 +969,7 @@ object Multimodal {
     }
   }
 
-  private def h264SpsFor(id: Long): Codecs.H264Sps = {
+  private[multimodal] def h264SpsFor(id: Long): Codecs.H264Sps = {
     val profiles = Array(66, 77, 88)
     val levels = Array(10, 20, 30, 31, 40)
     Codecs.H264Sps(

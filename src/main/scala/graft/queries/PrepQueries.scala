@@ -1891,6 +1891,130 @@ object PrepQueries {
        |  CAST(ps AS BIGINT) AS sum_chars
        |FROM p5 ORDER BY doc_id""".stripMargin
 
+  // The MP4 mux priced per doc: q204's frame/SPS arithmetic plus the
+  // box-tree constants (ftyp 24; fixed headers mvhd 108 / tkhd 92 /
+  // mdhd 32 / hdlr 33 / stco 20; stsz 20 + 4n; avcC 19 + spsNal +
+  // ppsNal with spsNal = 1 + sps_rbsp and the 4-byte default-PPS NAL;
+  // mdat samples = 4-byte prefix + 1-byte NAL header + payload).
+  private val Mp4Cte =
+    """m0 AS (
+      |  SELECT doc_id AS media_id,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |m1 AS (SELECT media_id, codes,
+      |    greatest(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS nf
+      |  FROM m0),
+      |m2 AS (
+      |  SELECT media_id, nf, f,
+      |    coalesce(list_sum(codes[16*f + 1 : 16*f + 16]), 0) AS csum
+      |  FROM (SELECT media_id, nf, codes,
+      |      unnest(generate_series(0, nf - 1)) AS f
+      |    FROM m1)),
+      |m3 AS (
+      |  SELECT media_id, nf,
+      |    CAST(sum(16 + (csum + f) % 64) AS BIGINT) AS plen_sum
+      |  FROM m2 GROUP BY media_id, nf),
+      |m4 AS (
+      |  SELECT media_id,
+      |    (34
+      |      + 2 * (length(bin(media_id % 9 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 4 + 2)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 20 + 1)) - 1) + 1
+      |      + 2 * (length(bin(media_id % 15 + 1)) - 1) + 1
+      |      + 7) // 8 AS sps_bytes
+      |  FROM m1),
+      |m5 AS (
+      |  SELECT media_id, nf, plen_sum, sps_bytes,
+      |    24 + sps_bytes AS avcc,
+      |    471 + sps_bytes + 4 * nf AS moov,
+      |    5 * nf + plen_sum AS mdatp
+      |  FROM m3 JOIN m4 USING (media_id))""".stripMargin
+
+  /** q242 — ISO-BMFF (MP4) BOX CENSUS: the container H.264 ships in,
+    * walked the way a demuxer walks it — big-endian size/type boxes,
+    * container recursion, `avcC` parameter sets parsed through the
+    * SAME SPS/PPS decoders as the Annex-B tier, samples sliced by
+    * their length prefixes — with the CROSS-BOX consistency contracts
+    * live (stsz ≡ mdat framing, stco lands on the first sample, the
+    * THREE width/height declarations agree — see
+    * [[graft.multimodal.Mp4]]). The oracle re-prices the box tree from
+    * the q204 frame/SPS arithmetic plus the subset's fixed box sizes:
+    * the moov/total byte counts are running sums that are wrong unless
+    * every header field and NAL length upstream is exact.
+    */
+  val q242_mp4_box_census: Q = (s, d) =>
+    graft.multimodal.Mp4.mp4Census(
+        graft.multimodal.Mp4.mp4FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q242Sql: String =
+    s"""WITH $Mp4Cte
+       |SELECT media_id,
+       |  CAST(16 AS BIGINT) AS n_boxes,
+       |  CAST(nf AS BIGINT) AS n_samples,
+       |  CAST(nf + plen_sum AS BIGINT) AS stsz_sum,
+       |  CAST(mdatp AS BIGINT) AS mdat_bytes,
+       |  CAST(90000 AS BIGINT) AS timescale,
+       |  CAST(nf * 3003 AS BIGINT) AS duration,
+       |  CAST(16 * (1 + media_id % 20) AS BIGINT) AS width_px,
+       |  CAST(16 * (1 + media_id % 15) AS BIGINT) AS height_px,
+       |  CAST(avcc AS BIGINT) AS avcc_bytes,
+       |  CAST(moov AS BIGINT) AS moov_bytes,
+       |  CAST(24 + moov + 8 + mdatp AS BIGINT) AS total_bytes
+       |FROM m5 ORDER BY media_id""".stripMargin
+
+  /** q243 — THE CONTAINER-TO-CODEC BRIDGE: demux the MP4, reconstruct
+    * the Annex-B stream from avcC's parameter sets + the
+    * length-prefixed samples, and hand it to the EXISTING H.264 walk
+    * (q204's census relation, byte-identical framing). Oracle: q204's
+    * SQL VERBATIM — the bridge must reproduce exactly what the
+    * Annex-B tier would have written for the same NAL units, through
+    * a completely different engine path (box walk → avcC → AVCC
+    * de-framing → start-code reconstruction).
+    */
+  val q243_mp4_h264_bridge: Q = (s, d) =>
+    graft.multimodal.Mp4.mp4BridgeCensus(
+        graft.multimodal.Mp4.mp4FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  /** q244 — MP4 CROSS-BOX QUARANTINE: for media_id % 13 == 0 the
+    * first stsz entry over-declares its sample by one byte; else for
+    * media_id % 11 == 0 the stco chunk offset is off by one — every
+    * box still parses, only the CONSISTENCY contracts can catch the
+    * lie (the container analogue of q234's dangling references and
+    * q240's structural lies). Zeroed decode_ok rows, predicted
+    * exactly.
+    */
+  val q244_mp4_quarantine: Q = (s, d) =>
+    graft.multimodal.Mp4.tryMp4Census(
+        graft.multimodal.Mp4.mp4FromText(
+          s, Tables.documents(s, d), "doc_id", "text", breakRefs = true))
+      .toDF().orderBy("media_id")
+
+  val q244Sql: String = {
+    def z(c: String) =
+      s"CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0 THEN 0 ELSE $c END AS $c"
+    s"""WITH census AS ( $q242Sql )
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 OR media_id % 11 = 0
+       |    THEN 0 ELSE 1 END AS BIGINT) AS decode_ok,
+       |  ${z("n_boxes")},
+       |  ${z("n_samples")},
+       |  ${z("stsz_sum")},
+       |  ${z("mdat_bytes")},
+       |  ${z("timescale")},
+       |  ${z("duration")},
+       |  ${z("width_px")},
+       |  ${z("height_px")},
+       |  ${z("avcc_bytes")},
+       |  ${z("moov_bytes")},
+       |  ${z("total_bytes")}
+       |FROM census ORDER BY media_id""".stripMargin
+  }
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -2095,6 +2219,9 @@ object PrepQueries {
     "q239_pdf_census" -> q239_pdf_census,
     "q240_pdf_quarantine" -> q240_pdf_quarantine,
     "q241_pdf_extract" -> q241_pdf_extract,
+    "q242_mp4_box_census" -> q242_mp4_box_census,
+    "q243_mp4_h264_bridge" -> q243_mp4_h264_bridge,
+    "q244_mp4_quarantine" -> q244_mp4_quarantine,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -2142,6 +2269,11 @@ object PrepQueries {
     "q239_pdf_census" -> q239Sql,
     "q240_pdf_quarantine" -> q240Sql,
     "q241_pdf_extract" -> q241Sql,
+    "q242_mp4_box_census" -> q242Sql,
+    // the bridge must reproduce the directly-written Annex-B stream's
+    // census exactly — q204's oracle verbatim
+    "q243_mp4_h264_bridge" -> q204Sql,
+    "q244_mp4_quarantine" -> q244Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,
