@@ -351,6 +351,19 @@ object Mp4 {
     * box tree. `breakRefs` plants the cross-box lies (id % 13: stsz;
     * else id % 11: stco).
     */
+  private[multimodal] def mp4BytesFor(id: Long, t: String,
+      breakRefs: Boolean): Array[Byte] = {
+    val codes = Multimodal.asciiBytes(t)
+    val slices = Multimodal.h264FrameParams(id, codes)
+      .map { case (r, ty, pl, _) => (r, ty, pl, 0) }
+    val sps = Multimodal.h264SpsFor(id)
+    val units = Codecs.h264NalUnitsMultiPps(sps,
+      Seq(Codecs.DefaultPps), slices)
+    encodeMp4(sps, units(0), units(1), units.drop(2),
+      lieStsz = breakRefs && id % 13 == 0,
+      lieStco = breakRefs && id % 13 != 0 && id % 11 == 0)
+  }
+
   def mp4FromText(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, breakRefs: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
@@ -358,16 +371,7 @@ object Mp4 {
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val codes = Multimodal.asciiBytes(t)
-        val slices = Multimodal.h264FrameParams(id, codes)
-          .map { case (r, ty, pl, _) => (r, ty, pl, 0) }
-        val sps = Multimodal.h264SpsFor(id)
-        val units = Codecs.h264NalUnitsMultiPps(sps,
-          Seq(Codecs.DefaultPps), slices)
-        MediaRow(id, "video/mp4", encodeMp4(sps, units(0), units(1),
-          units.drop(2),
-          lieStsz = breakRefs && id % 13 == 0,
-          lieStco = breakRefs && id % 13 != 0 && id % 11 == 0))
+        MediaRow(id, "video/mp4", mp4BytesFor(id, t, breakRefs))
       })
   }
 

@@ -1371,6 +1371,67 @@ object Multimodal {
     })
   }
 
+  /** An UNLABELED heterogeneous document/video lake: per doc one
+    * object — PDF (doc_id % 3 == 0), MP4 (== 1), raw Annex-B H.264
+    * (== 2) — with NO container column (`application/octet-stream`):
+    * the dispatch tier must route by the bytes alone, the q184/q230
+    * production shape extended over the round's new containers.
+    */
+  def docLakeFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val bytes = (id % 3) match {
+          case 0 => Pdf.pdfBytesFor(id, t, breakRefs = false)
+          case 1 => Mp4.mp4BytesFor(id, t, breakRefs = false)
+          case _ => h264BytesFor(id, t, withSei = false)
+        }
+        MediaRow(id, "application/octet-stream", bytes)
+      })
+  }
+
+  case class DocLakeCensus(media_id: Long, container: String,
+      n_units: Long, payload_bytes: Long, total_bytes: Long)
+
+  /** ONE decode job over the unlabeled lake: sniff the container by
+    * its magic bytes (`%PDF` / `ftyp` at offset 4 / an Annex-B start
+    * code — each unambiguous at its position), route to the REAL
+    * walker, and read out container-comparable statistics (units =
+    * objects / samples / NALs; payload = decoded content stream /
+    * mdat payload / summed RBSP bytes). An unrecognizable object is a
+    * loud error — at 100 TB a silent mis-route poisons a whole
+    * modality's statistics.
+    */
+  def docLakeDispatch(media: Dataset[MediaRow]): Dataset[DocLakeCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.content
+      def at(p: Int, s: String): Boolean =
+        b.length >= p + s.length && s.getBytes("US-ASCII").zipWithIndex
+          .forall { case (c, i) => b(p + i) == c }
+      if (at(0, "%PDF")) {
+        val d = Pdf.decodePdf(b)
+        DocLakeCensus(r.media_id, "pdf",
+          d.objects.size.toLong, d.content.length.toLong,
+          d.totalBytes.toLong)
+      } else if (at(4, "ftyp")) {
+        val d = Mp4.decodeMp4(b)
+        DocLakeCensus(r.media_id, "mp4", d.samples.size.toLong,
+          d.samples.map(4L + _.length).sum, b.length.toLong)
+      } else if (b.length >= 4 && b(0) == 0 && b(1) == 0 &&
+          (b(2) == 1 || (b(2) == 0 && b(3) == 1))) {
+        val s = Codecs.decodeH264Stream(b)
+        DocLakeCensus(r.media_id, "h264", s.nals.size.toLong,
+          s.nals.map(_.rbspBytes.toLong).sum, b.length.toLong)
+      } else throw new IllegalArgumentException(
+        s"media ${r.media_id}: unrecognized container " +
+          s"(${b.take(8).map(x => f"${x & 0xFF}%02x").mkString(" ")})")
+    })
+  }
+
   /** Decode IMA ADPCM payloads (REAL nibble reconstruction —
     * [[Codecs.decodeWavAdpcm]]) into the shared container-agnostic
     * audio stats kernel.

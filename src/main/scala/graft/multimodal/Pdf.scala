@@ -225,7 +225,7 @@ object Pdf {
 
   // ------------------------------------------------------ Spark tiers
 
-  private def pdfBytesFor(id: Long, t: String,
+  private[multimodal] def pdfBytesFor(id: Long, t: String,
       breakRefs: Boolean): Array[Byte] = {
     val codes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .filter(b => (b & 0x80) == 0)

@@ -2015,6 +2015,45 @@ object PrepQueries {
        |FROM census ORDER BY media_id""".stripMargin
   }
 
+  /** q245 — HETEROGENEOUS DOCUMENT-LAKE DISPATCH: one decode job over
+    * an UNLABELED lake of PDFs, MP4s, and raw Annex-B H.264 streams
+    * (no container column on the wire — the q184/q230 production
+    * shape over the round's new containers): route by magic bytes
+    * (`%PDF` / `ftyp` at offset 4 / a start code), walk with the REAL
+    * decoder, and read out container-comparable statistics. An
+    * unrecognizable object is a loud error — a silent mis-route at
+    * 100 TB poisons a modality's statistics. The oracle prices every
+    * branch from the same arithmetic the per-container censuses use
+    * (q239's PDF CTEs, q242's MP4 CTEs, q204's stream arithmetic —
+    * the m-CTEs carry all three of nf / plen_sum / sps_bytes).
+    */
+  val q245_doc_lake_dispatch: Q = (s, d) =>
+    graft.multimodal.Multimodal.docLakeDispatch(
+        graft.multimodal.Multimodal.docLakeFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q245Sql: String =
+    s"""WITH $PdfCte,
+       |$Mp4Cte
+       |SELECT p.media_id,
+       |  CASE WHEN p.media_id % 3 = 0 THEN 'pdf'
+       |       WHEN p.media_id % 3 = 1 THEN 'mp4'
+       |       ELSE 'h264' END AS container,
+       |  CAST(CASE WHEN p.media_id % 3 = 0 THEN 4
+       |       WHEN p.media_id % 3 = 1 THEN m.nf
+       |       ELSE m.nf + 2 END AS BIGINT) AS n_units,
+       |  CAST(CASE WHEN p.media_id % 3 = 0 THEN p.clen
+       |       WHEN p.media_id % 3 = 1 THEN m.mdatp
+       |       ELSE m.sps_bytes + 3 + m.plen_sum END AS BIGINT)
+       |    AS payload_bytes,
+       |  CAST(CASE WHEN p.media_id % 3 = 0 THEN p.total
+       |       WHEN p.media_id % 3 = 1 THEN 24 + m.moov + 8 + m.mdatp
+       |       ELSE 12 + m.sps_bytes + 4 * m.nf + m.plen_sum END
+       |    AS BIGINT) AS total_bytes
+       |FROM p5 p JOIN m5 m USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
   /** q184 — QUARANTINE PARITY across all four compressed containers:
     * a MIXED media lake (container by doc_id % 4 — PNG / GIF / JPEG /
     * FLAC) with a format-SPECIFIC planted corruption class per format
@@ -2222,6 +2261,7 @@ object PrepQueries {
     "q242_mp4_box_census" -> q242_mp4_box_census,
     "q243_mp4_h264_bridge" -> q243_mp4_h264_bridge,
     "q244_mp4_quarantine" -> q244_mp4_quarantine,
+    "q245_doc_lake_dispatch" -> q245_doc_lake_dispatch,
     "q183_adpcm_decode" -> q183_adpcm_decode,
     "q184_quarantine_mixed" -> q184_quarantine_mixed,
     "q185_flc_decode" -> q185_flc_decode,
@@ -2274,6 +2314,7 @@ object PrepQueries {
     // census exactly — q204's oracle verbatim
     "q243_mp4_h264_bridge" -> q204Sql,
     "q244_mp4_quarantine" -> q244Sql,
+    "q245_doc_lake_dispatch" -> q245Sql,
     "q183_adpcm_decode" -> q183Sql,
     "q184_quarantine_mixed" -> q184Sql,
     "q185_flc_decode" -> q185Sql,
