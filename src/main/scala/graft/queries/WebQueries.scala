@@ -320,18 +320,20 @@ object WebQueries {
     * third framing layer the ingest must walk: status line, header
     * block, then Content-Length OR chunked transfer coding (hex-sized
     * CRLF-delimited chunks, zero-chunk close) — and NOW a fourth, the
-    * CONTENT coding: every odd id ships `Content-Encoding: gzip`
-    * (real crawls are mostly compressed on the wire), inflated by the
-    * engine's own RFC 1952 walk AFTER chunk de-framing, the RFC 9110
-    * §8.4 order — both codings compose on ids that are odd multiples
-    * of 3. Every 17th id is a 404 with an empty body, every 3rd is
-    * chunked — status, transfer, and content splits all live. The
-    * oracle prices the status lines, each header line, the gzip
-    * member arithmetic (18 + 5·⌈n/65535⌉ + n), and the chunk framing
+    * CONTENT coding: odd ids ship compressed bodies (real crawls are
+    * mostly compressed on the wire) — `gzip` by default, zlib
+    * `deflate` on ids ≡ 0 (mod 5), and `br` on ids ≡ 3 (mod 5), each
+    * decoded by the engine's OWN walk (RFC 1952 / 1950 / 7932) AFTER
+    * chunk de-framing, the RFC 9110 §8.4 order. Every 17th id is a
+    * 404 with an empty body, every 3rd is chunked — status, transfer,
+    * and all THREE content codings live on one wire. The oracle
+    * prices the status lines, each header line, the per-coding wire
+    * arithmetic (gzip 18 + 5·⌈n/65535⌉ + n; zlib 6 + 5·⌈n/65535⌉ + n;
+    * brotli 3·⌈n/65535⌉ + n + 1, 1 when empty), and the chunk framing
     * over the ENCODED body (⌊wb/100⌋ full chunks of 106 wire bytes +
     * the hex-width remainder + the 5-byte close), while body/sum
-    * fields price the DECODED bytes — content identity through both
-    * codings.
+    * fields price the DECODED bytes — content identity through every
+    * coding.
     */
   val q219_http_census: Q = (s, d) =>
     WebLake.httpResponseCensus(
@@ -340,9 +342,10 @@ object WebQueries {
 
   // The HTTP message priced per doc: 404/chunked/content-coding splits,
   // header bytes by line, the gzip member arithmetic (stored deflate,
-  // no FNAME: 18 + 5*ceil(n/65535) + n) and the zlib `deflate`
-  // arithmetic (2-byte header + stored blocks + Adler-32:
-  // 6 + 5*ceil(n/65535) + n) for the encoded shares, chunk framing
+  // no FNAME: 18 + 5*ceil(n/65535) + n), the zlib `deflate` arithmetic
+  // (2-byte header + stored blocks + Adler-32: 6 + 5*ceil(n/65535) + n)
+  // and the brotli uncompressed-framing arithmetic (1 byte empty, else
+  // 3*ceil(n/65535) + n + 1) for the encoded shares, chunk framing
   // over the ENCODED body, and the message total. Content-Length
   // counts the wire body; body/sum fields price the DECODED bytes.
   private val HttpCte =
@@ -351,30 +354,35 @@ object WebQueries {
       |    doc_id % 32 AS aid,
       |    doc_id % 17 = 0 AS nf,
       |    doc_id % 3 = 0 AS ch,
-      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 <> 0 AS gz,
+      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 <> 0
+      |      AND doc_id % 5 <> 3 AS gz,
       |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 = 0 AS df,
+      |    doc_id % 2 = 1 AND doc_id % 17 <> 0 AND doc_id % 5 = 3 AS br,
       |    [ord(c) for c in string_split(coalesce(text, ''), '')
       |     if ord(c) BETWEEN 0 AND 127] AS codes
       |  FROM documents),
       |h AS (
-      |  SELECT doc_id, aid, nf, ch, gz, df,
+      |  SELECT doc_id, aid, nf, ch, gz, df, br,
       |    CASE WHEN nf THEN 0 ELSE len(codes) END AS n,
       |    CASE WHEN nf THEN 0 ELSE coalesce(list_sum(codes), 0) END AS ps,
       |    len(codes) AS rawn
       |  FROM a2),
       |hw AS (
-      |  SELECT doc_id, aid, nf, ch, gz, df, n, ps, rawn,
+      |  SELECT doc_id, aid, nf, ch, gz, df, br, n, ps, rawn,
       |    CASE WHEN nf THEN 0
       |         WHEN gz THEN 18 + 5 * greatest(1,
       |             CAST(ceil(n / 65535.0) AS BIGINT)) + n
       |         WHEN df THEN 6 + 5 * greatest(1,
       |             CAST(ceil(n / 65535.0) AS BIGINT)) + n
+      |         WHEN br THEN CASE WHEN n = 0 THEN 1
+      |             ELSE 3 * CAST(ceil(n / 65535.0) AS BIGINT) + n + 1 END
       |         ELSE n END AS wb
       |  FROM h),
       |hm AS (
-      |  SELECT doc_id, aid, nf, ch, gz, df, n, ps, rawn, wb,
+      |  SELECT doc_id, aid, nf, ch, gz, df, br, n, ps, rawn, wb,
       |    CASE WHEN nf THEN 24 ELSE 17 END + 19 + 26
-      |      + CASE WHEN gz THEN 24 WHEN df THEN 27 ELSE 0 END
+      |      + CASE WHEN gz THEN 24 WHEN df THEN 27 WHEN br THEN 22
+      |             ELSE 0 END
       |      + CASE WHEN ch THEN 28
       |             ELSE 18 + length(CAST(wb AS VARCHAR)) END + 2 AS hdr,
       |    CASE WHEN ch THEN (wb // 100) * 106
@@ -393,6 +401,7 @@ object WebQueries {
        |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
        |  CAST(sum(CASE WHEN gz THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip,
        |  CAST(sum(CASE WHEN df THEN 1 ELSE 0 END) AS BIGINT) AS n_deflate,
+       |  CAST(sum(CASE WHEN br THEN 1 ELSE 0 END) AS BIGINT) AS n_brotli,
        |  CAST(sum(hdr) AS BIGINT) AS http_header_bytes,
        |  CAST(sum(n) AS BIGINT) AS body_bytes,
        |  CAST(sum(ps) AS BIGINT) AS sum_body,
@@ -762,12 +771,13 @@ object WebQueries {
     * nobody labels real objects, the magic bytes are the label)
     * routed by magic-byte sniffing to the REAL walker, with the
     * de-framed payload censused — a mis-route shows up as a wrong
-    * byte sum, not just a wrong label. Brotli is RECOGNIZED (the
-    * draft `.br` magic `ce b2 cf 81`; raw brotli has no magic — the
-    * honest limit of sniffing) and routed to a NAMED
-    * `brotli-unsupported` quarantine rather than mislabeled; and
-    * since zstd's skippable magic is all-ASCII-range, a colliding
-    * plain prefix falls back to `plain` instead of failing the stage.
+    * byte sum, not just a wrong label. The brotli route now DECODES
+    * through the engine's own RFC 7932 walk (round 15's
+    * `brotli-unsupported` quarantine is gone — the draft `.br` magic
+    * `ce b2 cf 81` fronts a real stream the oracle prices like every
+    * other branch); and since zstd's skippable magic is
+    * all-ASCII-range, a colliding plain prefix falls back to `plain`
+    * instead of failing the stage.
     */
   val q230_compression_sniff: Q = (s, d) =>
     WebLake.sniffCompression(
@@ -786,12 +796,12 @@ object WebQueries {
       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |  CASE CAST(doc_id % 4 AS INTEGER)
       |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
-      |    WHEN 2 THEN 'brotli-unsupported' ELSE 'plain' END AS format,
+      |    WHEN 2 THEN 'brotli' ELSE 'plain' END AS format,
       |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
-      |    WHEN 1 THEN n + 32 WHEN 2 THEN 0 ELSE n END AS BIGINT)
+      |    WHEN 1 THEN n + 32 ELSE n END AS BIGINT)
       |    AS payload_len,
       |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
-      |    WHEN 1 THEN psum + 32 * 126 WHEN 2 THEN 0 ELSE psum END
+      |    WHEN 1 THEN psum + 32 * 126 ELSE psum END
       |    AS BIGINT) AS payload_sum,
       |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
       |    WHEN 0 THEN 18 + 5 * greatest(1,
@@ -799,7 +809,8 @@ object WebQueries {
       |    WHEN 1 THEN 16 + 5 + CASE WHEN n + 32 < 256 THEN 1
       |          WHEN n + 32 < 65792 THEN 2 ELSE 4 END
       |        + 3 * (CAST(ceil(n / 128.0) AS BIGINT) + 1) + n + 1 + 4
-      |    WHEN 2 THEN n + 4
+      |    WHEN 2 THEN 4 + CASE WHEN n = 0 THEN 1
+      |        ELSE 3 * CAST(ceil(n / 65535.0) AS BIGINT) + n + 1 END
       |    ELSE n END AS BIGINT) AS object_len
       |FROM z ORDER BY doc_id""".stripMargin
 
@@ -913,8 +924,85 @@ object WebQueries {
        |            FROM documents)) z2 ON zm.doc_id = z2.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q246 — BROTLI OBJECT CENSUS (RFC 7932), the round-16 frontier:
+    * the round-15 `brotli-unsupported` quarantine is GONE — per-doc
+    * `.br` objects (bare streams, the on-disk shape) synthesized by
+    * the engine's own uncompressed-framing encoder are walked back by
+    * the engine's own FULL decoder ([[graft.web.Brotli]]: prefix
+    * codes, block switching, context maps, distance ring, static
+    * dictionary + 121 transforms — reference-library conformance
+    * pinned in BrotliSpec across qualities 0-11). The oracle prices
+    * every field from the framing arithmetic alone: ⌈n/65535⌉ data
+    * metablocks + the empty last one, stream = 3·⌈n/65535⌉ + n + 1
+    * (1 when empty), payload identity via byte count and sum.
+    */
+  val q246_brotli_census: Q = (s, d) =>
+    WebLake.brotliCensus(
+        WebLake.brotliLake(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  private val BrotliCte =
+    """bz AS (
+      |  SELECT doc_id,
+      |    len([ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127]) AS n,
+      |    coalesce(list_sum([ord(c) for c in
+      |      string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127]), 0) AS psum
+      |  FROM documents),
+      |bm AS (
+      |  SELECT doc_id, n, psum,
+      |    CAST(ceil(n / 65535.0) AS BIGINT) AS chunks,
+      |    CASE WHEN n = 0 THEN 1
+      |      ELSE 3 * CAST(ceil(n / 65535.0) AS BIGINT) + n + 1 END AS sb
+      |  FROM bz)""".stripMargin
+
+  val q246Sql: String =
+    s"""WITH $BrotliCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(16 AS INTEGER) AS wbits,
+       |  CAST(chunks + 1 AS BIGINT) AS n_metablocks,
+       |  CAST(chunks AS BIGINT) AS n_uncompressed,
+       |  CAST(0 AS BIGINT) AS n_literals,
+       |  CAST(0 AS BIGINT) AS n_dict_refs,
+       |  CAST(n AS BIGINT) AS out_bytes,
+       |  CAST(psum AS BIGINT) AS sum_out,
+       |  CAST(sb AS BIGINT) AS stream_bytes
+       |FROM bm ORDER BY doc_id""".stripMargin
+
+  /** q247 — BROTLI QUARANTINE, record-level (the ELEVENTH container
+    * class): every 13th object loses its final stream byte — a
+    * capture truncated in flight whose loss only the RFC 7932 walk
+    * itself can detect (there is no outer checksum to lean on; the
+    * metablock grammar IS the integrity check). The bad object
+    * quarantines alone with its stats zeroed; the rest of the lake
+    * keeps flowing — and the oracle predicts exactly which ids fail
+    * and the genuine statistics of the rest.
+    */
+  val q247_brotli_quarantine: Q = (s, d) =>
+    WebLake.tryBrotliCensus(
+        WebLake.brotliLake(s, Tables.documents(s, d), truncateEvery = 13L))
+      .toDF().orderBy("doc_id")
+
+  val q247Sql: String =
+    s"""WITH $BrotliCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS INTEGER)
+       |    AS decode_ok,
+       |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE chunks + 1 END
+       |    AS BIGINT) AS n_metablocks,
+       |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n END AS BIGINT)
+       |    AS out_bytes,
+       |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE psum END AS BIGINT)
+       |    AS sum_out,
+       |  CAST(CASE WHEN doc_id % 13 = 0 THEN sb - 1 ELSE sb END AS BIGINT)
+       |    AS stream_bytes
+       |FROM bm ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q232_zstd_entropy_census" -> q232_zstd_entropy_census,
+    "q246_brotli_census" -> q246_brotli_census,
+    "q247_brotli_quarantine" -> q247_brotli_quarantine,
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
     "q214_cdx_index" -> q214_cdx_index,
@@ -938,6 +1026,8 @@ object WebQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q232_zstd_entropy_census" -> q232Sql,
+    "q246_brotli_census" -> q246Sql,
+    "q247_brotli_quarantine" -> q247Sql,
     "q212_gzip_member_census" -> q212Sql,
     "q213_warc_record_census" -> q213Sql,
     "q214_cdx_index" -> q214Sql,

@@ -39,9 +39,10 @@ object Http {
     * the transfer-decoded body. `gzip` runs the engine's own RFC 1952
     * walk (CRC32 + ISIZE verified; the body must be exactly one
     * member); `deflate` inflates through the engine's own RFC 1950
-    * zlib walk (header + Adler-32 verified); identity passes through;
-    * anything else is a loud contract error — a crawl record claiming
-    * brotli needs a decoder, not a silent pass-through.
+    * zlib walk (header + Adler-32 verified); `br` decodes through the
+    * engine's own RFC 7932 walk ([[Brotli]] — full grammar, static
+    * dictionary, transforms); identity passes through; anything else
+    * is a loud contract error, not a silent pass-through.
     */
   def decodedBody(r: Response): Array[Byte] = r.contentEncoding match {
     case "" | "identity" => r.body
@@ -54,6 +55,10 @@ object Http {
       // RFC 9110 §8.4.1.2: the zlib container (header + Adler-32), not
       // a bare DEFLATE stream — Deflate.zlibInflate verifies both
       Deflate.zlibInflate(r.body)
+    case "br" =>
+      // RFC 7932 via the engine's own walk: the body is exactly one
+      // brotli stream (Brotli.decode rejects trailing bytes itself)
+      Brotli.decode(r.body)
     case other =>
       throw new IllegalArgumentException(
         s"http: unsupported Content-Encoding '$other'")

@@ -293,17 +293,20 @@ object WebLake {
     val notFound = id % 17 == 0
     val chunked = id % 3 == 0
     // odd ids ship compressed bodies — real crawls are mostly
-    // compressed on the wire; every 5th of those uses the zlib
-    // `deflate` coding (the other coding real servers actually send),
-    // the rest gzip. The engine owns both containers (its own RFC
-    // 1952/1950 walks), so the coding layers COMPOSE: content coding
-    // first, then chunked transfer framing over the encoded bytes,
-    // exactly the RFC 9110 §8.4 order
+    // compressed on the wire; of those, every 5th uses the zlib
+    // `deflate` coding, ids ≡ 3 (mod 5) use `br` (the third coding
+    // real servers actually send — the engine's own RFC 7932 walk),
+    // and the rest gzip. The engine owns all three containers, so the
+    // coding layers COMPOSE: content coding first, then chunked
+    // transfer framing over the encoded bytes, exactly the RFC 9110
+    // §8.4 order
     val enc = id % 2 == 1 && !notFound
     val defl = enc && id % 5 == 0
+    val br = enc && id % 5 == 3
     val wireBody =
       if (notFound) Array.emptyByteArray
       else if (defl) Deflate.zlibWrap(body)
+      else if (br) Brotli.encodeUncompressed(body)
       else if (enc) Gzip.member(body, fname = None, fixedHuffman = false,
         mtime = 0L)
       else body
@@ -313,6 +316,7 @@ object WebLake {
       headers = Seq("Server" -> "graft/1.0",
         "Content-Type" -> "text/plain") ++
         (if (defl) Seq("Content-Encoding" -> "deflate")
+         else if (br) Seq("Content-Encoding" -> "br")
          else if (enc) Seq("Content-Encoding" -> "gzip") else Nil),
       body = wireBody,
       chunked = chunked, chunkSize = 100)
@@ -377,7 +381,7 @@ object WebLake {
     */
   case class HttpCensus(archive_id: Long, n_responses: Long, n_200: Long,
       n_404: Long, n_chunked: Long, n_gzip: Long, n_deflate: Long,
-      http_header_bytes: Long,
+      n_brotli: Long, http_header_bytes: Long,
       body_bytes: Long, sum_body: Long, wire_bytes: Long,
       max_msg_len: Long)
 
@@ -399,6 +403,7 @@ object WebLake {
         n_chunked = rs.count(_._2.chunked).toLong,
         n_gzip = rs.count(_._2.contentEncoding == "gzip").toLong,
         n_deflate = rs.count(_._2.contentEncoding == "deflate").toLong,
+        n_brotli = rs.count(_._2.contentEncoding == "br").toLong,
         http_header_bytes = rs.iterator.map(_._2.headerBytes.toLong).sum,
         body_bytes = rs.iterator.map(_._3.length.toLong).sum,
         sum_body = rs.iterator.map(r =>
@@ -874,11 +879,10 @@ object WebLake {
 
   /** A mixed compression lake: per doc one object — gzip member, zstd
     * object (seek frame + data frame, the q225 shape), a draft-framed
-    * brotli object (`ce b2 cf 81` + an opaque body the engine does
-    * not decode — real crawls ship brotli and the dispatcher must
-    * NAME it, not mislabel it), or plain bytes — by id residue. What
-    * a real ingest actually faces: nobody labels the objects; the
-    * magic bytes are the label.
+    * brotli object (`ce b2 cf 81` + a REAL RFC 7932 stream the
+    * engine's own [[Brotli]] walk decodes), or plain bytes — by id
+    * residue. What a real ingest actually faces: nobody labels the
+    * objects; the magic bytes are the label.
     */
   def mixedCompressionLake(spark: SparkSession, docs: DataFrame): Dataset[ArchiveRow] = {
     import spark.implicits._
@@ -897,7 +901,8 @@ object WebLake {
             Zstd.encodeSkippable(seekId) ++
               Zstd.encodeFrame(payload, rleLen = 32, rleByte = '~')
           case 2 =>
-            Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++ payload
+            Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++
+              Brotli.encodeUncompressed(payload)
           case _ => payload // uncompressed
         }
         ArchiveRow(id, bytes)
@@ -908,15 +913,17 @@ object WebLake {
     * before any walker runs: `1f 8b` → gzip, `28 b5 2f fd` /
     * `18 4d 2a 5x` → zstd, `ce b2 cf 81` (the draft `.br` framing
     * magic — RAW brotli has no magic at all, the honest limit of
-    * sniffing) → quarantined `brotli-unsupported`, anything else →
-    * plain. The gzip magic needs a byte ≥ 0x80 so ASCII payloads
-    * cannot collide with it, but the zstd SKIPPABLE magic is all
-    * ≤ 0x7F (`P*M` + 0x18 — a control byte that survives the ASCII
-    * projection), so a colliding prefix is possible: a sniff route
-    * whose walk fails contract-checks FALLS BACK to `plain` rather
-    * than failing the stage. The detected format drives the REAL
-    * walker and the de-framed payload is censused — a mis-route shows
-    * up as a wrong byte sum, not just a wrong label.
+    * sniffing) → the engine's own RFC 7932 walk ([[Brotli]] — the
+    * round-15 `brotli-unsupported` quarantine is GONE), anything else
+    * → plain. The gzip and brotli magics carry bytes ≥ 0x80 so ASCII
+    * payloads cannot collide with them — a failed walk behind either
+    * is real corruption and stays loud; the zstd SKIPPABLE magic is
+    * all ≤ 0x7F (`P*M` + 0x18 — a control byte that survives the
+    * ASCII projection), so a colliding prefix is possible and that
+    * route FALLS BACK to `plain` rather than failing the stage. The
+    * detected format drives the REAL walker and the de-framed payload
+    * is censused — a mis-route shows up as a wrong byte sum, not just
+    * a wrong label.
     */
   case class SniffedObject(doc_id: Long, format: String, payload_len: Long,
       payload_sum: Long, object_len: Long)
@@ -938,9 +945,12 @@ object WebLake {
         } else if (b.length >= 4 && (b(0) & 0xFF) == 0xCE &&
             (b(1) & 0xFF) == 0xB2 && (b(2) & 0xFF) == 0xCF &&
             (b(3) & 0xFF) == 0x81) {
-          // recognized but undecodable: the dispatcher's job is to
-          // route it to quarantine with a NAME, not mislabel it plain
-          ("brotli-unsupported", (0L, 0L))
+          // the draft framing magic has bytes >= 0x80: no ASCII
+          // collision, so a failed walk here is real corruption and
+          // stays loud — the payload is one RFC 7932 stream
+          val payload = Brotli.decode(
+            java.util.Arrays.copyOfRange(b, 4, b.length))
+          ("brotli", (payload.length.toLong, sum(payload)))
         } else if (b.length >= 4 && (b(0) & 0xFF) == 0x28 &&
             (b(1) & 0xFF) == 0xB5 && (b(2) & 0xFF) == 0x2F &&
             (b(3) & 0xFF) == 0xFD ||
@@ -959,6 +969,74 @@ object WebLake {
           }
         } else plain
       SniffedObject(a.archive_id, fmt, data._1, data._2, b.length.toLong)
+    })
+  }
+
+  // --------------------------------------------------- brotli objects
+
+  /** Per-doc `.br` objects (bare RFC 7932 streams — the on-disk shape,
+    * no framing magic), synthesized by the engine's own encoder from
+    * the shared ASCII projection of `text`. `truncateEvery` > 0 drops
+    * the final stream byte of ids divisible by it — a capture cut off
+    * in flight, whose loss only the brotli walk itself can detect.
+    */
+  def brotliLake(spark: SparkSession, docs: DataFrame,
+      truncateEvery: Long = 0L): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val enc = Brotli.encodeUncompressed(asciiBytes(t))
+        val bytes =
+          if (truncateEvery > 0 && id % truncateEvery == 0)
+            java.util.Arrays.copyOf(enc, enc.length - 1)
+          else enc
+        ArchiveRow(id, bytes)
+      })
+  }
+
+  /** Per-object census of the RFC 7932 walk: metablock splits, the
+    * decoded payload's byte count/sum, and the wire size — every field
+    * priced by the oracle from the uncompressed-framing arithmetic
+    * (1 byte empty, else 3·⌈n/65535⌉ + n + 1; ⌈n/65535⌉ data
+    * metablocks plus the empty last one).
+    */
+  case class BrotliCensus(doc_id: Long, wbits: Int, n_metablocks: Long,
+      n_uncompressed: Long, n_literals: Long, n_dict_refs: Long,
+      out_bytes: Long, sum_out: Long, stream_bytes: Long)
+
+  def brotliCensus(objects: Dataset[ArchiveRow]): Dataset[BrotliCensus] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      val (_, s) = Brotli.decodeWithStats(a.content)
+      BrotliCensus(a.archive_id, s.wbits, s.nMetablocks, s.nUncompressed,
+        s.nLiterals, s.nDictRefs, s.outBytes, s.sumOut, s.streamBytes)
+    })
+  }
+
+  /** RECORD-level brotli quarantine: a stream whose walk throws
+    * quarantines THAT object (decode_ok = 0, stats zeroed); the rest
+    * of the lake keeps flowing — never a stage crash, never a silently
+    * wrong statistic.
+    */
+  case class TriedBrotliCensus(doc_id: Long, decode_ok: Int,
+      n_metablocks: Long, out_bytes: Long, sum_out: Long,
+      stream_bytes: Long)
+
+  def tryBrotliCensus(
+      objects: Dataset[ArchiveRow]): Dataset[TriedBrotliCensus] = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.map { a =>
+      try {
+        val (_, s) = Brotli.decodeWithStats(a.content)
+        TriedBrotliCensus(a.archive_id, 1, s.nMetablocks, s.outBytes,
+          s.sumOut, s.streamBytes)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedBrotliCensus(a.archive_id, 0, 0L, 0L, 0L,
+            a.content.length.toLong)
+      }
     })
   }
 

@@ -416,10 +416,15 @@ class WebArchiveSpec extends AnyFunSuite {
     val plain = Http.parseResponse(Http.encodeResponse(200, "OK",
       Seq.empty, text, chunked = false))
     assert(Http.decodedBody(plain) eq plain.body)
-    // a coding the engine does not own is a loud error, not a pass-through
+    // `br` decodes through the engine's own RFC 7932 walk
     val br = Http.parseResponse(Http.encodeResponse(200, "OK",
-      Seq("Content-Encoding" -> "br"), text, chunked = false))
-    val e = intercept[IllegalArgumentException](Http.decodedBody(br))
+      Seq("Content-Encoding" -> "br"),
+      graft.web.Brotli.encodeUncompressed(text), chunked = false))
+    assert(java.util.Arrays.equals(Http.decodedBody(br), text))
+    // a coding the engine does not own is a loud error, not a pass-through
+    val zst = Http.parseResponse(Http.encodeResponse(200, "OK",
+      Seq("Content-Encoding" -> "zstd"), text, chunked = false))
+    val e = intercept[IllegalArgumentException](Http.decodedBody(zst))
     assert(e.getMessage.contains("Content-Encoding"))
     // a CORRUPT gzip body (CRC flip) is caught by the inflate layer
     val badMember = member.clone()
@@ -1057,16 +1062,17 @@ class WebArchiveSpec extends AnyFunSuite {
 
   test("sniff dispatch corners: an ASCII payload colliding with the " +
       "zstd SKIPPABLE magic ('P*M'+0x18) falls back to plain instead " +
-      "of failing the stage; the draft brotli magic routes to a NAMED " +
-      "brotli-unsupported quarantine, not 'plain'") {
+      "of failing the stage; the draft brotli magic routes to the " +
+      "engine's own RFC 7932 walk and the payload prices out") {
     import spark.implicits._
     import graft.web.WebLake
     // all four bytes of the skippable magic are <= 0x7F — a plain
     // payload CAN start with them (0x18 is an ASCII control byte)
     val collide = (Array('P', '*', 'M').map(_.toByte) :+ 0x18.toByte) ++
       ascii(" just text that resembles a zstd skippable frame header")
+    val text = "brotli body the engine now decodes itself"
     val brotli = Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++
-      ascii("opaque brotli body the engine does not decode")
+      graft.web.Brotli.encodeUncompressed(ascii(text))
     val rows = Seq(WebLake.ArchiveRow(1L, collide),
       WebLake.ArchiveRow(2L, brotli)).toDS()
     val got = WebLake.sniffCompression(rows).collect().sortBy(_.doc_id)
@@ -1074,8 +1080,24 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(got(0).payload_len === collide.length.toLong)
     assert(got(0).payload_sum ===
       collide.iterator.map(b => (b & 0xFF).toLong).sum)
-    assert(got(1).format === "brotli-unsupported")
-    assert(got(1).payload_len === 0L && got(1).payload_sum === 0L)
+    assert(got(1).format === "brotli")
+    assert(got(1).payload_len === text.length.toLong)
+    assert(got(1).payload_sum ===
+      ascii(text).iterator.map(b => (b & 0xFF).toLong).sum)
     assert(got(1).object_len === brotli.length.toLong)
+  }
+
+  test("sniffCompression: a garbled stream behind the brotli magic is " +
+      "LOUD (the magic has non-ASCII bytes — no plain collision, so a " +
+      "failed walk is real corruption, never a silent fallback)") {
+    import spark.implicits._
+    import graft.web.WebLake
+    val good = graft.web.Brotli.encodeUncompressed(ascii("some body"))
+    val bad = Array(0xCE, 0xB2, 0xCF, 0x81).map(_.toByte) ++
+      java.util.Arrays.copyOf(good, good.length - 1)
+    val rows = Seq(WebLake.ArchiveRow(1L, bad)).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      WebLake.sniffCompression(rows).collect())
+    assert(e.getMessage != null)
   }
 }
