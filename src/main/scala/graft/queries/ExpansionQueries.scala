@@ -191,21 +191,98 @@ object ExpansionQueries {
       |                    AND year(o.o_orderdate) = 1999)
       |ORDER BY c_custkey""".stripMargin
 
-  /** q51 — sketch aggregates (rows-only: HLL++ and T-digest internals are
-    * engine-specific, so the driver records shape and ScalaTest pins the
-    * ≤5% relative-error contract against the exact tier): the 100 TB
-    * cardinality/quantile path where exact distinct or a full sort per
-    * group is not an option.
+  /** q51 — sketch aggregates, FULLY oracle-checked (r16: the rows-only
+    * era is over): the 100 TB cardinality/quantile path where exact
+    * distinct or a full sort per group is not an option, rebuilt on
+    * sketches a SECOND ENGINE can reprice — [[graft.ops.RelationalHll]]
+    * register rows (md5-head hash, integer-exact register sum) for the
+    * cardinality leg, and exact order statistics over a q52-style
+    * deterministic 30% hash sample for the quantile leg. The oracle
+    * recomputes every register and every sampled rank; the old
+    * `approx_count_distinct`/`percentile_approx` surfaces offered
+    * engine-internal bytes no oracle could price. ExpansionSpec keeps
+    * the ≤5% relative-error contract against the exact tier.
     */
-  val q51_sketches: Q = (s, d) =>
-    Tables.lineitem(s, d)
+  val q51_sketches: Q = (s, d) => {
+    import graft.ops.RelationalHll
+    val li = Tables.lineitem(s, d)
+    val hll = RelationalHll.estimate(
+      RelationalHll.registers(
+        RelationalHll.registerRows(li, Seq("l_returnflag"),
+          col("l_orderkey")),
+        Seq("l_returnflag")),
+      Seq("l_returnflag"))
+    // deterministic 30% hash sample; approximate quantiles = exact
+    // lower order statistics of the sample (index ceil(q*n), 1-based)
+    val sampled = li
+      .filter(pmod(RelationalHll.hash60(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+        lit(10L)) < 3L)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double")
+        .as("price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("price")
+    val ranked = sampled
+      .withColumn("rk", row_number().over(w))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+    val quant = ranked
+      .filter(col("rk") === greatest(lit(1L), ceil(col("ns") * 0.5)) ||
+        col("rk") === greatest(lit(1L), ceil(col("ns") * 0.9)))
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
-        count(lit(1)).as("n"))
+        max(when(col("rk") === greatest(lit(1L), ceil(col("ns") * 0.5)),
+          col("price"))).as("approx_med"),
+        max(when(col("rk") === greatest(lit(1L), ceil(col("ns") * 0.9)),
+          col("price"))).as("approx_p90"))
+    val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    hll.select(col("l_returnflag"),
+        col("approx_distinct").as("approx_orders"),
+        col("reg_sum"), col("v_zero"))
+      .join(quant, Seq("l_returnflag"))
+      .join(n, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_med"),
+        col("approx_p90"), col("n"), col("reg_sum"), col("v_zero"))
       .orderBy("l_returnflag")
+  }
+
+  val q51Sql: String = {
+    import graft.ops.RelationalHll
+    s"""WITH ${RelationalHll.oracleRowsSql("l_returnflag", "l_orderkey",
+         "lineitem")},
+       |${RelationalHll.oracleEstimateSql(Seq("l_returnflag"))},
+       |samp AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price
+       |  FROM lineitem
+       |  WHERE CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+       |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)
+       |      AS BIGINT) % 10 < 3),
+       |ranked AS (
+       |  SELECT l_returnflag, price,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY price)
+       |      AS rk,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS ns
+       |  FROM samp),
+       |quant AS (
+       |  SELECT l_returnflag,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(ns * 0.5) AS BIGINT))
+       |        THEN price END) AS approx_med,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(ns * 0.9) AS BIGINT))
+       |        THEN price END) AS approx_p90
+       |  FROM ranked GROUP BY l_returnflag),
+       |nn AS (
+       |  SELECT l_returnflag, count(*) AS n FROM lineitem
+       |  GROUP BY l_returnflag)
+       |SELECT h.l_returnflag,
+       |  h.approx_distinct AS approx_orders,
+       |  q.approx_med, q.approx_p90,
+       |  CAST(nn.n AS BIGINT) AS n,
+       |  h.reg_sum, h.v_zero
+       |FROM hout h
+       |JOIN quant q ON h.l_returnflag = q.l_returnflag
+       |JOIN nn ON h.l_returnflag = nn.l_returnflag
+       |ORDER BY h.l_returnflag""".stripMargin
+  }
 
   /** q52 — deterministic hash sampling: a stable 10% slice keyed on
     * md5(doc_id), reproducible across engines, runs, and partitionings —
@@ -452,23 +529,61 @@ object ExpansionQueries {
       |LEFT JOIN daily d ON d.status = s.status AND d.day = sp.day
       |ORDER BY s.status, sp.day""".stripMargin
 
-  /** q60 — mergeable cardinality sketches (Apache DataSketches HLL via
-    * Spark's hll_sketch_agg/hll_union_agg): distinct customers per month
-    * computed by MERGING per-day sketches — the pre-aggregation pattern
-    * that makes 100 TB rollups incremental (store day sketches once, union
-    * for any period; an exact distinct would re-scan raw data per period).
-    * Rows-only (sketch binaries are engine-specific); ExpansionSpec pins
-    * the estimate to ≤5% of the exact tier.
+  /** q60 — mergeable cardinality sketches, FULLY oracle-checked (r16):
+    * distinct customers per month computed by MERGING per-day register
+    * states — the pre-aggregation pattern that makes 100 TB rollups
+    * incremental (store day sketches once, re-fold for any period; an
+    * exact distinct would re-scan raw data per period) — rebuilt on
+    * [[graft.ops.RelationalHll]] register rows so the sketch state is
+    * relations a second engine can reprice, not engine-internal
+    * DataSketches bytes. The day→month fold really runs (max-merge of
+    * day-grained registers), and because register max is associative
+    * the oracle prices the merged result directly per month — the
+    * mergeability property IS what the hash check certifies. The
+    * estimate is floor-quantized; `reg_sum`/`v_zero` pin the register
+    * state integer-exactly. ExpansionSpec keeps the ≤5% contract.
     */
   val q60_hll_merge: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"),
-        date_trunc("DAY", col("o_orderdate")).as("day"))
-      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-    daily.groupBy("month")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
-        count(lit(1)).as("n_days"))
+    import graft.ops.RelationalHll
+    val o = Tables.orders(s, d)
+      .withColumn("month", date_trunc("MONTH", col("o_orderdate")))
+      .withColumn("day", date_trunc("DAY", col("o_orderdate")))
+    // day-grained sketch states (what a rollup store would persist) ...
+    val daily = RelationalHll.registers(
+      RelationalHll.registerRows(o, Seq("month", "day"),
+        col("o_custkey")),
+      Seq("month", "day"))
+    // ... merged to months by re-folding registers (max is associative)
+    val monthly = RelationalHll.registers(
+      daily.select(col("month"), col("idx"), col("rho")), Seq("month"))
+    val days = o.select(col("month"), col("day")).distinct()
+      .groupBy("month").agg(count(lit(1)).as("n_days"))
+    RelationalHll.estimate(monthly, Seq("month"))
+      .select(col("month"), col("approx_distinct").as("approx_customers"),
+        col("reg_sum"), col("v_zero"))
+      .join(days, Seq("month"))
+      .select(col("month"), col("approx_customers"), col("n_days"),
+        col("reg_sum"), col("v_zero"))
       .orderBy("month")
+  }
+
+  val q60Sql: String = {
+    import graft.ops.RelationalHll
+    s"""WITH ${RelationalHll.oracleRowsSql(
+         "date_trunc('month', o_orderdate) AS month", "o_custkey",
+         "orders")},
+       |${RelationalHll.oracleEstimateSql(Seq("month"))},
+       |days AS (
+       |  SELECT month, CAST(count(*) AS BIGINT) AS n_days FROM (
+       |    SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+       |      date_trunc('day', o_orderdate) AS day
+       |    FROM orders)
+       |  GROUP BY month)
+       |SELECT CAST(h.month AS TIMESTAMP) AS month,
+       |  h.approx_distinct AS approx_customers,
+       |  days.n_days, h.reg_sum, h.v_zero
+       |FROM hout h JOIN days ON h.month = days.month
+       |ORDER BY month""".stripMargin
   }
 
   /** q61 — TIME-based window frames (RANGE BETWEEN INTERVAL): per-customer
@@ -822,5 +937,7 @@ object ExpansionQueries {
     "q48_histogram" -> q48Sql,
     "q49_vocab" -> q49Sql,
     "q50_exists" -> q50Sql,
-    "q52_hash_sample" -> q52Sql)
+    "q52_hash_sample" -> q52Sql,
+    "q51_sketches" -> q51Sql,
+    "q60_hll_merge" -> q60Sql)
 }

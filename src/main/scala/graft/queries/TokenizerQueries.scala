@@ -376,15 +376,61 @@ object TokenizerQueries {
       .limit(k)
   }
 
-  /** q114 — BM25 keyword ranking (rows-only: `ln` is not correctly-
-    * rounded cross-engine, so the float layer has no hash oracle; its
-    * integer core is q110's oracle row and its candidate/statistics
-    * consistency is q115's gate).
+  /** q114 — BM25 keyword ranking, FULLY oracle-checked (r16: the
+    * rows-only era is over): the DuckDB oracle recomputes the whole
+    * Robertson scoring — idf, per-term weight, per-doc sum — from the
+    * same integer statistics with the same operation order, and the
+    * 6-decimal quantization both sides emit absorbs the ≤ a-few-ulp
+    * `ln`/summation-order wiggle between engines (every input to every
+    * division is integer-exact in double, so the only non-identical
+    * steps are `ln` itself, 1-ulp-bounded per engine, and the ≤ 4-term
+    * per-doc sum). Its integer core stays q110's oracle row and its
+    * candidate/statistics consistency q115's gate.
     */
   val q114_bm25_rank: Q = (s, d) =>
     bm25TopK(s, d)
       .select(col("doc_id"), round(col("score"), 6).as("bm25"),
         col("n_terms"), col("total_tf"))
+
+  /** The full-scoring BM25 oracle shared by q114 (stats from the corpus
+    * scan) and q119 (stats from the stored posting state — the state
+    * must reproduce the scan's scoring bit-for-bit at 6 decimals, which
+    * also oracle-checks the fold).
+    */
+  val q114Sql: String =
+    """WITH dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok IN ('spark', 'data', 'query', 'join')
+      |  GROUP BY doc_id, tok),
+      |dfreq AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tf GROUP BY tok),
+      |w AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS w,
+      |    tf.tf AS tf
+      |  FROM tf JOIN dfreq d USING (tok)
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats s),
+      |sc AS (
+      |  SELECT doc_id, sum(w) AS score, count(*) AS n_terms,
+      |    CAST(sum(tf) AS BIGINT) AS total_tf
+      |  FROM w GROUP BY doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS bm25,
+      |  CAST(n_terms AS BIGINT) AS n_terms, total_tf
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** The q115 violation relation, factored so CurationGateSpec can poison
     * a top-k row and prove the gate fires: every BM25 top-k row must
@@ -517,11 +563,13 @@ object TokenizerQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
-  /** q119 — BM25 served from the posting state (rows-only, like q114):
-    * the scoring definition is shared with q114 via [[bm25FromStats]];
-    * only the statistics source differs (stored index vs corpus scan).
-    * Its integer layer is q118's oracle row; its candidate/statistics
-    * consistency is q120's gate.
+  /** q119 — BM25 served from the posting state, oracle-checked with
+    * q114's full-scoring SQL (r16): the scoring definition is shared
+    * via [[bm25FromStats]]; only the statistics source differs (stored
+    * index vs corpus scan), so the shared oracle also pins the fold —
+    * a posting generation that loses or duplicates an occurrence shifts
+    * the 6-decimal score. Its integer layer is q118's oracle row; its
+    * candidate/statistics consistency is q120's gate.
     */
   val q119_state_bm25_rank: Q = (s, d) =>
     graft.pipeline.CorpusBuild
@@ -1232,7 +1280,9 @@ object TokenizerQueries {
     "q107_ngram_lm_score" -> q107Sql,
     "q108_bpe_tokenize" -> q108Sql,
     "q110_keyword_search" -> q110Sql,
+    "q114_bm25_rank" -> q114Sql,
     "q115_bm25_gate" -> q115Sql,
+    "q119_state_bm25_rank" -> q114Sql,
     "q118_state_keyword_index" -> q118Sql,
     "q120_state_bm25_gate" -> q115Sql,
     "q131_phrase_search" -> q131Sql,
