@@ -55,23 +55,45 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over an array of token strings: bit b is set when more
-  * than half the tokens' xxhash64 values have bit b set.
+/** SimHash over an array of token strings: bit b is set when more than
+  * half the tokens' hash values have bit b set. Two hash modes:
+  *
+  *  - default (crossEngine = false): 64-bit xxhash64 (seed 42) — the
+  *    throughput mode, Spark-internal hashing;
+  *  - crossEngine = true: the first 60 BITS of md5 (the same
+  *    `conv(substr(md5(x), 1, 15), 16, 10)` head the q52 sampling tier
+  *    pins), yielding a 60-bit signature — slower per token, but a
+  *    SECOND ENGINE can recompute every signature bit, which is what
+  *    lets the q20 near-dup tier be hash-checked by the DuckDB oracle
+  *    instead of rows-only.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, crossEngine: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
+  private val bits = if (crossEngine) 60 else 64
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](bits)
+    val md = if (crossEngine) java.security.MessageDigest.getInstance("MD5")
+             else null
     var j = 0
     while (j < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+      val h =
+        if (crossEngine) {
+          md.reset()
+          val d = md.digest(arr.getUTF8String(j).getBytes)
+          // first 15 hex nibbles == first 60 bits, the conv() head
+          var v = 0L
+          var k = 0
+          while (k < 7) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+          (v << 4) | ((d(7) & 0xFFL) >>> 4)
+        } else XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
       var b = 0
-      while (b < 64) {
+      while (b < bits) {
         counts(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
@@ -79,7 +101,7 @@ case class SimHash64(child: Expression)
     }
     var sk = 0L
     var b = 0
-    while (b < 64) {
+    while (b < bits) {
       if (counts(b) * 2 > n) sk |= 1L << b
       b += 1
     }
@@ -223,6 +245,13 @@ object SketchExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+
+  /** 60-bit md5-head SimHash — the oracle-repriceable mode (see
+    * [[SimHash64]]).
+    */
+  def simhash60(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens),
+      crossEngine = true))
 
   /** |a ∩ b| for two sorted, distinct array<string> columns. */
   def sortedOverlapCount(a: Column, b: Column): Column =

@@ -134,6 +134,34 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** CORPUS-DERIVED hyperplanes (r16): plane p = v(2p) − v(2p+1) over
+    * the 2·numTables·planesPerTable smallest-id corpus vectors —
+    * difference pairs are ~zero-mean, the collect is bounded model
+    * state (the quantizer-sample discipline, ≤ 128 vectors), and —
+    * the point — a SECOND ENGINE can rederive every plane from the
+    * corpus table itself, which is what lets the LSH tiers (q26, q53)
+    * be hash-checked by the DuckDB oracle instead of rows-only.
+    * Returns planesPerTable planes per table, sliced in global plane
+    * order (table t owns planes [t·ppt, (t+1)·ppt)).
+    */
+  def dataHyperplanes(corpus: DataFrame, idCol: String, vecCol: String,
+      numTables: Int, planesPerTable: Int): Seq[Seq[Seq[Double]]] = {
+    val n = numTables * planesPerTable
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(2 * n)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length == 2 * n,
+      s"dataHyperplanes: corpus has ${sample.length} < ${2 * n} vectors")
+    (0 until numTables).map { t =>
+      (0 until planesPerTable).map { j =>
+        val p = t * planesPerTable + j
+        sample(2 * p).zip(sample(2 * p + 1)).map { case (a, b) => a - b }.toSeq
+      }
+    }
+  }
+
   /** Sign-bit bucket id for a vector under the given hyperplanes. */
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = asDouble(vecCol)
@@ -150,10 +178,18 @@ object Similarity {
     * Emits (table, bucket) rows, one per table per vector.
     */
   private def bucketedByTable(corpus: DataFrame, idCol: String, vecCol: String,
-      numTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+      numTables: Int, planesPerTable: Int, dim: Int,
+      dataPlanes: Boolean = false): DataFrame = {
+    val planesByTable: Int => Seq[Seq[Double]] =
+      if (dataPlanes) {
+        val all = dataHyperplanes(corpus, idCol, vecCol, numTables,
+          planesPerTable)
+        all(_)
+      } else
+        t => hyperplanes(planesPerTable, dim, seed = 42L + t)
     val tables = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
-        lshBucket(col("v"), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("bucket"))
+        lshBucket(col("v"), planesByTable(t)).as("bucket"))
     }
     corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
@@ -168,9 +204,11 @@ object Similarity {
     * n²→Σ bucket² pair space and a bucket-sharded shuffle — the 100 TB path.
     */
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame =
+      k: Int, dim: Int, numTables: Int = 8, planesPerTable: Int = 8,
+      dataPlanes: Boolean = false): DataFrame =
     lshCosineTopKFromScored(
-      lshScoredPairs(corpus, idCol, vecCol, dim, numTables, planesPerTable), k)
+      lshScoredPairs(corpus, idCol, vecCol, dim, numTables, planesPerTable,
+        dataPlanes), k)
 
   /** Directed LSH candidate pairs with rounded cosines — the shared
     * substrate of the top-k tier, the near-dup tier, and the q88 gate that
@@ -179,8 +217,10 @@ object Similarity {
     * (localCheckpoint / persist) and derive each tier from it.
     */
   def lshScoredPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
-    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
+      dim: Int, numTables: Int = 8, planesPerTable: Int = 8,
+      dataPlanes: Boolean = false): DataFrame = {
+    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables,
+      planesPerTable, dim, dataPlanes)
     // candidate generation on (id, bucket) only — vectors join back onto the
     // deduped pair set instead of riding the band explode and pair shuffle
     val keys = bucketed.select(col("id"), col("tbl"), col("bucket"))
@@ -782,8 +822,10 @@ object Similarity {
     * multi-table LSH candidates (the embedding leg of the dedup suite).
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
-    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables, planesPerTable, dim)
+      threshold: Double, dim: Int, numTables: Int = 8, planesPerTable: Int = 8,
+      dataPlanes: Boolean = false): DataFrame = {
+    val bucketed = bucketedByTable(corpus, idCol, vecCol, numTables,
+      planesPerTable, dim, dataPlanes)
     // candidates on keys only; vectors join back after pair dedup (never
     // drag array payloads through the band explode + dedup shuffle)
     val keys = bucketed.select(col("id"), col("tbl"), col("bucket"))

@@ -456,20 +456,29 @@ object TextDedup {
     graft.functions.SketchExpressions.simhash64(TextAnalysis.tokens(textCol))
 
   /** SimHash near-dup pairs within Hamming distance ≤ maxDist, using band
-    * blocking (bands of 64/bands bits; by pigeonhole any pair within
+    * blocking (bands of sigBits/bands bits; by pigeonhole any pair within
     * distance bands-1 collides on ≥1 band) and bit_count(xor) verification.
     * Band width trades candidate volume for guaranteed distance: 8×8-bit
     * bands (default) guarantee ≤7; huge corpora should widen bands (4×16)
-    * and accept ≤3, or add a second LSH round.
+    * and accept ≤3, or add a second LSH round. `crossEngine = true`
+    * switches to the 60-bit md5-head sketch (see [[SketchExpressions
+    * .simhash60]]) so a second engine can reprice every signature —
+    * bands must then divide 60 (q20 uses 10×6-bit bands).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, bands: Int = 8): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
+      maxDist: Int, bands: Int = 8, crossEngine: Boolean = false): DataFrame = {
+    val sigBits = if (crossEngine) 60 else 64
+    require(sigBits % bands == 0, s"bands must divide $sigBits")
     require(maxDist <= bands - 1,
       s"$bands bands guarantee recall only for distance <= ${bands - 1}")
-    val width = 64 / bands
+    val width = sigBits / bands
     val mask = (1L << width) - 1
-    val sketched = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
+    val sk =
+      if (crossEngine)
+        graft.functions.SketchExpressions.simhash60(
+          TextAnalysis.tokens(col(textCol)))
+      else simhash64(col(textCol))
+    val sketched = df.select(col(idCol).as("id"), sk.as("sk"))
     val bandStructs = array((0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         shiftright(col("sk"), bi * width).bitwiseAND(mask).as("bucket"))

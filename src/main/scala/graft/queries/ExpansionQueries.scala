@@ -307,12 +307,25 @@ object ExpansionQueries {
       |    % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
-  /** q53 — embedding-cosine near-duplicate pairs (rows-only: the LSH
-    * candidate set is sketch-dependent; ScalaTest pins planted-twin recall):
-    * the embedding leg of the dedup suite over the corpus table.
+  /** q53 — embedding-cosine near-duplicate pairs, FULLY oracle-checked
+    * (r16: the rows-only era is over): corpus-derived hyperplanes (see
+    * q26) let the DuckDB oracle rederive the 8 LSH tables' buckets,
+    * re-run the candidate join, and hash-compare the thresholded pair
+    * set — the embedding leg of the dedup suite with its blocking,
+    * scoring, and threshold all pinned. Planted-twin recall stays in
+    * ScalaTest; reported-cosine exactness stays q88's gate.
     */
   val q53_embedding_neardup: Q = (s, d) =>
-    SharedAnn.publish(s, d, "neardup").orderBy("id_a", "id_b")
+    SharedAnn.publish(s, d, "neardup")
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  val q53Sql: String =
+    s"""WITH ${ExtensionQueries.LshCte}
+       |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  round(cos, 6) AS cos
+       |FROM lscored WHERE cos >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q54 — SCD2 history build (graft.ops.Scd2): per-customer order-status
     * change log collapsed to versioned validity intervals — change rows
@@ -939,5 +952,6 @@ object ExpansionQueries {
     "q50_exists" -> q50Sql,
     "q52_hash_sample" -> q52Sql,
     "q51_sketches" -> q51Sql,
-    "q60_hll_merge" -> q60Sql)
+    "q60_hll_merge" -> q60Sql,
+    "q53_embedding_neardup" -> q53Sql)
 }

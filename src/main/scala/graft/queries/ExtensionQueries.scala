@@ -184,12 +184,59 @@ object ExtensionQueries {
   val q19Sql: String =
     ModalPairSql.textPairs + "\nORDER BY id_a, id_b"
 
-  /** q20 — SimHash near-dup pairs (64-bit sketch, 8×8-bit band blocking,
-    * Hamming ≤ 6). Rows-only driver check (xxhash sketch).
+  /** q20 — SimHash near-dup pairs, FULLY oracle-checked (r16: the
+    * rows-only era is over): 60-bit md5-head sketch (the cross-engine
+    * hash mode — see [[graft.functions.SketchExpressions.simhash60]]),
+    * 10×6-bit band blocking (pigeonhole recall for Hamming ≤ 9 ⊇ the
+    * ≤ 6 contract), bit_count(xor) verification. The DuckDB oracle
+    * recomputes every signature bit from the same token stream and
+    * md5 head, re-runs the banded self-join, and hash-compares the
+    * exact pair set — signature, blocking, and verify all pinned.
     */
   val q20_simhash: Q = (s, d) =>
-    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
+    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 6, bands = 10, crossEngine = true)
       .orderBy("id_a", "id_b")
+
+  val q20Sql: String = {
+    // per-bit majority vote: 60 SUM(CASE) terms generated here so the
+    // SQL cannot drift from the expression's bit order
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CAST((h >> $b) & 1 AS BIGINT)) AS c$b").mkString(",\n      ")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN 2 * c$b > n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)
+       |      AS BIGINT) AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, count(*) AS n,
+       |      $bitSums
+       |  FROM hashes GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id,
+       |      $sig AS sk
+       |  FROM votes),
+       |banded AS (
+       |  SELECT doc_id, sk, band, (sk >> (6 * band)) & 63 AS bucket
+       |  FROM sigs, (SELECT unnest(generate_series(0, 9)) AS band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sk, b.sk)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sk, b.sk)) <= 6)
+       |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  CAST(hamming AS INTEGER) AS hamming
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q67 — PRECISION gate for the sketch dedup tiers, driver-visible:
     * every pair either sketch tier emits is RE-VERIFIED with Spark's
@@ -221,7 +268,8 @@ object ExtensionQueries {
     // "result must be EMPTY" guarantee for exactly the ids the kernel
     // can't verify. (The LSH tier is derived FROM sh, so its ids are
     // present by construction; the same left-join shape guards it anyway.)
-    val simJoined = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+    val simJoined = TextDedup.simhashPairs(docs, "doc_id", "text",
+        maxDist = 6, bands = 10, crossEngine = true)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         size(col("sh")).as("na")), Seq("id_a"), "left")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
@@ -617,11 +665,78 @@ object ExtensionQueries {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** q26 — LSH-bucketed approximate cosine top-1 (the ANN scale tier).
-    * Rows-only driver check; recall vs q21 asserted in ScalaTest.
+  /** q26 — LSH-bucketed approximate cosine top-1 (the ANN scale tier),
+    * FULLY oracle-checked (r16: the rows-only era is over): the
+    * hyperplanes are CORPUS-DERIVED (plane p = v(2p) − v(2p+1) over the
+    * 128 smallest-id vectors — [[graft.ops.Similarity.dataHyperplanes]]),
+    * so the DuckDB oracle rederives every plane from the embeddings
+    * table, recomputes all 8 tables' sign-bit buckets, re-runs the
+    * candidate join, and hash-compares the per-query top-1 — blocking,
+    * scoring, and ranking all pinned. Recall vs q21 stays asserted in
+    * ScalaTest; reported-cosine exactness stays q88's gate.
     */
   val q26_lsh_cosine: Q = (s, d) =>
-    SharedAnn.publish(s, d, "lsh").orderBy("query_id")
+    SharedAnn.publish(s, d, "lsh")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id")
+
+  /** The LSH bucket/candidate arithmetic, shared by q26 (top-1) and q53
+    * (near-dup pairs): corpus-derived difference planes, 8 tables × 8
+    * sign bits, candidates = same-(table, bucket) pairs.
+    */
+  private[queries] val LshCte =
+    """lsamp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 128)),
+      |lplanes AS (
+      |  SELECT CAST(a.sid // 2 AS INTEGER) AS p,
+      |    list_transform(generate_series(1, 64), i -> a.v[i] - b.v[i]) AS pl
+      |  FROM lsamp a JOIN lsamp b ON b.sid = a.sid + 1
+      |  WHERE a.sid % 2 = 0),
+      |lvecs AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+      |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |      AS nrm
+      |  FROM embeddings),
+      |lnz AS (SELECT * FROM lvecs WHERE nrm > 0),
+      |lbits AS (
+      |  SELECT lnz.id, p.p // 8 AS tbl,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+      |        lnz.v[i] * p.pl[i])) > 0
+      |      THEN CAST(1 AS BIGINT) << (p.p % 8)
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM lnz, lplanes p),
+      |lbuckets AS (
+      |  SELECT id, tbl, sum(bit) AS bucket FROM lbits GROUP BY id, tbl),
+      |lscored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(list_sum(list_transform(generate_series(1, 64), i ->
+      |        va.v[i] * vb.v[i])) / (va.nrm * vb.nrm), 9) AS cos
+      |  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |        FROM lbuckets a JOIN lbuckets b
+      |          ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |            AND a.id < b.id) c
+      |  JOIN lnz va ON c.id_a = va.id
+      |  JOIN lnz vb ON c.id_b = vb.id)""".stripMargin
+
+  val q26Sql: String =
+    s"""WITH $LshCte,
+       |directed AS (
+       |  SELECT id_a AS query_id, id_b AS neighbor_id, cos FROM lscored
+       |  UNION ALL
+       |  SELECT id_b AS query_id, id_a AS neighbor_id, cos FROM lscored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  round(cos, 6) AS cos, CAST(1 AS INTEGER) AS rank
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rk
+       |      FROM directed) t
+       |WHERE rk = 1 ORDER BY query_id""".stripMargin
 
   /** q27 — sessionization (30-minute inactivity gap) as declarative window
     * functions over events: the batch cross-check of the stateful streaming
@@ -1146,6 +1261,8 @@ object ExtensionQueries {
     "q168_ivf_recall_gate" -> q168_ivf_recall_gate)
 
   val oracleSql: Map[String, String] = Map(
+    "q20_simhash" -> q20Sql,
+    "q26_lsh_cosine" -> q26Sql,
     "q124_kmeans_gate" -> q124Sql,
     "q130_semdedup_gate" -> q130Sql,
     "q112_embedding_centroids" -> q112Sql,

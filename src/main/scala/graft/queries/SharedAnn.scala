@@ -36,14 +36,17 @@ private[queries] object SharedAnn {
     val emb = Tables.embeddings(s, d)
     tier match {
       case "lsh" =>
-        Similarity.lshCosineTopK(emb, "vec_id", "embedding", k = 1, dim = 64)
+        // dataPlanes: corpus-derived hyperplanes so the DuckDB oracle can
+        // rederive the buckets and hash-check the tier (q26, r16)
+        Similarity.lshCosineTopK(emb, "vec_id", "embedding", k = 1, dim = 64,
+          dataPlanes = true)
       case "ivf" =>
         Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1, dim = 64)
       case "ivfpq" =>
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 1, dim = 64)
       case "neardup" =>
         Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
-          threshold = 0.3, dim = 64)
+          threshold = 0.3, dim = 64, dataPlanes = true)
       case "state_ivf" =>
         // the state-served tier (q155): search from the stored centroid
         // model — the memo holds only the top-1 readout, as above
