@@ -1803,6 +1803,233 @@ object PrepQueries {
       |      + 1 + length('%%EOF') + 1 AS total
       |  FROM p4)""".stripMargin
 
+  // The mixed 1.4/1.5 corpus priced per variant (q248-q250): classic
+  // single-section files, §7.5.6 incremental updates (a stale base +
+  // an appended replacement object 4 + a /Prev-chained section), and
+  // §7.5.7 object streams behind a §7.5.8 binary xref stream. Every
+  // layout byte derives from literal string lengths so the totals are
+  // wrong unless every layer above them is exact.
+  private val Pdf15Cte =
+    """pf0 AS (
+      |  SELECT doc_id AS media_id, doc_id % 2 = 0 AS fl,
+      |    doc_id % 3 AS var,
+      |    400 + (doc_id % 5) * 50 AS w,
+      |    500 + (doc_id % 4) * 70 AS h,
+      |    [ord(c) for c in string_split(coalesce(text, ''), '')
+      |     if ord(c) BETWEEN 0 AND 127] AS codes
+      |  FROM documents),
+      |pf1 AS (
+      |  SELECT media_id, fl, var, w, h,
+      |    len(codes) AS n,
+      |    coalesce(list_sum(codes), 0) AS ps,
+      |    len([c for c in codes if c IN (40, 41, 92)]) AS nesc
+      |  FROM pf0),
+      |pf2 AS (
+      |  SELECT media_id, fl, var, w, h, n, ps, nesc,
+      |    length('BT /F1 12 Tf (') + n + nesc + length(') Tj ET')
+      |      AS clen,
+      |    list_sum([ord(c) for c in string_split('BT /F1 12 Tf (', '')])
+      |      + ps + 92 * nesc
+      |      + list_sum([ord(c) for c in string_split(') Tj ET', '')])
+      |      AS csum
+      |  FROM pf1),
+      |pf3 AS (
+      |  SELECT *,
+      |    CASE WHEN fl THEN 6 + 5 * greatest(1,
+      |        CAST(ceil(clen / 65535.0) AS BIGINT)) + clen
+      |      ELSE clen END AS wire,
+      |    length('4 0 obj << /Length ') + CASE WHEN fl
+      |        THEN length(' /Filter /FlateDecode') ELSE 0 END
+      |      + length(' >> stream') + 1 AS o4fix
+      |  FROM pf2),
+      |-- classic xoff for the REAL document and for the 26-byte stale
+      |-- base (wire 26, never flate) the incremental variant appends to
+      |pf4 AS (
+      |  SELECT *,
+      |    length('%PDF-1.4') + 1
+      |      + length('1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj')
+      |      + 1
+      |      + length('2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 ')
+      |        + length('>> endobj') + 1
+      |      + length('3 0 obj << /Type /Page /Parent 2 0 R /MediaBox ')
+      |        + length('[0 0 ') + length(CAST(w AS VARCHAR)) + 1
+      |        + length(CAST(h AS VARCHAR))
+      |        + length('] /Contents 4 0 R >> endobj') + 1 AS bodyfix
+      |  FROM pf3),
+      |pf5 AS (
+      |  SELECT *,
+      |    bodyfix + o4fix + length(CAST(wire AS VARCHAR)) + wire
+      |      + 1 + length('endstream endobj') + 1 AS xoff0,
+      |    bodyfix + length('4 0 obj << /Length ') + length('26')
+      |      + length(' >> stream') + 1 + 26
+      |      + 1 + length('endstream endobj') + 1 AS xoffb
+      |  FROM pf4),
+      |pf6 AS (
+      |  SELECT *,
+      |    xoff0 + length('xref') + 1 + length('0 5') + 1 + 5 * 20
+      |      + length('trailer << /Size 5 /Root 1 0 R >>') + 1
+      |      + length('startxref') + 1 + length(CAST(xoff0 AS VARCHAR))
+      |      + 1 + length('%%EOF') + 1 AS t0,
+      |    xoffb + length('xref') + 1 + length('0 5') + 1 + 5 * 20
+      |      + length('trailer << /Size 5 /Root 1 0 R >>') + 1
+      |      + length('startxref') + 1 + length(CAST(xoffb AS VARCHAR))
+      |      + 1 + length('%%EOF') + 1 AS basetotal
+      |  FROM pf5),
+      |pf7 AS (
+      |  SELECT *,
+      |    basetotal + o4fix + length(CAST(wire AS VARCHAR)) + wire
+      |      + 1 + length('endstream endobj') + 1 AS x2off
+      |  FROM pf6),
+      |pf8 AS (
+      |  SELECT *,
+      |    x2off + length('xref') + 1 + length('4 1') + 1 + 20
+      |      + length('trailer << /Size 5 /Root 1 0 R /Prev ')
+      |      + length(CAST(xoffb AS VARCHAR)) + length(' >>') + 1
+      |      + length('startxref') + 1 + length(CAST(x2off AS VARCHAR))
+      |      + 1 + length('%%EOF') + 1 AS t1,
+      |    -- §7.5.7 object-stream layout
+      |    length('<< /Type /Catalog /Pages 2 0 R >>') + 1 AS off2
+      |  FROM pf7),
+      |pf9 AS (
+      |  SELECT *,
+      |    off2 + length('<< /Type /Pages /Kids [3 0 R] /Count 1 >>') + 1
+      |      AS off3
+      |  FROM pf8),
+      |pf10 AS (
+      |  SELECT *,
+      |    length('1 0 2 ') + length(CAST(off2 AS VARCHAR)) + length(' 3 ')
+      |      + length(CAST(off3 AS VARCHAR)) + 1 AS hdrlen
+      |  FROM pf9),
+      |pf11 AS (
+      |  SELECT *,
+      |    hdrlen + off3
+      |      + length('<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ')
+      |      + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+      |      + length('] /Contents 4 0 R >>') + 1 AS objplain
+      |  FROM pf10),
+      |pf12 AS (
+      |  SELECT *,
+      |    11 + objplain AS objd,
+      |    length('%PDF-1.5') + 1 + o4fix + length(CAST(wire AS VARCHAR))
+      |      + wire + 1 + length('endstream endobj') + 1 AS o5off
+      |  FROM pf11),
+      |pf13 AS (
+      |  SELECT *,
+      |    o5off + length('5 0 obj << /Type /ObjStm /N 3 /First ')
+      |      + length(CAST(hdrlen AS VARCHAR))
+      |      + length(' /Filter /FlateDecode /Length ')
+      |      + length(CAST(objd AS VARCHAR)) + length(' >> stream') + 1
+      |      + objd + 1 + length('endstream endobj') + 1 AS o6off
+      |  FROM pf12),
+      |pf14 AS (
+      |  SELECT *,
+      |    o6off + length('6 0 obj << /Type /XRef /Size 7 /W [1 4 1] ')
+      |      + length('/Root 1 0 R /Filter /FlateDecode /Length 53')
+      |      + length(' >> stream') + 1 + 53
+      |      + 1 + length('endstream endobj') + 1
+      |      + length('startxref') + 1 + length(CAST(o6off AS VARCHAR))
+      |      + 1 + length('%%EOF') + 1 AS t2
+      |  FROM pf13),
+      |pf AS (
+      |  SELECT media_id, fl, var, w, h, n, ps, clen, csum,
+      |    CASE var WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END AS total,
+      |    CASE var WHEN 2 THEN 1 ELSE 0 END AS xs,
+      |    CASE var WHEN 1 THEN 2 ELSE 1 END AS nsec,
+      |    CASE var WHEN 2 THEN 6 ELSE 4 END AS nobj,
+      |    CASE var WHEN 2 THEN 3 ELSE 0 END AS nmem,
+      |    CASE WHEN var = 2 OR fl THEN 1 ELSE 0 END AS hasfl
+      |  FROM pf14)""".stripMargin
+
+  /** q248 — MIXED 1.4/1.5 PDF CENSUS (§7.5.6 + §7.5.7 + §7.5.8), the
+    * r16 frontier: the two subset exclusions the r15 contract declared
+    * are GONE. One corpus, three cross-reference machineries — classic
+    * tables, incremental updates resolved newest-section-first through
+    * the `/Prev` chain (a walk that takes the stale base object gets
+    * every content sum wrong), and object-stream members sliced out of
+    * their FlateDecoded carrier via binary xref-stream rows. The
+    * oracle prices each variant's full byte layout from literal string
+    * lengths — the totals are running sums over every object, so one
+    * slipped byte anywhere mismatches.
+    */
+  val q248_pdf15_census: Q = (s, d) =>
+    graft.multimodal.Pdf.pdf15Census(
+        graft.multimodal.Pdf.pdf15FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q248Sql: String =
+    s"""WITH $Pdf15Cte
+       |SELECT media_id,
+       |  CASE var WHEN 0 THEN 'classic' WHEN 1 THEN 'incremental'
+       |    ELSE 'objstm' END AS variant,
+       |  CAST(xs AS BIGINT) AS xref_stream,
+       |  CAST(nsec AS BIGINT) AS n_sections,
+       |  CAST(nobj AS BIGINT) AS n_objects,
+       |  CAST(nmem AS BIGINT) AS n_in_objstm,
+       |  CAST(hasfl AS BIGINT) AS has_flate,
+       |  CAST(w AS BIGINT) AS page_w,
+       |  CAST(h AS BIGINT) AS page_h,
+       |  CAST(clen AS BIGINT) AS content_bytes,
+       |  CAST(csum AS BIGINT) AS content_sum,
+       |  CAST(total AS BIGINT) AS total_bytes
+       |FROM pf ORDER BY media_id""".stripMargin
+
+  /** q249 — quarantine parity over the mixed corpus: the id % 13 lie
+    * moves per variant (classic: 20-byte-entry offset; incremental:
+    * the UPDATE section's entry — the base stays pristine, only the
+    * §7.5.6 chain walk can catch it; objstm: `/First` over-declared —
+    * only the §7.5.7 pair-table grammar can catch it) and id % 11
+    * keeps the short-`/Length` class. The bad object quarantines
+    * alone with zeroed stats; the rest of the lake keeps flowing.
+    */
+  val q249_pdf15_quarantine: Q = (s, d) =>
+    graft.multimodal.Pdf.tryPdf15Census(
+        graft.multimodal.Pdf.pdf15FromText(
+          s, Tables.documents(s, d), "doc_id", "text", breakRefs = true))
+      .toDF().orderBy("media_id")
+
+  val q249Sql: String = {
+    def z(c: String) =
+      s"CAST(CASE WHEN bad THEN 0 ELSE $c END AS BIGINT) AS $c"
+    s"""WITH $Pdf15Cte,
+       |pq AS (
+       |  SELECT *,
+       |    media_id % 13 = 0 OR media_id % 11 = 0 AS bad,
+       |    nsec AS n_sections, nobj AS n_objects, nmem AS n_in_objstm,
+       |    clen AS content_bytes, csum AS content_sum,
+       |    total AS total_bytes
+       |  FROM pf)
+       |SELECT media_id,
+       |  CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS decode_ok,
+       |  ${z("n_sections")},
+       |  ${z("n_objects")},
+       |  ${z("n_in_objstm")},
+       |  ${z("content_bytes")},
+       |  ${z("content_sum")},
+       |  ${z("total_bytes")}
+       |FROM pq ORDER BY media_id""".stripMargin
+  }
+
+  /** q250 — text recovery across all three machineries: xref chain →
+    * object (direct or object-stream member) → `/Length` slice → zlib
+    * inflate → literal-string unescape, priced against the SOURCE
+    * text. For the incremental third, the UPDATE's text must win —
+    * a stale-base resolution shifts every sum.
+    */
+  val q250_pdf15_extract: Q = (s, d) =>
+    graft.multimodal.Pdf.extractPdfDocs(
+        graft.multimodal.Pdf.pdf15FromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("doc_id")
+
+  val q250Sql: String =
+    s"""WITH $Pdf15Cte
+       |SELECT CAST(media_id AS BIGINT) AS doc_id,
+       |  CAST(total AS BIGINT) AS pdf_bytes,
+       |  CAST(n AS BIGINT) AS n_chars,
+       |  CAST(ps AS BIGINT) AS sum_chars
+       |FROM pf ORDER BY doc_id""".stripMargin
+
   /** q239 — PDF STRUCTURAL CENSUS: the document container of a real
     * multimodal crawl, walked the way a reader actually reads it —
     * `startxref` from the end, the cross-reference table's exact
@@ -2256,6 +2483,9 @@ object PrepQueries {
     "q233_h264_pps_census" -> q233_h264_pps_census,
     "q234_h264_pps_quarantine" -> q234_h264_pps_quarantine,
     "q239_pdf_census" -> q239_pdf_census,
+    "q248_pdf15_census" -> q248_pdf15_census,
+    "q249_pdf15_quarantine" -> q249_pdf15_quarantine,
+    "q250_pdf15_extract" -> q250_pdf15_extract,
     "q240_pdf_quarantine" -> q240_pdf_quarantine,
     "q241_pdf_extract" -> q241_pdf_extract,
     "q242_mp4_box_census" -> q242_mp4_box_census,
@@ -2307,6 +2537,9 @@ object PrepQueries {
     "q233_h264_pps_census" -> q233Sql,
     "q234_h264_pps_quarantine" -> q234Sql,
     "q239_pdf_census" -> q239Sql,
+    "q248_pdf15_census" -> q248Sql,
+    "q249_pdf15_quarantine" -> q249Sql,
+    "q250_pdf15_extract" -> q250Sql,
     "q240_pdf_quarantine" -> q240Sql,
     "q241_pdf_extract" -> q241Sql,
     "q242_mp4_box_census" -> q242Sql,

@@ -91,4 +91,75 @@ class PdfSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------ §7.5.6 / §7.5.7 (r16)
+
+  test("incremental update (§7.5.6): the update's object 4 WINS over " +
+      "the stale base — text, section count, and totals reconcile") {
+    val text = "updated body, with (escapes) and \\ slashes".getBytes("US-ASCII")
+    for (flate <- Seq(false, true)) {
+      val b = Pdf.encodePdfIncremental(text, 420, 570, flate)
+      val d = Pdf.decodePdf(b)
+      assert(d.nSections === 2 && !d.xrefStream && d.nInObjStm === 0)
+      assert(d.objects.size === 4)
+      assert(d.pageW === 420 && d.pageH === 570)
+      assert(java.util.Arrays.equals(Pdf.extractText(d), text))
+      assert(d.totalBytes === b.length)
+      // the stale base text must NOT be what extraction returns
+      assert(!new String(Pdf.extractText(d), "US-ASCII").contains("stale"))
+    }
+  }
+
+  test("object streams (§7.5.7) via a cross-reference stream (§7.5.8): " +
+      "catalog/pages/page resolve from inside the FlateDecoded carrier") {
+    val text = "object-stream body".getBytes("US-ASCII")
+    for (flate <- Seq(false, true)) {
+      val b = Pdf.encodePdfObjStm(text, 450, 640, flate)
+      val d = Pdf.decodePdf(b)
+      assert(d.nSections === 1 && d.xrefStream && d.nInObjStm === 3)
+      assert(d.objects.size === 6) // 3 members + content + ObjStm + XRef
+      assert(d.objects.count(_.objType == "Catalog") === 1)
+      assert(d.pageW === 450 && d.pageH === 640)
+      assert(java.util.Arrays.equals(Pdf.extractText(d), text))
+    }
+  }
+
+  test("the new lie classes are caught at their exact contracts: a " +
+      "lying update-section entry, a short update /Length, a lying " +
+      "binary xref row, an over-declared /First") {
+    val text = "x".getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](Pdf.decodePdf(
+      Pdf.encodePdfIncremental(text, 400, 500, flate = false, lieXref = true)))
+    assert(e1.getMessage.contains("does not open"))
+    val e2 = intercept[IllegalArgumentException](Pdf.decodePdf(
+      Pdf.encodePdfIncremental(text, 400, 500, flate = true, lieLength = true)))
+    assert(e2.getMessage.contains("endstream") ||
+      e2.getMessage.contains("zlib"))
+    val e3 = intercept[IllegalArgumentException](Pdf.decodePdf(
+      Pdf.encodePdfObjStm(text, 400, 500, flate = false, lieXref = true)))
+    assert(e3.getMessage.contains("does not open"))
+    val e4 = intercept[IllegalArgumentException](Pdf.decodePdf(
+      Pdf.encodePdfObjStm(text, 400, 500, flate = false, lieObjStm = true)))
+    assert(e4.getMessage.contains("pair table"))
+  }
+
+  test("hostile-input pin extended to the 1.5 machinery: seeded byte " +
+      "mutations of an objstm/xref-stream file never escape the loud " +
+      "contract") {
+    val base = Pdf.encodePdfObjStm(
+      "mutation target".getBytes("US-ASCII"), 400, 500, flate = true)
+    val rnd = new scala.util.Random(7)
+    var refused = 0
+    (0 until 300).foreach { _ =>
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { Pdf.decodePdf(m); () } catch {
+        case _: IllegalArgumentException | _: NumberFormatException =>
+          refused += 1
+        case other: Throwable =>
+          fail(s"mutation leaked ${other.getClass}: $other")
+      }
+    }
+    assert(refused > 0)
+  }
 }
