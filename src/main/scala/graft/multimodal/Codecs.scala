@@ -2042,6 +2042,161 @@ object Codecs {
     Mp3Stream(id3, frames.result())
   }
 
+  // ---- Layer III SIDE INFORMATION (ISO/IEC 11172-3 §2.4.1.7) — the
+  // fixed-size bit layer between the frame header and the main data:
+  // main_data_begin (the bit-reservoir back-pointer), scfsi, and per
+  // granule the part2_3_length / big_values / gain / table-select
+  // fields a decoder needs BEFORE touching any Huffman data. For the
+  // single-channel MPEG-1 frames the synthesis writes this is 17 bytes
+  // (136 bits) exactly; only the spectral MAIN DATA beyond it stays
+  // the declared perceptual stub.
+
+  /** One granule's side info (single-channel MPEG-1, normal blocks or
+    * window switching).
+    */
+  case class Mp3Granule(part23Length: Int, bigValues: Int, globalGain: Int,
+      scalefacCompress: Int, windowSwitching: Int, blockType: Int,
+      tableSelect: Vector[Int], region0: Int, region1: Int, preflag: Int,
+      scalefacScale: Int, count1Table: Int)
+
+  case class Mp3SideInfo(mainDataBegin: Int, scfsi: Int,
+      granules: Vector[Mp3Granule])
+
+  private final class BitW(n: Int) {
+    val buf = new Array[Byte](n)
+    private var bit = 0
+    def put(v: Int, w: Int): Unit = {
+      var i = w - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) buf(bit >> 3) =
+          (buf(bit >> 3) | (0x80 >> (bit & 7))).toByte
+        bit += 1
+        i -= 1
+      }
+    }
+  }
+
+  private final class BitR(bytes: Array[Byte], off: Int) {
+    private var bit = off * 8
+    def get(w: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < w) {
+        v = (v << 1) | ((bytes(bit >> 3) >> (7 - (bit & 7))) & 1)
+        bit += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Encode the 17-byte single-channel side-info block. The encoder
+    * writes what it is told (the quarantine tier plants an
+    * out-of-range big_values through it); the DECODER owns the range
+    * checks.
+    */
+  def encodeMp3SideInfo(si: Mp3SideInfo): Array[Byte] = {
+    require(si.granules.length == 2, "side info carries 2 granules")
+    val w = new BitW(17)
+    w.put(si.mainDataBegin, 9)
+    w.put(0, 5) // private_bits (mono)
+    w.put(si.scfsi, 4)
+    si.granules.foreach { g =>
+      w.put(g.part23Length, 12)
+      w.put(g.bigValues, 9)
+      w.put(g.globalGain, 8)
+      w.put(g.scalefacCompress, 4)
+      w.put(g.windowSwitching, 1)
+      if (g.windowSwitching == 1) {
+        w.put(g.blockType, 2)
+        w.put(0, 1) // mixed_block_flag
+        g.tableSelect.take(2).foreach(t => w.put(t, 5))
+        w.put(0, 9) // subblock_gain ×3
+      } else {
+        g.tableSelect.foreach(t => w.put(t, 5))
+        w.put(g.region0, 4)
+        w.put(g.region1, 3)
+      }
+      w.put(g.preflag, 1)
+      w.put(g.scalefacScale, 1)
+      w.put(g.count1Table, 1)
+    }
+    w.buf
+  }
+
+  /** Parse one frame's side info at `off` (the byte after the 4-byte
+    * unprotected header). Contract checks are LOUD: big_values above
+    * the spec's 288 ceiling, a reserved block_type 0 under window
+    * switching, or a table_select above 31 never pass silently.
+    */
+  def decodeMp3SideInfo(bytes: Array[Byte], off: Int): Mp3SideInfo = {
+    require(off + 17 <= bytes.length,
+      s"side info at $off over-runs the stream")
+    val r = new BitR(bytes, off)
+    val mdb = r.get(9)
+    r.get(5) // private_bits
+    val scfsi = r.get(4)
+    val gs = Vector.fill(2) {
+      val p23 = r.get(12)
+      val bv = r.get(9)
+      require(bv <= 288, s"big_values $bv exceeds the spec ceiling 288")
+      val gg = r.get(8)
+      val sfc = r.get(4)
+      val wsf = r.get(1)
+      if (wsf == 1) {
+        val bt = r.get(2)
+        require(bt != 0,
+          "block_type 0 is reserved under window switching")
+        r.get(1) // mixed_block_flag
+        val ts = Vector.fill(2)(r.get(5))
+        r.get(9) // subblock_gain
+        Mp3Granule(p23, bv, gg, sfc, 1, bt, ts, 0, 0,
+          r.get(1), r.get(1), r.get(1))
+      } else {
+        val ts = Vector.fill(3)(r.get(5))
+        val r0 = r.get(4)
+        val r1 = r.get(3)
+        Mp3Granule(p23, bv, gg, sfc, 0, 0, ts, r0, r1,
+          r.get(1), r.get(1), r.get(1))
+      }
+    }
+    Mp3SideInfo(mdb, scfsi, gs)
+  }
+
+  /** The side-info walk over a whole stream: the structural frame walk
+    * first, then the 17-byte layer of every frame. One pass, map-only.
+    */
+  def mp3SideInfos(bytes: Array[Byte]): Vector[(Mp3Frame, Mp3SideInfo)] = {
+    val s = decodeMp3Stream(bytes)
+    s.frames.map(f => (f, decodeMp3SideInfo(bytes, f.offset + 4)))
+  }
+
+  /** Build a stream whose frames carry REAL side-info blocks (then
+    * deterministic filler where the spectral main data would sit).
+    */
+  def encodeMp3StreamSi(frames: Seq[((Int, Int, Int), Mp3SideInfo)],
+      id3Size: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      val tag = encodeMp3Stream(Seq.empty, id3Size)
+      out.write(tag, 0, tag.length)
+    }
+    for (((bi, si, pad), info) <- frames) {
+      require(bi >= 1 && bi <= 14, s"bitrate index $bi out of 1..14")
+      require(si >= 0 && si <= 2, s"sample-rate index $si out of 0..2")
+      out.write(0xFF)
+      out.write(0xFB)
+      out.write((bi << 4) | (si << 2) | (pad << 1))
+      out.write(0xC4)
+      val sib = encodeMp3SideInfo(info)
+      out.write(sib, 0, sib.length)
+      val len = mp3FrameLength(Mp3Bitrates(bi), Mp3SampleRates(si), pad)
+      var i = 4 + 17
+      while (i < len) { out.write((i * 131 + bi) & 0xFF); i += 1 }
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------- H.264/AVC (Annex B)
   // The structural container layer of ITU-T H.264 / ISO/IEC 14496-10
   // (public spec): Annex-B byte-stream start codes, the one-byte NAL

@@ -933,6 +933,113 @@ object Multimodal {
     })
   }
 
+  // ------------------------- Layer III side info (§2.4.1.7, r16)
+
+  /** Streams whose frames carry REAL side-info blocks, every field an
+    * id/frame-derived mod value the oracle reprices: main_data_begin
+    * (id·7 + f·3 mod 512), scfsi (id + f mod 16), and per granule g
+    * the part2_3_length (id·31 + f·17 + g·911 mod 4096), big_values
+    * (id·5 + f·11 + g·7 mod 289 — the spec ceiling is 288), gains,
+    * table selects, and region counts. `lieBigValues` plants
+    * big_values = 289 in frame 0 granule 0 of ids ≡ 0 (mod 13) —
+    * a value only the side-info range check can reject (the frame
+    * walk, sync words, and lengths all stay pristine).
+    */
+  def mp3SiFromText(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, lieBigValues: Boolean = false): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val n = asciiBytes(t).length
+        val nf = math.max(1, (n + 15) / 16)
+        val frames = (0 until nf).map { f =>
+          val hdr = (1 + ((id + f) % 14).toInt, (id % 3).toInt, f % 2)
+          val gs = Vector.tabulate(2) { g =>
+            val bv0 = ((id * 5 + f * 11 + g * 7) % 289).toInt
+            val bv = if (lieBigValues && id % 13 == 0 && f == 0 && g == 0)
+              289 else bv0
+            Codecs.Mp3Granule(
+              part23Length = ((id * 31 + f * 17 + g * 911) % 4096).toInt,
+              bigValues = bv,
+              globalGain = ((id + f * 29 + g * 13) % 256).toInt,
+              scalefacCompress = ((f + g) % 16),
+              windowSwitching = 0, blockType = 0,
+              tableSelect = Vector.tabulate(3)(k =>
+                ((id + f + g + k) % 32).toInt),
+              region0 = (f + g) % 16,
+              region1 = ((id + g) % 8).toInt,
+              preflag = (f + g) % 2,
+              scalefacScale = g,
+              count1Table = ((id + f) % 2).toInt)
+          }
+          (hdr, Codecs.Mp3SideInfo(
+            mainDataBegin = ((id * 7 + f * 3) % 512).toInt,
+            scfsi = ((id + f) % 16).toInt, granules = gs))
+        }
+        MediaRow(id, "audio/mpeg",
+          Codecs.encodeMp3StreamSi(frames, ((id * 37) % 300).toInt))
+      })
+  }
+
+  case class Mp3SiCensus(media_id: Long, n_frames: Long,
+      sum_main_data_begin: Long, sum_scfsi: Long, sum_part23: Long,
+      sum_big_values: Long, sum_global_gain: Long, sum_table_select: Long,
+      sum_region0: Long, n_preflag: Long, max_part23: Long,
+      total_bytes: Long)
+
+  /** Per-stream census of the side-info layer: bit-reservoir pointers,
+    * scale-factor selection, and every granule's Huffman partition
+    * fields summed — each priced by the oracle from the id/frame mod
+    * arithmetic, so one mis-read bit anywhere in the 136-bit layout
+    * shifts a sum.
+    */
+  def mp3SideInfoCensus(media: Dataset[MediaRow]): Dataset[Mp3SiCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val walked = Codecs.mp3SideInfos(r.content)
+      val gs = walked.flatMap(_._2.granules)
+      Mp3SiCensus(r.media_id, walked.size.toLong,
+        walked.iterator.map(_._2.mainDataBegin.toLong).sum,
+        walked.iterator.map(_._2.scfsi.toLong).sum,
+        gs.iterator.map(_.part23Length.toLong).sum,
+        gs.iterator.map(_.bigValues.toLong).sum,
+        gs.iterator.map(_.globalGain.toLong).sum,
+        gs.iterator.map(_.tableSelect.map(_.toLong).sum).sum,
+        gs.iterator.map(_.region0.toLong).sum,
+        gs.count(_.preflag == 1).toLong,
+        gs.iterator.map(_.part23Length.toLong).max,
+        r.content.length.toLong)
+    })
+  }
+
+  case class TriedMp3SiCensus(media_id: Long, decode_ok: Long,
+      n_frames: Long, sum_part23: Long, sum_big_values: Long,
+      total_bytes: Long)
+
+  /** Side-info quarantine: an out-of-range big_values (the §2.4.1.7
+    * ceiling) quarantines THAT stream with zeroed stats; the frame
+    * walk alone cannot catch it — only this layer can.
+    */
+  def tryMp3SideInfoCensus(
+      media: Dataset[MediaRow]): Dataset[TriedMp3SiCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val walked = Codecs.mp3SideInfos(r.content)
+        val gs = walked.flatMap(_._2.granules)
+        TriedMp3SiCensus(r.media_id, 1L, walked.size.toLong,
+          gs.iterator.map(_.part23Length.toLong).sum,
+          gs.iterator.map(_.bigValues.toLong).sum,
+          r.content.length.toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedMp3SiCensus(r.media_id, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** Structurally-genuine H.264 Annex-B streams from text: per document
     * one SPS (every field id-derived — Baseline/Main/Extended profile
     * by id mod 3, level by id mod 5, log2_max_frame_num 4 + id mod 9,

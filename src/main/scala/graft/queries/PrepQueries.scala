@@ -2030,6 +2030,114 @@ object PrepQueries {
        |  CAST(ps AS BIGINT) AS sum_chars
        |FROM pf ORDER BY doc_id""".stripMargin
 
+  // Per-frame side-info arithmetic shared by q251/q252: nf 16-byte
+  // text chunks (min 1), id3 tag 10 + (id·37 mod 300), per-frame
+  // header tables and the §2.4.1.7 field mod-formulas.
+  private val Mp3SiCte =
+    """ms0 AS (
+      |  SELECT doc_id AS media_id,
+      |    greatest(1, CAST(ceil(len([ord(c) for c in
+      |      string_split(coalesce(text, ''), '')
+      |      if ord(c) BETWEEN 0 AND 127]) / 16.0) AS BIGINT)) AS nf,
+      |    10 + (doc_id * 37) % 300 AS id3
+      |  FROM documents),
+      |msf0 AS (
+      |  SELECT media_id, nf, id3,
+      |    unnest(generate_series(0, nf - 1)) AS f
+      |  FROM ms0),
+      |msf AS (
+      |  SELECT media_id, nf, id3, f,
+      |    144000 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |      [CAST((media_id + f) % 14 AS INTEGER) + 1])
+      |      // ([44100,48000,32000][CAST(media_id % 3 AS INTEGER) + 1])
+      |      + f % 2 AS flen,
+      |    (media_id * 7 + f * 3) % 512 AS mdb,
+      |    (media_id + f) % 16 AS scfsi
+      |  FROM msf0),
+      |msg AS (
+      |  SELECT media_id, f, g,
+      |    (media_id * 31 + f * 17 + g * 911) % 4096 AS p23,
+      |    (media_id * 5 + f * 11 + g * 7) % 289 AS bv,
+      |    (media_id + f * 29 + g * 13) % 256 AS gg,
+      |    (media_id + f + g) % 32 + (media_id + f + g + 1) % 32
+      |      + (media_id + f + g + 2) % 32 AS ts,
+      |    (f + g) % 16 AS r0,
+      |    (f + g) % 2 AS pre
+      |  FROM msf, (SELECT unnest([0, 1]) AS g)),
+      |msa AS (
+      |  SELECT media_id,
+      |    sum(p23) AS sum_p23, sum(bv) AS sum_bv, sum(gg) AS sum_gg,
+      |    sum(ts) AS sum_ts, sum(r0) AS sum_r0,
+      |    sum(pre) AS n_pre, max(p23) AS max_p23
+      |  FROM msg GROUP BY media_id),
+      |msb AS (
+      |  SELECT media_id, count(*) AS nf, sum(mdb) AS sum_mdb,
+      |    sum(scfsi) AS sum_scfsi, any_value(id3) + sum(flen) AS total
+      |  FROM msf GROUP BY media_id)""".stripMargin
+
+  /** q251 — MP3 LAYER-III SIDE-INFO CENSUS (ISO/IEC 11172-3 §2.4.1.7),
+    * the r16 narrowing of the MP3 stub: the fixed 136-bit layer
+    * between each frame header and its main data — main_data_begin
+    * (the bit-reservoir back-pointer), scfsi, and per granule the
+    * part2_3_length / big_values / global_gain / table-select /
+    * region fields — really parsed, frame by frame, and summed. Only
+    * the spectral MAIN DATA beyond this layer remains the declared
+    * perceptual stub. The oracle reprices every field from the
+    * id/frame mod arithmetic; one mis-read bit in the layout shifts a
+    * sum.
+    */
+  val q251_mp3_sideinfo: Q = (s, d) =>
+    graft.multimodal.Multimodal.mp3SideInfoCensus(
+        graft.multimodal.Multimodal.mp3SiFromText(
+          s, Tables.documents(s, d), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  val q251Sql: String =
+    s"""WITH $Mp3SiCte
+       |SELECT b.media_id,
+       |  CAST(b.nf AS BIGINT) AS n_frames,
+       |  CAST(b.sum_mdb AS BIGINT) AS sum_main_data_begin,
+       |  CAST(b.sum_scfsi AS BIGINT) AS sum_scfsi,
+       |  CAST(a.sum_p23 AS BIGINT) AS sum_part23,
+       |  CAST(a.sum_bv AS BIGINT) AS sum_big_values,
+       |  CAST(a.sum_gg AS BIGINT) AS sum_global_gain,
+       |  CAST(a.sum_ts AS BIGINT) AS sum_table_select,
+       |  CAST(a.sum_r0 AS BIGINT) AS sum_region0,
+       |  CAST(a.n_pre AS BIGINT) AS n_preflag,
+       |  CAST(a.max_p23 AS BIGINT) AS max_part23,
+       |  CAST(b.total AS BIGINT) AS total_bytes
+       |FROM msb b JOIN msa a USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
+  /** q252 — side-info quarantine: ids ≡ 0 (mod 13) carry big_values =
+    * 289 in frame 0 granule 0 — one past the spec ceiling, invisible
+    * to the frame walk (sync, lengths, and tables all pristine);
+    * only the §2.4.1.7 range check can reject it. The bad stream
+    * quarantines alone with zeroed stats.
+    */
+  val q252_mp3_si_quarantine: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryMp3SideInfoCensus(
+        graft.multimodal.Multimodal.mp3SiFromText(
+          s, Tables.documents(s, d), "doc_id", "text",
+          lieBigValues = true))
+      .toDF().orderBy("media_id")
+
+  val q252Sql: String =
+    s"""WITH $Mp3SiCte
+       |SELECT b.media_id,
+       |  CAST(CASE WHEN b.media_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CAST(CASE WHEN b.media_id % 13 = 0 THEN 0 ELSE b.nf END
+       |    AS BIGINT) AS n_frames,
+       |  CAST(CASE WHEN b.media_id % 13 = 0 THEN 0 ELSE a.sum_p23 END
+       |    AS BIGINT) AS sum_part23,
+       |  CAST(CASE WHEN b.media_id % 13 = 0 THEN 0 ELSE a.sum_bv END
+       |    AS BIGINT) AS sum_big_values,
+       |  CAST(CASE WHEN b.media_id % 13 = 0 THEN 0 ELSE b.total END
+       |    AS BIGINT) AS total_bytes
+       |FROM msb b JOIN msa a USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
   /** q239 — PDF STRUCTURAL CENSUS: the document container of a real
     * multimodal crawl, walked the way a reader actually reads it —
     * `startxref` from the end, the cross-reference table's exact
@@ -2484,6 +2592,8 @@ object PrepQueries {
     "q234_h264_pps_quarantine" -> q234_h264_pps_quarantine,
     "q239_pdf_census" -> q239_pdf_census,
     "q248_pdf15_census" -> q248_pdf15_census,
+    "q251_mp3_sideinfo" -> q251_mp3_sideinfo,
+    "q252_mp3_si_quarantine" -> q252_mp3_si_quarantine,
     "q249_pdf15_quarantine" -> q249_pdf15_quarantine,
     "q250_pdf15_extract" -> q250_pdf15_extract,
     "q240_pdf_quarantine" -> q240_pdf_quarantine,
@@ -2538,6 +2648,8 @@ object PrepQueries {
     "q234_h264_pps_quarantine" -> q234Sql,
     "q239_pdf_census" -> q239Sql,
     "q248_pdf15_census" -> q248Sql,
+    "q251_mp3_sideinfo" -> q251Sql,
+    "q252_mp3_si_quarantine" -> q252Sql,
     "q249_pdf15_quarantine" -> q249Sql,
     "q250_pdf15_extract" -> q250Sql,
     "q240_pdf_quarantine" -> q240Sql,

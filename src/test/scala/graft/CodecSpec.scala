@@ -1558,4 +1558,55 @@ class CodecSpec extends AnyFunSuite {
     val shortTag = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 1, 0)
     intercept[IllegalArgumentException](Codecs.decodeMp3Stream(shortTag))
   }
+
+  // ---------------- Layer III side info (§2.4.1.7, r16)
+
+  test("MP3 side info round-trips bit-exactly (normal and switched " +
+      "windows) and the spec ceilings are loud") {
+    import graft.multimodal.Codecs
+    val gNorm = Codecs.Mp3Granule(1234, 288, 200, 9, 0, 0,
+      Vector(31, 0, 17), 15, 7, 1, 0, 1)
+    val gSwit = Codecs.Mp3Granule(4095, 0, 255, 15, 1, 2,
+      Vector(5, 21), 0, 0, 0, 1, 0)
+    val si = Codecs.Mp3SideInfo(511, 10, Vector(gNorm, gSwit))
+    val b = Codecs.encodeMp3SideInfo(si)
+    assert(b.length === 17)
+    val back = Codecs.decodeMp3SideInfo(b, 0)
+    assert(back.mainDataBegin === 511 && back.scfsi === 10)
+    assert(back.granules(0) === gNorm)
+    val g1 = back.granules(1)
+    assert(g1.part23Length === 4095 && g1.windowSwitching === 1 &&
+      g1.blockType === 2 && g1.tableSelect === Vector(5, 21))
+    // big_values past the ceiling is loud at decode
+    val bad = Codecs.encodeMp3SideInfo(Codecs.Mp3SideInfo(0, 0,
+      Vector(gNorm.copy(bigValues = 289), gNorm)))
+    val e = intercept[IllegalArgumentException](
+      Codecs.decodeMp3SideInfo(bad, 0))
+    assert(e.getMessage.contains("288"))
+    // block_type 0 under window switching is reserved
+    val bad2 = Codecs.encodeMp3SideInfo(Codecs.Mp3SideInfo(0, 0,
+      Vector(gSwit.copy(blockType = 0), gNorm)))
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeMp3SideInfo(bad2, 0))
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("a full stream's side-info walk reconciles with its frame walk") {
+    import graft.multimodal.Codecs
+    val g = Codecs.Mp3Granule(100, 50, 30, 1, 0, 0, Vector(1, 2, 3),
+      4, 5, 0, 1, 0)
+    val frames = (0 until 5).map { f =>
+      ((1 + f % 14, f % 3, f % 2),
+        Codecs.Mp3SideInfo(f * 9, f % 16, Vector(g, g.copy(bigValues = f))))
+    }
+    val b = Codecs.encodeMp3StreamSi(frames, id3Size = 33)
+    val walked = Codecs.mp3SideInfos(b)
+    assert(walked.size === 5)
+    walked.zipWithIndex.foreach { case ((fr, si), f) =>
+      assert(si.mainDataBegin === f * 9)
+      assert(si.granules(1).bigValues === f)
+      assert(fr.length === Codecs.mp3FrameLength(fr.bitrateKbps,
+        fr.sampleRate, fr.padding))
+    }
+  }
 }
