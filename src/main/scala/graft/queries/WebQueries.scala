@@ -881,20 +881,24 @@ object WebQueries {
        |FROM v GROUP BY src ORDER BY source""".stripMargin
   }
 
-  /** q232 — ZSTD ENTROPY-CODED CENSUS, the round-15 frontier: the r14
-    * declared stub is GONE — compressed-block payloads really decode
-    * (FSE table descriptions, Huffman literals in both tree
-    * representations and both stream counts, sequences with the
-    * repeat-offset registers; [[graft.web.ZstdEntropy]]). The wire
-    * here is the engine's own entropy encoder — Huffman literals +
-    * one RLE-table-mode sequence + an RLE pad block — every object of
-    * which round-trips under the REFERENCE zstd CLI (conformance
-    * pinned in WebArchiveSpec alongside CLI-generated goldens the
-    * decoder must read back, including all-FSE-table frames). The
+  /** q232 — ZSTD ENTROPY-CODED CENSUS: compressed-block payloads
+    * really decode (FSE table descriptions, Huffman literals in both
+    * tree representations and both stream counts, sequences with the
+    * repeat-offset registers; [[graft.web.ZstdEntropy]]). The wire is
+    * the engine's own entropy encoder, in TWO flavors now (r16): even
+    * ids keep the Huffman-literals + RLE-table-mode-sequence blocks;
+    * odd ids (with ≥ 2 payload bytes) ship blocks whose THREE sequence
+    * tables are FSE_COMPRESSED — §4.1.1 descriptions written by the
+    * engine's own description encoder and real interleaved state
+    * chains, the decoder's general-grammar path that was previously
+    * exercised only by CLI goldens. Every object of both flavors
+    * round-trips under the REFERENCE zstd CLI
+    * (graft.tools.ZstdConformance + WebArchiveSpec goldens). The
     * XXH64 verification inside the walk means a row existing at all
-    * proves byte-exact entropy decode; the oracle re-prices the
-    * regenerated content (payload + 32×last-byte via the sequence +
-    * the 16-byte pad) and the block-type counts.
+    * proves byte-exact entropy decode; the oracle prices the
+    * regenerated content per flavor (32×last-byte via the one RLE
+    * sequence, or two 16×chunk-end pads via the FSE sequences), the
+    * block-type counts, and the FSE-table count itself.
     */
   val q232_zstd_entropy_census: Q = (s, d) =>
     WebLake.zstdEntropyCensus(
@@ -910,14 +914,21 @@ object WebQueries {
        |  CAST(0 AS BIGINT) AS n_raw,
        |  CAST(1 AS BIGINT) AS n_rle,
        |  CAST(1 AS BIGINT) AS n_compressed,
+       |  CAST(CASE WHEN zm.doc_id % 2 = 1 AND zm.n >= 2 THEN 3 ELSE 0 END
+       |    AS BIGINT) AS n_fse_tables,
        |  CAST(CASE WHEN zm.n >= 1 THEN zm.n + 48 ELSE 16 END AS BIGINT)
        |    AS content_len,
-       |  CAST(zm.psum + CASE WHEN zm.n >= 1 THEN 32 * z2.lastc ELSE 0 END
+       |  CAST(zm.psum + CASE
+       |      WHEN zm.doc_id % 2 = 1 AND zm.n >= 2
+       |        THEN 16 * z2.halfc + 16 * z2.lastc
+       |      WHEN zm.n >= 1 THEN 32 * z2.lastc ELSE 0 END
        |    + 16 * 126 AS BIGINT) AS content_sum,
        |  CAST(z2.doc_id AS BIGINT) AS seek_id
        |FROM zm
        |JOIN (SELECT doc_id,
-       |        coalesce(list_extract(codes, len(codes)), 0) AS lastc
+       |        coalesce(list_extract(codes, len(codes)), 0) AS lastc,
+       |        coalesce(list_extract(codes,
+       |          CAST(ceil(len(codes) / 2.0) AS BIGINT)), 0) AS halfc
        |      FROM (SELECT doc_id,
        |              [ord(c) for c in string_split(coalesce(text, ''), '')
        |               if ord(c) BETWEEN 0 AND 127] AS codes

@@ -590,8 +590,16 @@ object WebLake {
         val seekId = new Array[Byte](8)
         var v = id; var i = 0
         while (i < 8) { seekId(i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
-        val bytes = Zstd.encodeSkippable(seekId) ++
-          Zstd.encodeEntropyFrame(asciiBytes(t))
+        val payload = asciiBytes(t)
+        // odd ids with >= 2 payload bytes ship the FSE-mode block
+        // (two sequences, all three tables FSE_Compressed) — the
+        // decoder's general-grammar path on the engine's own wire;
+        // the rest keep the Huffman + RLE-sequence flavor
+        val frame =
+          if (id % 2 == 1 && payload.length >= 2)
+            Zstd.encodeEntropyFrameFse(payload, nSeq = 2, matchPad = 16)
+          else Zstd.encodeEntropyFrame(payload)
+        val bytes = Zstd.encodeSkippable(seekId) ++ frame
         ArchiveRow(id, bytes)
       })
   }
@@ -604,8 +612,8 @@ object WebLake {
     */
   case class ZstdEntropyCensus(doc_id: Long, n_skippable: Long,
       n_frames: Long, n_blocks: Long, n_raw: Long, n_rle: Long,
-      n_compressed: Long, content_len: Long, content_sum: Long,
-      seek_id: Long)
+      n_compressed: Long, n_fse_tables: Long, content_len: Long,
+      content_sum: Long, seek_id: Long)
 
   def zstdEntropyCensus(objects: Dataset[ArchiveRow]): Dataset[ZstdEntropyCensus] = {
     import objects.sparkSession.implicits._
@@ -625,6 +633,7 @@ object WebLake {
         n_raw = s.frames.iterator.map(_.nRaw.toLong).sum,
         n_rle = s.frames.iterator.map(_.nRle.toLong).sum,
         n_compressed = s.frames.iterator.map(_.nCompressed.toLong).sum,
+        n_fse_tables = s.frames.iterator.map(_.nFseTables.toLong).sum,
         content_len = s.frames.iterator.map(_.contentSize).sum,
         content_sum = s.frames.iterator.map(f =>
           f.content.iterator.map(b => (b & 0xFF).toLong).sum).sum,

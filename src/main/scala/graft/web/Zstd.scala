@@ -43,7 +43,7 @@ object Zstd {
     */
   final case class Frame(offset: Int, compressedSize: Int, nBlocks: Int,
       nRaw: Int, nRle: Int, nCompressed: Int, contentSize: Long,
-      content: Array[Byte])
+      content: Array[Byte], nFseTables: Int = 0)
 
   /** A walked stream: data frames + the skippable frames stepped over
     * — payloads surfaced for the seek-table reader, with each frame's
@@ -191,6 +191,80 @@ object Zstd {
     if (data.nonEmpty)
       java.util.Arrays.fill(full, data.length, padded, data(data.length - 1))
     java.util.Arrays.fill(full, padded, full.length, rleByte)
+    u32(xxh64(full, full.length) & 0xFFFFFFFFL)
+    out.toByteArray
+  }
+
+  /** The FSE-mode sibling of [[encodeEntropyFrame]] (r16): the payload
+    * ships in a compressed block whose THREE sequence tables are
+    * FSE_Compressed (§4.1.1 descriptions + real interleaved state
+    * chains — [[ZstdEntropy.encodeCompressedBlockFse]]), `nSeq`
+    * sequences each appending `matchPad` copies of its literal chunk's
+    * final byte, then the RLE pad block. Regenerated content =
+    * chunk0 ++ last(chunk0)·pad ++ … ++ rleByte·rleLen — every byte
+    * oracle-priceable. Requires data.length ≥ nSeq (callers fall back
+    * to [[encodeEntropyFrame]] below that).
+    */
+  def encodeEntropyFrameFse(data: Array[Byte], nSeq: Int = 2,
+      matchPad: Int = 16, rleLen: Int = 16, rleByte: Byte = '~'): Array[Byte] = {
+    require(rleLen >= 0 && rleLen < (1 << 21), s"zstd: bad RLE length $rleLen")
+    require(data.length >= nSeq, "zstd: fewer literals than sequences")
+    val contentSize = data.length.toLong + nSeq.toLong * matchPad + rleLen
+    val block = ZstdEntropy.encodeCompressedBlockFse(data, nSeq, matchPad)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      var t = v; var i = 0
+      while (i < 4) { out.write((t & 0xFF).toInt); t >>>= 8; i += 1 }
+    }
+    u32(Magic & 0xFFFFFFFFL)
+    require(contentSize < (1L << 32), "zstd: content needs 8-byte FCS")
+    if (block.length <= contentSize) {
+      val fcsFlag =
+        if (contentSize < 256) 0 else if (contentSize < 65792) 1 else 2
+      out.write((fcsFlag << 6) | 0x20 | 0x04)
+      if (fcsFlag == 0) out.write(contentSize.toInt)
+      else if (fcsFlag == 1) {
+        val v = (contentSize - 256).toInt
+        out.write(v & 0xFF); out.write(v >>> 8)
+      } else {
+        var v = contentSize; var i = 0
+        while (i < 4) { out.write((v & 0xFF).toInt); v >>>= 8; i += 1 }
+      }
+    } else {
+      var e = 0
+      while ((1L << (10 + e)) < block.length) e += 1
+      require(10 + e <= 17, "zstd: compressed block exceeds 128 KB")
+      out.write((2 << 6) | 0x04)
+      out.write(e << 3)
+      var v = contentSize; var i = 0
+      while (i < 4) { out.write((v & 0xFF).toInt); v >>>= 8; i += 1 }
+    }
+    def blockHeader(last: Boolean, btype: Int, size: Int): Unit = {
+      val hdr = (if (last) 1 else 0) | (btype << 1) | (size << 3)
+      out.write(hdr & 0xFF); out.write((hdr >>> 8) & 0xFF)
+      out.write((hdr >>> 16) & 0xFF)
+    }
+    blockHeader(last = rleLen == 0, btype = 2, size = block.length)
+    out.write(block, 0, block.length)
+    if (rleLen > 0) {
+      blockHeader(last = true, btype = 1, size = rleLen)
+      out.write(rleByte & 0xFF)
+    }
+    // regenerated content: the chunks with their per-sequence pads
+    val full = new Array[Byte](contentSize.toInt)
+    val ends = ZstdEntropy.fseChunkEnds(data.length, nSeq)
+    var w = 0
+    var i = 0
+    while (i < nSeq) {
+      val from = if (i == 0) 0 else ends(i - 1)
+      val until = ends(i)
+      System.arraycopy(data, from, full, w, until - from)
+      w += until - from
+      java.util.Arrays.fill(full, w, w + matchPad, data(until - 1))
+      w += matchPad
+      i += 1
+    }
+    java.util.Arrays.fill(full, w, full.length, rleByte)
     u32(xxh64(full, full.length) & 0xFFFFFFFFL)
     out.toByteArray
   }
@@ -395,7 +469,7 @@ object Zstd {
             f"zstd: content checksum mismatch (stored $want%08x, computed $got%08x)")
         }
         frames += Frame(frameStart, pos - frameStart, nBlocks, nRaw, nRle,
-          nCompressed, data.length.toLong, data)
+          nCompressed, data.length.toLong, data, ctx.fseTables)
       }
     }
     Stream(frames.result(), skips.result(), skipNibbles.result(),

@@ -490,6 +490,9 @@ private[graft] object ZstdEntropy {
     */
   final class FrameCtx {
     var huff: Option[HuffTable] = None
+    /** sequence tables decoded in FSE_Compressed mode (§4.1.1) — the
+      * census counter that proves the general-grammar path ran */
+    var fseTables: Int = 0
     var llTable: Option[FseTable] = None
     var ofTable: Option[FseTable] = None
     var mlTable: Option[FseTable] = None
@@ -580,6 +583,7 @@ private[graft] object ZstdEntropy {
         val (norm, al, used) =
           readFseDescription(bytes, pos, blockEnd, maxAl, maxSym)
         pos += used
+        ctx.fseTables += 1
         buildFse(norm, al)
       case _ =>
         prev.getOrElse(throw new IllegalArgumentException(
@@ -823,6 +827,207 @@ private[graft] object ZstdEntropy {
         streams.foreach(s => out.write(s, 0, s.length))
       }
     }
+    out.toByteArray
+  }
+
+  /** The FSE table DESCRIPTION encoder (§4.1.1) — the exact inverse of
+    * [[readFseDescription]]: 4-bit accuracy log, then per symbol the
+    * probability + 1 in the dynamic width (the small form saves a bit
+    * when the value fits under `max`), 2-bit zero-run repeats after
+    * each zero probability. Round-tripped against the reader in
+    * WebArchiveSpec.
+    */
+  def writeFseDescription(norm: Array[Int], al: Int): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def put(v: Int, nb: Int): Unit = {
+      var i = 0
+      while (i < nb) { bits += ((v >> i) & 1) == 1; i += 1 }
+    }
+    put(al - 5, 4)
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nbBits = al + 1
+    var i = 0
+    while (remaining > 1) {
+      require(i < norm.length, "zstd encoder: distribution does not close")
+      val p = norm(i)
+      require(p >= -1 && math.abs(p) <= remaining,
+        s"zstd encoder: probability $p exceeds remaining $remaining")
+      val max = (threshold << 1) - 1 - remaining
+      var count = p + 1
+      val small = count < max
+      if (count >= threshold) count += max
+      put(count, if (small) nbBits - 1 else nbBits)
+      remaining -= math.abs(p)
+      i += 1
+      if (p == 0) {
+        // zero-run repeats: 2-bit groups, 3 = continue
+        var zeros = 0
+        while (i + zeros < norm.length && norm(i + zeros) == 0) zeros += 1
+        var left = zeros
+        var more = true
+        while (more) {
+          val g = math.min(3, left)
+          put(g, 2)
+          left -= g
+          more = g == 3
+        }
+        i += zeros
+      }
+      while (remaining > 1 && remaining < threshold) {
+        nbBits -= 1; threshold >>= 1
+      }
+    }
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    var j = 0
+    while (j < bits.length) {
+      if (bits(j)) out(j >> 3) = (out(j >> 3) | (1 << (j & 7))).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** The FSE ENCODE transition: the unique state of `sym` whose update
+    * range covers `next` (the ranges of a symbol's states partition
+    * the table — the ANS invariant). Returns (state, extraBits,
+    * nbBits).
+    */
+  def fseEncodeFind(t: FseTable, sym: Int, next: Int): (Int, Int, Int) = {
+    var i = 0
+    while (i < t.symbol.length) {
+      if (t.symbol(i) == sym && next >= t.baseline(i) &&
+          next < t.baseline(i) + (1 << t.nbBits(i)))
+        return (i, next - t.baseline(i), t.nbBits(i))
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"zstd encoder: no state of symbol $sym covers next state $next")
+  }
+
+  /** Any state emitting `sym` (the free choice for the LAST sequence,
+    * which the decoder never updates past).
+    */
+  def fseFirstState(t: FseTable, sym: Int): Int = {
+    var i = 0
+    while (i < t.symbol.length) {
+      if (t.symbol(i) == sym) return i
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"zstd encoder: symbol $sym absent from table")
+  }
+
+  /** Normalized distribution over the used codes: each used code gets
+    * probability 1, the FIRST used code absorbs the remainder to
+    * 2^al — always a valid, spreadable table.
+    */
+  def normFor(used: Seq[Int], maxSym: Int, al: Int): Array[Int] = {
+    val distinct = used.distinct.sorted
+    require(distinct.nonEmpty && distinct.last <= maxSym,
+      s"zstd encoder: codes $distinct out of 0..$maxSym")
+    val norm = new Array[Int](distinct.last + 1)
+    distinct.foreach(c => norm(c) = 1)
+    norm(distinct.head) += (1 << al) - distinct.size
+    norm
+  }
+
+  /** Balanced literal-chunk boundaries for the FSE-mode block: the
+    * first n mod nSeq chunks take one extra byte — never an empty
+    * chunk for n ≥ nSeq (and for nSeq = 2 the first chunk is exactly
+    * ⌈n/2⌉, the boundary the q232 oracle prices).
+    */
+  def fseChunkEnds(n: Int, nSeq: Int): Array[Int] = {
+    val per = n / nSeq
+    val rem = n % nSeq
+    val ends = new Array[Int](nSeq)
+    var acc = 0
+    var i = 0
+    while (i < nSeq) {
+      acc += per + (if (i < rem) 1 else 0)
+      ends(i) = acc
+      i += 1
+    }
+    ends
+  }
+
+  /** One COMPRESSED block whose THREE sequence tables ship in
+    * FSE_Compressed mode (§4.1.1 descriptions + real interleaved
+    * state chains) — the decoder's general-grammar path, now on the
+    * engine's own wire. `data` splits into `nSeq` literal chunks;
+    * each sequence emits its chunk then `padLen` copies of the bytes
+    * just written via repeat-offset register 1. Regenerated content =
+    * chunk0 ++ last(chunk0)·pad ++ chunk1 ++ last·pad ++ … with the
+    * repeat byte always the chunk's own final byte.
+    */
+  def encodeCompressedBlockFse(data: Array[Byte], nSeq: Int,
+      padLen: Int): Array[Byte] = {
+    require(nSeq >= 1 && nSeq < 128, s"zstd encoder: $nSeq sequences")
+    require(data.length >= nSeq,
+      "zstd encoder: need at least one literal per sequence")
+    require(padLen >= 3, s"zstd encoder: match length $padLen below minimum")
+    val out = new java.io.ByteArrayOutputStream()
+    val lits = encodeLiteralsSection(data)
+    out.write(lits, 0, lits.length)
+    val ends = fseChunkEnds(data.length, nSeq)
+    val lls = (0 until nSeq).map(i =>
+      ends(i) - (if (i == 0) 0 else ends(i - 1)))
+    require(lls.forall(_ >= 1), "zstd encoder: empty literal chunk")
+    val llCodes = lls.map(llCodeFor)
+    val mlCode = {
+      var c = MlBase.length - 1
+      while (MlBase(c) > padLen) c -= 1
+      require(padLen - MlBase(c) < (1 << MlBits(c)), s"no ML code for $padLen")
+      c
+    }
+    val mlCodes = Seq.fill(nSeq)(mlCode)
+    val ofCodes = Seq.fill(nSeq)(0)
+    // custom tables (accuracy logs below the per-stream maxima)
+    val llT = buildFse(normFor(llCodes, 35, 6), 6)
+    val mlT = buildFse(normFor(mlCodes, 52, 6), 6)
+    val ofT = buildFse(normFor(ofCodes, 31, 5), 5)
+    out.write(nSeq) // < 128: 1-byte count
+    out.write(0xA8) // LL/OF/ML all FSE_Compressed (10 10 10 00)
+    val llD = writeFseDescription(normFor(llCodes, 35, 6), 6)
+    val ofD = writeFseDescription(normFor(ofCodes, 31, 5), 5)
+    val mlD = writeFseDescription(normFor(mlCodes, 52, 6), 6)
+    out.write(llD, 0, llD.length)
+    out.write(ofD, 0, ofD.length)
+    out.write(mlD, 0, mlD.length)
+    // backward state chains (encoded back-to-front, emitted in the
+    // decoder's read order)
+    def chain(t: FseTable, codes: Seq[Int]): (Int, Vector[(Int, Int)]) = {
+      var next = fseFirstState(t, codes.last)
+      val updates = new Array[(Int, Int)](codes.length - 1)
+      var i = codes.length - 2
+      while (i >= 0) {
+        val (st, v, nb) = fseEncodeFind(t, codes(i), next)
+        updates(i) = (v, nb)
+        next = st
+        i -= 1
+      }
+      (next, updates.toVector)
+    }
+    val (llS0, llUp) = chain(llT, llCodes)
+    val (ofS0, ofUp) = chain(ofT, ofCodes)
+    val (mlS0, mlUp) = chain(mlT, mlCodes)
+    val bw = new BackWriter
+    bw.push(llS0.toLong, llT.accuracyLog)
+    bw.push(ofS0.toLong, ofT.accuracyLog)
+    bw.push(mlS0.toLong, mlT.accuracyLog)
+    var i = 0
+    while (i < nSeq) {
+      // extras: offset (code 0 → 0 bits), ML, LL
+      bw.push((padLen - MlBase(mlCode)).toLong, MlBits(mlCode))
+      bw.push((lls(i) - LlBase(llCodes(i))).toLong, LlBits(llCodes(i)))
+      if (i != nSeq - 1) {
+        bw.push(llUp(i)._1.toLong, llUp(i)._2)
+        bw.push(mlUp(i)._1.toLong, mlUp(i)._2)
+        bw.push(ofUp(i)._1.toLong, ofUp(i)._2)
+      }
+      i += 1
+    }
+    val stream = bw.toBytes
+    out.write(stream, 0, stream.length)
     out.toByteArray
   }
 

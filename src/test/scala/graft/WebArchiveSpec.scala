@@ -494,6 +494,59 @@ class WebArchiveSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ zstd
 
+  test("zstd FSE description writer is the reader's exact inverse " +
+      "across distribution shapes (zero runs, less-than-one, skewed)") {
+    import graft.web.ZstdEntropy
+    val cases = Seq(
+      (Array(60, 1, 1, 1, 1), 6),
+      (Array(1, 63), 6),
+      (Array(32), 5),
+      (Array(20, 0, 0, 0, 0, 0, 0, 10, 1, 1), 5),
+      (Array(-1, 13, -1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 16), 5),
+      (Array(0, 0, 0, 2, 30), 5),
+      (Array(256, 128, 64, 32, 16, 8, 4, 2, 1, 1), 9))
+    cases.foreach { case (norm, al) =>
+      require(norm.map(math.abs).sum == (1 << al), s"bad case ${norm.toSeq}")
+      val desc = ZstdEntropy.writeFseDescription(norm, al)
+      val (back, alBack, used) =
+        ZstdEntropy.readFseDescription(desc, 0, desc.length, 9, 52)
+      assert(alBack === al, s"al for ${norm.toSeq}")
+      assert(used === desc.length)
+      assert(back.toSeq === norm.toSeq.take(back.length) &&
+        norm.drop(back.length).forall(_ == 0), s"norm for ${norm.toSeq}")
+    }
+  }
+
+  test("zstd FSE-mode sequence blocks: engine-encoded frames with all " +
+      "three tables FSE_Compressed decode to the exact interleaved " +
+      "content, report the table count, and survive varied splits") {
+    import graft.web.Zstd
+    val rnd = new scala.util.Random(21)
+    for (n <- Seq(2, 3, 7, 50, 1023, 1500, 16000); nSeq <- Seq(1, 2, 5)
+         if n >= nSeq) {
+      val p = Array.fill(n)((32 + rnd.nextInt(95)).toByte)
+      val frame = Zstd.encodeEntropyFrameFse(p, nSeq, matchPad = 16)
+      val s = Zstd.decodeStream(frame)
+      assert(s.frames.size === 1)
+      val f = s.frames.head
+      assert(f.nFseTables === 3, s"n=$n nSeq=$nSeq")
+      assert(f.nCompressed === 1 && f.nRle === 1)
+      val ends = graft.web.ZstdEntropy.fseChunkEnds(n, nSeq)
+      val exp = new java.io.ByteArrayOutputStream()
+      var k = 0
+      while (k < nSeq) {
+        val from = if (k == 0) 0 else ends(k - 1)
+        exp.write(p, from, ends(k) - from)
+        (0 until 16).foreach(_ => exp.write(p(ends(k) - 1) & 0xFF))
+        k += 1
+      }
+      (0 until 16).foreach(_ => exp.write('~'))
+      assert(java.util.Arrays.equals(f.content, exp.toByteArray),
+        s"content n=$n nSeq=$nSeq")
+    }
+  }
+
+
   test("zstd golden: a REAL zstd-CLI frame (raw block, no checksum) " +
       "walks to the exact content") {
     // zstd --no-check of the 26-byte sentence below
