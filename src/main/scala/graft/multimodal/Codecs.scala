@@ -2735,4 +2735,204 @@ object Codecs {
       throw new IllegalArgumentException("stream carries no SPS")),
       seiMsgs.result(), ppsList.result())
   }
+
+  // --------------------- CAVLC I-frame residual tier (§7.3.5, §9.2)
+  // The r16 narrowing of the H.264 stub: slice DATA parses for real —
+  // full IDR slice headers (idr_pic_id, dec_ref_pic_marking,
+  // slice_qp_delta), one I_16x16 macroblock layer per MB (mb_type with
+  // the CBP-0 variants, intra_chroma_pred_mode, mb_qp_delta), and the
+  // Intra16x16DCLevel residual block CAVLC-coded per §9.2: coeff_token
+  // (the 0 ≤ nC < 2 table column — the block-constant synthesis keeps
+  // every neighbour count ≤ 1, so no other column can be selected),
+  // trailing-one signs, level_prefix with the first-level +2
+  // adjustment, and total_zeros (Table 9-7, TotalCoeff 1). Each block
+  // carries exactly ONE nonzero DC coefficient (|level| ≤ 7) — the
+  // "block-constant under a flat QP" shape whose coefficient sums the
+  // oracle prices like the MJPEG tier. Anything outside the subset's
+  // code points (a third coeff_token shape, a level_prefix ≥ 14, the
+  // unused all-zeros total_zeros word) fails loudly BY NAME.
+
+  /** One I_16x16 macroblock of the tier: prediction modes, QP delta,
+    * and the single signed DC coefficient with its zigzag position
+    * (total_zeros).
+    */
+  case class H264Mb(predMode: Int, chromaPred: Int, qpDelta: Int,
+      dcLevel: Int, dcTz: Int)
+
+  private def writeTotalZeros1(w: GolombWriter, tz: Int): Unit = {
+    require(tz >= 0 && tz <= 15, s"total_zeros $tz")
+    if (tz == 0) w.bit(1)
+    else if (tz == 15) { w.bits(0, 8); w.bit(1) }
+    else {
+      val z = (tz + 1) / 2
+      w.bits(0, z); w.bit(1); w.bit(if (tz % 2 == 1) 1 else 0)
+    }
+  }
+
+  private def readTotalZeros1(r: GolombReader): Int = {
+    var z = 0
+    while (r.bit() == 0) {
+      z += 1
+      require(z <= 8, "total_zeros prefix over-long (invalid code word)")
+    }
+    if (z == 0) 0
+    else if (z == 8) 15
+    else 2 * z - 1 + (1 - r.bit())
+  }
+
+  /** The IDR slice RBSP with REAL macroblock data. `lieTzInMb` ≥ 0
+    * writes the INVALID all-zeros total_zeros word in that MB — the
+    * §9.2 code point Table 9-7 never assigns, detectable only by the
+    * residual parse (header, NAL, and SPS layers all stay pristine).
+    */
+  def writeIFrameSliceRbsp(sps: H264Sps, idrPicId: Int, sliceQpDelta: Int,
+      mbs: Seq[H264Mb], lieTzInMb: Int = -1): Array[Byte] = {
+    require(mbs.size == sps.widthMbs * sps.heightMbs,
+      s"slice carries ${mbs.size} MBs for a ${sps.widthMbs}x" +
+        s"${sps.heightMbs} picture")
+    val w = new GolombWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(0) // pic_parameter_set_id
+    w.bits(0, sps.log2MaxFrameNum) // frame_num = 0 (IDR, §7.4.3)
+    w.ue(idrPicId)
+    w.bit(0); w.bit(0) // dec_ref_pic_marking: no_output, long_term
+    w.se(sliceQpDelta)
+    mbs.zipWithIndex.foreach { case (mb, mi) =>
+      require(mb.predMode >= 0 && mb.predMode <= 3, s"pred ${mb.predMode}")
+      require(mb.chromaPred >= 0 && mb.chromaPred <= 3,
+        s"chroma pred ${mb.chromaPred}")
+      require(mb.dcLevel != 0 && math.abs(mb.dcLevel) <= 7,
+        s"DC level ${mb.dcLevel} outside the block-constant subset")
+      w.ue(1 + mb.predMode) // I_16x16_<pred>_0_0: CBP rides in the type
+      w.ue(mb.chromaPred)
+      w.se(mb.qpDelta)
+      // Intra16x16DCLevel, TotalCoeff = 1:
+      if (math.abs(mb.dcLevel) == 1) {
+        w.bits(1, 2) // coeff_token (1, 1): "01"
+        w.bit(if (mb.dcLevel < 0) 1 else 0) // trailing-one sign
+      } else {
+        w.bits(5, 6) // coeff_token (1, 0): "000101"
+        // level_prefix, suffixLength 0, first-level +2 adjustment
+        val levelCode =
+          if (mb.dcLevel > 0) 2 * mb.dcLevel - 2 else -2 * mb.dcLevel - 1
+        val prefix = levelCode - 2
+        require(prefix >= 0 && prefix < 14, s"level_prefix $prefix")
+        w.bits(0, prefix); w.bit(1)
+      }
+      if (mi == lieTzInMb) { w.bits(0, 8); w.bit(0) } // invalid word
+      else writeTotalZeros1(w, mb.dcTz)
+      // run_before: none for TotalCoeff = 1
+    }
+    w.rbspTrailing()
+  }
+
+  /** Parse an IDR slice RBSP of the tier back to its macroblocks. */
+  def parseIFrameSlice(rbsp: Array[Byte], sps: H264Sps): Vector[H264Mb] = {
+    val r = new GolombReader(rbsp)
+    require(r.ue() == 0, "first_mb_in_slice != 0 outside subset")
+    val st = r.ue()
+    require(st == 7 || st == 2, s"slice_type $st is not I")
+    require(r.ue() == 0, "pic_parameter_set_id != 0 outside subset")
+    require(r.bits(sps.log2MaxFrameNum) == 0, "IDR frame_num != 0")
+    r.ue() // idr_pic_id
+    r.bit(); r.bit() // dec_ref_pic_marking
+    r.se() // slice_qp_delta
+    val n = sps.widthMbs * sps.heightMbs
+    val mbs = Vector.newBuilder[H264Mb]
+    var mi = 0
+    while (mi < n) {
+      val mbType = r.ue()
+      require(mbType >= 1 && mbType <= 4,
+        s"mb_type $mbType outside the I_16x16 CBP-0 subset")
+      val chromaPred = r.ue()
+      require(chromaPred <= 3, s"intra_chroma_pred_mode $chromaPred")
+      val qpDelta = r.se()
+      // coeff_token, 0 <= nC < 2 column
+      val (tc, t1) =
+        if (r.bit() == 1) (0, 0)
+        else if (r.bit() == 1) (1, 1)
+        else {
+          // expect the remaining "0101" of "000101"
+          require(r.bit() == 0 && r.bit() == 1 && r.bit() == 0 &&
+            r.bit() == 1,
+            "coeff_token outside the block-constant subset " +
+              "((0,0) / (1,1) / (1,0) only)")
+          (1, 0)
+        }
+      require(tc == 1,
+        "macroblock without its one DC coefficient (subset contract)")
+      val level =
+        if (t1 == 1) { if (r.bit() == 1) -1 else 1 }
+        else {
+          var prefix = 0
+          while (r.bit() == 0) {
+            prefix += 1
+            require(prefix < 14,
+              "level_prefix >= 14 outside the block-constant subset")
+          }
+          val levelCode = prefix + 2 // first level, TrailingOnes < 3
+          if (levelCode % 2 == 0) (levelCode + 2) / 2
+          else -((levelCode + 1) / 2)
+        }
+      val tz = readTotalZeros1(r)
+      mbs += H264Mb(mbType - 1, chromaPred, qpDelta, level, tz)
+      mi += 1
+    }
+    r.expectTrailing()
+    mbs.result()
+  }
+
+  /** Encode a full Annex-B stream for the tier: SPS, PPS (CAVLC
+    * entropy mode — the data really is CAVLC now), one IDR slice with
+    * real macroblock data.
+    */
+  def encodeH264IFrameStream(sps: H264Sps, idrPicId: Int,
+      sliceQpDelta: Int, mbs: Seq[H264Mb],
+      lieTzInMb: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte], first: Boolean): Unit = {
+      if (first) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write((refIdc << 5) | nalType)
+      val esc = escapeRbsp(rbsp)
+      out.write(esc, 0, esc.length)
+    }
+    nal(3, 7, writeSpsRbsp(sps), first = true)
+    nal(3, 8, writePpsRbsp(DefaultPps), first = false)
+    nal(3, 5, writeIFrameSliceRbsp(sps, idrPicId, sliceQpDelta, mbs,
+      lieTzInMb), first = false)
+    out.toByteArray
+  }
+
+  /** Walk a tier stream back: the structural NAL walk first (start
+    * codes, headers, SPS/PPS reference checks — [[decodeH264Stream]]),
+    * then the IDR slice's full header + macroblock parse.
+    */
+  def decodeH264IFrame(bytes: Array[Byte]): (H264Sps, Vector[H264Mb]) = {
+    val stream = decodeH264Stream(bytes)
+    // re-scan for the IDR slice NAL payload (type 5)
+    var slice: Array[Byte] = null
+    var i = 0
+    var count = 0
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        val hdr = bytes(i + 3) & 0xFF
+        if ((hdr & 0x1F) == 5) {
+          var j = i + 4
+          while (j + 2 < bytes.length &&
+            !(bytes(j) == 0 && bytes(j + 1) == 0 && bytes(j + 2) == 1)) j += 1
+          val end = if (j + 2 < bytes.length) {
+            if (j > 0 && bytes(j - 1) == 0) j - 1 else j
+          } else bytes.length
+          slice = unescapeRbsp(
+            java.util.Arrays.copyOfRange(bytes, i + 4, end))
+          count += 1
+        }
+        i += 3
+      } else i += 1
+    }
+    require(count == 1, s"tier stream carries $count IDR slices, not 1")
+    (stream.sps, parseIFrameSlice(slice, stream.sps))
+  }
 }

@@ -1040,6 +1040,93 @@ object Multimodal {
     })
   }
 
+  // --------------------- CAVLC I-frame residuals (§9.2, r16)
+
+  /** Streams whose IDR slice carries REAL macroblock data: per doc a
+    * (1 + id mod 8) × (1 + id mod 6) MB picture, every MB an I_16x16
+    * CBP-0 block-constant macroblock whose one DC coefficient, zigzag
+    * position, prediction modes, and QP delta are id/index-derived mod
+    * values the oracle reprices. `lieTz` plants Table 9-7's unassigned
+    * all-zeros total_zeros word in MB 0 of ids ≡ 0 (mod 13) — damage
+    * only the residual parse can catch.
+    */
+  def h264IFrameFromText(spark: SparkSession, docs: DataFrame,
+      idCol: String, lieTz: Boolean = false): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val sps = Codecs.H264Sps(
+          profileIdc = Seq(66, 77, 88)((id % 3).toInt),
+          levelIdc = 10 + (id % 5).toInt * 10,
+          log2MaxFrameNum = 4 + (id % 9).toInt,
+          maxNumRefFrames = 1 + (id % 4).toInt,
+          widthMbs = 1 + (id % 8).toInt,
+          heightMbs = 1 + (id % 6).toInt,
+          direct8x8 = (id % 2).toInt)
+        val n = sps.widthMbs * sps.heightMbs
+        val mbs = (0 until n).map { m =>
+          val mag = 1 + ((id * 7 + m) % 7).toInt
+          Codecs.H264Mb(
+            predMode = ((id + m) % 4).toInt,
+            chromaPred = ((id * 3 + m) % 4).toInt,
+            qpDelta = ((id + m) % 5).toInt - 2,
+            dcLevel = if ((id + m) % 2 == 0) mag else -mag,
+            dcTz = ((id * 11 + m * 5) % 16).toInt)
+        }
+        val lie = if (lieTz && id % 13 == 0) 0 else -1
+        MediaRow(id, "video/h264", Codecs.encodeH264IFrameStream(
+          sps, idrPicId = (id % 32).toInt,
+          sliceQpDelta = ((id % 7) - 3).toInt, mbs, lieTzInMb = lie))
+      })
+  }
+
+  case class H264MbCensus(media_id: Long, n_mbs: Long, sum_mb_type: Long,
+      sum_chroma_pred: Long, sum_qp_delta: Long, n_neg_dc: Long,
+      sum_dc_abs: Long, sum_tz: Long, width_mbs: Long, height_mbs: Long)
+
+  /** Per-stream census of the parsed macroblock layer — every field a
+    * sum the oracle reprices from the id/index arithmetic; one
+    * mis-parsed Exp-Golomb or CAVLC code anywhere shifts a sum.
+    */
+  def h264MbCensus(media: Dataset[MediaRow]): Dataset[H264MbCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (sps, mbs) = Codecs.decodeH264IFrame(r.content)
+      H264MbCensus(r.media_id, mbs.size.toLong,
+        mbs.iterator.map(m => (1 + m.predMode).toLong).sum,
+        mbs.iterator.map(_.chromaPred.toLong).sum,
+        mbs.iterator.map(_.qpDelta.toLong).sum,
+        mbs.count(_.dcLevel < 0).toLong,
+        mbs.iterator.map(m => math.abs(m.dcLevel).toLong).sum,
+        mbs.iterator.map(_.dcTz.toLong).sum,
+        sps.widthMbs.toLong, sps.heightMbs.toLong)
+    })
+  }
+
+  case class TriedH264MbCensus(media_id: Long, decode_ok: Long,
+      n_mbs: Long, sum_dc_abs: Long, sum_tz: Long)
+
+  /** Residual-layer quarantine: the invalid total_zeros word throws in
+    * the CAVLC parse and zeroes THAT stream's row; the NAL and header
+    * layers alone cannot catch it.
+    */
+  def tryH264MbCensus(
+      media: Dataset[MediaRow]): Dataset[TriedH264MbCensus] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val (_, mbs) = Codecs.decodeH264IFrame(r.content)
+        TriedH264MbCensus(r.media_id, 1L, mbs.size.toLong,
+          mbs.iterator.map(m => math.abs(m.dcLevel).toLong).sum,
+          mbs.iterator.map(_.dcTz.toLong).sum)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          TriedH264MbCensus(r.media_id, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
   /** Structurally-genuine H.264 Annex-B streams from text: per document
     * one SPS (every field id-derived — Baseline/Main/Extended profile
     * by id mod 3, level by id mod 5, log2_max_frame_num 4 + id mod 9,

@@ -2138,6 +2138,90 @@ object PrepQueries {
        |FROM msb b JOIN msa a USING (media_id)
        |ORDER BY media_id""".stripMargin
 
+  // Per-MB arithmetic shared by q253/q254.
+  private val H264MbCte =
+    """hm0 AS (
+      |  SELECT doc_id AS media_id,
+      |    1 + doc_id % 8 AS wmb, 1 + doc_id % 6 AS hmb
+      |  FROM documents),
+      |hm1 AS (
+      |  SELECT media_id, wmb, hmb,
+      |    unnest(generate_series(0, wmb * hmb - 1)) AS m
+      |  FROM hm0),
+      |hm2 AS (
+      |  SELECT media_id, wmb, hmb, m,
+      |    1 + (media_id + m) % 4 AS mbt,
+      |    (media_id * 3 + m) % 4 AS cp,
+      |    (media_id + m) % 5 - 2 AS qd,
+      |    CASE WHEN (media_id + m) % 2 = 0 THEN 0 ELSE 1 END AS neg,
+      |    1 + (media_id * 7 + m) % 7 AS mag,
+      |    (media_id * 11 + m * 5) % 16 AS tz
+      |  FROM hm1),
+      |hma AS (
+      |  SELECT media_id, any_value(wmb) AS wmb, any_value(hmb) AS hmb,
+      |    count(*) AS n_mbs, sum(mbt) AS sum_mbt, sum(cp) AS sum_cp,
+      |    sum(qd) AS sum_qd, sum(neg) AS n_neg, sum(mag) AS sum_mag,
+      |    sum(tz) AS sum_tz
+      |  FROM hm2 GROUP BY media_id)""".stripMargin
+
+  /** q253 — H.264 CAVLC I-FRAME RESIDUALS (§7.3.5 + §9.2), the r16
+    * narrowing of the last named-format stub: IDR slice DATA parses
+    * for real — complete slice headers (idr_pic_id,
+    * dec_ref_pic_marking, slice_qp_delta), I_16x16 CBP-0 macroblock
+    * layers (mb_type, intra_chroma_pred_mode, mb_qp_delta), and the
+    * Intra16x16DCLevel residual block CAVLC-decoded per §9.2
+    * (coeff_token, trailing-one signs, level_prefix with the
+    * first-level adjustment, Table 9-7 total_zeros). Block-constant
+    * synthesis under a flat QP: one signed DC coefficient per MB,
+    * every field an id/index mod value the oracle reprices — the
+    * MJPEG-tier pricing discipline applied to the entropy-coded
+    * macroblock layer.
+    */
+  val q253_h264_mb_census: Q = (s, d) =>
+    graft.multimodal.Multimodal.h264MbCensus(
+        graft.multimodal.Multimodal.h264IFrameFromText(
+          s, Tables.documents(s, d), "doc_id"))
+      .toDF().orderBy("media_id")
+
+  val q253Sql: String =
+    s"""WITH $H264MbCte
+       |SELECT media_id,
+       |  CAST(n_mbs AS BIGINT) AS n_mbs,
+       |  CAST(sum_mbt AS BIGINT) AS sum_mb_type,
+       |  CAST(sum_cp AS BIGINT) AS sum_chroma_pred,
+       |  CAST(sum_qd AS BIGINT) AS sum_qp_delta,
+       |  CAST(n_neg AS BIGINT) AS n_neg_dc,
+       |  CAST(sum_mag AS BIGINT) AS sum_dc_abs,
+       |  CAST(sum_tz AS BIGINT) AS sum_tz,
+       |  CAST(wmb AS BIGINT) AS width_mbs,
+       |  CAST(hmb AS BIGINT) AS height_mbs
+       |FROM hma ORDER BY media_id""".stripMargin
+
+  /** q254 — residual-layer quarantine: ids ≡ 0 (mod 13) carry the
+    * all-zeros total_zeros word Table 9-7 never assigns, in MB 0 —
+    * the NAL walk, SPS/PPS references, and slice header all stay
+    * pristine; only the CAVLC parse can reject it. The bad stream
+    * quarantines alone with zeroed stats.
+    */
+  val q254_h264_mb_quarantine: Q = (s, d) =>
+    graft.multimodal.Multimodal.tryH264MbCensus(
+        graft.multimodal.Multimodal.h264IFrameFromText(
+          s, Tables.documents(s, d), "doc_id", lieTz = true))
+      .toDF().orderBy("media_id")
+
+  val q254Sql: String =
+    s"""WITH $H264MbCte
+       |SELECT media_id,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+       |    AS decode_ok,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE n_mbs END AS BIGINT)
+       |    AS n_mbs,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE sum_mag END
+       |    AS BIGINT) AS sum_dc_abs,
+       |  CAST(CASE WHEN media_id % 13 = 0 THEN 0 ELSE sum_tz END
+       |    AS BIGINT) AS sum_tz
+       |FROM hma ORDER BY media_id""".stripMargin
+
   /** q239 — PDF STRUCTURAL CENSUS: the document container of a real
     * multimodal crawl, walked the way a reader actually reads it —
     * `startxref` from the end, the cross-reference table's exact
@@ -2593,6 +2677,8 @@ object PrepQueries {
     "q239_pdf_census" -> q239_pdf_census,
     "q248_pdf15_census" -> q248_pdf15_census,
     "q251_mp3_sideinfo" -> q251_mp3_sideinfo,
+    "q253_h264_mb_census" -> q253_h264_mb_census,
+    "q254_h264_mb_quarantine" -> q254_h264_mb_quarantine,
     "q252_mp3_si_quarantine" -> q252_mp3_si_quarantine,
     "q249_pdf15_quarantine" -> q249_pdf15_quarantine,
     "q250_pdf15_extract" -> q250_pdf15_extract,
@@ -2649,6 +2735,8 @@ object PrepQueries {
     "q239_pdf_census" -> q239Sql,
     "q248_pdf15_census" -> q248Sql,
     "q251_mp3_sideinfo" -> q251Sql,
+    "q253_h264_mb_census" -> q253Sql,
+    "q254_h264_mb_quarantine" -> q254Sql,
     "q252_mp3_si_quarantine" -> q252Sql,
     "q249_pdf15_quarantine" -> q249Sql,
     "q250_pdf15_extract" -> q250Sql,

@@ -1609,4 +1609,63 @@ class CodecSpec extends AnyFunSuite {
         fr.sampleRate, fr.padding))
     }
   }
+
+  // ------------- CAVLC I-frame residuals (§7.3.5 / §9.2, r16)
+
+  test("CAVLC I-frame slice round-trips every macroblock field: " +
+      "trailing-one and level_prefix coefficient paths, all zigzag " +
+      "positions, signed QP deltas") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(66, 30, 5, 2, 4, 4, 0)
+    val mbs = (0 until 16).map { m =>
+      val mag = 1 + m % 7
+      Codecs.H264Mb(m % 4, (m * 3) % 4, m % 5 - 2,
+        if (m % 2 == 0) mag else -mag, (m * 5) % 16)
+    }
+    val b = Codecs.encodeH264IFrameStream(sps, idrPicId = 9,
+      sliceQpDelta = -3, mbs)
+    val (spsBack, back) = Codecs.decodeH264IFrame(b)
+    assert(spsBack.widthMbs === 4 && spsBack.heightMbs === 4)
+    assert(back === mbs.toVector)
+  }
+
+  test("the unassigned total_zeros word (all zeros) is rejected BY the " +
+      "residual parse and only by it") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(66, 30, 4, 1, 2, 2, 0)
+    val mbs = (0 until 4).map(m =>
+      Codecs.H264Mb(0, 0, 0, 1 + m, m))
+    val bad = Codecs.encodeH264IFrameStream(sps, 0, 0, mbs, lieTzInMb = 2)
+    // the structural NAL walk alone accepts the stream...
+    Codecs.decodeH264Stream(bad)
+    // ...only the macroblock parse catches the invalid code word
+    val e = intercept[IllegalArgumentException](
+      Codecs.decodeH264IFrame(bad))
+    assert(e.getMessage.contains("total_zeros") ||
+      e.getMessage.contains("invalid code word"))
+  }
+
+  test("hostile pin on the macroblock layer: seeded bit flips in the " +
+      "slice payload either reparse or raise the loud contract — " +
+      "never an unexpected crash class") {
+    import graft.multimodal.Codecs
+    val sps = Codecs.H264Sps(77, 40, 6, 2, 3, 3, 1)
+    val mbs = (0 until 9).map(m =>
+      Codecs.H264Mb(m % 4, m % 4, m % 5 - 2,
+        (if (m % 2 == 0) 1 else -1) * (1 + m % 7), (m * 7) % 16))
+    val base = Codecs.encodeH264IFrameStream(sps, 3, 1, mbs)
+    val rnd = new scala.util.Random(13)
+    var refused = 0
+    (0 until 400).foreach { _ =>
+      val m = base.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      try { Codecs.decodeH264IFrame(m); () } catch {
+        case _: IllegalArgumentException => refused += 1
+        case other: Throwable =>
+          fail(s"flip leaked ${other.getClass}: ${other.getMessage}")
+      }
+    }
+    assert(refused > 0, "no flip was ever refused — the checks are dead")
+  }
 }
