@@ -50,11 +50,17 @@ object ScaleProbe {
       // replicate with distinct ids and per-replica word suffixes
       val reps = (0 until k).map { r =>
         if (r == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(r * maxId)).as("doc_id"),
-          array_join(transform(split(coalesce(col("text"), lit("")), " "),
-            w => concat(w, lit(s"_$r"))), " ").as("text"),
-          col("lang"), col("source"))
+        else {
+          val base = docs
+            .withColumn("doc_id", col("doc_id") + lit(r * maxId))
+            .withColumn("text",
+              array_join(transform(split(coalesce(col("text"), lit("")),
+                " "), w => concat(w, lit(s"_$r"))), " "))
+          if (docs.columns.contains("n_chars"))
+            base.withColumn("n_chars",
+              length(col("text")).cast(docs.schema("n_chars").dataType))
+          else base
+        }
       }
       reps.reduce(_ unionByName _)
         .repartition(32)
