@@ -1010,10 +1010,57 @@ object WebQueries {
        |    AS stream_bytes
        |FROM bm ORDER BY doc_id""".stripMargin
 
+  /** q255 — BROTLI ENTROPY-CODED CENSUS: the compressed-metablock
+    * grammar on the engine's OWN wire (the q232 two-flavor discipline
+    * applied to brotli): odd ids ship ONE entropy-coded metablock —
+    * a complex literal prefix code (all 256 symbols flat at depth 8,
+    * described through the code-length code's degenerate single-symbol
+    * form, so the whole table costs zero wire bits), one-symbol simple
+    * command/distance codes, and a single insert-only command whose
+    * copy part the §9.3 MLEN cap leaves unread — while even ids keep
+    * the uncompressed framing. Both flavors decode through the same
+    * full decoder (which the reference C library cross-checks: every
+    * engine compressed stream in the conformance battery decodes
+    * byte-exactly under brotli itself). The oracle prices the
+    * compressed size EXACTLY — ⌈(98 + E(n) + 8n)/8⌉, with E(n) the
+    * §5 insert-code extra-bit step function generated from the same
+    * table the encoder reads — next to the uncompressed arithmetic,
+    * and the literal count separates the flavors (n_literals = n only
+    * on the entropy path).
+    */
+  val q255_brotli_entropy_census: Q = (s, d) =>
+    WebLake.brotliCensus(
+        WebLake.brotliEntropyLake(s, Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
+
+  val q255Sql: String = {
+    val e = graft.web.Brotli.insExtraCaseSql("n")
+    s"""WITH $BrotliCte,
+       |bf AS (
+       |  SELECT doc_id, n, psum, chunks, sb,
+       |    doc_id % 2 = 1 AND n >= 1 AND n <= 65536 AS ent
+       |  FROM bm)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(16 AS INTEGER) AS wbits,
+       |  CAST(CASE WHEN ent THEN 1 ELSE chunks + 1 END AS BIGINT)
+       |    AS n_metablocks,
+       |  CAST(CASE WHEN ent THEN 0 ELSE chunks END AS BIGINT)
+       |    AS n_uncompressed,
+       |  CAST(CASE WHEN ent THEN n ELSE 0 END AS BIGINT) AS n_literals,
+       |  CAST(0 AS BIGINT) AS n_dict_refs,
+       |  CAST(n AS BIGINT) AS out_bytes,
+       |  CAST(psum AS BIGINT) AS sum_out,
+       |  CAST(CASE WHEN ent
+       |      THEN (98 + ($e) + 8 * n + 7) // 8
+       |      ELSE sb END AS BIGINT) AS stream_bytes
+       |FROM bf ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q232_zstd_entropy_census" -> q232_zstd_entropy_census,
     "q246_brotli_census" -> q246_brotli_census,
     "q247_brotli_quarantine" -> q247_brotli_quarantine,
+    "q255_brotli_entropy_census" -> q255_brotli_entropy_census,
     "q212_gzip_member_census" -> q212_gzip_member_census,
     "q213_warc_record_census" -> q213_warc_record_census,
     "q214_cdx_index" -> q214_cdx_index,
@@ -1039,6 +1086,7 @@ object WebQueries {
     "q232_zstd_entropy_census" -> q232Sql,
     "q246_brotli_census" -> q246Sql,
     "q247_brotli_quarantine" -> q247Sql,
+    "q255_brotli_entropy_census" -> q255Sql,
     "q212_gzip_member_census" -> q212Sql,
     "q213_warc_record_census" -> q213Sql,
     "q214_cdx_index" -> q214Sql,

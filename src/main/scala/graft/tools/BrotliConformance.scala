@@ -41,12 +41,20 @@ object BrotliConformance {
           fail += 1
           failures += s"$br EXC ${e.getMessage}"
       }
-      // encoder round-trip on the payload
+      // encoder round-trips on the payload (both wire flavors)
       try {
         val enc = graft.web.Brotli.encodeUncompressed(expect)
         val back = graft.web.Brotli.decode(enc)
         if (!java.util.Arrays.equals(back, expect))
           failures += s"$raw ENC-ROUNDTRIP MISMATCH"
+        if (expect.length >= 1 && expect.length <= 65536) {
+          val comp = graft.web.Brotli.encodeCompressed(expect)
+          val back2 = graft.web.Brotli.decode(comp)
+          if (!java.util.Arrays.equals(back2, expect))
+            failures += s"$raw COMPRESSED-ROUNDTRIP MISMATCH"
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            br.stripSuffix(".br") + ".eng.br"), comp)
+        }
       } catch {
         case e: Throwable => failures += s"$raw ENC EXC ${e.getMessage}"
       }

@@ -930,6 +930,99 @@ object Brotli {
 
   // ---------------------------------------------------------- encoding
 
+  /** Insert-length code for an exact value (encoder-side lookup). */
+  private def insCodeFor(n: Int): Int = {
+    var c = InsBase.length - 1
+    while (InsBase(c) > n) c -= 1
+    require(n - InsBase(c) < (1 << InsExtra(c)), s"brotli: no insert code for $n")
+    c
+  }
+
+  /** Encode `payload` (1..65536 bytes) as ONE ENTROPY-CODED metablock —
+    * the decoder's compressed-path grammar on the engine's own wire: a
+    * complex literal prefix code (all 256 symbols at depth 8, described
+    * through the code-length code's single-symbol degenerate form — the
+    * whole 256-length table costs ZERO bits on the wire), one-symbol
+    * simple command and distance codes, and a single insert-only
+    * command whose copy part the §9.3 MLEN cap leaves unread. Stream
+    * size is exact arithmetic: ⌈(98 + E(n) + 8n) / 8⌉ bytes, where
+    * E(n) is the insert-length code's extra-bit count — a 24-range step
+    * function the oracle prices with a CASE.
+    */
+  def encodeCompressed(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    require(n >= 1 && n <= 65536,
+      s"brotli: compressed-metablock synthesis covers 1..65536 bytes, not $n")
+    val insCode = insCodeFor(n)
+    val totalBits = 98 + InsExtra(insCode) + 8 * n
+    val out = new Array[Byte]((totalBits + 7) / 8)
+    var bitPos = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = 0
+      while (i < bits) {
+        if (((v >> i) & 1) == 1)
+          out(bitPos >> 3) = (out(bitPos >> 3) | (1 << (bitPos & 7))).toByte
+        bitPos += 1
+        i += 1
+      }
+    }
+    put(0, 1) // WBITS = 16
+    put(1, 1) // ISLAST
+    put(0, 1) // ISLASTEMPTY = 0
+    put(0, 2) // MNIBBLES code 0 → 4 nibbles
+    put(n - 1, 16)
+    put(0, 3) // NBLTYPES L, I, D = 1
+    put(0, 2) // NPOSTFIX
+    put(0, 4) // NDIRECT
+    put(0, 2) // context mode LSB6
+    put(0, 1) // NTREESL = 1
+    put(0, 1) // NTREESD = 1
+    // literal code: COMPLEX, hskip 0; code-length code = the degenerate
+    // single-symbol form (only CL symbol 8 nonzero), so every one of the
+    // 256 flat-depth-8 lengths then reads in zero bits
+    put(0, 2) // hskip
+    var k = 0
+    while (k < 10) { put(0, 2); k += 1 } // CL symbols 1,2,3,4,0,5,17,6,16,7 → 0
+    put(7, 4) // CL symbol 8 → length 1 (VLC index 7: bits 1,1,1,0)
+    k = 0
+    while (k < 7) { put(0, 2); k += 1 } // CL symbols 9..15 → 0
+    // command code: simple, 1 symbol — (insCode, copyCode 0), explicit-
+    // distance cell (the distance is never read: MLEN ends at the insert)
+    put(1, 2) // hskip = 1 → simple
+    put(0, 2) // NSYM 1
+    val cmd =
+      if (insCode < 8) 128 + (insCode << 3)
+      else if (insCode < 16) 256 + ((insCode - 8) << 3)
+      else 448 + ((insCode - 16) << 3)
+    put(cmd, 10)
+    // distance code: simple, 1 symbol (0) — never read
+    put(1, 2); put(0, 2); put(0, 6)
+    // body: command symbol (0 bits), insert extra bits, 8-bit literals.
+    // Prefix-code WORDS are assembled MSB-first by the reader (the
+    // DEFLATE convention), so each literal's canonical flat-8 code —
+    // the byte value itself — goes out bit-reversed; extra bits stay
+    // LSB-first.
+    put(n - InsBase(insCode), InsExtra(insCode))
+    var i = 0
+    while (i < n) {
+      val v = payload(i) & 0xFF
+      var j = 7
+      while (j >= 0) { put((v >> j) & 1, 1); j -= 1 }
+      i += 1
+    }
+    require(bitPos == totalBits, "brotli: compressed encoder size drift")
+    out
+  }
+
+  /** The DuckDB CASE for the insert-extra-bit count E(n) — generated
+    * from the SAME §5 table the encoder reads, so the oracle cannot
+    * drift from the wire.
+    */
+  def insExtraCaseSql(n: String): String =
+    (InsBase.length - 1 to 0 by -1)
+      .map(c => s"WHEN $n >= ${InsBase(c)} THEN ${InsExtra(c)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
   /** Encode `payload` as a valid RFC 7932 stream of uncompressed
     * metablocks (WBITS 16, ≤ 65535-byte chunks, closed by an empty last
     * metablock) — the synthesis wire for `Content-Encoding: br` bodies.

@@ -1005,6 +1005,30 @@ object WebLake {
       })
   }
 
+  /** The entropy-flavored lake (r16): odd ids with 1..65536 payload
+    * bytes ship ONE ENTROPY-CODED metablock ([[Brotli.encodeCompressed]]
+    * — complex flat-8 literal code, one-symbol command/distance codes,
+    * a single insert-only command), the rest keep the uncompressed
+    * framing — both flavors walked by the same full decoder, the
+    * compressed-path grammar now on the driver-checked wire (the q232
+    * two-flavor discipline applied to brotli).
+    */
+  def brotliEntropyLake(spark: SparkSession,
+      docs: DataFrame): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val payload = asciiBytes(t)
+        val bytes =
+          if (id % 2 == 1 && payload.length >= 1 && payload.length <= 65536)
+            Brotli.encodeCompressed(payload)
+          else Brotli.encodeUncompressed(payload)
+        ArchiveRow(id, bytes)
+      })
+  }
+
   /** Per-object census of the RFC 7932 walk: metablock splits, the
     * decoded payload's byte count/sum, and the wire size — every field
     * priced by the oracle from the uncompressed-framing arithmetic

@@ -279,4 +279,35 @@ class BrotliSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Brotli.decode(b))
     assert(e.getMessage.contains("large-window"))
   }
+
+  test("encodeCompressed: the entropy-coded metablock round-trips " +
+      "byte-exactly at both insert-code regimes and its size is the " +
+      "exact 98 + E(n) + 8n bit arithmetic") {
+    val rnd = new scala.util.Random(19)
+    for (n <- Seq(1, 5, 6, 9, 13, 100, 129, 1089, 2113, 6209, 6210,
+        22594, 65536)) {
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      val c = Brotli.encodeCompressed(payload)
+      val (back, stats) = Brotli.decodeWithStats(c)
+      assert(java.util.Arrays.equals(back, payload), s"n=$n")
+      assert(stats.nMetablocks === 1L && stats.nUncompressed === 0L)
+      assert(stats.nLiterals === n.toLong, s"n=$n literal count")
+      // E(n) from the section-5 insert-code table
+      val bases = Seq(0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34, 50, 66,
+        98, 130, 194, 322, 578, 1090, 2114, 6210, 22594)
+      val extras = Seq(0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+        7, 8, 9, 10, 12, 14, 24)
+      val e = extras(bases.lastIndexWhere(_ <= n))
+      assert(c.length === (98 + e + 8 * n + 7) / 8, s"n=$n size")
+    }
+  }
+
+  test("encodeCompressed golden: the exact wire bytes for a fixed " +
+      "payload (verified against the reference decoder when minted)") {
+    val got = Brotli.encodeCompressed("entropy wire".getBytes("US-ASCII"))
+    // minted 2026-08-16; brotli (C library) decompresses this stream
+    // back to the payload byte-exactly
+    assert(got.map("%02x".format(_)).mkString === "620100000000000700044001686ae7e264efe049e06ee9640a")
+  }
 }
