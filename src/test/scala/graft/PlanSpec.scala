@@ -505,10 +505,17 @@ class PlanSpec extends AnyFunSuite {
           !plan.contains("hashpartitioning(source"),
           s"$name shuffles on a string key:\n$plan")
     }
-    // the per-doc tiers (no archive grouping at all): pure map
+    // the per-doc tiers (no archive grouping at all): pure map — the
+    // r16 container queries (brotli, PDF-1.5, MP3 side info, H.264
+    // macroblocks) join the pin: every walk must ride the scan
     for (name <- Seq("q217_robots_audit", "q222_boilerplate_extract",
         "q225_zstd_frame_census", "q226_zstd_quarantine",
-        "q230_compression_sniff", "q232_zstd_entropy_census")) {
+        "q230_compression_sniff", "q232_zstd_entropy_census",
+        "q246_brotli_census", "q247_brotli_quarantine",
+        "q255_brotli_entropy_census", "q248_pdf15_census",
+        "q249_pdf15_quarantine", "q250_pdf15_extract",
+        "q251_mp3_sideinfo", "q252_mp3_si_quarantine",
+        "q253_h264_mb_census", "q254_h264_mb_quarantine")) {
       val plan = finalSection(
         executedPlan(graft.SparkEntry.queries(name)(spark, sf)))
       assert(!plan.contains("Exchange hashpartitioning"),
