@@ -69,10 +69,29 @@ object Dsir {
     * Additive: per-batch deltas fold by sum into the one-shot table.
     */
   def countDelta(planted: DataFrame): DataFrame =
-    pairs(planted).filter(col("is_train") && col("fb").isNotNull)
+    countDeltaFromPairs(pairs(planted))
+
+  /** [[countDelta]] over an already-built pair relation — so a caller
+    * that needs BOTH the model and the scoring stream (q188's shape)
+    * derives them from one materialized [[pairs]] instead of running
+    * the bigram explode + per-bigram md5 once per consumer.
+    */
+  def countDeltaFromPairs(pairRel: DataFrame): DataFrame =
+    pairRel.filter(col("is_train") && col("fb").isNotNull)
       .groupBy("fb")
       .agg(sum(when(col("is_q"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
+
+  /** The in-query weights readout: ONE materialized pair relation
+    * serves both the model aggregate and the scoring stream. The
+    * previous q188 composition called [[pairs]] separately for each —
+    * three full bigram-explode + md5 passes per run ([[scores]]'
+    * `tot` re-aggregated the model side) instead of one.
+    */
+  def weights(planted: DataFrame): DataFrame = {
+    val p = TextDedup.maybeMaterialize(pairs(planted))
+    scores(p, countDeltaFromPairs(p))
+  }
 
   /** q188's scoring readout: (doc_id, n_bigrams, dsir_sum,
     * avg_shift_q6, selected), identical whether `counts` comes from the

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * fastText/CCNet-style screen that scores every document before
   * mixing), built as pure DataFrame algebra:
   *
-  *  - TRAIN: per-(label, token) counts are ONE map-side-combined
-  *    shuffle over the tokenized corpus; class totals, vocabulary
-  *    size, and priors are 1-row aggregates.
+  *  - TRAIN: per-token counts with both class totals as conditional
+  *    sums are ONE map-side-combined shuffle over the tokenized
+  *    corpus, materialized once (vocabulary-sized); class totals,
+  *    vocabulary size, and priors are 1-row aggregates over it.
   *  - MODEL: a |vocab|-row relation carrying each token's smoothed
   *    log-likelihood ratio ln θ₁(t) − ln θ₀(t) (Laplace +1), plus the
   *    scalar default ratio for unseen tokens — small enough to
@@ -43,16 +44,27 @@ object NaiveBayes {
       (DataFrame, DataFrame) = {
     val tok = tokens(docs.select(col(labelCol).as("label"), col(textCol)),
       textCol)
-    val counts = tok.groupBy("label", "tok").agg(count(lit(1)).as("c"))
-    val c0 = counts.filter(col("label") === 0).select(col("tok"),
-      col("c").as("c0"))
-    val c1 = counts.filter(col("label") === 1).select(col("tok"),
-      col("c").as("c1"))
-    // scalar side: class token totals, vocabulary size, doc priors
+    // ONE pivoted aggregate (tok, c0, c1), MATERIALIZED: the previous
+    // form grouped by (label, tok) and re-derived c0/c1/scalars as three
+    // separate readouts, so the corpus tokenize+aggregate subtree
+    // executed once per consumer (four times through train+predict —
+    // guide §1.2: fix the algorithm before the per-task work). A token
+    // absent from a class aggregates to 0 here where the old full-outer
+    // join produced NULL; the smoothing below adds +1 to the coalesced
+    // count either way, so ratios are bit-identical. The relation is
+    // vocabulary-sized — the bounded-model-state shape localCheckpoint
+    // is for.
+    val counts = TextDedup.maybeMaterialize(
+      tok.groupBy("tok")
+        .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1")))
+    // scalar side: class token totals, vocabulary size, doc priors —
+    // now an agg over the vocab-sized materialized counts, not a
+    // second corpus pass
     val scal = counts.agg(
-        sum(when(col("label") === 0, col("c")).otherwise(0L)).as("tot0"),
-        sum(when(col("label") === 1, col("c")).otherwise(0L)).as("tot1"),
-        countDistinct("tok").as("v"))
+        sum(col("c0")).as("tot0"),
+        sum(col("c1")).as("tot1"),
+        count(lit(1)).as("v"))
       .crossJoin(docs.agg(
         sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n1")))
@@ -71,12 +83,12 @@ object NaiveBayes {
             lit("NaiveBayes.train: both classes (0 and 1) must be " +
               "present in the training set")).cast("double"))
           .as("log_prior"))
-    val model = c0.join(c1, Seq("tok"), "full_outer")
+    val model = counts
       .crossJoin(broadcast(scal.select("tot0", "tot1", "v")))
       .select(col("tok"),
-        (log((coalesce(col("c1"), lit(0L)) + 1) /
+        (log((col("c1") + 1) /
             (col("tot1") + col("v"))) -
-          log((coalesce(col("c0"), lit(0L)) + 1) /
+          log((col("c0") + 1) /
             (col("tot0") + col("v")))).as("ratio"))
     (model, scal.select("default_ratio", "log_prior"))
   }

@@ -343,9 +343,9 @@ object FilterQueries {
     */
   val q188_dsir_weights: Q = (s, d) => {
     val planted = ClassifierQueries.planted(Tables.documents(s, d))
-    graft.ops.Dsir.scores(
-      graft.ops.Dsir.pairs(planted),
-      graft.ops.Dsir.countDelta(planted))
+    // one materialized pair relation feeds both the model aggregate and
+    // the scoring stream (was: three bigram-explode+md5 passes)
+    graft.ops.Dsir.weights(planted)
   }
 
   val q188Sql: String =

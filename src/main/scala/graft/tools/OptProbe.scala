@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 optimization probe: quantifies the single-task scan effect.
+  * Every sf table is ONE single-row-group parquet file, so all per-row
+  * work before the first Exchange runs in one task regardless of core
+  * count (guide §2.5's unsplittable-input case). This A/Bs the heavy
+  * map tiers as-scanned (1 task) vs repartitioned right after the read.
+  * Run: java -cp ... graft.tools.OptProbe /root/testdata/sf0.1
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String, reps: Int = 3)(mk: => DataFrame): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        graft.ops.Materialize.releaseAll(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-34s min=${ts.min}%7.3f s  (${ts.map(x => f"$x%.2f").mkString(",")})")
+    }
+
+    import graft.queries.{Tables, PiiQueries}
+    import graft.ops.TextDedup
+
+    // warm-up
+    graft.queries.CoreQueries.queries("q13_star_join")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, sfDir)
+    println(s"[probe] docs scan partitions = ${docs.rdd.getNumPartitions}")
+
+    t("shingle3.scan1task")(TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3))
+    t("shingle3.repart32")(TextDedup.shingleRelation(docs.repartition(32), "doc_id", "text", lit(""), 3))
+
+    t("png_decode.scan1task")(
+      graft.multimodal.Multimodal.tryDecodeImageStats(
+        graft.multimodal.Multimodal.corruptedPngFromText(spark, docs, "doc_id", "text")).toDF())
+    t("png_decode.repart32")(
+      graft.multimodal.Multimodal.tryDecodeImageStats(
+        graft.multimodal.Multimodal.corruptedPngFromText(spark, docs.repartition(32), "doc_id", "text")).toDF())
+
+    t("pii_screen.scan1task")(
+      PiiQueries.screened(docs.withColumn("aug", PiiQueries.plantedText), "aug"))
+    t("pii_screen.repart32")(
+      PiiQueries.screened(docs.repartition(32).withColumn("aug", PiiQueries.plantedText), "aug"))
+
+    // q18 full vs with a pre-repartitioned doc source
+    t("q18.full.asis")(graft.queries.ExtensionQueries.q18_ngram_jaccard(spark, sfDir))
+
+    // ---- q179 tier-by-tier ----
+    println("=== q179 tiers ===")
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.{ClassifierQueries, FilterQueries, UrlQueries}
+      // memo-backed cluster relation: build once first (billed separately)
+      val t0 = System.nanoTime()
+      val comp0 = graft.ops.TextDedup.dedupClusterRelationShared(
+        docs, sfDir, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      comp0.write.format("noop").mode("overwrite").save()
+      println(f"[probe] q179.memo_first_build          ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      t("q179.kept_tier") {
+        val comp = graft.ops.TextDedup.dedupClusterRelationShared(
+          docs, sfDir, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+        val byLen = Window.partitionBy("component")
+          .orderBy(col("n_chars").desc, col("id"))
+        comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+          .withColumn("rk", row_number().over(byLen))
+          .filter(col("rk") === 1)
+          .select(col("id").as("doc_id"), lit(1L).as("is_kept"))
+      }
+      t("q179.nb_train_predict") {
+        val base = ClassifierQueries.planted(docs)
+        val (model, scal) = graft.ops.NaiveBayes.train(
+          base.filter(!col("is_test")), "aug", "label")
+        graft.ops.NaiveBayes.predict(base, "aug", "doc_id", model, scal)
+      }
+      t("q179.dsir") {
+        FilterQueries.q188_dsir_weights(spark, sfDir)
+          .select(col("doc_id"), col("selected"))
+      }
+      t("q179.full")(graft.queries.ReleaseQueries.q179_release_card(spark, sfDir))
+    }
+
+    // ---- q238 / q103 / q116 full (context) ----
+    t("q238.full")(graft.queries.TokenizerQueries.queries("q238_fertility_compare")(spark, sfDir))
+    t("q103.full")(graft.queries.MixQueries.queries("q103_incremental_cc")(spark, sfDir))
+
+    spark.stop()
+  }
+}
