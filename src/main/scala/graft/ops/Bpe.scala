@@ -62,6 +62,11 @@ object Bpe {
           Sep + Sep),
         lit(Sep)).as("s")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // lineage-cut cadence (see the replace below); 8 keeps the 8-merge
+    // test-scale learns checkpoint-free while bounding any run's chained
+    // plan depth
+    val ckptEvery = 8
+    var sinceCkpt = 0
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
@@ -83,11 +88,24 @@ object Bpe {
         val Array(a, b) = p.split(Sep, 2)
         merges += Row(r.toLong, a, b, n)
         // literal replace — call_function keeps symbols out of SQL-string
-        // escaping entirely
-        state = Materialize(state.select(col("cnt"),
+        // escaping entirely. The replace CHAINS lazily on the last
+        // checkpoint: a per-row string replace over the dict is far
+        // cheaper than the per-round materialization job the loop used
+        // to pay (round-16 measurement: the checkpoint job, not the
+        // count aggregate, dominated each round at test scale), so
+        // lineage is cut every ckptEvery rounds instead — a re-executed
+        // round between checkpoints re-applies at most ckptEvery cheap
+        // replaces, and a 32k-merge production run still truncates its
+        // plan regularly.
+        state = state.select(col("cnt"),
           call_function("replace", col("s"),
             lit(Sep + a + Sep + Sep + b + Sep),
-            lit(Sep + a + b + Sep)).as("s")))
+            lit(Sep + a + b + Sep)).as("s"))
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery) {
+          state = Materialize(state)
+          sinceCkpt = 0
+        }
         r += 1
       }
     }

@@ -37,7 +37,13 @@ object Components {
     val sym = Materialize(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = Materialize(nodes.select(col("id"), col("id").as("label")))
+    // The identity initialization is a trivial projection of `nodes` —
+    // not worth a materialization job of its own (round-16 measurement:
+    // the loop's per-round checkpoint jobs, not the joins, bounded CC
+    // wall time at test scale). Round 1 references it twice, so callers
+    // whose node relation is itself expensive to recompute materialize
+    // it before calling (quotientFold does).
+    var labels = nodes.select(col("id"), col("id").as("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -211,10 +217,13 @@ object Components {
         Seq("id_b"), "left")
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
         coalesce(col("cb"), col("id_b")).as("id_b"))
-    val qNodes = newNodes.select(col("id"))
+    // materialized: CC's identity initialization is no longer its own
+    // checkpoint, so round 1 reads the node relation twice — for this
+    // distinct-union that would be two shuffles
+    val qNodes = Materialize(newNodes.select(col("id"))
       .unionByName(mapped.select(col("id_a").as("id")))
       .unionByName(mapped.select(col("id_b").as("id")))
-      .distinct()
+      .distinct())
     val quotient = connectedComponents(qNodes, mapped, maxIter)
     val relabels = quotient.select(col("id").as("component"),
         col("component").as("relabel"))

@@ -99,6 +99,51 @@ object OptProbe {
     t("q238.full")(graft.queries.TokenizerQueries.queries("q238_fertility_compare")(spark, sfDir))
     t("q103.full")(graft.queries.MixQueries.queries("q103_incremental_cc")(spark, sfDir))
 
+    // ---- q103 phases ----
+    println("=== q103 phases ===")
+    locally {
+      val isNew = col("doc_id") % 20 === 0
+      val newDocs = docs.filter(isNew)
+      val standingDocs = docs.filter(!isNew)
+      def phase(name: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        graft.ops.Materialize.releaseAll(spark)
+        System.gc(); Thread.sleep(50)
+      }
+      (1 to 2).foreach { rep =>
+        phase(s"q103.shingles#$rep") {
+          TextDedup.maybeMaterialize(
+            TextDedup.shingleRelation(standingDocs, "doc_id", "text", lit(""), 3))
+          TextDedup.maybeMaterialize(
+            TextDedup.shingleRelation(newDocs, "doc_id", "text", lit(""), 3))
+        }
+        phase(s"q103.standingPairs#$rep") {
+          val shStand = TextDedup.maybeMaterialize(
+            TextDedup.shingleRelation(standingDocs, "doc_id", "text", lit(""), 3))
+          TextDedup.minhashLshPairsFromShingles(
+              shStand, numHashes = 48, bands = 8, threshold = 0.5)
+            .select("id_a", "id_b")
+            .write.format("noop").mode("overwrite").save()
+        }
+        phase(s"q103.standingCC#$rep") {
+          val shStand = TextDedup.maybeMaterialize(
+            TextDedup.shingleRelation(standingDocs, "doc_id", "text", lit(""), 3))
+          val standingPairs = TextDedup.minhashLshPairsFromShingles(
+              shStand, numHashes = 48, bands = 8, threshold = 0.5)
+            .select("id_a", "id_b")
+          graft.ops.Components.connectedComponents(
+              standingDocs.select(col("doc_id").as("id")), standingPairs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        phase(s"q103.full#$rep") {
+          graft.queries.MixQueries.queries("q103_incremental_cc")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
     spark.stop()
   }
 }
