@@ -288,6 +288,11 @@ object TextDedup {
       .partitionBy("id").orderBy("df", "s")
     // needed overlap o = ⌈tNum·|A| / tDen⌉, exactly, in integers
     val needed = expr(s"CAST((nsz * $tNum + $tDen - 1) DIV $tDen AS INT)")
+    // NOT materialized: an eager checkpoint of this relation was A/B'd
+    // in round 16 and LOST (2.00 -> 2.65 s on q125) — the probe and
+    // index sides differ only above the shared scan+df exchange, which
+    // ReuseExchange already serves from one shuffle, so the checkpoint
+    // job bought less than it cost
     val ranked = exploded.join(freq, "s")
       .withColumn("rn", row_number().over(byRarity))
       .select(col("id"), col("block"), col("nsz"), col("rn"),

@@ -556,7 +556,12 @@ object ExtensionQueries {
     * pay).
     */
   val q143_winnow_overlap: Q = (s, d) =>
-    winnowOverlapPairs(winnowFpKeys(Tables.documents(s, d)))
+    // materialized: the pair algebra references the fingerprint relation
+    // three ways (df cut + both self-join sides) and each re-execution
+    // re-pays winnowSel's md5-per-position scan — the most expensive
+    // per-row kernel in the winnow path
+    winnowOverlapPairs(graft.ops.TextDedup.maybeMaterialize(
+        winnowFpKeys(Tables.documents(s, d))))
       .orderBy("id_a", "id_b")
 
   val q143Sql: String =

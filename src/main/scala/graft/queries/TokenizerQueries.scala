@@ -668,8 +668,12 @@ object TokenizerQueries {
     val pairs = docs.select(explode(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    // materialized: three consumers (both broadcast unigram sides + the
+    // corpus total) would each re-run the corpus tokenize+aggregate;
+    // the relation is vocabulary-sized — bounded model state
+    val uni = graft.ops.TextDedup.maybeMaterialize(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
     val total = uni.agg(sum("c").cast("decimal(38,0)").as("n_total"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))),
