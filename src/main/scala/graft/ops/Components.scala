@@ -210,13 +210,18 @@ object Components {
   private def quotientFold(standing: DataFrame, newNodes: DataFrame,
       edges: DataFrame, maxIter: Int): (DataFrame, DataFrame) = {
     val sLab = standing.select(col("id").as("sid"), col("component").as("scomp"))
-    val mapped = edges
+    // materialized: the quotient edges feed BOTH the node derivation
+    // below and CC's symmetrized edge relation, and `edges` is typically
+    // the whole incremental pair-generation pipeline (LSH bands + exact
+    // verify) — without this it re-executes once per consumer. The
+    // relation is pair-count-sized.
+    val mapped = Materialize(edges
       .join(sLab.select(col("sid").as("id_a"), col("scomp").as("ca")),
         Seq("id_a"), "left")
       .join(sLab.select(col("sid").as("id_b"), col("scomp").as("cb")),
         Seq("id_b"), "left")
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
-        coalesce(col("cb"), col("id_b")).as("id_b"))
+        coalesce(col("cb"), col("id_b")).as("id_b")))
     // materialized: CC's identity initialization is no longer its own
     // checkpoint, so round 1 reads the node relation twice — for this
     // distinct-union that would be two shuffles
