@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Materialization tier for iterative loops (connected components) and
@@ -49,6 +49,44 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"spark.graft.checkpointMode must be local|persist|reliable, got '$other'")
     }
+  }
+
+  /** [[apply]] unless `spark.graft.eagerMaterialize=false` — the
+    * plan-only escape hatch (PlanSpec audits build query plans without
+    * executing the pipelines; an eager checkpoint there would run them
+    * just to be inspected). Queries and benchmarks run with the default.
+    */
+  def maybe(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean)
+      apply(df)
+    else df
+
+  /** Output sort for RESULT-sized relations: `df.orderBy(cols)` alone
+    * range-partitions the child, and the range exchange runs a SAMPLING
+    * job over the child to pick bounds — re-executing the entire final
+    * stage once more (measured round 16: q18's pair relation 2.37 s with
+    * a bare orderBy vs 1.65 s materialized first — the sampling pass
+    * re-ran the window + candidate + verify stage). Materializing first
+    * makes both the sampling job and the sort shuffle read
+    * checkpoint-local blocks, so the expensive subtree executes exactly
+    * once. Use where the result is small relative to the work that
+    * produced it (pair lists, card rows, gate readouts) — NOT for
+    * corpus-sized outputs, where the extra block write outweighs the
+    * re-executed (cheap, scan-shaped) final stage.
+    */
+  def ordered(df: DataFrame, cols: Column*): DataFrame =
+    maybe(df).orderBy(cols: _*)
+
+  /** `.sortedOut(...)` = [[ordered]] as method syntax, so a query's final
+    * `.orderBy(...)` converts with a one-token edit. Skip it where the
+    * relation is ALREADY materialized (memo serves, publish outputs) —
+    * there the sampling pass reads cheap blocks and a second checkpoint
+    * of the same rows is pure cost.
+    */
+  implicit class OrderedSyntax(private val df: DataFrame) extends AnyVal {
+    def sortedOut(cols: Column*): DataFrame = ordered(df, cols: _*)
+    def sortedOut(c0: String, cs: String*): DataFrame =
+      ordered(df, (c0 +: cs).map(org.apache.spark.sql.functions.col): _*)
   }
 
   // Cross-query shared artifacts (the dedup-cluster memo) outlive the

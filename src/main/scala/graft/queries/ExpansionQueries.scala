@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.OrderedSyntax
 
 /** Round-2 surface expansion: grouping sets, window navigation functions,
   * range joins, histograms, vocabulary building, correlated EXISTS
@@ -243,7 +244,7 @@ object ExpansionQueries {
       .join(n, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_orders"), col("approx_med"),
         col("approx_p90"), col("n"), col("reg_sum"), col("v_zero"))
-      .orderBy("l_returnflag")
+      .sortedOut("l_returnflag")
   }
 
   val q51Sql: String = {

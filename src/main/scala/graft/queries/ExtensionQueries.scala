@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.OrderedSyntax
 
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
@@ -143,7 +144,7 @@ object ExtensionQueries {
   val q18_ngram_jaccard: Q = (s, d) =>
     TextDedup.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", "lang", n = 3, threshold = 0.5)
-      .orderBy("id_a", "id_b")
+      .sortedOut("id_a", "id_b")
 
   val q18Sql: String =
     """WITH s AS (
@@ -179,7 +180,7 @@ object ExtensionQueries {
   val q19_minhash_lsh: Q = (s, d) =>
     TextDedup.minhashLshPairs(Tables.documents(s, d),
         "doc_id", "text", n = 3, numHashes = 48, bands = 8, threshold = 0.5)
-      .orderBy("id_a", "id_b")
+      .sortedOut("id_a", "id_b")
 
   val q19Sql: String =
     ModalPairSql.textPairs + "\nORDER BY id_a, id_b"
@@ -196,7 +197,7 @@ object ExtensionQueries {
   val q20_simhash: Q = (s, d) =>
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDist = 6, bands = 10, crossEngine = true)
-      .orderBy("id_a", "id_b")
+      .sortedOut("id_a", "id_b")
 
   val q20Sql: String = {
     // per-bit majority vote: 60 SUM(CASE) terms generated here so the
@@ -295,7 +296,7 @@ object ExtensionQueries {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") < 0.5)
       .select("id_a", "id_b", "tier")
     rechecked.unionByName(simMissing)
-      .orderBy("tier", "id_a", "id_b")
+      .sortedOut("tier", "id_a", "id_b")
   }
 
   val q67Sql: String =
@@ -562,7 +563,7 @@ object ExtensionQueries {
     // per-row kernel in the winnow path
     winnowOverlapPairs(graft.ops.TextDedup.maybeMaterialize(
         winnowFpKeys(Tables.documents(s, d))))
-      .orderBy("id_a", "id_b")
+      .sortedOut("id_a", "id_b")
 
   val q143Sql: String =
     """WITH t AS (
@@ -614,7 +615,7 @@ object ExtensionQueries {
     val cut2 = b.getLong(0) + 2 * ((b.getLong(1) - b.getLong(0)) / 3)
     graft.pipeline.CorpusBuild.stateWinnowOverlap(s, dir,
         docs.filter(col("doc_id") > cut2))
-      .orderBy("id_a", "id_b")
+      .sortedOut("id_a", "id_b")
   }
 
   val q144Sql: String =

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.OrderedSyntax
 
 import graft.functions.TextAnalysis
 import graft.ops.Bpe
@@ -967,7 +968,7 @@ object TokenizerQueries {
           greatest(col("n_words"), lit(1L))).as("fertility_q6"),
         TextAnalysis.intDiv(col("n_chars_total") * 1000000L,
           greatest(col("n_bpe"), lit(1L))).as("chars_per_bpe_q6"))
-      .orderBy("lang")
+      .sortedOut("lang")
 
   /** q198 — q192's fertility table served from the STORED merge table
     * (`CorpusBuild.trackMerges`): the tokenizer is LOADED (q139's

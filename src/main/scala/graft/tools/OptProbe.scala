@@ -23,7 +23,14 @@ object OptProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional section filter: 2nd arg is a regex over probe names;
+    // t() calls whose name doesn't match are skipped.
+    val sectionRe = args.lift(1).map(_.r)
+    def want(name: String): Boolean =
+      sectionRe.forall(_.findFirstIn(name).isDefined)
+
     def t(name: String, reps: Int = 3)(mk: => DataFrame): Unit = {
+      if (!want(name)) return
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -61,7 +68,71 @@ object OptProbe {
     // q18 full vs with a pre-repartitioned doc source
     t("q18.full.asis")(graft.queries.ExtensionQueries.q18_ngram_jaccard(spark, sfDir))
 
+    // ---- q18 prefix-filter pipeline phases ----
+    println("=== q18 phases ===")
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      def sh() = TextDedup.maybeMaterialize(
+        TextDedup.shingleRelation(docs, "doc_id", "text", col("lang"), 3))
+      t("q18.shingle_ckpt")(sh())
+      t("q18.exploded") {
+        sh().select(col("id"), col("block"), size(col("sh")).as("nsz"),
+          explode(transform(col("sh"), x => xxhash64(x))).as("p"))
+      }
+      t("q18.freq") {
+        val ex = sh().select(explode(transform(col("sh"), x => xxhash64(x))).as("p"))
+        ex.groupBy("p").agg(count(lit(1)).as("df"))
+      }
+      t("q18.prefixRows") {
+        val s0 = sh()
+        val exploded = s0.select(col("id"), col("block"), size(col("sh")).as("nsz"),
+          explode(transform(col("sh"), x => xxhash64(x))).as("p"))
+        val freq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
+        val byRarity = Window.partitionBy("id").orderBy("df", "p")
+        exploded.join(freq, "p")
+          .withColumn("rn", row_number().over(byRarity))
+          .filter(col("rn") <=
+            (col("nsz") - ceil(col("nsz") * 0.5 - 1e-9) + 1).cast("int"))
+      }
+      t("q18.pairs_noorder") {
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+          n = 3, threshold = 0.5)
+      }
+      // the final orderBy's range exchange SAMPLES its child — re-running
+      // the whole final stage once more. A/B: materialize first vs as-is.
+      t("q18.pairs_orderBy") {
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+          n = 3, threshold = 0.5).orderBy("id_a", "id_b")
+      }
+      t("q18.pairs_ckpt_orderBy") {
+        graft.ops.Materialize(TextDedup.ngramJaccardPairs(docs, "doc_id",
+          "text", "lang", n = 3, threshold = 0.5)).orderBy("id_a", "id_b")
+      }
+      t("q18.pairs_repart1_sort") {
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+          n = 3, threshold = 0.5)
+          .repartition(1).sortWithinPartitions("id_a", "id_b")
+      }
+    }
+
+    // ---- q67 tier phases ----
+    println("=== q67 phases ===")
+    locally {
+      def sh() = TextDedup.maybeMaterialize(
+        TextDedup.shingleRelation(docs, "doc_id", "text", lit(""), 3))
+      t("q67.lsh_pairs") {
+        TextDedup.minhashLshPairsFromShingles(sh(), numHashes = 48,
+          bands = 8, threshold = 0.5)
+      }
+      t("q67.simhash_pairs") {
+        TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6,
+          bands = 10, crossEngine = true)
+      }
+      t("q67.full")(graft.queries.ExtensionQueries.q67_sketch_precision(spark, sfDir))
+    }
+
     // ---- q179 tier-by-tier ----
+    if (want("q179")) {
     println("=== q179 tiers ===")
     locally {
       import org.apache.spark.sql.expressions.Window
@@ -94,12 +165,14 @@ object OptProbe {
       }
       t("q179.full")(graft.queries.ReleaseQueries.q179_release_card(spark, sfDir))
     }
+    }
 
     // ---- q238 / q103 / q116 full (context) ----
     t("q238.full")(graft.queries.TokenizerQueries.queries("q238_fertility_compare")(spark, sfDir))
     t("q103.full")(graft.queries.MixQueries.queries("q103_incremental_cc")(spark, sfDir))
 
     // ---- q103 phases ----
+    if (want("q103.phases")) {
     println("=== q103 phases ===")
     locally {
       val isNew = col("doc_id") % 20 === 0
@@ -142,6 +215,7 @@ object OptProbe {
             .write.format("noop").mode("overwrite").save()
         }
       }
+    }
     }
 
     spark.stop()
