@@ -34,9 +34,16 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Symmetrize with ONE pass over `edges` (explode of the two oriented
+    // copies) instead of a self-union: a union reads the edge relation
+    // twice, and `edges` is typically an UNMATERIALIZED pair-generation
+    // pipeline (q56's prefix-filter verify, q103's standing LSH pairs) —
+    // the union shape re-executed that whole pipeline once per branch.
     val sym = Materialize(
-      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      edges.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // The identity initialization is a trivial projection of `nodes` —
     // not worth a materialization job of its own (round-16 measurement:
     // the loop's per-round checkpoint jobs, not the joins, bounded CC
