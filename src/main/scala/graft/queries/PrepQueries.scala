@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.OrderedSyntax
 
 /** Round-3 training-data-preparation surface: the operators between a raw
   * deduped corpus and a tokenizer/training run — native session windows,
@@ -973,7 +974,7 @@ object PrepQueries {
           s, Tables.documents(s, d), "doc_id", "text"),
         stride = 4,
         decoder = graft.multimodal.Codecs.decodeJpegStream)
-      .toDF().orderBy("media_id")
+      .toDF().sortedOut("media_id")
 
   // 192 = 3 RGB channels (gray triplicated) x 64 pixels per 8x8 block
   val q181Sql: String =
@@ -1013,7 +1014,7 @@ object PrepQueries {
           s, Tables.documents(s, d), "doc_id", "text"),
         threshold = 50000L,
         decoder = graft.multimodal.Codecs.decodeJpegStream)
-      .toDF().orderBy("media_id")
+      .toDF().sortedOut("media_id")
 
   val q182Sql: String =
     """WITH a AS (
@@ -1059,7 +1060,7 @@ object PrepQueries {
     graft.multimodal.Multimodal.decodeAdpcmStats(
         graft.multimodal.Multimodal.adpcmFromText(
           s, Tables.documents(s, d), "doc_id", "text"))
-      .toDF().orderBy("media_id")
+      .toDF().sortedOut("media_id")
 
   val q183Sql: String =
     """WITH a AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.OrderedSyntax
 
 import graft.web.WebLake
 
@@ -57,7 +58,7 @@ object WebQueries {
   val q212_gzip_member_census: Q = (s, d) =>
     WebLake.gzipMemberCensus(
         WebLake.gzipBundleFromDocs(s, Tables.documents(s, d)))
-      .toDF().orderBy("archive_id")
+      .toDF().sortedOut("archive_id")
 
   val q212Sql: String =
     s"""WITH $DocsCte,
@@ -133,7 +134,7 @@ object WebQueries {
   val q213_warc_record_census: Q = (s, d) =>
     WebLake.warcRecordCensus(
         WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
-      .toDF().orderBy("archive_id")
+      .toDF().sortedOut("archive_id")
 
   val q213Sql: String =
     s"""WITH $WarcCte
@@ -163,7 +164,7 @@ object WebQueries {
   val q214_cdx_index: Q = (s, d) =>
     WebLake.cdxIndex(
         WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
-      .toDF().orderBy("doc_id")
+      .toDF().sortedOut("doc_id")
 
   val q214Sql: String =
     s"""WITH $WarcCte
@@ -193,7 +194,7 @@ object WebQueries {
     WebLake.tryGzipCensus(
         WebLake.corruptGzipBundle(
           WebLake.gzipBundleFromDocs(s, Tables.documents(s, d))))
-      .toDF().orderBy("archive_id")
+      .toDF().sortedOut("archive_id")
 
   val q215Sql: String =
     s"""WITH census AS ( $q212Sql )
@@ -225,7 +226,7 @@ object WebQueries {
   val q216_web_extract: Q = (s, d) =>
     WebLake.extractWebDocs(
         WebLake.warcGzFromDocs(s, Tables.documents(s, d)))
-      .toDF().orderBy("doc_id")
+      .toDF().sortedOut("doc_id")
 
   val q216Sql: String =
     """WITH a AS (
@@ -338,7 +339,7 @@ object WebQueries {
   val q219_http_census: Q = (s, d) =>
     WebLake.httpResponseCensus(
         WebLake.warcHttpFromDocs(s, Tables.documents(s, d)))
-      .toDF().orderBy("archive_id")
+      .toDF().sortedOut("archive_id")
 
   // The HTTP message priced per doc: 404/chunked/content-coding splits,
   // header bytes by line, the gzip member arithmetic (stored deflate,
@@ -421,7 +422,7 @@ object WebQueries {
     WebLake.tryHttpCensus(
         WebLake.warcHttpFromDocs(s, Tables.documents(s, d),
           corruptEvery = 23L))
-      .toDF().orderBy("archive_id")
+      .toDF().sortedOut("archive_id")
 
   val q220Sql: String =
     s"""WITH $HttpCte,
