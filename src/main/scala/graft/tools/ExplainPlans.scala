@@ -19,6 +19,12 @@ object ExplainPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_ONLY=1: build plans without executing eager
+    // materializations (the PlanSpec escape hatch) — shows the full
+    // operator tree where the executed shape would truncate at a
+    // checkpoint leaf.
+    if (sys.env.get("SPARK_GRAFT_PLAN_ONLY").contains("1"))
+      spark.conf.set("spark.graft.eagerMaterialize", "false")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>

@@ -431,10 +431,15 @@ class PlanSpec extends AnyFunSuite {
     val served = graft.queries.ReleaseQueries
       .q206_state_release_card(spark, sf)
     val servedPlan = served.queryExecution.sparkPlan.toString
-    // NB TRAIN groups the exploded corpus by (label, tok); the served
-    // model derives from the folded (tk, c0, c1) delta table instead
+    // NB TRAIN's visible in-plan signature (r16 single-pass shape: the
+    // vocab aggregate is checkpointed out of the plan, so what remains
+    // in-query is the label-conditional class-count scalar pass over
+    // the corpus); the served model derives from the folded
+    // (tk, c0, c1) delta table and stored scalars instead
     assert(!servedPlan.contains("keys=[label"),
       s"served card still trains the NB model:\n$servedPlan")
+    assert(!servedPlan.contains("CASE WHEN (label"),
+      s"served card still scans the corpus for NB class counts:\n$servedPlan")
     // the media tier is a memo scan, not an encode->corrupt->decode
     // object pipeline (MediaRow mapPartitions shows up as obj_to_row
     // serialization in the physical plan)
@@ -448,10 +453,14 @@ class PlanSpec extends AnyFunSuite {
       s"served card still generates dedup pairs:\n$servedPlan")
     assert(servedPlan.contains("cclabels"),
       s"served card does not scan the stored CC labels:\n$servedPlan")
-    // contrast: the in-query card's plan DOES train and decode
+    // contrast: the in-query card's plan DOES train and decode — the
+    // r16 train's in-plan signature is the label-conditional class
+    // count pass (the vocab aggregate itself is checkpointed while the
+    // DataFrame is built, so `keys=[label` left the plan with the
+    // single-pass pivot; NaiveBayesSpec pins the model values)
     val inQueryPlan = graft.queries.ReleaseQueries
       .q179_release_card(spark, sf).queryExecution.sparkPlan.toString
-    assert(inQueryPlan.contains("keys=[label"),
+    assert(inQueryPlan.contains("CASE WHEN (label"),
       "contrast lost its teeth — q179 no longer trains NB in-query:\n" +
         inQueryPlan)
     assert(inQueryPlan.contains("SerializeFromObject"),
@@ -472,7 +481,12 @@ class PlanSpec extends AnyFunSuite {
     // At 100 TB the synthesis exchange is replaced by binaryFile scans
     // of real archives — the walks must add NO shuffle of their own.
     // (The output orderBy's rangepartitioning is the harness's oracle
-    // sort, not an operator property.)
+    // sort, not an operator property.) eagerMaterialize=false so the
+    // audit sees the full operator plan: the heavy census walks
+    // checkpoint their result-sized output before the harness sort
+    // (Materialize.ordered), which would otherwise truncate the audited
+    // plan to the sort over the checkpoint leaf.
+    spark.conf.set("spark.graft.eagerMaterialize", "false")
     val oneExchange = Seq("q212_gzip_member_census",
       "q213_warc_record_census", "q214_cdx_index", "q215_gzip_quarantine",
       "q216_web_extract", "q219_http_census", "q220_http_quarantine",
@@ -521,5 +535,6 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$name must be map-only:\n$plan")
     }
+    spark.conf.unset("spark.graft.eagerMaterialize")
   }
 }
