@@ -221,8 +221,11 @@ object Components {
     // below and CC's symmetrized edge relation, and `edges` is typically
     // the whole incremental pair-generation pipeline (LSH bands + exact
     // verify) — without this it re-executes once per consumer. The
-    // relation is pair-count-sized.
-    val mapped = Materialize(edges
+    // relation is pair-count-sized. `maybe`, so plan-only inspection
+    // (eagerMaterialize=false) skips the checkpoint job — the CC loop
+    // below still executes its own actions, so plan-only output is
+    // best-effort for incremental-CC queries either way.
+    val mapped = Materialize.maybe(edges
       .join(sLab.select(col("sid").as("id_a"), col("scomp").as("ca")),
         Seq("id_a"), "left")
       .join(sLab.select(col("sid").as("id_b"), col("scomp").as("cb")),
@@ -232,7 +235,7 @@ object Components {
     // materialized: CC's identity initialization is no longer its own
     // checkpoint, so round 1 reads the node relation twice — for this
     // distinct-union that would be two shuffles
-    val qNodes = Materialize(newNodes.select(col("id"))
+    val qNodes = Materialize.maybe(newNodes.select(col("id"))
       .unionByName(mapped.select(col("id_a").as("id")))
       .unionByName(mapped.select(col("id_b").as("id")))
       .distinct())

@@ -7,10 +7,12 @@ import org.apache.spark.storage.StorageLevel
   * multi-consumer relations (the shingle relation), selected by
   * `spark.graft.checkpointMode`:
   *
-  *  - `local` (default) — `localCheckpoint()`: fastest, but blocks are
-  *    executor-local and NON-recomputable; one lost executor mid-loop
-  *    kills the job. Right for local[n] and short interactive runs.
-  *  - `persist` — `persist(MEMORY_AND_DISK)` forced eagerly: blocks are
+  *  - `local` (default on `local[n]` masters) — `localCheckpoint()`:
+  *    fastest, but blocks are executor-local and NON-recomputable; one
+  *    lost executor mid-loop kills the job. Right for local[n] and short
+  *    interactive runs.
+  *  - `persist` (default on every other master — see [[defaultMode]]) —
+  *    `persist(MEMORY_AND_DISK)` forced eagerly: blocks are
   *    recomputable from lineage after executor loss — the cluster
   *    default. Lineage still grows across loop rounds (each generation's
   *    plan chains on the previous), so very long loops should escalate
@@ -26,9 +28,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
+  /** Default tier when `spark.graft.checkpointMode` is unset: `local`
+    * (localCheckpoint) only where executors cannot be lost independently
+    * of the driver — the in-process `local`/`local[n]` masters. Every
+    * other master (cluster managers, and `local-cluster[...]`, whose
+    * executors ARE separate processes) defaults to `persist`, whose
+    * blocks recompute from lineage after executor loss. An explicit conf
+    * always wins — this only removes the footgun of the FAST default
+    * silently riding a non-recomputable block onto a cluster.
+    */
+  private[graft] def defaultMode(master: String): String =
+    if (master == "local" || master.startsWith("local[")) "local"
+    else "persist"
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.get("spark.graft.checkpointMode", "local") match {
+    spark.conf.get("spark.graft.checkpointMode",
+      defaultMode(spark.sparkContext.master)) match {
       case "local" => df.localCheckpoint()
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -73,6 +89,15 @@ object Materialize {
     * produced it (pair lists, card rows, gate readouts) — NOT for
     * corpus-sized outputs, where the extra block write outweighs the
     * re-executed (cheap, scan-shaped) final stage.
+    *
+    * `checkpointMode=reliable` note: reliable checkpoints write DFS files
+    * that Spark deletes only when `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` (releaseAll unpersists RDD blocks, not
+    * checkpoint FILES) — a long cluster session running many sorted
+    * queries should either enable that cleaner flag or point
+    * `spark.graft.checkpointDir` at a TTL'd scratch path. Result-sized
+    * relations don't need executor-loss tolerance for a final sort, so
+    * `persist` mode is the better cluster tier for this call site.
     */
   def ordered(df: DataFrame, cols: Column*): DataFrame =
     maybe(df).orderBy(cols: _*)

@@ -31,10 +31,7 @@ object TextDedup {
     * executing the shingle pipeline just to look at a physical plan is
     * waste. Queries and benchmarks run with the default (true).
     */
-  def maybeMaterialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean)
-      Materialize(df)
-    else df
+  def maybeMaterialize(df: DataFrame): DataFrame = Materialize.maybe(df)
 
   /** Exact duplicate groups by content digest: survivor = min id per digest.
     * (Digest-collision risk at 100 TB: md5 over normalized text; swap for

@@ -54,6 +54,19 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.checkpointMode")
   }
 
+  test("the unset-conf default tier follows the master: localCheckpoint " +
+      "only where executors cannot be lost independently of the driver") {
+    import graft.ops.Materialize.defaultMode
+    assert(defaultMode("local") === "local")
+    assert(defaultMode("local[4]") === "local")
+    assert(defaultMode("local[*]") === "local")
+    // local-cluster runs executors as SEPARATE processes — losable
+    assert(defaultMode("local-cluster[2,1,1024]") === "persist")
+    assert(defaultMode("spark://host:7077") === "persist")
+    assert(defaultMode("yarn") === "persist")
+    assert(defaultMode("k8s://https://host:443") === "persist")
+  }
+
   test("an unknown checkpointMode fails loudly, not silently") {
     spark.conf.set("spark.graft.checkpointMode", "turbo")
     try {

@@ -487,6 +487,7 @@ class PlanSpec extends AnyFunSuite {
     // (Materialize.ordered), which would otherwise truncate the audited
     // plan to the sort over the checkpoint leaf.
     spark.conf.set("spark.graft.eagerMaterialize", "false")
+    try {
     val oneExchange = Seq("q212_gzip_member_census",
       "q213_warc_record_census", "q214_cdx_index", "q215_gzip_quarantine",
       "q216_web_extract", "q219_http_census", "q220_http_quarantine",
@@ -535,6 +536,8 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$name must be map-only:\n$plan")
     }
-    spark.conf.unset("spark.graft.eagerMaterialize")
+    // finally, not tail position: a failed assertion must not leak the
+    // plan-only conf into the shared session other suites reuse
+    } finally spark.conf.unset("spark.graft.eagerMaterialize")
   }
 }
