@@ -429,6 +429,17 @@ object CorpusBuild {
     // pointer rename is the commit)
     val gen = state.gen.map(_ + 1).getOrElse(0)
     val base = state.base.getOrElse(gen)
+    // per-tier wall-clock log, off by default (measurement hook for the
+    // state-build cost breakdown; prints one line per tracked tier)
+    val timed = spark.conf.get("spark.graft.ingestTimings",
+      sys.env.getOrElse("SPARK_GRAFT_INGEST_TIMINGS", "false")).toBoolean
+    def tier[T](name: String)(body: => T): T =
+      if (!timed) body else {
+        val t0 = System.nanoTime(); val r = body
+        println(f"[ingest] gen=$gen $name%-13s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
+    tier("core") {
     retainedNew.drop("text_hash").write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/docs")
     labelsDelta.write.mode(SaveMode.Overwrite)
@@ -436,7 +447,8 @@ object CorpusBuild {
     retainedNew.select(col("text_hash"), col("doc_id").as("keep_id"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/gen=$gen/digests")
-    if (cfg.trackCounts) {
+    }
+    if (cfg.trackCounts) tier("counts") {
       // additive count deltas over the RAW batch (the q101/q107 input
       // contract is the full documents relation, pre-quality): each doc
       // contributes its occurrence counts independently, so corpus
@@ -458,7 +470,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/bigramcounts")
     }
-    if (cfg.trackPostings) {
+    if (cfg.trackPostings) tier("postings") {
       // posting deltas over the RAW batch (the q110/q114 input contract
       // is the full documents relation): docs are append-only and
       // batch-disjoint, so the folded union IS the inverted index —
@@ -472,14 +484,14 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/doclens")
     }
-    if (cfg.trackPositions) {
+    if (cfg.trackPositions) tier("positions") {
       // positional posting delta over the RAW batch: one (tk, doc, pos)
       // row per token occurrence; batch-disjoint docs → union-fold
       graft.queries.TokenizerQueries.tokenOccPos(newDocs)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/positions")
     }
-    if (cfg.trackPack) {
+    if (cfg.trackPack) tier("pack") {
       val counts = newDocs.select(col("doc_id"), col(cfg.packSrcCol),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
       val baseTotals = state.gen match {
@@ -497,7 +509,7 @@ object CorpusBuild {
       newTotals.write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/packtotals")
     }
-    if (cfg.trackDrift) {
+    if (cfg.trackDrift) tier("drift") {
       // additive bucket-count deltas over the RAW batch: the monitor's
       // input contract is everything that arrived, pre-quality (a
       // quality-collapsed source IS drift worth seeing)
@@ -506,7 +518,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/driftcounts")
     }
-    if (cfg.trackFingerprints) {
+    if (cfg.trackFingerprints) tier("fingerprints") {
       // distinct winnowing fingerprints over the RAW batch (q140's
       // selection; q143's input contract), stored as the 8-byte
       // xxhash64 re-key (winnowFpKeys — the md5 hex never reaches disk
@@ -516,7 +528,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/fingerprints")
     }
-    if (cfg.trackMerges) {
+    if (cfg.trackMerges) tier("merges") {
       // word-dict delta over the RAW batch (q105's input contract):
       // additive, folds by sum — the dict is incremental even though
       // the merge LEARNING is not …
@@ -541,7 +553,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/unigram")
     }
-    if (cfg.trackClassifier) {
+    if (cfg.trackClassifier) tier("classifier") {
       // classifier count deltas over the RAW batch's train split
       // (q174's input contract is the full documents relation,
       // pre-quality): additive, fold by sum — see Config.trackClassifier
@@ -553,7 +565,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/clfpriors")
     }
-    if (cfg.trackDsir) {
+    if (cfg.trackDsir) tier("dsir") {
       // DSIR bucket-count deltas over the RAW batch (q188's input
       // contract is the full documents relation; the train restriction
       // lives inside countDelta): additive, fold by sum
@@ -562,7 +574,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/dsircounts")
     }
-    if (cfg.trackBigramLm) {
+    if (cfg.trackBigramLm) tier("bigramlm") {
       // bigram-LM count deltas over the RAW batch's train split
       // (q187's input contract is the full documents relation) —
       // stored UNPRUNED, see Config.trackBigramLm
@@ -573,7 +585,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/lmunigrams")
     }
-    if (cfg.trackCdc) {
+    if (cfg.trackCdc) tier("cdc") {
       // eval-split CDC chunk index over the RAW batch (q194's input
       // contract is the full documents relation; eval = NOT the q84
       // train bucket): per-row chunking + batch-disjoint docs → union
@@ -583,7 +595,7 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/cdcevalchunks")
     }
-    if (cfg.trackReleaseCc) {
+    if (cfg.trackReleaseCc) tier("releasecc") {
       // release-card cluster labeling over the RAW batch (q74's input
       // contract is the full documents relation — no quality floor, no
       // exact-dedup collapse): the batch's TOUCHING exact-Jaccard pairs
@@ -630,8 +642,9 @@ object CorpusBuild {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/gen=$gen/ccdocs")
     }
-    if (cfg.trackCentroids)
+    if (cfg.trackCentroids) tier("centroids") {
       ingestVecs(spark, stateDir, gen, base, newVecs, cfg)
+    }
     commitGeneration(spark, stateDir, gen, newMaxId, base)
     stateManifest(spark, stateDir)
   }
@@ -1259,8 +1272,36 @@ object CorpusBuild {
     */
   def stateSplitLeakage(spark: SparkSession, stateDir: String,
       batch: DataFrame, minShared: Long = 2L,
-      maxDf: Long = 64L): DataFrame =
-    crossSplitOnly(stateWinnowOverlap(spark, stateDir, batch, minShared, maxDf))
+      maxDf: Long = 64L): DataFrame = {
+    // Same algebra as crossSplitOnly(stateWinnowOverlap(...)), with the
+    // split labels computed ON THE JOIN INPUTS (one md5 per fingerprint
+    // row) instead of above the pair aggregate: written the naive way,
+    // Catalyst pushes the id-derived split filter below the groupBy into
+    // the fp-equality join condition, re-evaluating 2×(md5+conv) per
+    // CANDIDATE PAIR row — the pair stream is the fan-out of every rare
+    // fingerprint, far larger than either input (measured r17: 2×md5 per
+    // pair ≈ half the query's task time). As input columns the labels are
+    // computed once per fp row and the pushed-down predicate compares two
+    // strings. Split is a pure function of the id, so pre-computing it
+    // and grouping by the (functionally dependent) label columns leaves
+    // the result bit-identical.
+    val corpusFps = stateFingerprints(spark, stateDir)
+    val rare = corpusFps.groupBy("fpk").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fpk")
+    val probeFps = graft.queries.ExtensionQueries.winnowFpKeys(batch)
+      .select(col("doc_id").as("id_b"), col("fpk"),
+        graft.ops.Splits.split(col("doc_id")).as("split_b"))
+    corpusFps.select(col("doc_id").as("id_a"), col("fpk"),
+        graft.ops.Splits.split(col("doc_id")).as("split_a"))
+      .join(rare, "fpk")
+      .join(probeFps, "fpk")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "split_a", "split_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "n_shared", "split_a", "split_b")
+  }
 
   /** The embedding-space tier of one generation (cfg.trackCentroids):
     * write the batch's vectors, decide retrain-vs-freeze by the

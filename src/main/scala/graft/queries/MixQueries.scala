@@ -237,27 +237,32 @@ object MixQueries {
     val k = 5
     val docs = Tables.documents(s, d)
     val occ = shingleOcc(docs, k)
-    val covered = occ.join(dupShingles(occ), Seq("shk"), "left_semi")
+    // Reassembly is MAP-SIDE: ship each doc its covered-position SET
+    // (collect_set over the duplicated windows' ×k expansion — sized by
+    // duplicated tokens only) and excise inside the token array with one
+    // index-aware filter. The previous shape exploded EVERY token into
+    // (doc_id, tp, tok) rows, anti-joined, and re-collected them through
+    // a corpus-token-sized shuffle + per-doc sort — the shuffle carried
+    // the whole corpus text to remove its (usually small) duplicated
+    // share. Same output: the token array is already in position order,
+    // collect_set dedups exactly like the old distinct, and empty tokens
+    // (empty-text docs) are excised by the same length guard.
+    val covPerDoc = occ.join(dupShingles(occ), Seq("shk"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("tp"))
-      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
     val ws = TextAnalysis.tokens(col("text"))
-    val toks = docs
-      .select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
-      .select(col("doc_id"), (col("i0") + 1).as("tp"), col("tok"))
-      .filter(length(col("tok")) > 0)
-    val cleaned = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("kept"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("tp"), col("tok")))),
-          x => x.getField("tok")), " ").as("ct"))
     docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
-      .join(cleaned, Seq("doc_id"), "left")
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        ws.as("ws"))
+      .join(covPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
-        coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
-        coalesce(col("ct"), lit("")).as("clean_text"))
+        filter(col("ws"), (tok, i0) => length(tok) > 0 &&
+          !array_contains(coalesce(col("cov"), array().cast("array<int>")),
+            i0 + 1)).as("kept_ws"))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("kept_ws")).cast("long").as("n_kept_tokens"),
+        array_join(col("kept_ws"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 
