@@ -847,7 +847,7 @@ object ExtensionQueries {
     (SparkSession, String), (DataFrame, Seq[Array[Double]])]
   // private[queries]: q116's population audit counts the assignment
   // relation THROUGH the same memo the q124 gate consumes
-  private[queries] def sharedKMeans(s: SparkSession,
+  private[graft] def sharedKMeans(s: SparkSession,
       d: String): (DataFrame, Seq[Array[Double]]) =
     kmMemo.computeIfAbsent((s, d), _ => graft.ops.Clustering.kMeans(
       Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 5))

@@ -566,11 +566,21 @@ object MixQueries {
     val k = 5
     val occ = shingleOcc(Tables.documents(s, d), k)
       .select("doc_id", "shk").distinct()
-    val first = occ.groupBy("shk").agg(min(col("doc_id")).as("first_doc"))
-    occ.join(first, "shk")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+    // n_seen_before counts a doc's distinct shingles whose corpus-first
+    // doc is EARLIER; since min_doc(shk) ≤ doc_id for every shingle the
+    // doc holds, that is exactly n_shingles − #(shingles this doc is
+    // FIRST for). Aggregating the first-doc relation by doc therefore
+    // replaces the join BACK onto the position-scale occurrence relation
+    // (shuffle ∝ distinct (doc, shingle) rows) with a doc-count-sized
+    // join — and the two readers of `occ.distinct` are the same subtree,
+    // so ReuseExchange serves both from one shuffle.
+    val perDoc = occ.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val firstCounts = occ.groupBy("shk").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(firstCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_first"), lit(0L)))
           .as("n_seen_before"))
       .withColumn("novelty_ppm",
         expr("(1000000 * (n_shingles - n_seen_before)) DIV n_shingles"))

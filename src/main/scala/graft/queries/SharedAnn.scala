@@ -27,7 +27,7 @@ import graft.ops.{Materialize, Similarity}
   * contract. Keyed by sf dir so different scales in one process cannot
   * mix tiers.
   */
-private[queries] object SharedAnn {
+private[graft] object SharedAnn {
 
   private val memo = new ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]

@@ -109,6 +109,73 @@ object R17Probe {
         .select("doc_id", "skey", "n_toks", "seq_id", "seq_offset"))
     }
 
+    phase("q116") {
+      import graft.ops.{Similarity, TextDedup}
+      import graft.queries.{ExtensionQueries, TokenizerQueries}
+      import graft.queries.SharedAnn
+      val d = sfDir
+      val s = spark
+      TokenizerQueries.ensurePostingState(s, d)
+      val emb = Tables.embeddings(s, d)
+      def exactCount(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("population"))
+          .select(lit(name).as("gate"), col("population"))
+      def nonempty(name: String, df: DataFrame): DataFrame =
+        df.select(lit(1L).as("one")).limit(1)
+          .agg((count(lit(1)) >= 1L).cast("long").as("population"))
+          .select(lit(name).as("gate"), col("population"))
+      val embHead = emb
+        .filter(expr("exists(embedding, x -> x <> 0.0F)"))
+        .orderBy("vec_id").limit(256)
+      def probeEmb = TextDedup.maybeMaterialize(embHead.unionByName(
+        embHead.orderBy("vec_id").limit(1).withColumn("vec_id", lit(-1L))))
+      val docsHead = docs
+        .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+        .orderBy("doc_id").limit(64)
+      def probeDocs = docsHead.unionByName(
+        docsHead.orderBy("doc_id").limit(1).withColumn("doc_id", lit(-1L)))
+      // warm the serve memos outside the timers (bench min-of-3 shape)
+      Seq("lsh", "ivf", "ivfpq", "state_ivf", "state_ivf_curve")
+        .foreach(tier => SharedAnn.serve(s, d, tier).count())
+      t("q116.b01_ann_vectors")(exactCount("ann_vectors", emb))
+      t("q116.b02_lsh_topk")(nonempty("x", SharedAnn.serve(s, d, "lsh")))
+      t("q116.b03_ivf_topk")(nonempty("x", SharedAnn.serve(s, d, "ivf")))
+      t("q116.b04_ivfpq_topk")(nonempty("x", SharedAnn.serve(s, d, "ivfpq")))
+      t("q116.b05_neardup_scored")(nonempty("x",
+        Similarity.lshScoredPairs(probeEmb, "vec_id", "embedding", dim = 64,
+          numTables = 2, planesPerTable = 4)))
+      t("q116.b06_bm25_match")(exactCount("x",
+        TokenizerQueries.serveMatchCore(s, d)))
+      t("q116.b07_hll_months")(exactCount("x", Tables.orders(s, d)
+        .select(date_trunc("MONTH", col("o_orderdate"))).distinct()))
+      t("q116.b08_pct_flags")(exactCount("x",
+        Tables.lineitem(s, d).select("l_returnflag").distinct()))
+      t("q116.b09_shingled_docs")(exactCount("x",
+        docs.filter(size(split(trim(col("text")), "\\s+")) >= 3)))
+      t("q116.b10_lsh_pairs")(nonempty("x",
+        TextDedup.minhashLshPairsFromShingles(
+          TextDedup.shingleRelation(probeDocs, "doc_id", "text", lit(""), 3),
+          numHashes = 16, bands = 4, threshold = 0.5)))
+      t("q116.b11_simhash_pairs")(nonempty("x",
+        TextDedup.simhashPairs(probeDocs, "doc_id", "text", maxDist = 6)))
+      t("q116.b12_kmeans_assigned")(exactCount("x",
+        ExtensionQueries.sharedKMeans(s, d)._1))
+      t("q116.b13_semdedup_pairs")(nonempty("x",
+        Similarity.clusterNearDupPairs(probeEmb, "vec_id", "embedding",
+          threshold = 0.3, k = 4, iters = 2)))
+      t("q116.b14_state_kmeans")(exactCount("x",
+        graft.pipeline.CorpusBuild.stateKmeans(s,
+          TokenizerQueries.ensurePostingState(s, d))))
+      t("q116.b15_state_vecs")(exactCount("x",
+        graft.pipeline.CorpusBuild.stateVecs(s,
+          TokenizerQueries.ensurePostingState(s, d))))
+      t("q116.b16_state_ann")(nonempty("x",
+        SharedAnn.serve(s, d, "state_ivf")))
+      t("q116.b17_state_curve")(nonempty("x",
+        SharedAnn.serve(s, d, "state_ivf_curve")
+          .filter(col("nprobe") === 1L)))
+    }
+
     phase("q102") {
       t("q102.occ_only") {
         val ws = graft.functions.TextAnalysis.tokens(col("text"))
