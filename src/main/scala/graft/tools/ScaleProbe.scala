@@ -96,11 +96,21 @@ object ScaleProbe {
       val t106 = q("q106_incremental_dup_spans")
       println(f"SCALE x$k: docs=$nDocs state_build=$tBuild%.1f " +
         f"q96=$t96%.1f q103=$t103%.1f q106=$t106%.1f")
-      (k, nDocs, tBuild, t96, t103, t106)
+      // round-17 additions (VERDICT #5): the r16 sortedOut/materialize
+      // choices (q18/q56/q143) and this round's rewrites (q102/q122/q166)
+      // re-measured at 10x so a choice that inverts with scale is caught
+      val extra = Seq("q18_ngram_jaccard", "q56_dedup_groups",
+        "q143_winnow_overlap", "q102_dup_span_removal",
+        "q122_ngram_novelty", "q166_state_split_leakage")
+        .map(n => n -> q(n))
+      extra.foreach { case (n, t) => println(f"SCALE x$k: $n=$t%.1f") }
+      (k, nDocs, tBuild, t96, t103, t106, extra)
     }
-    println("\nscale,docs,state_build_s,q96_s,q103_s,q106_s")
-    results.foreach { case (k, n, b, a, c, d2) =>
-      println(f"$k,$n,$b%.1f,$a%.1f,$c%.1f,$d2%.1f")
+    println("\nscale,docs,state_build_s,q96_s,q103_s,q106_s," +
+      results.head._7.map(_._1).mkString(","))
+    results.foreach { case (k, n, b, a, c, d2, ex) =>
+      println(f"$k,$n,$b%.1f,$a%.1f,$c%.1f,$d2%.1f," +
+        ex.map(e => f"${e._2}%.1f").mkString(","))
     }
     spark.stop()
   }
